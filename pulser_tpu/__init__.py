@@ -1,0 +1,71 @@
+"""A TPU-native pulse-level composer and emulator for neutral-atom devices.
+
+Drop-in capable counterpart of the reference ``pulser`` package, rebuilt
+JAX/XLA/Pallas-first.  The sequence-construction layers keep the same
+public API; the emulation stack (``pulser_tpu.emulator``) replaces QuTiP
+with a jitted statevector/density-matrix solver.
+"""
+
+from pulser_tpu._version import __version__ as __version__
+from pulser_tpu.waveforms import (
+    CompositeWaveform,
+    CustomWaveform,
+    ConstantWaveform,
+    RampWaveform,
+    BlackmanWaveform,
+    InterpolatedWaveform,
+    KaiserWaveform,
+)
+from pulser_tpu.pulse import Pulse
+from pulser_tpu.register import Register, Register3D
+from pulser_tpu.noise_model import NoiseModel
+from pulser_tpu.devices import (
+    AnalogDevice,
+    DigitalAnalogDevice,
+    MockDevice,
+    WeightedAnalogDevice,
+)
+
+from pulser_tpu import (
+    waveforms as waveforms,
+    channels as channels,
+    register as register,
+    devices as devices,
+    exceptions as exceptions,
+)
+
+__all__ = [
+    "CompositeWaveform",
+    "CustomWaveform",
+    "ConstantWaveform",
+    "RampWaveform",
+    "BlackmanWaveform",
+    "InterpolatedWaveform",
+    "KaiserWaveform",
+    "Pulse",
+    "Register",
+    "Register3D",
+    "NoiseModel",
+    "AnalogDevice",
+    "DigitalAnalogDevice",
+    "MockDevice",
+    "WeightedAnalogDevice",
+    "Sequence",
+]
+
+
+def __getattr__(name: str):
+    # Lazily resolved to avoid import cycles while the package loads.
+    if name == "Sequence":
+        from pulser_tpu.sequence import Sequence
+
+        return Sequence
+    if name == "sampler":
+        import pulser_tpu.sampler as sampler
+
+        return sampler
+    if name == "backend":
+        import pulser_tpu.backend as backend
+
+        return backend
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,1169 @@
+"""All built-in waveform types and their Waveform parent class.
+
+Behavioral parity with reference ``pulser-core/pulser/waveforms.py``:
+same seven waveform classes over 1-ns samples, same durations, sample
+values, modulation buffers, slicing and arithmetic.  Sample generation is
+host-side numpy (it runs once at build time); values flow through
+``pulser_tpu.math`` so JAX arrays assigned to sequence variables keep the
+whole pipeline differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import itertools
+import sys
+import warnings
+from abc import ABC, abstractmethod
+from functools import cached_property
+from types import FunctionType
+from typing import TYPE_CHECKING, Any, Optional, Tuple, TypeVar, Union, cast
+
+import numpy as np
+import scipy.interpolate as interpolate
+from numpy.typing import ArrayLike
+
+import pulser_tpu.math as pm
+from pulser_tpu.exceptions.serialization import AbstractReprError
+from pulser_tpu.json.abstract_repr.serializer import abstract_repr
+from pulser_tpu.json.utils import obj_to_dict
+from pulser_tpu.parametrized import Parametrized, ParamObj
+from pulser_tpu.parametrized.decorators import parametrize
+
+if TYPE_CHECKING:
+    from matplotlib.axes import Axes
+
+    from pulser_tpu.channels.base_channel import Channel
+
+__all__ = [
+    "Waveform",
+    "CompositeWaveform",
+    "CustomWaveform",
+    "ConstantWaveform",
+    "RampWaveform",
+    "BlackmanWaveform",
+    "InterpolatedWaveform",
+    "KaiserWaveform",
+]
+
+T = TypeVar("T", int, float)
+_WaveformT = TypeVar("_WaveformT", bound="Waveform")
+_InterpWaveformT = TypeVar("_InterpWaveformT", bound="InterpolatedWaveform")
+
+
+def _is_traced(value: Any) -> bool:
+    """Whether a value is a JAX tracer (can't be cast to a host scalar)."""
+    import jax
+
+    if isinstance(value, pm.AbstractArray):
+        value = value._array
+    return isinstance(value, jax.core.Tracer)
+
+
+def _cast_check(type_: type[T], value: Any, name: str) -> T:
+    if _is_traced(value):
+        # Numeric by construction; host-side casting is deferred so that
+        # differentiation through the value stays possible.
+        return cast(T, value)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=UserWarning)
+            return type_(value)
+    except (ValueError, TypeError) as e:
+        raise TypeError(
+            f"'{name}' needs to be castable to {type_.__name__!s} "
+            f"but type {type(value)} was provided."
+        ) from e
+
+
+class Waveform(ABC):
+    """The abstract class for a pulse's waveform."""
+
+    def __new__(
+        cls: type[_WaveformT], *args: Any, **kwargs: Any
+    ) -> _WaveformT:
+        """Returns a ParamObj if any argument is parametrized."""
+        for x in itertools.chain(args, kwargs.values()):
+            if isinstance(x, Parametrized):
+                return ParamObj(  # type: ignore[return-value]
+                    cls, *args, **kwargs
+                )
+        return object.__new__(cls)
+
+    def __init__(self, duration: Union[int, Parametrized]):
+        """Initializes a waveform with a given duration.
+
+        Args:
+            duration: The waveform's duration (in ns).
+        """
+        assert not isinstance(duration, Parametrized)
+        _duration = _cast_check(int, duration, "duration")
+
+        if _duration <= 0:
+            raise ValueError(
+                "A waveform must have a positive duration, "
+                + f"not {duration}."
+            )
+        elif duration - _duration != 0:
+            warnings.warn(
+                f"A waveform duration of {duration} ns is below the"
+                " supported precision of 1 ns. It was rounded down "
+                + f"to {_duration} ns.",
+                stacklevel=3,
+            )
+
+        self._duration = _duration
+
+    @property
+    @abstractmethod
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+
+    @cached_property
+    @abstractmethod
+    def _samples(self) -> pm.AbstractArray:
+        pass
+
+    @property
+    def samples(self) -> pm.AbstractArray:
+        """The value at each time step that describes the waveform."""
+        return self._samples.copy()
+
+    @property
+    def first_value(self) -> float:
+        """The first value in the waveform."""
+        return float(self[0])
+
+    @property
+    def last_value(self) -> float:
+        """The last value in the waveform."""
+        return float(self[-1])
+
+    @property
+    def integral(self) -> float:
+        """Integral of the waveform (in [waveform units].µs)."""
+        return float(pm.sum(self._samples)) * 1e-3  # ns * rad/µs = 1e-3
+
+    def draw(
+        self,
+        output_channel: Optional[Channel] = None,
+        ylabel: str | None = None,
+    ) -> None:
+        """Draws the waveform.
+
+        Args:
+            output_channel: The output channel. If given, draws the
+                modulated waveform on top of the input one.
+            ylabel: An optional label for the y-axis of the plot.
+        """
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        if not output_channel:
+            self._plot(ax, ylabel=ylabel)
+        else:
+            self._plot(
+                ax,
+                ylabel=ylabel,
+                label="Input",
+                start_t=self.modulation_buffers(output_channel)[0],
+            )
+            self._plot(
+                ax,
+                channel=output_channel,
+                label="Output",
+            )
+        plt.show()
+
+    def with_new_duration(self, new_duration: int) -> Waveform:
+        """Returns a new waveform with modified duration."""
+        raise NotImplementedError(
+            f"{self.__class__.__name__} does not support"
+            " modifications to its duration."
+        )
+
+    def change_duration(self, new_duration: int) -> Waveform:
+        """Deprecated alias kept for API parity (use with_new_duration)."""
+        warnings.warn(
+            "'Waveform.change_duration()' has been deprecated and replaced by"
+            " 'Waveform.with_new_duration()'.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.with_new_duration(new_duration)
+
+    def truncated(self, new_duration: int) -> Waveform:
+        """Returns a new waveform, truncated to a new duration.
+
+        If the new duration is above this waveform's duration, a copy is
+        returned instead.
+        """
+        if new_duration >= self.duration:
+            return self * 1.0
+        return CustomWaveform(
+            self.samples[: _cast_check(int, new_duration, "new_duration")]
+        )
+
+    def modulated_samples(
+        self, channel: Channel, eom: bool = False
+    ) -> pm.AbstractArray:
+        """The waveform samples as output of a given channel.
+
+        This duration is adjusted according to the minimal buffer times.
+
+        Args:
+            channel: The channel modulating the waveform.
+            eom: Whether to modulate for the EOM.
+
+        Returns:
+            The array of samples after modulation.
+        """
+        detach = True
+        if self.samples.requires_grad:
+            self._modulated_samples.cache_clear()
+            detach = False
+        start, end = self.modulation_buffers(channel)
+        mod_samples = self._modulated_samples(channel, eom=eom)
+        tr = channel.rise_time
+        trim = slice(tr - start, len(mod_samples) - tr + end)
+        final_samples = mod_samples[trim]
+        if detach:
+            return pm.AbstractArray(final_samples.as_array(detach=True))
+        return final_samples
+
+    @functools.lru_cache()
+    def modulation_buffers(
+        self, channel: Channel, eom: bool = False
+    ) -> tuple[int, int]:
+        """The minimal buffers needed around a modulated waveform.
+
+        Args:
+            channel: The channel modulating the waveform.
+            eom: Whether to calculate the buffers with the EOM bandwidth.
+
+        Returns:
+            The minimum buffer times at the start and end of the samples,
+            in ns.
+        """
+        if not channel.mod_bandwidth:
+            return 0, 0
+
+        return channel.calc_modulation_buffer(
+            self._samples, self._modulated_samples(channel, eom=eom), eom=eom
+        )
+
+    @functools.lru_cache()
+    def _modulated_samples(
+        self, channel: Channel, eom: bool = False
+    ) -> pm.AbstractArray:
+        """The waveform samples as output of a channel (untrimmed)."""
+        return channel.modulate(self._samples, eom=eom)
+
+    @abstractmethod
+    def _to_dict(self) -> dict[str, Any]:
+        pass
+
+    @abstractmethod
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        pass
+
+    @abstractmethod
+    def __str__(self) -> str:
+        pass
+
+    @abstractmethod
+    def __repr__(self) -> str:
+        pass
+
+    def __getitem__(
+        self, index_or_slice: Union[int, slice]
+    ) -> pm.AbstractArray:
+        if isinstance(index_or_slice, slice):
+            s: slice = self._check_slice(index_or_slice)
+            return self._samples[s]
+        else:
+            index: int = self._check_index(index_or_slice)
+            return self._samples[index]
+
+    def _check_index(self, i: int) -> int:
+        if i < -self.duration or i >= self.duration:
+            raise IndexError(
+                "Index ('index_or_slice' = "
+                f"{i}) must be in the range "
+                f"0~{self.duration - 1}, or "
+                f"{-self.duration}~-1 from the end."
+            )
+        return i if i >= 0 else self.duration + i
+
+    def _check_slice(self, s: slice) -> slice:
+        if s.step is not None and s.step != 1:
+            raise IndexError("The step of the slice must be None or 1.")
+
+        start = (
+            0
+            if s.start is None
+            else (s.start if s.start >= 0 else self.duration + s.start)
+        )
+        stop = (
+            self.duration
+            if s.stop is None
+            else (s.stop if s.stop >= 0 else self.duration + s.stop)
+        )
+
+        start = min(max(start, 0), self.duration)
+        stop = min(max(stop, 0), self.duration)
+        stop = max(stop, start)
+
+        return slice(start, stop)
+
+    @abstractmethod
+    def __mul__(self, other: float | ArrayLike) -> Waveform:
+        pass
+
+    def __neg__(self) -> Waveform:
+        return self.__mul__(-1.0)
+
+    def __truediv__(self, other: float | ArrayLike) -> Waveform:
+        other_ = pm.AbstractArray(other)
+        if np.any(other_.as_array(detach=True) == 0):
+            raise ZeroDivisionError("Can't divide a waveform by zero.")
+        else:
+            return self.__mul__(1 / other_)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Waveform):
+            return False
+        elif self.duration != other.duration:
+            return False
+        else:
+            return bool(
+                np.all(
+                    np.isclose(
+                        self.samples.as_array(detach=True),
+                        other.samples.as_array(detach=True),
+                    )
+                )
+            )
+
+    def __hash__(self) -> int:
+        return hash(tuple(self.samples.tolist()))
+
+    def _plot(
+        self,
+        ax: Axes,
+        ylabel: Optional[str] = None,
+        color: Optional[str] = None,
+        channel: Optional[Channel] = None,
+        label: str = "",
+        start_t: int = 0,
+    ) -> None:
+        import matplotlib.pyplot as plt
+
+        ax.set_xlabel("t (ns)")
+        samples = (
+            self.samples
+            if channel is None
+            else self.modulated_samples(channel)
+        ).as_array(detach=True)
+        ts = np.arange(len(samples)) + start_t
+        if not channel and start_t:
+            samples = np.pad(samples, 1)
+            ts = np.pad(ts, 1, mode="edge")
+
+        color_dict: dict[str, Any]
+        if color:
+            color_dict = {"color": color}
+            hline_color = color
+            ax.tick_params(axis="y", labelcolor=color)
+        else:
+            color_dict = {}
+            hline_color = "black"
+
+        if ylabel:
+            ax.set_ylabel(ylabel, fontsize=14, **color_dict)
+        ax.plot(ts, samples, label=label, **color_dict)
+        ax.axhline(0, color=hline_color, linestyle=":", linewidth=0.5)
+
+        if label:
+            plt.legend()
+
+
+class CompositeWaveform(Waveform):
+    """A waveform combining multiple smaller waveforms.
+
+    Args:
+        waveforms: Two or more waveforms to combine.
+    """
+
+    def __init__(self, *waveforms: Union[Parametrized, Waveform]):
+        """Initializes a waveform from multiple waveforms."""
+        if len(waveforms) < 2:
+            raise ValueError(
+                "Needs at least two waveforms to form a CompositeWaveform."
+            )
+        waveforms = cast(Tuple[Waveform, ...], waveforms)
+        for wf in waveforms:
+            self._validate(wf)
+
+        self._waveforms = list(waveforms)
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        duration = 0
+        for wf in self._waveforms:
+            duration += wf.duration
+        return duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return pm.concatenate([wf.samples for wf in self._waveforms])
+
+    @property
+    def waveforms(self) -> list[Waveform]:
+        """The waveforms encapsulated in the composite waveform."""
+        return list(self._waveforms)
+
+    def _validate(self, waveform: Waveform) -> None:
+        if not isinstance(waveform, Waveform):
+            raise TypeError(
+                f"{waveform!r} is not a valid waveform. "
+                "Please provide a valid Waveform."
+            )
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, *self._waveforms)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr("CompositeWaveform", *self._waveforms)
+
+    def __str__(self) -> str:
+        contents_list = ["{!r}"] * len(self._waveforms)
+        contents = ", ".join(contents_list)
+        contents = contents.format(*self._waveforms)
+        return f"Composite({contents})"
+
+    def __repr__(self) -> str:
+        return f"CompositeWaveform({self.duration} ns, {self._waveforms!r})"
+
+    def __mul__(self, other: float | ArrayLike) -> CompositeWaveform:
+        other_ = pm.AbstractArray(other, dtype=float)
+        return CompositeWaveform(*(wf * other_ for wf in self._waveforms))
+
+
+class CustomWaveform(Waveform):
+    """A custom waveform.
+
+    Args:
+        samples: The modulation values at each time step.
+            The number of samples dictates the duration, in ns.
+    """
+
+    def __init__(self, samples: ArrayLike | pm.TensorLike):
+        """Initializes a custom waveform."""
+        samples_arr = pm.AbstractArray(samples, dtype=float)
+        self._samples_arr: pm.AbstractArray = samples_arr
+        super().__init__(len(samples_arr))
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return int(self._duration)
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return self._samples_arr
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, self._samples)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr("CustomWaveform", self._samples)
+
+    def __str__(self) -> str:
+        return "Custom"
+
+    def __repr__(self) -> str:
+        return f"CustomWaveform({self.duration} ns, {self.samples!r})"
+
+    def __mul__(self, other: float | ArrayLike) -> CustomWaveform:
+        return CustomWaveform(
+            self._samples * pm.AbstractArray(other, dtype=float)
+        )
+
+
+class ConstantWaveform(Waveform):
+    """A waveform of constant value.
+
+    Args:
+        duration: The waveform duration (in ns).
+        value: The value.
+    """
+
+    def __init__(
+        self,
+        duration: Union[int, Parametrized],
+        value: Union[float, pm.TensorLike, Parametrized],
+    ):
+        """Initializes a constant waveform."""
+        super().__init__(duration)
+        assert not isinstance(value, Parametrized)
+        _cast_check(float, value, "value")
+        self._value = pm.AbstractArray(value, dtype=float)
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return self._value * np.ones(self.duration)
+
+    def with_new_duration(self, new_duration: int) -> ConstantWaveform:
+        """Returns a new waveform with modified duration."""
+        return ConstantWaveform(new_duration, self._value)
+
+    def truncated(self, new_duration: int) -> ConstantWaveform:
+        """Returns a new waveform, truncated to a new duration."""
+        return self.with_new_duration(min(new_duration, self.duration))
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, self._duration, self._value)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr("ConstantWaveform", self._duration, self._value)
+
+    def __str__(self) -> str:
+        return f"{float(self._value):.3g}"
+
+    def __repr__(self) -> str:
+        return (
+            f"ConstantWaveform({self._duration} ns, "
+            f"{float(self._value):.3g})"
+        )
+
+    def __mul__(self, other: float | ArrayLike) -> ConstantWaveform:
+        return ConstantWaveform(
+            self._duration, self._value * pm.AbstractArray(other, dtype=float)
+        )
+
+
+class RampWaveform(Waveform):
+    """A linear ramp waveform.
+
+    Args:
+        duration: The waveform duration (in ns).
+        start: The value at the initial sample.
+        stop: The value at the final sample.
+    """
+
+    def __init__(
+        self,
+        duration: Union[int, Parametrized],
+        start: Union[float, pm.TensorLike, Parametrized],
+        stop: Union[float, pm.TensorLike, Parametrized],
+    ):
+        """Initializes a ramp waveform."""
+        super().__init__(duration)
+        assert not isinstance(start, Parametrized)
+        assert not isinstance(stop, Parametrized)
+        _cast_check(float, start, "start")
+        _cast_check(float, stop, "stop")
+        self._start = pm.AbstractArray(start, dtype=float)
+        self._stop = pm.AbstractArray(stop, dtype=float)
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        ramp = self._slope * np.arange(self._duration, dtype=float) + (
+            self._start
+        )
+        if _is_traced(self._start) or _is_traced(self._stop):
+            import jax.numpy as jnp
+
+            lo = jnp.minimum(
+                self._start.as_tensor(), self._stop.as_tensor()
+            )
+            hi = jnp.maximum(
+                self._start.as_tensor(), self._stop.as_tensor()
+            )
+            return pm.AbstractArray(
+                jnp.clip(ramp.as_tensor(), lo, hi)
+            )
+        return pm.clip(
+            ramp,
+            *sorted(map(float, [self._start, self._stop])),
+        )
+
+    @property
+    def _slope(self) -> pm.AbstractArray:
+        return (self._stop - self._start) / (self._duration - 1)
+
+    @property
+    def slope(self) -> float:
+        r"""Slope of the ramp, in [waveform units] / ns."""
+        return float(self._slope)
+
+    def with_new_duration(self, new_duration: int) -> RampWaveform:
+        """Returns a new waveform with modified duration."""
+        return RampWaveform(new_duration, self._start, self._stop)
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, self._duration, self._start, self._stop)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr(
+            "RampWaveform", self._duration, self._start, self._stop
+        )
+
+    def __str__(self) -> str:
+        return f"Ramp({float(self._start):.3g}->{float(self._stop):.3g})"
+
+    def __repr__(self) -> str:
+        return (
+            f"RampWaveform({self._duration} ns, "
+            f"{float(self._start):.3g}->{float(self._stop):.3g})"
+        )
+
+    def __mul__(self, other: float | ArrayLike) -> RampWaveform:
+        k = pm.AbstractArray(other, dtype=float)
+        return RampWaveform(self._duration, self._start * k, self._stop * k)
+
+
+class BlackmanWaveform(Waveform):
+    """A Blackman window of a specified duration and area.
+
+    Warning:
+        The BlackmanWaveform assumes its values are in rad/µs for the
+        area calculation. If this is not the case, the 'area' value should
+        be scaled accordingly.
+
+    Args:
+        duration: The waveform duration (in ns).
+        area: The integral of the waveform. Can be negative, in which
+            case it takes the positive waveform and changes the sign of all
+            its values.
+    """
+
+    def __init__(
+        self,
+        duration: Union[int, Parametrized],
+        area: Union[float, pm.TensorLike, Parametrized],
+    ):
+        """Initializes a Blackman waveform."""
+        super().__init__(duration)
+        assert not isinstance(area, Parametrized)
+        _cast_check(float, area, "area")
+        self._area = pm.AbstractArray(area, dtype=float)
+
+        self._norm_samples = pm.AbstractArray(
+            np.clip(np.blackman(self._duration), 0, np.inf)
+        )
+        self._scaling = self._area / pm.sum(self._norm_samples) * 1e3
+
+    @classmethod
+    @parametrize
+    def from_max_val(
+        cls,
+        max_val: Union[float, Parametrized],
+        area: Union[float, pm.TensorLike, Parametrized],
+    ) -> BlackmanWaveform:
+        """Creates a Blackman waveform bounded by a maximum value.
+
+        The duration is chosen so that the maximum value is not surpassed,
+        but approached as closely as possible.
+
+        Args:
+            max_val: The maximum value threshold (in rad/µs). If negative,
+                it is taken as the lower bound. Must match the sign of
+                `area`.
+            area: The area under the waveform.
+        """
+        max_val = cast(float, max_val)
+        assert not isinstance(area, Parametrized)
+        area_float = _cast_check(float, area, "area")
+        area_sign = np.sign(area_float)
+        if np.sign(max_val) != area_sign:
+            raise ValueError(
+                "The maximum value and the area must have matching signs."
+            )
+
+        # Deal only with positive areas
+        area = pm.AbstractArray(area, dtype=float) * float(area_sign)
+        max_val *= float(area_sign)
+
+        # A normalized Blackman waveform has an area of 0.42 * duration
+        duration = np.ceil(float(area) / (0.42 * max_val) * 1e3)  # in ns
+        wf = cls(duration, area)
+        previous_wf = None
+
+        # Adjust for rounding errors to make sure max_val is not surpassed
+        while float(wf._scaling) > max_val:
+            duration += 1
+            previous_wf = wf
+            wf = cls(duration, area)
+
+        # numpy.blackman() reaches 1.0 only for odd sample counts, so the
+        # previous even duration may get closer to max_val.
+        _arr_max = float(np.max(wf.samples.as_array(detach=True)))
+        if (
+            previous_wf is not None
+            and duration % 2 == 1
+            and (
+                _arr_max
+                < np.max(previous_wf.samples.as_array(detach=True))
+                <= max_val
+            )
+        ):
+            wf = previous_wf
+
+        return wf if area_sign != -1 else cast(BlackmanWaveform, -wf)
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return self._norm_samples * self._scaling
+
+    def with_new_duration(self, new_duration: int) -> BlackmanWaveform:
+        """Returns a new waveform with the same area but a new duration."""
+        return BlackmanWaveform(new_duration, self._area)
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, self._duration, self._area)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr("BlackmanWaveform", self._duration, self._area)
+
+    def __str__(self) -> str:
+        return f"Blackman(Area: {float(self._area):.3g})"
+
+    def __repr__(self) -> str:
+        return (
+            f"BlackmanWaveform({self._duration} ns, "
+            f"Area: {float(self._area):.3g})"
+        )
+
+    def __mul__(self, other: float | ArrayLike) -> BlackmanWaveform:
+        return BlackmanWaveform(
+            self._duration, self._area * pm.AbstractArray(other, dtype=float)
+        )
+
+
+class InterpolatedWaveform(Waveform):
+    """A waveform created from interpolation of a set of data points.
+
+    Args:
+        duration: The waveform duration (in ns).
+        values: Values of the interpolation points, castable to float or
+            a parametrized object.
+        times: Fractions of the total duration (between 0 and 1), indicating
+            where to place each value on the time axis. If not given, the
+            values are spread evenly throughout the full duration.
+        interpolator: The SciPy interpolation class to use. Supports
+            "PchipInterpolator" (default) and "interp1d" (deprecated).
+        **interpolator_kwargs: Extra parameters for the interpolator class
+            (deprecated).
+    """
+
+    def __new__(
+        cls: type[_InterpWaveformT], *args: Any, **kwargs: Any
+    ) -> _InterpWaveformT:
+        """Creates InterpolatedWaveform or ParamObj depending on input."""
+        cls._check_values_times(
+            args[1] if len(args) >= 2 else kwargs["values"],
+            args[2] if len(args) >= 3 else kwargs.get("times", None),
+        )
+        for x in itertools.chain(args, kwargs.values()):
+            if isinstance(x, Parametrized):
+                return ParamObj(  # type: ignore[return-value]
+                    cls, *args, **kwargs
+                )
+        return object.__new__(cls)
+
+    def __init__(
+        self,
+        duration: Union[int, Parametrized],
+        values: Union[ArrayLike, Parametrized],
+        times: Optional[Union[ArrayLike, Parametrized]] = None,
+        interpolator: str = "PchipInterpolator",
+        **interpolator_kwargs: Any,
+    ):
+        """Initializes a new InterpolatedWaveform."""
+        super().__init__(duration)
+        self._values = np.array(values, dtype=float)
+        if times is not None:
+            times = cast(ArrayLike, times)
+            times_ = np.array(times, dtype=float)
+            self._times = times_
+        else:
+            self._times = np.linspace(0, 1, num=len(self._values))
+
+        valid_interpolators = ("PchipInterpolator", "interp1d")
+        if interpolator not in valid_interpolators:
+            raise ValueError(
+                f"Invalid interpolator '{interpolator}', only "
+                "accepts: " + ", ".join(valid_interpolators)
+            )
+        if interpolator == "interp1d":
+            warnings.warn(
+                "Setting 'interpolator' to \"interp1d\" has been deprecated "
+                "and will be removed in a future version. Only "
+                "'PchipInterpolator' (the default) will remain supported.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        if interpolator_kwargs:
+            warnings.warn(
+                "Passing extra keyword arguments to configure the SciPy "
+                "interpolator has been deprecated and will be removed in a "
+                "future version.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        interp_cls = getattr(interpolate, interpolator)
+        self._data_pts = np.array(
+            [
+                (t, v)
+                for t, v in zip(
+                    self._times * (self._duration - 1), self._values
+                )
+            ]
+        )
+        self._interp_func = interp_cls(
+            self._data_pts[:, 0], self._data_pts[:, 1], **interpolator_kwargs
+        )
+        self._kwargs: dict[str, Any] = {
+            "times": times,
+            "interpolator": interpolator,
+            **interpolator_kwargs,
+        }
+
+    @staticmethod
+    def _check_values_times(
+        values: Union[ArrayLike, Parametrized],
+        times: Optional[Union[ArrayLike, Parametrized]] = None,
+    ) -> None:
+        """Check whether the types of values and times are valid."""
+
+        def _err_message(argument_name: str) -> str:
+            return (
+                f"`{argument_name}` must be a parametrized object or a "
+                "sequence of elements castable to float. To make a sequence"
+                " of parametrized objects, declare a variable with the "
+                "desired size."
+            )
+
+        if not isinstance(values, Parametrized):
+            try:
+                values_ = np.array(values, dtype=float)
+            except TypeError as e:
+                raise TypeError(_err_message("values")) from e
+        if times is None or isinstance(times, Parametrized):
+            return
+        try:
+            times_ = np.array(times, dtype=float)
+        except TypeError as e:
+            raise TypeError(_err_message("times")) from e
+        if np.any(times_ < 0):
+            raise ValueError(
+                "All values in `times` must be greater than or equal to 0."
+            )
+        if np.any(times_ > 1):
+            raise ValueError(
+                "All values in `times` must be less than or equal to 1."
+            )
+        unique_times = np.unique(times)
+        if len(times_) != len(unique_times):
+            raise ValueError(
+                "`times` must be an array of non-repeating values."
+            )
+        if (
+            not isinstance(values, Parametrized)
+            and times_.size != values_.size
+        ):
+            raise ValueError(
+                "When specified, the number of time coordinates in `times`"
+                f" ({times_.size}) must match the number of `values` "
+                f"({values_.size})."
+            )
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        samples = self._interp_func(np.arange(self._duration))
+        if self._kwargs["interpolator"] == "PchipInterpolator" and set(
+            self._kwargs
+        ) == {"times", "interpolator"}:
+            return pm.clip(
+                samples, np.min(self._values), np.max(self._values)
+            )
+        value_range = np.max(np.abs(samples))
+        decimals = int(
+            min(np.finfo(samples.dtype).precision - np.log10(value_range), 9)
+        )  # Reduces decimal values below 9 for large ranges
+        return pm.AbstractArray(np.round(samples, decimals=decimals))
+
+    @property
+    def interp_function(
+        self,
+    ) -> Union[interpolate.PchipInterpolator, interpolate.interp1d]:
+        """The interpolating function."""
+        return self._interp_func
+
+    @property
+    def data_points(self) -> np.ndarray:
+        """Points (t[ns], value) that define the interpolation."""
+        return self._data_pts.copy()
+
+    def with_new_duration(self, new_duration: int) -> InterpolatedWaveform:
+        """Returns a new waveform with the same coords but a new duration."""
+        return InterpolatedWaveform(
+            new_duration, self._values, **self._kwargs
+        )
+
+    def _plot(
+        self,
+        ax: Axes,
+        ylabel: Optional[str] = None,
+        color: Optional[str] = None,
+        channel: Optional[Channel] = None,
+        label: str = "",
+        start_t: int = 0,
+    ) -> None:
+        super()._plot(
+            ax,
+            ylabel,
+            color=color,
+            channel=channel,
+            label=label,
+            start_t=start_t,
+        )
+        if not channel:
+            ax.scatter(
+                self._data_pts[:, 0] + start_t, self._data_pts[:, 1], c=color
+            )
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(
+            self, self._duration, self._values, **self._kwargs
+        )
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        if self._kwargs["interpolator"] != "PchipInterpolator" or set(
+            self._kwargs
+        ) - {"times", "interpolator"}:
+            raise AbstractReprError(
+                "Export of an InterpolatedWaveform is only supported for the "
+                "'PchipInterpolator' and without any 'interpolator_kwargs'."
+            )
+        return abstract_repr(
+            "InterpolatedWaveform",
+            self._duration,
+            self._values,
+            times=self._times,
+        )
+
+    def __str__(self) -> str:
+        coords = [f"({int(x)}, {y:.4g})" for x, y in self.data_points]
+        return f"InterpolatedWaveform(Points: {', '.join(coords)})"
+
+    def __repr__(self) -> str:
+        interp_str = f", Interpolator={self._kwargs['interpolator']})"
+        return self.__str__()[:-1] + interp_str
+
+    def __mul__(self, other: float | ArrayLike) -> InterpolatedWaveform:
+        return InterpolatedWaveform(
+            self._duration,
+            self._values * np.array(other, dtype=float),
+            **self._kwargs,
+        )
+
+
+class KaiserWaveform(Waveform):
+    """A Kaiser window of a specified duration and beta parameter.
+
+    Warning:
+        The KaiserWaveform assumes its values are in rad/µs for the
+        area calculation. If this is not the case, the 'area' value
+        should be scaled accordingly.
+
+    Args:
+        duration: The waveform duration (in ns).
+        area: The integral of the waveform. Can be negative, in which case
+            the sign of all values is flipped.
+        beta: The beta parameter of the Kaiser window. Default 14.
+    """
+
+    def __init__(
+        self,
+        duration: Union[int, Parametrized],
+        area: Union[float, pm.TensorLike, Parametrized],
+        beta: Optional[Union[float, Parametrized]] = 14.0,
+    ):
+        """Initializes a Kaiser waveform."""
+        super().__init__(duration)
+
+        assert not isinstance(area, Parametrized)
+        _cast_check(float, area, "area")
+        self._area = pm.AbstractArray(area, dtype=float)
+
+        beta = cast(float, beta)
+        # Guards against a beta that would require grad
+        pm.AbstractArray(beta).as_array()
+        self._beta = _cast_check(float, beta, "beta")
+
+        if self._beta < 0.0:
+            raise ValueError(
+                f"The beta parameter (`beta` = {self._beta})"
+                " must be greater than 0."
+            )
+
+        self._norm_samples = pm.AbstractArray(
+            np.clip(np.kaiser(self._duration, self._beta), 0, np.inf)
+        )
+
+        self._scaling = self._area / pm.sum(self._norm_samples) * 1e3
+
+    @classmethod
+    @parametrize
+    def from_max_val(
+        cls,
+        max_val: Union[float, Parametrized],
+        area: Union[float, pm.TensorLike, Parametrized],
+        beta: Optional[Union[float, Parametrized]] = 14.0,
+    ) -> KaiserWaveform:
+        """Creates a Kaiser waveform bounded by a maximum value.
+
+        The duration is chosen so that the maximum value is not surpassed,
+        but approached as closely as possible.
+
+        Args:
+            max_val: The maximum value threshold (in rad/µs). Must match
+                the sign of `area`.
+            area: The area under the waveform.
+            beta: The beta parameter of the Kaiser window. Default 14.
+        """
+        max_val = cast(float, max_val)
+        assert not isinstance(area, Parametrized)
+        area_float = _cast_check(float, area, "area")
+        beta = cast(float, beta)
+
+        if np.sign(max_val) != np.sign(area_float):
+            raise ValueError(
+                "The maximum value and the area must have matching signs."
+            )
+
+        # All computations will be done on a positive area
+        area = pm.AbstractArray(area, dtype=float)
+        is_negative: bool = area_float < 0
+        if is_negative:
+            area_float = -area_float
+            max_val = -max_val
+
+        # First guess of the best duration from the long-duration area ratio
+        ratio: np.floating = max_val * np.sum(np.kaiser(100, beta)) / 100
+        duration_guess: int = int(area_float * 1000.0 / ratio)
+
+        duration_best: int = 0
+
+        if duration_guess < 11:
+            # Seesawing effect on short durations: test all solutions
+            max_val_best = 0.0
+            for duration in range(1, 16):
+                kaiser_temp = np.kaiser(duration, beta)
+                scaling_temp = 1000 * area_float / np.sum(kaiser_temp)
+                max_val_temp = np.max(kaiser_temp) * scaling_temp
+                if max_val_best < max_val_temp <= max_val:
+                    max_val_best = float(max_val_temp)
+                    duration_best = duration
+        else:
+            # Walk from the guessed duration in the right direction
+            kaiser_guess = np.kaiser(duration_guess, beta)
+            scaling_guess = 1000 * area_float / np.sum(kaiser_guess)
+            max_val_temp = np.max(kaiser_guess) * scaling_guess
+
+            step = (
+                1 if np.max(kaiser_guess) * scaling_guess >= max_val else -1
+            )
+            duration = duration_guess
+
+            while np.sign(max_val_temp - max_val) == step:
+                duration += step
+                kaiser_temp = np.kaiser(duration, beta)
+                scaling = 1000 * area_float / np.sum(kaiser_temp)
+                max_val_temp = np.max(kaiser_temp) * scaling
+
+            duration_best = duration if step == 1 else duration + 1
+
+        return cls(duration_best, area, beta)
+
+    @property
+    def duration(self) -> int:
+        """The duration of the pulse (in ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return self._norm_samples * self._scaling
+
+    def with_new_duration(self, new_duration: int) -> KaiserWaveform:
+        """Returns a new waveform with the same area/beta, new duration."""
+        return KaiserWaveform(new_duration, self._area, self._beta)
+
+    def _to_dict(self) -> dict[str, Any]:
+        return obj_to_dict(self, self._duration, self._area, self._beta)
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        return abstract_repr(
+            "KaiserWaveform", self._duration, self._area, beta=self._beta
+        )
+
+    def __str__(self) -> str:
+        return (
+            f"Kaiser({self._duration} ns, "
+            f"Area: {float(self._area):.3g}, Beta: {self._beta:.3g})"
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"KaiserWaveform(duration: {self._duration}, "
+            f"area: {float(self._area):.3g}, beta: {self._beta:.3g})"
+        )
+
+    def __mul__(self, other: float | ArrayLike) -> KaiserWaveform:
+        return KaiserWaveform(
+            self._duration,
+            self._area * pm.AbstractArray(other, dtype=float),
+            self._beta,
+        )
+
+
+# Replicate __init__'s signature in __new__ for every Waveform subclass
+def _copy_func(f: FunctionType) -> FunctionType:
+    return FunctionType(
+        f.__code__,
+        f.__globals__,
+        name=f.__name__,
+        argdefs=f.__defaults__,
+        closure=f.__closure__,
+    )
+
+
+for m in inspect.getmembers(sys.modules[__name__], inspect.isclass):
+    if m[1].__module__ == __name__:
+        _new = _copy_func(m[1].__new__)  # type: ignore
+        m[1].__new__ = functools.update_wrapper(_new, m[1].__init__)
