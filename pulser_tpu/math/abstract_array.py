@@ -277,18 +277,40 @@ class AbstractArray:
         return self._binary_op(other, operator.matmul, reverse=True)
 
     # ---- numpy ufunc interception (so np.cos(AbstractArray) works) ----
+    # Reductions of jnp ufunc equivalents, for np.max(jax-backed) etc.
+    _JNP_REDUCTIONS = {
+        "add": "sum",
+        "maximum": "max",
+        "minimum": "min",
+        "multiply": "prod",
+        "logical_or": "any",
+        "logical_and": "all",
+    }
+
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
-        if method != "__call__":
-            return NotImplemented
         arrays = [
             x._array if isinstance(x, AbstractArray) else x for x in inputs
         ]
         if any(_is_jax(a) for a in arrays):
-            jfn = getattr(jnp, ufunc.__name__, None)
-            if jfn is None:
-                return NotImplemented
-            return AbstractArray(jfn(*[jnp.asarray(a) for a in arrays]))
-        return AbstractArray(getattr(ufunc, method)(*arrays, **kwargs))
+            if method == "__call__":
+                jfn = getattr(jnp, ufunc.__name__, None)
+                if jfn is None:
+                    return NotImplemented
+                return AbstractArray(
+                    jfn(*[jnp.asarray(a) for a in arrays])
+                )
+            if method == "reduce":
+                red = self._JNP_REDUCTIONS.get(ufunc.__name__)
+                if red is None:
+                    return NotImplemented
+                return AbstractArray(
+                    getattr(jnp, red)(jnp.asarray(arrays[0]), **kwargs)
+                )
+            return NotImplemented
+        result = getattr(ufunc, method)(*arrays, **kwargs)
+        if isinstance(result, np.ndarray) or np.isscalar(result):
+            return AbstractArray(result)
+        return result
 
     def __array__(self, dtype=None, copy=None) -> np.ndarray:
         arr = self.as_array(detach=True)
