@@ -1,0 +1,48 @@
+"""Classes for backend execution."""
+
+from pulser_tpu.backend.abc import Backend, EmulatorBackend
+from pulser_tpu.backend.config import (
+    BackendConfig,
+    EmulationConfig,
+    EmulatorConfig,
+)
+from pulser_tpu.backend.default_observables import (
+    BitStrings,
+    CorrelationMatrix,
+    Energy,
+    EnergySecondMoment,
+    EnergyVariance,
+    Expectation,
+    Fidelity,
+    Occupation,
+    StateResult,
+)
+from pulser_tpu.backend.observable import Callback, Observable
+from pulser_tpu.backend.operator import Operator, OperatorRepr
+from pulser_tpu.backend.results import Results, ResultsSequence
+from pulser_tpu.backend.state import State, StateRepr
+
+__all__ = [
+    "Backend",
+    "EmulatorBackend",
+    "BackendConfig",
+    "EmulationConfig",
+    "EmulatorConfig",
+    "BitStrings",
+    "CorrelationMatrix",
+    "Energy",
+    "EnergySecondMoment",
+    "EnergyVariance",
+    "Expectation",
+    "Fidelity",
+    "Occupation",
+    "StateResult",
+    "Callback",
+    "Observable",
+    "Operator",
+    "OperatorRepr",
+    "Results",
+    "ResultsSequence",
+    "State",
+    "StateRepr",
+]

@@ -1,0 +1,209 @@
+"""A minimal dense operator/state wrapper, standing in for qutip.Qobj.
+
+Backs the emulator's inspection API (``get_hamiltonian``,
+``build_operator``) and result states with plain numpy arrays, exposing
+the small subset of the ``qutip.Qobj`` interface that reference user
+code relies on (``full()``, ``dag()``, ``unit()``, ``isket``/``isoper``,
+arithmetic, ``expect``-style products).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+
+class Qobj:
+    """Dense matrix/vector wrapper with qutip.Qobj-compatible surface.
+
+    Args:
+        data: The underlying array. 1D arrays are treated as kets and
+            stored as column vectors.
+        dims: Optional qutip-style dims ``[[d]*n, [1]*n]`` (kets) or
+            ``[[d]*n, [d]*n]`` (operators).
+    """
+
+    def __init__(
+        self, data: Any, dims: Sequence[Sequence[int]] | None = None
+    ):
+        arr = np.asarray(
+            data.full() if isinstance(data, Qobj) else data
+        )
+        if arr.ndim == 1:
+            arr = arr.reshape(-1, 1)
+        self._data = np.asarray(arr, dtype=complex)
+        if dims is None:
+            if self.isket:
+                dims = [[self._data.shape[0]], [1]]
+            elif self.isbra:
+                dims = [[1], [self._data.shape[1]]]
+            else:
+                dims = [[self._data.shape[0]], [self._data.shape[1]]]
+        self.dims = [list(d) for d in dims]
+
+    # ---- structure ----
+    @property
+    def shape(self) -> tuple[int, int]:
+        """The shape of the underlying matrix."""
+        return self._data.shape  # type: ignore[return-value]
+
+    @property
+    def isket(self) -> bool:
+        """Whether this is a column vector."""
+        return self._data.shape[1] == 1 and self._data.shape[0] > 1
+
+    @property
+    def isbra(self) -> bool:
+        """Whether this is a row vector."""
+        return self._data.shape[0] == 1 and self._data.shape[1] > 1
+
+    @property
+    def isoper(self) -> bool:
+        """Whether this is a square operator."""
+        return self._data.shape[0] == self._data.shape[1]
+
+    def full(self) -> np.ndarray:
+        """The dense numpy array."""
+        return self._data.copy()
+
+    def diag(self) -> np.ndarray:
+        """The diagonal of the matrix."""
+        return np.diag(self._data)
+
+    # ---- linear algebra ----
+    def dag(self) -> Qobj:
+        """The adjoint."""
+        return Qobj(
+            self._data.conj().T, dims=[self.dims[1], self.dims[0]]
+        )
+
+    def tr(self) -> complex:
+        """The trace."""
+        return complex(np.trace(self._data))
+
+    def norm(self) -> float:
+        """Vector 2-norm (kets) or trace norm (operators)."""
+        if self.isket or self.isbra:
+            return float(np.linalg.norm(self._data))
+        return float(np.sum(np.abs(np.linalg.eigvals(self._data))))
+
+    def unit(self, inplace: bool = False) -> Qobj:
+        """The normalized state."""
+        nrm = (
+            float(np.linalg.norm(self._data))
+            if (self.isket or self.isbra)
+            else abs(self.tr())
+        )
+        if inplace:
+            self._data = self._data / nrm
+            return self
+        return Qobj(self._data / nrm, dims=self.dims)
+
+    def proj(self) -> Qobj:
+        """|ψ><ψ| for a ket."""
+        assert self.isket
+        return Qobj(
+            self._data @ self._data.conj().T,
+            dims=[self.dims[0], self.dims[0]],
+        )
+
+    def tidyup(self, atol: float = 1e-12) -> Qobj:
+        """Zeroes out negligible entries."""
+        data = self._data.copy()
+        data[np.abs(data) < atol] = 0
+        return Qobj(data, dims=self.dims)
+
+    def expect(self, state: Qobj) -> complex:
+        """<ψ|A|ψ> or Tr[A ρ]."""
+        if state.isket:
+            return complex(
+                (state._data.conj().T @ self._data @ state._data)[0, 0]
+            )
+        return complex(np.trace(self._data @ state._data))
+
+    def overlap(self, other: Qobj) -> complex:
+        """<self|other> for kets."""
+        return complex((self._data.conj().T @ other._data)[0, 0])
+
+    # ---- arithmetic ----
+    def _coerce(self, other: Any) -> np.ndarray:
+        return other._data if isinstance(other, Qobj) else np.asarray(other)
+
+    def __add__(self, other: Any) -> Qobj:
+        if isinstance(other, (int, float, complex)) and other == 0:
+            return Qobj(self._data, dims=self.dims)
+        return Qobj(self._data + self._coerce(other), dims=self.dims)
+
+    __radd__ = __add__
+
+    def __sub__(self, other: Any) -> Qobj:
+        return Qobj(self._data - self._coerce(other), dims=self.dims)
+
+    def __rsub__(self, other: Any) -> Qobj:
+        return Qobj(self._coerce(other) - self._data, dims=self.dims)
+
+    def __mul__(self, other: Any) -> Qobj:
+        if isinstance(other, Qobj):
+            return self.__matmul__(other)
+        return Qobj(self._data * other, dims=self.dims)
+
+    def __rmul__(self, other: Any) -> Qobj:
+        if isinstance(other, Qobj):
+            return other.__matmul__(self)
+        return Qobj(self._data * other, dims=self.dims)
+
+    def __truediv__(self, other: Any) -> Qobj:
+        return Qobj(self._data / other, dims=self.dims)
+
+    def __neg__(self) -> Qobj:
+        return Qobj(-self._data, dims=self.dims)
+
+    def __matmul__(self, other: Qobj) -> Qobj:
+        out = self._data @ self._coerce(other)
+        if isinstance(other, Qobj):
+            dims = [self.dims[0], other.dims[1]]
+        else:
+            dims = None
+        return Qobj(out, dims=dims)
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, Qobj):
+            return False
+        return self._data.shape == other._data.shape and bool(
+            np.allclose(self._data, other._data)
+        )
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        return np.asarray(self._data, dtype=dtype)
+
+    def __repr__(self) -> str:
+        kind = "ket" if self.isket else ("bra" if self.isbra else "oper")
+        return (
+            f"Qobj(dims={self.dims}, shape={self.shape}, type={kind})\n"
+            f"{self._data!r}"
+        )
+
+
+def basis(dim: int, i: int) -> Qobj:
+    """The i-th computational basis ket of dimension dim."""
+    v = np.zeros((dim, 1), dtype=complex)
+    v[i, 0] = 1.0
+    return Qobj(v, dims=[[dim], [1]])
+
+
+def qeye(dim: int) -> Qobj:
+    """The identity operator of dimension dim."""
+    return Qobj(np.eye(dim, dtype=complex), dims=[[dim], [dim]])
+
+
+def tensor(ops: Sequence[Qobj]) -> Qobj:
+    """Kronecker product of a list of Qobjs."""
+    out = ops[0].full()
+    dims0 = list(ops[0].dims[0])
+    dims1 = list(ops[0].dims[1])
+    for op in ops[1:]:
+        out = np.kron(out, op.full())
+        dims0 += op.dims[0]
+        dims1 += op.dims[1]
+    return Qobj(out, dims=[dims0, dims1])

@@ -1,0 +1,1013 @@
+"""The TpuEmulator: simulates a Sequence with jitted JAX solvers.
+
+Behavioral parity with reference
+``pulser-simulation/pulser_simulation/simulation.py:84-1051``
+(``QutipEmulator``), with QuTiP's adaptive solvers replaced by the
+fixed-step RK4 scan solvers of :mod:`pulser_tpu.ops.solver`:
+
+- ``sesolve`` → :func:`sesolve_rk4` on HBM-resident statevectors;
+- ``mesolve`` → :func:`mesolve_rk4` on density matrices with axis-wise
+  local collapse operators;
+- ``mcsolve`` currently falls back to the master equation, which gives
+  the exact trajectory-averaged result (instead of a Monte-Carlo
+  estimate of it).
+
+The evaluation-times semantics (Full/Minimal/array/fraction, union with
+{0, T}), the +1 duration extension and the noisy-trajectory loop match
+the reference exactly.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections import Counter
+from collections.abc import Iterator
+from enum import Enum
+from functools import lru_cache
+from typing import Any, NamedTuple, Optional, Union, cast
+
+import numpy as np
+from numpy.typing import ArrayLike
+
+import jax
+import jax.numpy as jnp
+
+import pulser_tpu.sampler as sampler
+from pulser_tpu.sequence import Sequence
+from pulser_tpu.hamiltonian_data import (
+    HamiltonianData,
+    has_shot_to_shot_except_spam,
+)
+from pulser_tpu.channels.base_channel import States
+from pulser_tpu.devices._device_datacls import BaseDevice
+from pulser_tpu.noise_model import NoiseModel
+from pulser_tpu.register.base_register import BaseRegister
+from pulser_tpu.result import SampledResult
+from pulser_tpu.sampler.samples import ChannelSamples, SequenceSamples
+from pulser_tpu.emulator.hamiltonian import Hamiltonian
+from pulser_tpu.emulator.qobj import Qobj, tensor
+from pulser_tpu.emulator.sim_result import TpuResult
+from pulser_tpu.emulator.simconfig import SimConfig
+from pulser_tpu.emulator.simresults import (
+    CoherentResults,
+    NoisyResults,
+    SimulationResults,
+)
+from pulser_tpu.ops.solver import build_plan, mesolve_rk4, sesolve_rk4
+
+
+class HamiltonianWithReps(NamedTuple):
+    """A Hamiltonian and the number of times it should be simulated."""
+
+    hamiltonian: Hamiltonian
+    reps: int
+
+
+def _has_stochastic_noise(noise_model: NoiseModel) -> bool:
+    return has_shot_to_shot_except_spam(noise_model) or (
+        "SPAM" in noise_model.noise_types
+        and noise_model.state_prep_error != 0
+    )
+
+
+def _default_cdtype() -> Any:
+    return (
+        jnp.complex128
+        if jax.config.jax_enable_x64
+        else jnp.complex64
+    )
+
+
+class Solver(str, Enum):
+    """Solver selection.
+
+    If the noise model has no effective noise, the Schrödinger solver is
+    used (this setting is ignored). With effective noise:
+        - ``DEFAULT``: master-equation solver (also covering the
+          stochastic case exactly, where the reference would Monte-Carlo
+          sample),
+        - ``MESOLVER``: master-equation solver,
+        - ``MCSOLVER``: Monte-Carlo intent — currently solved via the
+          master equation (exact trajectory average).
+    """
+
+    DEFAULT = "default"
+    MESOLVER = "MasterEquation"
+    MCSOLVER = "MonteCarlo"
+
+
+class TpuEmulator:
+    r"""Emulator of a pulse sequence using JAX solvers.
+
+    Args:
+        sampled_seq: The pulse sequence samples used in the emulation.
+        register: The register associating coordinates to the qubits
+            targeted by the samples.
+        device: The device specifications (register and samples must
+            satisfy its constraints).
+        sampling_rate: The fraction of samples to extract for the
+            simulation (between 0.05 and 1.0).
+        config: (Deprecated) SimConfig; use ``noise_model``.
+        evaluation_times: "Full", "Minimal", an array of times (in µs)
+            or a float sampling fraction.
+        noise_model: The noise model for the simulation.
+        solver: Solver selection (see :class:`Solver`).
+        n_trajectories: The number of noise trajectories to average over
+            when the emulation includes stochastic noise.
+    """
+
+    def __init__(
+        self,
+        sampled_seq: SequenceSamples,
+        register: BaseRegister,
+        device: BaseDevice,
+        sampling_rate: float = 1.0,
+        config: Optional[SimConfig] = None,
+        evaluation_times: Union[float, str, ArrayLike] = "Full",
+        noise_model: NoiseModel | None = None,
+        solver: Solver = Solver.DEFAULT,
+        n_trajectories: int | None = None,
+    ) -> None:
+        """Instantiates a TpuEmulator object."""
+        if not isinstance(sampled_seq, SequenceSamples):
+            raise TypeError(
+                "The provided sequence has to be a valid "
+                "SequenceSamples instance."
+            )
+        if sampled_seq.max_duration == 0:
+            raise ValueError("SequenceSamples is empty.")
+        self._sampling_rate = sampling_rate
+        device.validate_register(register)
+        self._register = register
+        self.solver = Solver(solver)
+        if (
+            sampled_seq._slm_mask.end > 0
+            and not device.supports_slm_mask
+        ):
+            raise ValueError(
+                "Samples use SLM mask but device does not have one."
+            )
+        if not sampled_seq.used_bases <= device.supported_bases:
+            raise ValueError(
+                "Bases used in samples should be supported by device."
+            )
+        if not sampled_seq._slm_mask.targets <= set(register.qubit_ids):
+            raise ValueError(
+                "The ids of qubits targeted in SLM mask"
+                " should be defined in register."
+            )
+
+        self._tot_duration = sampled_seq.max_duration
+        self.samples_obj = sampled_seq.extend_duration(
+            self._tot_duration + 1
+        )
+        self._n_trajectories = n_trajectories
+
+        if not (0 < sampling_rate <= 1.0):
+            raise ValueError(
+                "The sampling rate (`sampling_rate` = "
+                f"{sampling_rate}) must be greater than 0 and "
+                "less than or equal to 1."
+            )
+        if int(self._tot_duration * sampling_rate) < 4:
+            raise ValueError(
+                "`sampling_rate` is too small, less than 4 data points."
+            )
+
+        if noise_model is not None and config is not None:
+            raise ValueError(
+                "'noise_model' and 'config' cannot both be provided to "
+                "'TpuEmulator'. Please provide just a 'noise_model'."
+            )
+        if config is not None:
+            with warnings.catch_warnings():
+                warnings.simplefilter("once")
+                warnings.warn(
+                    "Supplying a 'SimConfig' to the emulator has been "
+                    "deprecated. Please instantiate with a 'NoiseModel' "
+                    "instead.",
+                    DeprecationWarning,
+                    stacklevel=2,
+                )
+            noise_model = config.to_noise_model()
+        if not noise_model:
+            noise_model = NoiseModel()
+
+        self._noise_trajectories_used = False
+        self._hamiltonian_data = HamiltonianData(
+            self.samples_obj,
+            register,
+            device,
+            noise_model,
+            self._get_n_trajectories(noise_model, check_value=True),
+        )
+        self._current_hamiltonian = next(self._hamiltonians).hamiltonian
+        self._eval_times_array: np.ndarray
+        self.set_evaluation_times(evaluation_times)
+
+        if self.samples_obj._measurement:
+            self._meas_basis = self.samples_obj._measurement
+        else:
+            if "all" in self.basis_name:
+                self._meas_basis = "digital"
+            else:
+                self._meas_basis = self.basis_name.replace(
+                    "_with_error", ""
+                )
+        self.set_initial_state("all-ground")
+
+    def _get_n_trajectories(
+        self, noise_model: NoiseModel, check_value: bool
+    ) -> int | None:
+        n_trajectories = (
+            self._n_trajectories
+            if self._n_trajectories is not None
+            else noise_model.runs
+        )
+        if (
+            check_value
+            and _has_stochastic_noise(noise_model)
+            and n_trajectories is None
+        ):
+            raise ValueError(
+                "'n_trajectories' must be defined when the NoiseModel"
+                " contains stochastic noise, which is the case for the"
+                f" given noise model: {noise_model!r}"
+            )
+        return n_trajectories
+
+    @property
+    def n_trajectories(self) -> int | None:
+        """The number of trajectories to average over."""
+        return self._get_n_trajectories(
+            self.noise_model, check_value=False
+        )
+
+    @property
+    def device(self) -> BaseDevice:
+        """The device being simulated."""
+        return self._hamiltonian_data.device
+
+    @property
+    def _noiseless_hamiltonian(self) -> Hamiltonian:
+        return self._get_noiseless_hamiltonian(False)
+
+    @lru_cache(maxsize=2)
+    def _get_noiseless_hamiltonian(self, leakage: bool) -> Hamiltonian:
+        """Gets the noiseless Hamiltonian.
+
+        Args:
+            leakage: Whether to include the leakage state in the basis.
+        """
+        if leakage:
+            eff_rate = (0.0,)
+            eff_ops = (np.zeros((3, 3)),)
+            noise = NoiseModel(
+                eff_noise_opers=eff_ops,
+                eff_noise_rates=eff_rate,
+                with_leakage=leakage,
+            )
+        else:
+            noise = NoiseModel()
+
+        noiseless_data = HamiltonianData(
+            self.samples_obj,
+            self._register,
+            self.device,
+            noise,
+            n_trajectories=1,
+        )
+        return Hamiltonian(
+            noiseless_data.samples,
+            noiseless_data.noise_trajectories[0].trajectory,
+            noiseless_data.basis_data,
+            noiseless_data.lindblad_data,
+            self._sampling_rate,
+        )
+
+    @property
+    def _hamiltonians(self) -> Iterator[HamiltonianWithReps]:
+        for traj, noisy_samples, reps in (
+            self._hamiltonian_data.noisy_samples
+        ):
+            yield HamiltonianWithReps(
+                Hamiltonian(
+                    noisy_samples,
+                    traj,
+                    self._hamiltonian_data.basis_data,
+                    self._hamiltonian_data.lindblad_data,
+                    self._sampling_rate,
+                ),
+                reps,
+            )
+
+    @property
+    def sampling_times(self) -> np.ndarray:
+        """The times at which the hamiltonian is sampled."""
+        return self._noiseless_hamiltonian.sampling_times
+
+    @property
+    def dim(self) -> int:
+        """The dimension of the basis."""
+        return self._hamiltonian_data.basis_data.dim
+
+    @property
+    def basis_name(self) -> str:
+        """The name of the basis."""
+        return self._hamiltonian_data.basis_data.basis_name
+
+    @property
+    def basis(self) -> dict[States, Any]:
+        """The basis in which results are expressed."""
+        return self._current_hamiltonian.basis
+
+    @property
+    def noise_model(self) -> NoiseModel:
+        """The current NoiseModel being used."""
+        return self._hamiltonian_data.noise_model
+
+    @property
+    def config(self) -> SimConfig:
+        """The current configuration, as a SimConfig instance."""
+        return SimConfig.from_noise_model(
+            self._hamiltonian_data.noise_model
+        )
+
+    @property
+    def total_duration_ns(self) -> int:
+        """The total duration of the sequence, in ns."""
+        return self._tot_duration
+
+    def set_config(self, cfg: SimConfig) -> None:
+        """Sets the config (deprecated; prefer a new emulator)."""
+        warnings.warn(
+            "Supplying a 'SimConfig' to the emulator has been"
+            " deprecated. Please instantiate with a 'NoiseModel'"
+            " instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if not isinstance(cfg, SimConfig):
+            raise ValueError(
+                f"Object {cfg} is not a valid `SimConfig`."
+            )
+        not_supported = (
+            set(cfg.noise)
+            - cfg.supported_noises[
+                self._hamiltonian_data.basis_data.interaction_type
+            ]
+        )
+        if not_supported:
+            v = self._hamiltonian_data.basis_data.interaction_type
+            raise NotImplementedError(
+                f"Interaction mode '{v}' "
+                "does not support simulation of noise types:"
+                f"{', '.join(not_supported)}."
+            )
+        former_dim = self.dim
+        former_basis = self.basis
+        noise_model = cfg.to_noise_model()
+        self._noise_trajectories_used = False
+        self._hamiltonian_data = HamiltonianData(
+            self.samples_obj,
+            self._register,
+            self.device,
+            noise_model,
+            self._get_n_trajectories(noise_model, check_value=True),
+        )
+        self._current_hamiltonian = next(self._hamiltonians).hamiltonian
+        if self.dim == former_dim:
+            self.set_initial_state(self._initial_state)
+            return
+        v = self._hamiltonian_data.basis_data.interaction_type
+        if self._initial_state != tensor(
+            [
+                former_basis[("u" if v == "XY" else "g")]
+                for _ in range(self._hamiltonian_data.n_qudits)
+            ]
+        ):
+            warnings.warn(
+                "Current initial state's dimension does not match new"
+                " dimensions. Setting it to 'all-ground'."
+            )
+        self.set_initial_state("all-ground")
+
+    def add_config(self, config: SimConfig) -> None:
+        """Updates the current config with another one (deprecated)."""
+        from dataclasses import asdict
+
+        warnings.warn(
+            "Supplying a 'SimConfig' to the emulator has been"
+            " deprecated. Please instantiate with a 'NoiseModel'"
+            " instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        if not isinstance(config, SimConfig):
+            raise ValueError(
+                f"Object {config} is not a valid `SimConfig`"
+            )
+
+        not_supported = (
+            set(config.noise)
+            - config.supported_noises[
+                self._hamiltonian_data.basis_data.interaction_type
+            ]
+        )
+        if not_supported:
+            v = self._hamiltonian_data.basis_data.interaction_type
+            raise NotImplementedError(
+                f"Interaction mode '{v}' "
+                "does not support simulation of noise types: "
+                f"{', '.join(not_supported)}."
+            )
+        noise_model = config.to_noise_model()
+        old_noise_set = set(
+            self._hamiltonian_data.noise_model.noise_types
+        )
+        new_noise_set = old_noise_set.union(noise_model.noise_types)
+        diff_noise_set = new_noise_set - old_noise_set
+        param_dict: dict[str, Any] = asdict(
+            self._hamiltonian_data.noise_model
+        )
+        relevant_params = NoiseModel._find_relevant_params(
+            diff_noise_set,
+            noise_model.state_prep_error,
+            noise_model.amp_sigma,
+            noise_model.laser_waist,
+        )
+        for param in relevant_params:
+            param_dict[param] = getattr(noise_model, param)
+        param_dict.pop("noise_types")
+        self.set_config(
+            SimConfig.from_noise_model(NoiseModel(**param_dict))
+        )
+
+    def show_config(self, solver_options: bool = False) -> None:
+        """Shows current configuration."""
+        print(self.config.__str__(solver_options))
+
+    def reset_config(self) -> None:
+        """Resets configuration to default."""
+        self.set_config(SimConfig())
+
+    @property
+    def initial_state(self) -> Qobj:
+        """The initial state of the simulation."""
+        return self._initial_state
+
+    def set_initial_state(
+        self, state: Union[str, np.ndarray, Qobj]
+    ) -> None:
+        """Sets the initial state of the simulation.
+
+        Args:
+            state: "all-ground", an ArrayLike with a compatible shape,
+                or a Qobj.
+        """
+        self._initial_state: Qobj
+        if isinstance(state, str) and state == "all-ground":
+            v = self._hamiltonian_data.basis_data.interaction_type
+            self._initial_state = tensor(
+                [
+                    self.basis[("u" if v == "XY" else "g")]
+                    for _ in range(self._hamiltonian_data.n_qudits)
+                ]
+            )
+        else:
+            state = cast(Union[np.ndarray, Qobj], state)
+            shape = state.shape[0]
+            legal_shape = (
+                self._hamiltonian_data.basis_data.dim
+                ** self._hamiltonian_data.n_qudits
+            )
+            legal_dims = [
+                [self._hamiltonian_data.basis_data.dim]
+                * self._hamiltonian_data.n_qudits,
+                [1] * self._hamiltonian_data.n_qudits,
+            ]
+            if shape != legal_shape:
+                raise ValueError(
+                    "Incompatible shape of initial state."
+                    + f"Expected {legal_shape}, got {shape}."
+                )
+            self._initial_state = Qobj(
+                np.asarray(state), dims=legal_dims
+            ).unit()
+
+    @property
+    def evaluation_times(self) -> np.ndarray:
+        """The times at which results are returned."""
+        return np.array(self._eval_times_array)
+
+    def set_evaluation_times(
+        self, value: Union[str, ArrayLike, float]
+    ) -> None:
+        """Sets the times at which results are returned.
+
+        Args:
+            value: "Full", "Minimal", an array of times (in µs) or a
+                float sampling fraction.
+        """
+        if isinstance(value, str):
+            if value == "Full":
+                eval_times = np.copy(
+                    self._noiseless_hamiltonian.sampling_times
+                )
+            elif value == "Minimal":
+                eval_times = np.array([])
+            else:
+                raise ValueError(
+                    "Wrong evaluation time label. It should "
+                    "be `Full`, `Minimal`, an array of times or"
+                    + " a float between 0 and 1."
+                )
+        elif isinstance(value, float):
+            if value > 1 or value <= 0:
+                raise ValueError(
+                    "evaluation_times float must be between 0 and 1."
+                )
+            indices = np.linspace(
+                0,
+                len(self._noiseless_hamiltonian.sampling_times) - 1,
+                int(
+                    value
+                    * len(self._noiseless_hamiltonian.sampling_times)
+                ),
+                dtype=int,
+            )
+            eval_times = self._noiseless_hamiltonian.sampling_times[
+                indices
+            ]
+        elif isinstance(value, (list, tuple, np.ndarray)):
+            if np.max(value, initial=0) > self._tot_duration * 1e-3:
+                raise ValueError(
+                    "Provided evaluation-time list extends "
+                    "further than sequence duration."
+                )
+            if np.min(value, initial=0) < 0:
+                raise ValueError(
+                    "Provided evaluation-time list contains "
+                    "negative values."
+                )
+            eval_times = np.array(value)
+        else:
+            raise ValueError(
+                "Wrong evaluation time label. It should "
+                "be `Full`, `Minimal`, an array of times or a "
+                + "float between 0 and 1."
+            )
+        # Ensure 0 and final time are included:
+        self._eval_times_array = np.union1d(
+            eval_times, [0.0, self._tot_duration * 1e-3]
+        )
+        self._eval_times_instruction = value
+
+    def build_operator(self, operations: Union[list, tuple]) -> Qobj:
+        """Creates an operator with non-trivial actions on some qubits.
+
+        See :meth:`Hamiltonian.build_operator`.
+        """
+        return self._current_hamiltonian.build_operator(operations)
+
+    def get_hamiltonian(
+        self, time: float, noiseless: bool = False
+    ) -> Qobj:
+        r"""The Hamiltonian created from the sequence at a fixed time.
+
+        Note:
+            The whole Hamiltonian is divided by :math:`\hbar`, so its
+            units are rad/µs.
+
+        Args:
+            time: The time at which to extract the Hamiltonian (in ns).
+            noiseless: If True, returns the Hamiltonian without noise.
+
+        Returns:
+            A dense operator with coefficients extracted from the
+            effective sequence at the specified time.
+        """
+        if time > self._tot_duration:
+            raise ValueError(
+                f"Provided time (`time` = {time}) must be "
+                "less than or equal to the sequence duration "
+                f"({self._tot_duration})."
+            )
+        if time < 0:
+            raise ValueError(
+                f"Provided time (`time` = {time}) must be "
+                "greater than or equal to 0."
+            )
+
+        if noiseless:
+            return self._noiseless_hamiltonian._hamiltonian(time / 1000)
+
+        return self._current_hamiltonian._hamiltonian(time / 1000)
+
+    @staticmethod
+    def _get_min_variation(ch_sample: ChannelSamples) -> int:
+        """Minimum nonzero variation interval of the samples (in ns)."""
+        end_point = ch_sample.duration - 1
+        min_variations: list[int] = []
+        for sample in (
+            ch_sample.amp.as_array(detach=True),
+            ch_sample.det.as_array(detach=True),
+        ):
+            min_variations.append(
+                int(
+                    np.min(
+                        np.diff(
+                            np.nonzero(np.diff(sample)),
+                            prepend=-1,
+                            append=end_point,
+                        )
+                    )
+                )
+            )
+
+        return min(min_variations)
+
+    def _run_solver(
+        self,
+        hamiltonian: Hamiltonian,
+        progress_bar: bool = False,
+        mcsolve_ntraj: int = 1,
+        **options: Any,
+    ) -> CoherentResults:
+        """Runs the jitted evolution, returning CoherentResults."""
+        if progress_bar not in (True, False, None):
+            raise ValueError("`progress_bar` must be a bool.")
+
+        d = hamiltonian.dim
+        n = hamiltonian.n_qudits
+        knots = hamiltonian.sampling_times
+        # Keep steps at or below 1 ns (and below any user max_step, µs).
+        # Additionally bound λ_max·h for RK4 stability/accuracy on the
+        # highest-energy interaction eigenstates (QuTiP's adaptive
+        # stepper does this implicitly).
+        spacings = np.diff(knots)
+        lambda_max = float(np.max(np.abs(hamiltonian.int_diag)))
+        if hamiltonian.xy_mat is not None:
+            lambda_max += float(
+                np.max(np.sum(np.abs(hamiltonian.xy_mat[0]), axis=1))
+            )
+        lambda_max += float(
+            np.sum(
+                2 * np.max(np.abs(hamiltonian.amp_coeffs), axis=(1, 2))
+                + np.max(np.abs(hamiltonian.det_coeffs), axis=(1, 2))
+            )
+        )
+        max_step = min(
+            float(np.median(spacings)) if len(spacings) else 1e-3,
+            1e-3,
+            0.8 / max(lambda_max, 1e-9),
+        )
+        if "max_step" in options and options["max_step"]:
+            max_step = min(max_step, float(options["max_step"]))
+
+        coeffs = {
+            "amp": hamiltonian.amp_coeffs,
+            "det": hamiltonian.det_coeffs,
+        }
+        if hamiltonian.int_w is not None:
+            coeffs["int_w"] = hamiltonian.int_w
+        plan = build_plan(
+            knots, coeffs, self._eval_times_array, max_step=max_step
+        )
+        cdtype = _default_cdtype()
+
+        use_lindblad = (
+            len(hamiltonian.lindblad_data.local_collapse_ops) > 0
+        )
+        psi0 = self.initial_state.full()[:, 0]
+        is_dm_input = self.initial_state.isoper and not (
+            self.initial_state.isket
+        )
+
+        legal_dims_ket = [[d] * n, [1] * n]
+        legal_dims_op = [[d] * n, [d] * n]
+        if use_lindblad or is_dm_input:
+            if is_dm_input:
+                rho0 = self.initial_state.full()
+            else:
+                rho0 = np.outer(psi0, psi0.conj())
+            states_arr = mesolve_rk4(
+                jnp.asarray(rho0, dtype=cdtype),
+                plan,
+                hamiltonian.int_diag,
+                hamiltonian.pairs,
+                d,
+                n,
+                hamiltonian._local_collapse_mats,
+                xy_static=hamiltonian.xy_mat,
+                xy_indices=hamiltonian.xy_indices,
+                dtype=cdtype,
+            )
+            states = [
+                Qobj(np.asarray(s), dims=legal_dims_op)
+                for s in np.asarray(states_arr)
+            ]
+        else:
+            states_arr = sesolve_rk4(
+                jnp.asarray(psi0, dtype=cdtype),
+                plan,
+                hamiltonian.int_diag,
+                hamiltonian.pairs,
+                d,
+                n,
+                xy_static=hamiltonian.xy_mat,
+                xy_indices=hamiltonian.xy_indices,
+                dtype=cdtype,
+            )
+            states = [
+                Qobj(np.asarray(s), dims=legal_dims_ket)
+                for s in np.asarray(states_arr)
+            ]
+
+        with warnings.catch_warnings():
+            warnings.simplefilter(
+                "ignore", category=DeprecationWarning
+            )
+            results = [
+                TpuResult(
+                    tuple(self._hamiltonian_data.register.qubits),
+                    self._meas_basis,
+                    state,
+                    self._meas_basis in self.basis_name,
+                    evaluation_time=t / (self._tot_duration * 1e-3),
+                )
+                for state, t in zip(states, self._eval_times_array)
+            ]
+
+        meas_errors = (
+            {
+                "epsilon": self.noise_model.p_false_pos,
+                "epsilon_prime": self.noise_model.p_false_neg,
+            }
+            if "SPAM" in self.noise_model.noise_types
+            else None
+        )
+
+        return CoherentResults(
+            results,
+            self._hamiltonian_data.n_qudits,
+            self.basis_name,
+            self._eval_times_array,
+            self._meas_basis,
+            meas_errors,
+        )
+
+    def _validate_options(self, options: Any) -> None:
+        options.setdefault(
+            "max_step",
+            min(
+                self._get_min_variation(ch_sample)
+                for ch_sample in self.samples_obj.samples_list
+            )
+            / 1000,
+        )
+
+        options.setdefault(
+            "nsteps",
+            max(1000, self._tot_duration // options["max_step"]),
+        )
+
+        if "SPAM" in self.noise_model.noise_types:
+            v = self._hamiltonian_data.basis_data.interaction_type
+            if (
+                self.noise_model.state_prep_error > 0
+                and self.initial_state
+                != tensor(
+                    [
+                        self.basis[("u" if v == "XY" else "g")]
+                        for _ in range(
+                            self._hamiltonian_data.n_qudits
+                        )
+                    ]
+                )
+            ):
+                raise NotImplementedError(
+                    "Can't combine state preparation errors with an"
+                    " initial state different from the ground."
+                )
+
+    def run(
+        self,
+        progress_bar: bool = False,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> SimulationResults:
+        """Simulates the sequence with the JAX solvers.
+
+        Returns NoisyResults if the noise requires it; otherwise
+        CoherentResults.
+
+        Args:
+            progress_bar: Kept for API parity (the jitted solver has no
+                incremental progress to report).
+            print_progress: Whether to print which noise trajectory is
+                being emulated.
+            options: Solver options; `max_step` (µs) caps the
+                integration step.
+        """
+        self._validate_options(options)
+
+        if not _has_stochastic_noise(self.noise_model):
+            if print_progress:
+                print("Emulating Trajectory 1/1")
+            # A single run is needed
+            return self._run_solver(
+                self._current_hamiltonian,
+                progress_bar,
+                mcsolve_ntraj=self.n_trajectories or 1,
+                **options,
+            )
+
+        # Will return NoisyResults
+        total_count = np.array(
+            [Counter() for _ in self._eval_times_array]
+        )
+
+        for cleanres_noisyseq, reps in self._noisy_runs(
+            progress_bar=progress_bar,
+            print_progress=print_progress,
+            **options,
+        ):
+            total_count += np.array(
+                [
+                    cleanres_noisyseq.sample_state(
+                        t,
+                        n_samples=self.noise_model.samples_per_run
+                        * reps,
+                    )
+                    for t in self._eval_times_array
+                ]
+            )
+
+        n_measures = (
+            cast(int, self.n_trajectories)
+            * self.noise_model.samples_per_run
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter(
+                "ignore", category=DeprecationWarning
+            )
+            results = [
+                SampledResult(
+                    tuple(self._hamiltonian_data.register.qubits),
+                    self._meas_basis,
+                    total_count[ind],
+                    evaluation_time=t / (self._tot_duration * 1e-3),
+                )
+                for ind, t in enumerate(self._eval_times_array)
+            ]
+        return NoisyResults(
+            results,
+            self._hamiltonian_data.n_qudits,
+            self.basis_name,
+            self._eval_times_array,
+            n_measures,
+        )
+
+    def _noisy_runs(
+        self,
+        progress_bar: bool,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> Iterator[tuple[SimulationResults, int]]:
+        n_trajectories = self.n_trajectories
+        traj_nb = 0
+        # Repeated run() calls use fresh noise trajectories
+        if self._noise_trajectories_used:
+            noise_model = self._hamiltonian_data.noise_model
+            self._hamiltonian_data = HamiltonianData(
+                self.samples_obj,
+                self._register,
+                self.device,
+                noise_model,
+                self._get_n_trajectories(
+                    noise_model, check_value=True
+                ),
+            )
+        self._noise_trajectories_used = True
+        for ham, reps in self._hamiltonians:
+            if print_progress:
+                if reps == 1:
+                    print(
+                        f"Emulating Trajectory"
+                        f" {traj_nb + 1}/{n_trajectories}"
+                    )
+                else:
+                    print(
+                        "Emulating Trajectories "
+                        f"[{traj_nb + 1} - {traj_nb + reps}]"
+                        f"/{n_trajectories}"
+                    )
+            self._current_hamiltonian = ham
+            traj_nb += reps
+            yield self._run_solver(ham, progress_bar, **options), reps
+
+    def draw(
+        self,
+        draw_phase_area: bool = False,
+        draw_phase_shifts: bool = False,
+        draw_phase_curve: bool = False,
+        fig_name: str | None = None,
+        kwargs_savefig: dict = {},
+    ) -> None:
+        """Draws the samples of the sequence used for the simulation."""
+        import matplotlib.pyplot as plt
+
+        from pulser_tpu.sequence._seq_drawer import draw_samples
+
+        draw_samples(
+            self.samples_obj,
+            self._register,
+            self._sampling_rate,
+            draw_phase_area=draw_phase_area,
+            draw_phase_shifts=draw_phase_shifts,
+            draw_phase_curve=draw_phase_curve,
+        )
+        if fig_name is not None:
+            plt.savefig(fig_name, **kwargs_savefig)
+        plt.show()
+
+    @classmethod
+    def from_sequence(
+        cls,
+        sequence: Sequence,
+        sampling_rate: float = 1.0,
+        config: Optional[SimConfig] = None,
+        evaluation_times: Union[float, str, ArrayLike] = "Full",
+        with_modulation: bool = False,
+        noise_model: NoiseModel | None = None,
+        solver: Solver = Solver.DEFAULT,
+        n_trajectories: int | None = None,
+    ) -> TpuEmulator:
+        r"""Creates the emulator from a Sequence.
+
+        Args:
+            sequence: The Sequence to simulate.
+            sampling_rate: The fraction of samples to extract from the
+                pulse sequence (between 0.05 and 1.0).
+            config: (Deprecated) SimConfig; use 'noise_model'.
+            evaluation_times: "Full", "Minimal", an array of times (in
+                µs) or a float sampling fraction.
+            with_modulation: Whether to simulate the sequence with the
+                programmed input or the expected output.
+            noise_model: The noise model for the simulation.
+            solver: Solver selection.
+            n_trajectories: The number of noise trajectories.
+        """
+        if not isinstance(sequence, Sequence):
+            raise TypeError(
+                "The provided sequence has to be a valid "
+                "pulser.Sequence instance."
+            )
+        if (
+            sequence.is_parametrized()
+            or sequence.is_register_mappable()
+        ):
+            raise ValueError(
+                "The provided sequence needs to be built to be"
+                " simulated. Call `Sequence.build()` with the necessary"
+                " parameters."
+            )
+        if not sequence._schedule:
+            raise ValueError(
+                "The provided sequence has no declared channels."
+            )
+        if all(
+            sequence._schedule[x][-1].tf == 0
+            for x in sequence.declared_channels
+        ):
+            raise ValueError(
+                "No instructions given for the channels in the"
+                " sequence."
+            )
+        if with_modulation and sequence._slm_mask_targets:
+            raise NotImplementedError(
+                "Simulation of sequences combining an SLM mask and"
+                " output modulation is not supported."
+            )
+        return cls(
+            sampler.sample(
+                sequence,
+                modulation=with_modulation,
+                extended_duration=sequence.get_duration(
+                    include_fall_time=with_modulation
+                ),
+            ),
+            sequence.register,
+            sequence.device,
+            sampling_rate,
+            config,
+            evaluation_times,
+            noise_model=noise_model,
+            solver=solver,
+            n_trajectories=n_trajectories,
+        )
+
+
+# Drop-in alias matching the reference class name
+QutipEmulator = TpuEmulator

@@ -1,0 +1,910 @@
+"""The backend-agnostic physics IR bridging samples to Hamiltonians.
+
+Behavioral parity with reference
+``pulser-core/pulser/_hamiltonian_data/hamiltonian_data.py:192-943``:
+interaction matrices (Ising C6/r⁶; XY C3(1−3cos²θ)/r³ + stacked C6),
+noise-trajectory generation matching numpy's global-RNG draw order (so
+seeded tests reproduce the reference exactly), trajectory dedup by
+repetition count, and the noisy-samples iterator.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import Counter
+from collections.abc import Mapping
+from dataclasses import replace
+from typing import Iterator, List, Literal, NamedTuple, cast
+
+import numpy as np
+from numpy.typing import ArrayLike
+from scipy.spatial.distance import cdist
+
+import pulser_tpu.math as pm
+from pulser_tpu.hamiltonian_data.basis_data import BasisData
+from pulser_tpu.hamiltonian_data.lindblad_data import LindbladData
+from pulser_tpu.hamiltonian_data.noise_trajectory import NoiseTrajectory
+from pulser_tpu.channels import DMM, Microwave, Raman, Rydberg
+from pulser_tpu.channels.base_channel import STATES_RANK, Channel, States
+from pulser_tpu.devices._device_datacls import COORD_PRECISION, BaseDevice
+from pulser_tpu.noise_model import NoiseModel
+from pulser_tpu.noise_model import _doppler_sigma as doppler_sigma
+from pulser_tpu.noise_model import _register_sigma_xy_z
+from pulser_tpu.register import Register3D
+from pulser_tpu.register.base_register import BaseRegister, QubitId
+from pulser_tpu.sampler import sampler
+from pulser_tpu.sampler.samples import (
+    ChannelSamples,
+    DMMSamples,
+    SequenceSamples,
+    _PulseTargetSlot,
+)
+from pulser_tpu.sequence import Sequence
+
+
+class TrajectoryWithReps(NamedTuple):
+    """A NoiseTrajectory and the number of times it should be simulated."""
+
+    trajectory: NoiseTrajectory
+    reps: int
+
+
+class SamplesWithReps(NamedTuple):
+    """A trajectory, samples and how often they should be simulated."""
+
+    trajectory: NoiseTrajectory
+    samples: SequenceSamples
+    reps: int
+
+
+SUPPORTED_NOISES: dict = {
+    "ising": {
+        "amplitude",
+        "detuning",
+        "dephasing",
+        "relaxation",
+        "depolarizing",
+        "doppler",
+        "eff_noise",
+        "SPAM",
+        "leakage",
+        "register",
+        "dmm_sigma",
+        "dmm_crosstalk",
+    },
+    "XY": {
+        "dephasing",
+        "depolarizing",
+        "eff_noise",
+        "SPAM",
+        "leakage",
+        "register",
+    },
+}
+
+
+def has_shot_to_shot_except_spam(noise_model: NoiseModel) -> bool:
+    """Whether the noise model has stochastic noise, excepting SPAM."""
+    return (
+        "doppler" in noise_model.noise_types
+        or (
+            "amplitude" in noise_model.noise_types
+            and noise_model.amp_sigma != 0.0
+        )
+        or "detuning" in noise_model.noise_types
+        or "register" in noise_model.noise_types
+        or "dmm_sigma" in noise_model.noise_types
+    )
+
+
+def _noisy_register(
+    q_dict: dict[QubitId, pm.AbstractArray], noise_model: NoiseModel
+) -> Register3D:
+    """Add Gaussian noise to the positions of the register."""
+    register_sigma_xy, register_sigma_z = _register_sigma_xy_z(
+        noise_model.temperature,
+        noise_model.trap_waist,
+        cast(float, noise_model.trap_depth),
+    )
+    atoms = list(q_dict.keys())
+    num_atoms = len(atoms)
+    positions = list(q_dict.values())
+    pos = positions[0]
+    if len(pos) == 2:
+        positions = [pm.concatenate((p, [0.0])) for p in positions]
+    narr_xy = np.random.normal(0, register_sigma_xy, (num_atoms, 2))
+    narr_z = np.random.normal(0, register_sigma_z, num_atoms)
+    narr = np.column_stack((narr_xy, narr_z))
+    return Register3D(
+        {
+            k: pos + noise
+            for (k, pos, noise) in zip(atoms, positions, narr)
+        }
+    )
+
+
+def _generate_detuning_fluctuations(
+    noise_model: NoiseModel,
+    det_cst_term: float,
+    phases: np.ndarray,
+    times: ArrayLike,
+) -> np.ndarray:
+    """Compute δ_hf(t) + δ_σ.
+
+    The high-frequency term uses Gaussian stochastic noise with 1-sided
+    power spectral density `psd`:
+    δ_hf(t) = Σ_k sqrt(2·Δω_k·psd_k)·cos(ω_k·t + φ_k), with
+    φ_k ~ U[0, 2π) and Δω_k = omegas[k+1] − omegas[k] (the last entry
+    of each series is unused).
+    """
+    det_hf = np.zeros_like(times)
+
+    if noise_model.detuning_hf_psd:
+        t = np.asarray(times) * 1e-3  # ns -> µs
+        freqs = np.asarray(noise_model.detuning_hf_omegas)[1:]
+        psd = np.asarray(noise_model.detuning_hf_psd)[1:]
+        df = np.diff(noise_model.detuning_hf_omegas)
+        amp = np.sqrt(2.0 * df * psd)
+        arg = freqs[:, None] * t[None, :] + phases[:, None]
+        det_hf = (amp[:, None] * np.cos(arg)).sum(axis=0)
+    return det_cst_term + det_hf
+
+
+def _distances(register: BaseRegister) -> pm.AbstractArray:
+    r"""Distances between each pair of qubits (in :math:`\mu m`)."""
+    positions = list(register.qubits.values())
+    if not positions[0].is_tensor:
+        return pm.AbstractArray(
+            np.round(
+                cast(
+                    np.ndarray,
+                    cdist(positions, positions, metric="euclidean"),
+                ),
+                COORD_PRECISION,
+            ),
+        )
+    else:
+        import jax.numpy as jnp
+
+        ten = jnp.stack([x.as_tensor() for x in positions])
+        d = jnp.linalg.norm(
+            ten[:, None, :] - ten[None, :, :], axis=-1
+        )
+        return pm.AbstractArray(d)
+
+
+class HamiltonianData:
+    r"""Information that can be used to generate a Hamiltonian.
+
+    Takes information defining the noiseless case plus a noise model,
+    creates noise trajectories, and lets backends query for noisy data.
+
+    Args:
+        samples: The noiseless sequence samples.
+        register: The noiseless register.
+        device: The device specifications.
+        noise_model: NoiseModel to be used to generate noise.
+        n_trajectories: The number of noise trajectories to sample.
+            Defaults to 1.
+    """
+
+    def __init__(
+        self,
+        samples: SequenceSamples,
+        register: BaseRegister,
+        device: BaseDevice,
+        noise_model: NoiseModel,
+        n_trajectories: int | None,
+    ) -> None:
+        """Instantiates a HamiltonianData object."""
+        if not isinstance(samples, SequenceSamples):
+            raise TypeError(
+                "The provided sequence has to be a valid "
+                "SequenceSamples instance."
+            )
+        if samples.max_duration == 0:
+            raise ValueError("SequenceSamples is empty.")
+        if not isinstance(device, BaseDevice):
+            raise TypeError("The device must be a Device or BaseDevice.")
+        self._device = device
+        self.device.validate_register(register)
+        self._register = register
+        # Check compatibility of samples and device:
+        if samples._slm_mask.end > 0 and not self.device.supports_slm_mask:
+            raise ValueError(
+                "Samples use SLM mask but device does not have one."
+            )
+        if not samples.used_bases <= self.device.supported_bases:
+            raise ValueError(
+                "Bases used in samples should be supported by device."
+            )
+        if not samples._slm_mask.targets <= set(
+            self.register.qubits.keys()
+        ):
+            raise ValueError(
+                "The ids of qubits targeted in SLM mask"
+                " should be defined in register."
+            )
+
+        self._samples = self._delocalize_samples(samples)
+
+        self._size = len(self.register.qubits)
+        self._qid_index = {
+            qid: i for i, qid in enumerate(self.register.qubits)
+        }
+
+        self._noise_model = noise_model
+        self._check_noise_model(noise_model)
+        if n_trajectories is None:
+            n_trajectories = 1
+
+        self.local_noises = True
+        if set(self.noise_model.noise_types).issubset(
+            {
+                "dephasing",
+                "relaxation",
+                "SPAM",
+                "depolarizing",
+                "eff_noise",
+                "leakage",
+            }
+        ):
+            self.local_noises = (
+                "SPAM" in self.noise_model.noise_types
+                and self.noise_model.state_prep_error > 0
+            )
+        self.noise_trajectories = self._create_noise_trajectories(
+            n_trajectories
+        )
+
+    def _delocalize_samples(
+        self, samples: SequenceSamples
+    ) -> SequenceSamples:
+        samples_list = []
+        for ch, ch_samples in samples.channel_samples.items():
+            if samples._ch_objs[ch].addressing == "Local":
+                # Check that targets of Local Channels are in the register
+                if not set().union(
+                    *(slot.targets for slot in ch_samples.slots)
+                ) <= set(self.register.qubits.keys()):
+                    raise ValueError(
+                        "The ids of qubits targeted in Local channels"
+                        " should be defined in register."
+                    )
+                samples_list.append(ch_samples)
+            else:
+                # Replace targets of Global channels by all register qubits
+                samples_list.append(
+                    replace(
+                        ch_samples,
+                        slots=[
+                            replace(
+                                slot,
+                                targets=set(
+                                    self.register.qubits.keys()
+                                ),
+                            )
+                            for slot in ch_samples.slots
+                        ],
+                    )
+                )
+        return replace(samples, samples_list=samples_list)
+
+    @property
+    def basis_data(self) -> BasisData:
+        """The BasisData defining this Hamiltonian."""
+        interaction: Literal["XY", "ising"] = (
+            "XY" if self.samples._in_xy else "ising"
+        )
+        basis_name = self._get_basis_name(self.noise_model.with_leakage)
+        eigenbasis = self._get_eigenbasis(self.noise_model.with_leakage)
+        return BasisData(
+            dim=len(eigenbasis),
+            basis_name=basis_name,
+            eigenbasis=eigenbasis,
+            interaction_type=interaction,
+        )
+
+    @property
+    def lindblad_data(self) -> LindbladData:
+        """The LindbladData defining this Hamiltonian."""
+        basis_data = self.basis_data
+        op_matrix_names = self._get_projectors(basis_data.eigenbasis)
+        local_collapse_ops, paulis = self._build_local_collapse_operators(
+            self.noise_model,
+            basis_data.basis_name,
+            basis_data.eigenbasis,
+            op_matrix_names,
+        )
+        return LindbladData(
+            op_matrix_names=op_matrix_names,
+            local_collapse_ops=local_collapse_ops,
+            depolarizing_pauli_2ds=paulis,
+        )
+
+    @classmethod
+    def from_sequence(
+        cls,
+        sequence: Sequence,
+        *,
+        with_modulation: bool = False,
+        noise_model: NoiseModel | None = None,
+        n_trajectories: int | None = None,
+    ) -> HamiltonianData:
+        """Creates the HamiltonianData from a Sequence.
+
+        Args:
+            sequence: A built Sequence to extract the data from.
+            with_modulation: Whether to use the modulated samples.
+            noise_model: The noise model for the simulation.
+            n_trajectories: The number of noise trajectories to sample.
+        """
+        if not isinstance(sequence, Sequence):
+            raise TypeError(
+                "The provided sequence has to be a valid "
+                "pulser.Sequence instance."
+            )
+        if sequence.is_parametrized() or sequence.is_register_mappable():
+            raise ValueError(
+                "The provided sequence needs to be built to be simulated."
+                " Call `Sequence.build()` with the necessary parameters."
+            )
+        if not sequence._schedule:
+            raise ValueError(
+                "The provided sequence has no declared channels."
+            )
+        if all(
+            sequence._schedule[x][-1].tf == 0
+            for x in sequence.declared_channels
+        ):
+            raise ValueError(
+                "No instructions given for the channels in the sequence."
+            )
+        if with_modulation and sequence._slm_mask_targets:
+            raise NotImplementedError(
+                "Simulation of sequences combining an SLM mask and output "
+                "modulation is not supported."
+            )
+        return cls(
+            sampler.sample(
+                sequence,
+                modulation=with_modulation,
+                extended_duration=sequence.get_duration(
+                    include_fall_time=with_modulation
+                ),
+            ),
+            sequence.register,
+            sequence.device,
+            noise_model or NoiseModel(),
+            n_trajectories,
+        )
+
+    @functools.cached_property
+    def n_qudits(self) -> int:
+        """Number of qudits in the Register."""
+        return self._size
+
+    @property
+    def samples(self) -> SequenceSamples:
+        """The samples without noise."""
+        return self._samples
+
+    def _sample_with_trajectory(
+        self, traj: NoiseTrajectory
+    ) -> SequenceSamples:
+        noisy_samples_list: List[ChannelSamples] = []
+        for ch_name, ch_samples in self._samples.channel_samples.items():
+            if isinstance(ch_samples, DMMSamples):
+                factor = traj.dmm_det_fluctuation[ch_name]
+                spot_waist = self.noise_model.detuning_map_spot_waist
+                ch_samples = replace(
+                    ch_samples,
+                    det=ch_samples.det * factor,  # Intensity DC noise
+                    spot_waist=spot_waist,
+                )
+
+            noisy_samples_list.append(ch_samples)
+
+        noisy_seq_samples = replace(
+            self._samples, samples_list=noisy_samples_list
+        )
+
+        samples = noisy_seq_samples.to_nested_dict(
+            all_local=self.local_noises
+        )
+
+        def add_noise(
+            slot: _PulseTargetSlot,
+            samples_dict: Mapping[QubitId, dict[str, np.ndarray]],
+            is_global_pulse: bool,
+            amp_fluctuation: float,
+            det_fluctuation: np.ndarray,
+            propagation_dir: tuple | None,
+        ) -> None:
+            """Applies local noise effects to the nested samples."""
+            for qid in slot.targets:
+                if "doppler" in self.noise_model.noise_types:
+                    noise_det = traj.doppler_detune[qid]
+                    samples_dict[qid]["det"][slot.ti: slot.tf] += noise_det
+                # Gaussian beam loss in amplitude for global pulses only
+                if "amplitude" in self.noise_model.noise_types:
+                    amp_fraction = amp_fluctuation
+                    if (
+                        self.noise_model.laser_waist is not None
+                        and is_global_pulse
+                    ):
+                        # Default to an optical axis along y
+                        prop_dir = propagation_dir or (0.0, 1.0, 0.0)
+                        amp_fraction *= self._finite_waist_amp_fraction(
+                            tuple(traj.register.qubits[qid].as_array()),
+                            tuple(prop_dir),
+                            self.noise_model.laser_waist,
+                        )
+                    samples_dict[qid]["amp"][slot.ti: slot.tf] *= (
+                        amp_fraction
+                    )
+                if "detuning" in self.noise_model.noise_types:
+                    t_window = slice(slot.ti, slot.tf)
+                    samples_dict[qid]["det"][t_window] += det_fluctuation[
+                        t_window
+                    ]
+
+        if self.local_noises:
+            for ch, ch_samples in self._samples.channel_samples.items():
+                _ch_obj = self._samples._ch_objs[ch]
+                samples_dict = samples["Local"][_ch_obj.basis]
+                for slot in ch_samples.slots:
+                    det_fluctuation = _generate_detuning_fluctuations(
+                        self._noise_model,
+                        traj.det_fluctuations[ch],
+                        traj.det_phases[ch],
+                        np.arange(0, self.samples.max_duration, 1),
+                    )
+                    add_noise(
+                        slot,
+                        samples_dict,
+                        _ch_obj.addressing == "Global",
+                        amp_fluctuation=traj.amp_fluctuations[ch],
+                        det_fluctuation=det_fluctuation,
+                        propagation_dir=_ch_obj.propagation_dir,
+                    )
+
+            channels = []
+            samples_list = []
+            ch_objs = {}
+            # Zero everything for badly prepared atoms
+            for basis in samples["Local"]:
+                if basis == "XY":
+                    type: Channel = Microwave  # type: ignore
+                elif basis == "ground-rydberg":
+                    type: Channel = Rydberg  # type: ignore
+                else:
+                    type: Channel = Raman  # type: ignore
+                qids = samples["Local"][basis].keys()
+                basis_channels = list(f"{x}_{basis}" for x in qids)
+                channels += basis_channels
+                for qid, ch in zip(qids, basis_channels):
+                    vals = samples["Local"][basis][qid]
+                    if traj.bad_atoms[qid]:
+                        for qty in ("amp", "det", "phase"):
+                            vals[qty] *= 0.0
+                    samples_list.append(
+                        ChannelSamples(
+                            **{
+                                k: pm.AbstractArray(v)
+                                for k, v in vals.items()
+                            },
+                            slots=[
+                                _PulseTargetSlot(
+                                    ti=0,
+                                    tf=len(vals["amp"]),
+                                    targets={qid},
+                                )
+                            ],
+                        )
+                    )
+                    ch_objs[ch] = type.Local(
+                        max_abs_detuning=None, max_amp=None
+                    )
+
+            return SequenceSamples(
+                _basis_ref=self._samples._basis_ref,
+                _slm_mask=self._samples._slm_mask,
+                _magnetic_field=self._samples._magnetic_field,
+                _measurement=self._samples._measurement,
+                channels=channels,
+                samples_list=samples_list,
+                _ch_objs=ch_objs,
+            )
+        else:
+            return self._samples
+
+    @property
+    def noisy_samples(self) -> Iterator[SamplesWithReps]:
+        """The noiseless samples modified by the noise trajectories."""
+        for traj, reps in self.noise_trajectories:
+            yield SamplesWithReps(
+                traj, self._sample_with_trajectory(traj), reps
+            )
+
+    @property
+    def register(self) -> BaseRegister:
+        """The noiseless register used."""
+        return self._register
+
+    @property
+    def device(self) -> BaseDevice:
+        """The device used."""
+        return self._device
+
+    @property
+    def noise_model(self) -> NoiseModel:
+        """The current NoiseModel used."""
+        return self._noise_model
+
+    def _interaction_matrix(self, register: BaseRegister) -> np.ndarray:
+        r"""C6/C3 Interactions between the qudits (in rad/µs).
+
+        Returns:
+            The pairwise interaction coefficients. In XY mode, shape
+            (2, N, N): the C3 interaction first, then C6. In Rydberg
+            mode, shape (1, N, N) with the C6 interaction only.
+        """
+        # SLM mask is not included (it's time-dependent)
+        is_xy = self.basis_data.interaction_type == "XY"
+        d = _distances(register)
+        interactions = np.zeros((1,) + d.shape)
+        d_arr = d.as_array(detach=True)
+        if is_xy:
+            interactions = np.concatenate(
+                [interactions, interactions]
+            )
+            positions = list(register.qubits.values())
+            assert self.samples._magnetic_field is not None
+            assert self._device.interaction_coeff_xy is not None
+            mag_arr = np.asarray(
+                self.samples._magnetic_field, dtype=float
+            )
+            mag_norm = np.linalg.norm(mag_arr)
+            assert mag_norm > 0, "There must be a magnetic field in XY."
+            for i in range(self.n_qudits):
+                for j in range(i + 1, self.n_qudits):
+                    diff = (
+                        positions[i].as_array(detach=True)
+                        - positions[j].as_array(detach=True)
+                    )
+                    if len(diff) == 2:
+                        diff = np.append(diff, 0.0)
+                    cosine = np.dot(diff, mag_arr) / (
+                        np.linalg.norm(diff) * mag_norm
+                    )
+                    interactions[[0, 0], [i, j], [j, i]] = (
+                        self._device.interaction_coeff_xy
+                        * (1 - 3 * cosine**2)
+                        / d_arr[i, j] ** 3
+                    )
+
+        for i in range(self.n_qudits):
+            for j in range(i + 1, self.n_qudits):
+                interactions[[-1, -1], [i, j], [j, i]] = (
+                    self._device.interaction_coeff / d_arr[i, j] ** 6
+                )
+
+        return interactions
+
+    @property
+    def noisy_interaction_matrices(self) -> list[pm.AbstractArray]:
+        """The noisy interaction matrix for each noise trajectory."""
+        return [x[0].interaction_matrix for x in self.noise_trajectories]
+
+    def _noisy_interaction_matrix(
+        self, register: BaseRegister, bad_atoms: dict
+    ) -> pm.AbstractArray:
+        r"""Interaction matrix with missing qudits masked out."""
+        mask = [bool(value) for value in bad_atoms.values()]
+        imat = self._interaction_matrix(register)
+        arr = np.array(mask)
+        mask2 = arr.reshape(1, -1) | arr.reshape(-1, 1)
+        mat = imat.copy()
+        mat[:, mask2] = 0.0
+        return pm.AbstractArray(mat)
+
+    def _build_local_collapse_operators(
+        self,
+        noise_model: NoiseModel,
+        basis_name: str,
+        eigenbasis: list[States],
+        op_matrix: list[str],
+    ) -> tuple[
+        list[tuple[int | float | complex, str | np.ndarray]],
+        dict[str, list[tuple[int | complex, str]]],
+    ]:
+        local_collapse_ops: list[
+            tuple[int | float | complex, str | np.ndarray]
+        ] = []
+        depolarizing_pauli_2ds: dict[
+            str, list[tuple[int | complex, str]]
+        ] = {}
+        if "dephasing" in noise_model.noise_types:
+            dephasing_rates = {
+                "d": noise_model.dephasing_rate,
+                "r": noise_model.dephasing_rate,
+                "h": noise_model.hyperfine_dephasing_rate,
+            }
+            for state in eigenbasis:
+                if state in dephasing_rates:
+                    coeff = np.sqrt(2 * dephasing_rates[state])
+                    op = f"sigma_{state}{state}"
+                    assert op in op_matrix
+                    local_collapse_ops.append((coeff, op))
+
+        if "relaxation" in noise_model.noise_types:
+            coeff = np.sqrt(noise_model.relaxation_rate)
+            op = "sigma_gr"
+
+            if op not in op_matrix:
+                raise ValueError(
+                    "'relaxation' noise requires addressing of the"
+                    " 'ground-rydberg' basis."
+                )
+            local_collapse_ops.append((coeff, op))
+
+        if "depolarizing" in noise_model.noise_types:
+            if "all" in basis_name:
+                raise NotImplementedError(
+                    "Cannot include depolarizing noise in all-basis."
+                )
+            # NOTE: These operators only make sense when basis != "all"
+            b, a = eigenbasis[:2]
+            depolarizing_pauli_2ds["x"] = [
+                (1, f"sigma_{a}{b}"),
+                (1, f"sigma_{b}{a}"),
+            ]
+            depolarizing_pauli_2ds["y"] = [
+                (1j, f"sigma_{a}{b}"),
+                (-1j, f"sigma_{b}{a}"),
+            ]
+            depolarizing_pauli_2ds["z"] = [
+                (1, f"sigma_{b}{b}"),
+                (-1, f"sigma_{a}{a}"),
+            ]
+            coeff = np.sqrt(noise_model.depolarizing_rate / 4)
+            for pauli_label in depolarizing_pauli_2ds.keys():
+                local_collapse_ops.append((coeff, pauli_label))
+
+        if "eff_noise" in noise_model.noise_types:
+            for id_, rate in enumerate(noise_model.eff_noise_rates):
+                operator = np.array(
+                    noise_model.eff_noise_opers[id_], dtype=complex
+                )
+
+                basis_dim = len(eigenbasis)
+                op_shape = (basis_dim, basis_dim)
+                if operator.shape != op_shape:
+                    raise ValueError(
+                        "Incompatible shape for effective noise operator"
+                        f" n°{id_}. Operator {operator} should be of"
+                        f" shape {op_shape}."
+                    )
+                local_collapse_ops.append((np.sqrt(rate), operator))
+        return local_collapse_ops, depolarizing_pauli_2ds
+
+    def _check_noise_model(self, noise_model: NoiseModel) -> None:
+        """Checks that the provided noise_model is a NoiseModel."""
+        if not isinstance(noise_model, NoiseModel):
+            raise ValueError(
+                f"Object {noise_model} is not a valid `NoiseModel`."
+            )
+        not_supported = (
+            set(noise_model.noise_types)
+            - SUPPORTED_NOISES[self.basis_data.interaction_type]
+        )
+        if not_supported:
+            raise NotImplementedError(
+                f"Interaction mode '{self.basis_data.interaction_type}' "
+                "does not support "
+                f"simulation of noise types: {', '.join(not_supported)}."
+            )
+
+    @staticmethod
+    @functools.cache
+    def _finite_waist_amp_fraction(
+        coords: tuple[float, ...],
+        propagation_dir: tuple[float, float, float],
+        laser_waist: float,
+    ) -> float:
+        pos_vec = np.zeros(3, dtype=float)
+        pos_vec[: len(coords)] = np.array(coords, dtype=float)
+        u_vec = np.array(propagation_dir, dtype=float)
+        u_vec = u_vec / np.linalg.norm(u_vec)
+        # Closest point on the optical axis to pos_vec is at k*u_vec
+        k = np.dot(pos_vec, u_vec)
+        dist = np.linalg.norm(pos_vec - k * u_vec)
+        # Assuming a very large Rayleigh length, the amplitude drop is
+        # dictated solely by the distance to the optical axis
+        return float(np.exp(-((dist / laser_waist) ** 2)))
+
+    def _create_noise_trajectories(
+        self, ntrajs: int
+    ) -> List[TrajectoryWithReps]:
+        """Draws the noise random parameters for each trajectory.
+
+        When SPAM isn't in the chosen noises, all atoms are correctly
+        prepared. The numpy global-RNG draw order matches the reference
+        so that seeded tests reproduce it exactly.
+        """
+        noise_trajectories: list[TrajectoryWithReps] = []
+        amp_fluctuations: dict[str, float] = {}
+        det_fluctuations: dict[str, float] = {}
+        det_phases: dict[str, np.ndarray] = {}
+        dmm_det_fluctuation: dict[str, float] = {}
+        if not has_shot_to_shot_except_spam(self.noise_model):
+            initial_configs = Counter(
+                "".join(
+                    (
+                        np.random.uniform(size=len(self._qid_index))
+                        < self.noise_model.state_prep_error
+                    )
+                    .astype(int)
+                    .astype(str)
+                )
+                for _ in range(ntrajs)
+            ).most_common()
+
+            doppler_detune = {qid: 0.0 for qid in self._qid_index}
+            for ch in self._samples.channel_samples:
+                assert self.noise_model.amp_sigma == 0.0
+                amp_fluctuations[ch] = 1.0
+                det_fluctuations[ch] = 0.0
+                det_phases[ch] = np.array(0.0)
+                dmm_det_fluctuation[ch] = 1.0
+            for bool_string, n in initial_configs:
+                bad_atoms = dict(
+                    zip(
+                        self._qid_index,
+                        map(lambda x: x == "1", bool_string),
+                    )
+                )
+                noise_trajectories.append(
+                    TrajectoryWithReps(
+                        NoiseTrajectory(
+                            bad_atoms,
+                            doppler_detune,
+                            amp_fluctuations,
+                            det_fluctuations,
+                            det_phases,
+                            self._register,
+                            self._noisy_interaction_matrix(
+                                self._register, bad_atoms
+                            ),
+                            dmm_det_fluctuation,
+                        ),
+                        n,
+                    )
+                )
+        else:
+            for _ in range(ntrajs):
+                amp_fluctuations = {}
+                det_fluctuations = {}
+                det_phases = {}
+                register: BaseRegister = self._register
+                if (
+                    "SPAM" in self.noise_model.noise_types
+                    and self.noise_model.state_prep_error > 0
+                ):
+                    dist = (
+                        np.random.uniform(size=len(self._qid_index))
+                        < self.noise_model.state_prep_error
+                    )
+                    bad_atoms = dict(zip(self._qid_index, dist))
+                else:
+                    bad_atoms = {
+                        qid: False for qid in self._qid_index
+                    }
+                if "doppler" in self.noise_model.noise_types:
+                    temp = self.noise_model.temperature * 1e-6
+                    detune = np.random.normal(
+                        0,
+                        doppler_sigma(temp),
+                        size=len(self._qid_index),
+                    )
+                    doppler_detune = dict(
+                        zip(self._qid_index, detune)
+                    )
+                else:
+                    doppler_detune = {
+                        qid: 0.0 for qid in self._qid_index
+                    }
+
+                for ch in self._samples.channel_samples:
+                    amp_fluctuations[ch] = max(
+                        0,
+                        np.random.normal(
+                            1.0, self.noise_model.amp_sigma
+                        ),
+                    )
+                    det_fluctuations[ch] = (
+                        np.random.normal(
+                            0.0, self.noise_model.detuning_sigma
+                        )
+                        if self.noise_model.detuning_sigma
+                        else 0.0
+                    )
+                    if self._noise_model.detuning_hf_omegas:
+                        det_phases[ch] = np.random.uniform(
+                            0.0,
+                            2 * np.pi,
+                            size=len(
+                                self._noise_model.detuning_hf_omegas
+                            )
+                            - 1,
+                        )
+                    else:
+                        det_phases[ch] = np.array(0.0)
+
+                    if self.noise_model.dmm_sigma and isinstance(
+                        self._samples._ch_objs[ch], DMM
+                    ):
+                        dmm_det_fluctuation[ch] = max(
+                            0,
+                            np.random.normal(
+                                1.0, self.noise_model.dmm_sigma
+                            ),
+                        )
+                    else:
+                        dmm_det_fluctuation[ch] = 1.0
+
+                if "register" in self._noise_model.noise_types:
+                    register = _noisy_register(
+                        self.register.qubits, self._noise_model
+                    )
+                noise_trajectories.append(
+                    TrajectoryWithReps(
+                        NoiseTrajectory(
+                            bad_atoms,
+                            doppler_detune,
+                            amp_fluctuations,
+                            det_fluctuations,
+                            det_phases,
+                            register,
+                            self._noisy_interaction_matrix(
+                                register, bad_atoms
+                            ),
+                            dmm_det_fluctuation,
+                        ),
+                        1,
+                    )
+                )
+        return noise_trajectories
+
+    def _get_basis_name(self, with_leakage: bool) -> str:
+        if len(self._samples.used_bases) == 0:
+            if self._samples._in_xy:
+                basis_name = "XY"
+            else:
+                basis_name = "ground-rydberg"
+        elif len(self._samples.used_bases) == 1:
+            basis_name = list(self._samples.used_bases)[0]
+        else:
+            basis_name = "all"  # All three rydberg states
+        if with_leakage:
+            basis_name += "_with_error"
+        return basis_name
+
+    def _get_eigenbasis(self, with_leakage: bool) -> list[States]:
+        eigenbasis = self._samples.eigenbasis
+        if with_leakage:
+            eigenbasis.append("x")
+        return [state for state in STATES_RANK if state in eigenbasis]
+
+    @staticmethod
+    def _get_projectors(
+        eigenbasis: list[States],
+    ) -> list[str]:
+        """Determine projector operator names."""
+        op_matrix_names = ["I"]
+        for proj0 in eigenbasis:
+            for proj1 in eigenbasis:
+                proj_name = "sigma_" + proj0 + proj1
+                op_matrix_names.append(proj_name)
+        return op_matrix_names

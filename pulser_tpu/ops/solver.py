@@ -1,0 +1,440 @@
+"""Jitted fixed-step Schrödinger/Lindblad solvers over a time grid.
+
+Replaces the adaptive scipy integrators inside QuTiP's
+``sesolve``/``mesolve`` (reference ``simulation.py:689-735``) with an
+RK4 integrator inside a single ``lax.scan``:
+
+- the Hamiltonian's coefficients are **piecewise linear** between the
+  sampling knots (exactly QobjEvo's tlist interpolation), so the three
+  RK4 stage values per step are precomputed on the host as dense arrays
+  — the compiled scan does zero gathers or control flow;
+- the integration grid is the union of the sampling knots and the
+  requested evaluation times (optionally subdivided), so evaluation
+  states are exact grid points — no dense output interpolation needed;
+- states are stored into a preallocated output buffer via a per-step
+  scatter index (with a dump row for non-evaluation steps).
+
+This maps one-to-one onto TPU execution: a single compiled scan whose
+body is a handful of fused axis contractions over an HBM-resident
+statevector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pulser_tpu.ops.apply import (
+    _hpsi,
+    apply_col,
+    apply_row,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvolutionPlan:
+    """Host-precomputed stage data for the fixed-step evolution.
+
+    Attributes:
+        dts: ``(n_steps,)`` step sizes (in µs).
+        store_idx: ``(n_steps,)`` int32 output slot written after each
+            step (``n_eval`` points to the dump row).
+        n_eval: Number of evaluation times.
+        eval_idx0: Whether t=0 is an evaluation time (slot 0).
+        stage_arrays: Mapping of coefficient name to ``(n_steps, 3, ...)``
+            stage values (t, t+h/2, t+h per step).
+        grid: The full integration grid (µs), for reference.
+        eval_times: The evaluation times (µs).
+    """
+
+    dts: np.ndarray
+    store_idx: np.ndarray
+    n_eval: int
+    eval_idx0: int | None
+    stage_arrays: dict[str, np.ndarray]
+    grid: np.ndarray
+    eval_times: np.ndarray
+    #: Maps each ORIGINAL (possibly near-duplicate) eval time to its
+    #: unique slot, so solver outputs match the requested times 1:1.
+    eval_map: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([], dtype=np.int32)
+    )
+
+
+def _interp_at(
+    coeffs: np.ndarray, knots: np.ndarray, times: np.ndarray
+) -> np.ndarray:
+    """Linear interpolation of knot-sampled coefficients at new times.
+
+    Matches QobjEvo's linear interpolation between tlist points, with
+    constant extrapolation outside the knot range.
+
+    Args:
+        coeffs: Array with the time axis LAST, shape ``(..., n_knots)``.
+        knots: ``(n_knots,)`` ascending times.
+        times: ``(m,)`` times to evaluate at.
+
+    Returns:
+        ``(..., m)`` interpolated values.
+    """
+    if len(knots) == 1:
+        return np.repeat(coeffs, len(times), axis=-1)
+    idx = np.clip(
+        np.searchsorted(knots, times, side="right") - 1,
+        0,
+        len(knots) - 2,
+    )
+    t0 = knots[idx]
+    t1 = knots[idx + 1]
+    frac = np.clip((times - t0) / (t1 - t0), 0.0, 1.0)
+    return coeffs[..., idx] * (1 - frac) + coeffs[..., idx + 1] * frac
+
+
+def build_plan(
+    knots: np.ndarray,
+    coeffs: dict[str, np.ndarray],
+    eval_times: np.ndarray,
+    max_step: float | None = None,
+) -> EvolutionPlan:
+    """Builds the host-side evolution plan.
+
+    Args:
+        knots: ``(n_knots,)`` ascending coefficient sample times (µs).
+        coeffs: Mapping of name to coefficient array with time last,
+            shape ``(..., n_knots)``.
+        eval_times: Times (µs) at which the state must be stored. Must
+            lie within ``[knots[0], knots[-1]]`` (clipped otherwise).
+        max_step: Optional maximum step size (µs). Grid intervals larger
+            than this are subdivided evenly. Defaults to the median knot
+            spacing (i.e. no subdivision on a uniform grid).
+    """
+    knots = np.asarray(knots, dtype=float)
+    eval_times_in = np.unique(np.asarray(eval_times, dtype=float))
+    t_end = knots[-1]
+    eval_times_in = np.clip(eval_times_in, knots[0], t_end)
+    # Merge near-duplicate eval times (fp artifacts like 0.7 vs
+    # 0.7000000000000001), remembering the original->unique mapping
+    uniq: list[float] = []
+    eval_map = np.empty(len(eval_times_in), dtype=np.int32)
+    for i, t in enumerate(eval_times_in):
+        if not uniq or t - uniq[-1] > 1e-9:
+            uniq.append(float(t))
+        eval_map[i] = len(uniq) - 1
+    eval_times = np.array(uniq)
+
+    grid = np.union1d(knots, eval_times)
+    if max_step is None:
+        spacings = np.diff(knots)
+        max_step = float(np.median(spacings)) if len(spacings) else 1e-3
+    # Subdivide long intervals
+    pieces = [np.array([grid[0]])]
+    for a, b in zip(grid[:-1], grid[1:]):
+        m = max(1, int(np.ceil((b - a) / (max_step * (1 + 1e-9)))))
+        pieces.append(np.linspace(a, b, m + 1)[1:])
+    grid = np.concatenate(pieces)
+    # Deduplicate within tolerance
+    keep = np.ones(len(grid), dtype=bool)
+    keep[1:] = np.diff(grid) > 1e-12
+    grid = grid[keep]
+
+    dts = np.diff(grid)
+    n_steps = len(dts)
+
+    # Map each post-step time to an eval slot (or the dump row)
+    n_eval = len(eval_times)
+    store_idx = np.full(n_steps, n_eval, dtype=np.int32)
+    eval_pos = np.searchsorted(grid, eval_times)
+    # Snap to nearest grid point (within fp tolerance)
+    for slot, t in enumerate(eval_times):
+        pos = eval_pos[slot]
+        cand = [
+            p
+            for p in (pos - 1, pos, pos + 1)
+            if 0 <= p < len(grid) and abs(grid[p] - t) < 1e-9
+        ]
+        assert cand, (t, "not on the integration grid")
+        p = cand[0]
+        if p > 0:
+            store_idx[p - 1] = slot
+    eval_idx0 = None
+    if abs(grid[0] - eval_times[0]) < 1e-9 if n_eval else False:
+        eval_idx0 = 0
+
+    # Precompute the three RK4 stage values per step for each coefficient
+    stage_times = np.stack(
+        [grid[:-1], (grid[:-1] + grid[1:]) / 2, grid[1:]], axis=1
+    )  # (n_steps, 3)
+    flat_times = stage_times.reshape(-1)
+    stage_arrays = {}
+    for name, c in coeffs.items():
+        vals = _interp_at(np.asarray(c), knots, flat_times)
+        # (..., n_steps*3) -> (n_steps, 3, ...)
+        vals = np.moveaxis(
+            vals.reshape(c.shape[:-1] + (n_steps, 3)), (-2, -1), (0, 1)
+        )
+        stage_arrays[name] = vals
+
+    return EvolutionPlan(
+        dts=dts,
+        store_idx=store_idx,
+        n_eval=n_eval,
+        eval_idx0=eval_idx0,
+        stage_arrays=stage_arrays,
+        grid=grid,
+        eval_times=eval_times,
+        eval_map=eval_map,
+    )
+
+
+def sesolve_rk4(
+    psi0: jax.Array,
+    plan: EvolutionPlan,
+    static_diag: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_static: np.ndarray | None = None,
+    xy_indices: tuple[int, int] | None = None,
+    dtype: Any = None,
+) -> jax.Array:
+    """Solves ``dψ/dt = -i H(t) ψ`` over the plan's grid.
+
+    Args:
+        psi0: The ``(d**n,)`` initial state.
+        plan: The evolution plan (from :func:`build_plan`). Stage arrays
+            must include ``amp`` (n_steps, 3, n_bases, n) complex,
+            ``det`` (n_steps, 3, n_bases, n) real, and optionally
+            ``int_w`` (n_steps, 3, 2) interaction interpolation weights.
+        static_diag: ``(dim,)`` static interaction diagonal — or
+            ``(2, dim)`` [unmasked, masked] when ``int_w`` is present.
+        pairs: Static per-basis (i, j, k) drive index triples.
+        d, n: Qudit dimension and count.
+        xy_static: Optional ``(nxy, N, N)`` XY couplings (1 or 2 configs,
+            interpolated with ``int_w`` when 2).
+        xy_indices: (up_idx, down_idx) for the flip-flop term.
+        dtype: Complex dtype of the evolution (defaults to psi0's).
+
+    Returns:
+        ``(n_eval, dim)`` states at the plan's evaluation times.
+    """
+    cdtype = dtype or psi0.dtype
+    dim = d**n
+    psi0 = jnp.asarray(psi0, dtype=cdtype)
+    amp = jnp.asarray(plan.stage_arrays["amp"], dtype=cdtype)
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+    det = jnp.asarray(plan.stage_arrays["det"], dtype=rdtype)
+    dts = jnp.asarray(plan.dts, dtype=rdtype)
+    store_idx = jnp.asarray(plan.store_idx)
+    has_int_w = "int_w" in plan.stage_arrays
+    int_w = (
+        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        if has_int_w
+        else None
+    )
+    diag_static = jnp.asarray(static_diag, dtype=rdtype)
+    xy_s = (
+        jnp.asarray(xy_static, dtype=rdtype)
+        if xy_static is not None
+        else None
+    )
+
+    def h_apply(psi, amp_s, det_s, diag_s, xy_mat_s):
+        return _hpsi(
+            psi, diag_s, amp_s, det_s, pairs, d, n, xy_mat_s, xy_indices
+        )
+
+    def step(carry, xs):
+        psi, out = carry
+        amp_st, det_st, h, sidx, w_st = xs
+
+        def diag_at(s):
+            if has_int_w:
+                return jnp.tensordot(w_st[s], diag_static, axes=1)
+            return diag_static
+
+        def xy_at(s):
+            if xy_s is None:
+                return None
+            if has_int_w and xy_s.shape[0] == 2:
+                return jnp.tensordot(w_st[s], xy_s, axes=1)
+            return xy_s[0]
+
+        mi = -1j
+        k1 = mi * h_apply(psi, amp_st[0], det_st[0], diag_at(0), xy_at(0))
+        k2 = mi * h_apply(
+            psi + 0.5 * h * k1,
+            amp_st[1],
+            det_st[1],
+            diag_at(1),
+            xy_at(1),
+        )
+        k3 = mi * h_apply(
+            psi + 0.5 * h * k2,
+            amp_st[1],
+            det_st[1],
+            diag_at(1),
+            xy_at(1),
+        )
+        k4 = mi * h_apply(
+            psi + h * k3, amp_st[2], det_st[2], diag_at(2), xy_at(2)
+        )
+        psi = psi + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        out = out.at[sidx].set(psi)
+        return (psi, out), None
+
+    out0 = jnp.zeros((plan.n_eval + 1, dim), dtype=cdtype)
+    if plan.eval_idx0 is not None:
+        out0 = out0.at[plan.eval_idx0].set(psi0)
+
+    w_dummy = (
+        int_w
+        if int_w is not None
+        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+    )
+    (psi_f, out), _ = jax.lax.scan(
+        step, (psi0, out0), (amp, det, dts, store_idx, w_dummy)
+    )
+    return out[: plan.n_eval][jnp.asarray(plan.eval_map)]
+
+
+def mesolve_rk4(
+    rho0: jax.Array,
+    plan: EvolutionPlan,
+    static_diag: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    xy_static: np.ndarray | None = None,
+    xy_indices: tuple[int, int] | None = None,
+    dtype: Any = None,
+) -> jax.Array:
+    """Solves the Lindblad master equation over the plan's grid.
+
+    ``dρ/dt = -i[H, ρ] + Σ_{k,q} L ρ L† − ½{L†L, ρ}`` with every
+    collapse operator a local ``d×d`` matrix applied on each qudit.
+
+    Args:
+        rho0: ``(dim, dim)`` initial density matrix.
+        collapse_ops: List of local ``(d, d)`` collapse operators (each
+            is applied on every qudit).
+        (other args as in :func:`sesolve_rk4`)
+
+    Returns:
+        ``(n_eval, dim, dim)`` density matrices at the evaluation times.
+    """
+    cdtype = dtype or rho0.dtype
+    dim = d**n
+    rho0 = jnp.asarray(rho0, dtype=cdtype)
+    amp = jnp.asarray(plan.stage_arrays["amp"], dtype=cdtype)
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+    det = jnp.asarray(plan.stage_arrays["det"], dtype=rdtype)
+    dts = jnp.asarray(plan.dts, dtype=rdtype)
+    store_idx = jnp.asarray(plan.store_idx)
+    has_int_w = "int_w" in plan.stage_arrays
+    int_w = (
+        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        if has_int_w
+        else None
+    )
+    diag_static = jnp.asarray(static_diag, dtype=rdtype)
+    xy_s = (
+        jnp.asarray(xy_static, dtype=rdtype)
+        if xy_static is not None
+        else None
+    )
+    c_ops = [jnp.asarray(c, dtype=cdtype) for c in collapse_ops]
+    c_dag_c = [c.conj().T @ c for c in c_ops]
+
+    def h_left(rho, amp_s, det_s, diag_s, xy_mat_s):
+        # H @ rho: apply H to every column
+        return jax.vmap(
+            lambda col: _hpsi(
+                col,
+                diag_s,
+                amp_s,
+                det_s,
+                pairs,
+                d,
+                n,
+                xy_mat_s,
+                xy_indices,
+            ),
+            in_axes=1,
+            out_axes=1,
+        )(rho)
+
+    def rhs(rho, amp_s, det_s, diag_s, xy_mat_s):
+        h_rho = h_left(rho, amp_s, det_s, diag_s, xy_mat_s)
+        # rho @ H = (H @ rho†)† for Hermitian H
+        rho_h = (
+            h_left(
+                rho.conj().T, amp_s, det_s, diag_s, xy_mat_s
+            )
+            .conj()
+            .T
+        )
+        drho = -1j * (h_rho - rho_h)
+        for c, cdc in zip(c_ops, c_dag_c):
+            cd = c.conj().T
+            for q in range(n):
+                l_rho = apply_row(c, rho, q, d, n)
+                drho = drho + apply_col(cd, l_rho, q, d, n)
+                drho = drho - 0.5 * apply_row(cdc, rho, q, d, n)
+                drho = drho - 0.5 * apply_col(cdc, rho, q, d, n)
+        return drho
+
+    def step(carry, xs):
+        rho, out = carry
+        amp_st, det_st, h, sidx, w_st = xs
+
+        def diag_at(s):
+            if has_int_w:
+                return jnp.tensordot(w_st[s], diag_static, axes=1)
+            return diag_static
+
+        def xy_at(s):
+            if xy_s is None:
+                return None
+            if has_int_w and xy_s.shape[0] == 2:
+                return jnp.tensordot(w_st[s], xy_s, axes=1)
+            return xy_s[0]
+
+        k1 = rhs(rho, amp_st[0], det_st[0], diag_at(0), xy_at(0))
+        k2 = rhs(
+            rho + 0.5 * h * k1,
+            amp_st[1],
+            det_st[1],
+            diag_at(1),
+            xy_at(1),
+        )
+        k3 = rhs(
+            rho + 0.5 * h * k2,
+            amp_st[1],
+            det_st[1],
+            diag_at(1),
+            xy_at(1),
+        )
+        k4 = rhs(rho + h * k3, amp_st[2], det_st[2], diag_at(2), xy_at(2))
+        rho = rho + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        out = out.at[sidx].set(rho)
+        return (rho, out), None
+
+    out0 = jnp.zeros((plan.n_eval + 1, dim, dim), dtype=cdtype)
+    if plan.eval_idx0 is not None:
+        out0 = out0.at[plan.eval_idx0].set(rho0)
+
+    w_dummy = (
+        int_w
+        if int_w is not None
+        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+    )
+    (rho_f, out), _ = jax.lax.scan(
+        step, (rho0, out0), (amp, det, dts, store_idx, w_dummy)
+    )
+    return out[: plan.n_eval][jnp.asarray(plan.eval_map)]

@@ -7,7 +7,6 @@ reference comparisons.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# NOTE: the env var JAX_PLATFORMS is overridden by the axon TPU plugin in
+# this image; the config flag below is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,267 @@
+"""End-to-end emulator validation against a scipy dense reference.
+
+QuTiP is not installed in this image, so the gold standard is a
+high-accuracy ``scipy.integrate.solve_ivp`` run on the dense
+``Hamiltonian.get_matrix(t)`` (which is itself validated against manual
+construction and, in ``test_hamiltonian_parity``, against the
+reference's published matrix-element formulas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+import pulser_tpu as tpu
+from pulser_tpu.emulator import Qobj, SimConfig, TpuEmulator
+
+
+def _bell_sequence():
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 6)})
+    seq = tpu.Sequence(reg, tpu.DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.BlackmanWaveform(500, np.pi), 0.0, 0.0
+        ),
+        "ryd",
+    )
+    seq.add(tpu.Pulse.ConstantPulse(200, 2.0, -3.0, 0.7), "ryd")
+    return seq
+
+
+def _fidelity(a: np.ndarray, b: np.ndarray) -> float:
+    return float(
+        abs(np.vdot(a, b)) ** 2
+        / (np.linalg.norm(a) ** 2 * np.linalg.norm(b) ** 2)
+    )
+
+
+def test_hamiltonian_matrix_manual():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(seq)
+    h250 = sim.get_hamiltonian(250).full()
+    assert np.allclose(h250, h250.conj().T)
+
+    import pulser_tpu.sampler as smp
+
+    s = smp.sample(seq).extend_duration(seq.get_duration() + 1)
+    cs = s.channel_samples["ryd"]
+    amp = cs.amp.as_array()[250]
+    u = tpu.DigitalAnalogDevice.interaction_coeff / 6**6
+    # basis [r, g]: |rr>=0, |rg>=1, |gr>=2, |gg>=3
+    expect = np.zeros((4, 4), complex)
+    expect[0, 0] = u
+    sgr = np.zeros((2, 2))
+    sgr[1, 0] = 1  # |g><r|
+    m = 0.5 * amp * (sgr + sgr.T)
+    expect += np.kron(m, np.eye(2)) + np.kron(np.eye(2), m)
+    np.testing.assert_allclose(h250, expect, atol=1e-10)
+
+
+def test_sesolve_vs_scipy():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(seq)
+    ham = sim._current_hamiltonian
+
+    def rhs(t, y):
+        return -1j * (ham.get_matrix(t) @ y)
+
+    psi0 = sim.initial_state.full()[:, 0]
+    tgrid = sim.evaluation_times
+    ref = solve_ivp(
+        rhs,
+        (0, tgrid[-1]),
+        psi0,
+        t_eval=[tgrid[len(tgrid) // 2], tgrid[-1]],
+        rtol=1e-10,
+        atol=1e-12,
+    )
+    res = sim.run()
+    final = res.get_final_state(ignore_global_phase=False).full()[:, 0]
+    assert abs(np.linalg.norm(final) - 1) < 1e-6
+    assert abs(_fidelity(ref.y[:, -1], final) - 1) < 1e-8
+    mid = res.get_state(
+        tgrid[len(tgrid) // 2], ignore_global_phase=False
+    ).full()[:, 0]
+    assert abs(_fidelity(ref.y[:, 0], mid) - 1) < 1e-8
+    # Blockade physics: double excitation suppressed
+    assert abs(final[0]) ** 2 < 5e-3
+
+
+def test_blockade_sampling():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(seq)
+    res = sim.run()
+    np.random.seed(42)
+    counts = res.sample_final_state(2000)
+    assert counts["11"] <= 10  # blockaded
+    assert set(counts) <= {"00", "01", "10", "11"}
+
+
+def test_mesolve_dephasing_vs_scipy():
+    reg1 = tpu.Register({"q0": (0, 0)})
+    seq1 = tpu.Sequence(reg1, tpu.MockDevice)
+    seq1.declare_channel("ryd", "rydberg_global")
+    seq1.add(
+        tpu.Pulse.ConstantPulse(400, 2 * np.pi, 0.0, 0.0), "ryd"
+    )
+    nm = tpu.NoiseModel(dephasing_rate=0.5)
+    sim1 = TpuEmulator.from_sequence(seq1, noise_model=nm)
+    res1 = sim1.run()
+    rho_f = res1.get_final_state().full()
+    assert abs(np.trace(rho_f).real - 1) < 1e-8
+
+    ham1 = sim1._current_hamiltonian
+    lop = np.sqrt(2 * 0.5) * np.array([[1, 0], [0, 0]], complex)
+
+    def lrhs(t, y):
+        rho = y.reshape(2, 2)
+        h = ham1.get_matrix(t)
+        d = (
+            -1j * (h @ rho - rho @ h)
+            + lop @ rho @ lop.conj().T
+            - 0.5
+            * (
+                lop.conj().T @ lop @ rho
+                + rho @ lop.conj().T @ lop
+            )
+        )
+        return d.reshape(-1)
+
+    rho0 = np.zeros((2, 2), complex)
+    rho0[1, 1] = 1  # |g><g| (g = index 1)
+    ref = solve_ivp(
+        lrhs,
+        (0, sim1.evaluation_times[-1]),
+        rho0.reshape(-1),
+        t_eval=[sim1.evaluation_times[-1]],
+        rtol=1e-10,
+        atol=1e-12,
+    )
+    rho_ref = ref.y[:, -1].reshape(2, 2)
+    np.testing.assert_allclose(rho_f, rho_ref, atol=1e-7)
+
+
+def test_xy_mode_vs_scipy():
+    regx = tpu.Register({"q0": (0, 0), "q1": (0, 8)})
+    seqx = tpu.Sequence(regx, tpu.MockDevice)
+    seqx.declare_channel("mw", "mw_global")
+    seqx.add(tpu.Pulse.ConstantPulse(300, 2.0, 0.0, 0.0), "mw")
+    simx = TpuEmulator.from_sequence(seqx)
+    hx = simx.get_hamiltonian(150).full()
+    u_xy = tpu.MockDevice.interaction_coeff_xy / 8**3
+    assert abs(hx[1, 2] - u_xy) < 1e-9
+
+    hamx = simx._current_hamiltonian
+
+    def xrhs(t, y):
+        return -1j * (hamx.get_matrix(t) @ y)
+
+    psix0 = simx.initial_state.full()[:, 0]
+    tg = simx.evaluation_times
+    refx = solve_ivp(
+        xrhs,
+        (0, tg[-1]),
+        psix0,
+        t_eval=[tg[-1]],
+        rtol=1e-10,
+        atol=1e-12,
+    )
+    resx = simx.run()
+    fx = resx.get_final_state(ignore_global_phase=False).full()[:, 0]
+    assert abs(_fidelity(refx.y[:, -1], fx) - 1) < 1e-8
+
+
+def test_digital_local_raman():
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 8)})
+    seq = tpu.Sequence(reg, tpu.DigitalAnalogDevice)
+    seq.declare_channel("ram", "raman_local", initial_target="q0")
+    seq.add(tpu.Pulse.ConstantPulse(200, np.pi * 5, 0.0, 0.0), "ram")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim.basis_name == "digital"
+    res = sim.run()
+    final = res.get_final_state(ignore_global_phase=False).full()[:, 0]
+    # digital basis [g, h]: q0 driven (Omega*T = pi -> |h>), q1 idle
+    # |g g> = index 0; after pi pulse on q0 -> |h g> = index 2
+    assert abs(abs(final[2]) ** 2 - 1.0) < 1e-4
+
+
+def test_noisy_run_returns_noisy_results():
+    np.random.seed(123)
+    seq = _bell_sequence()
+    cfg_nm = tpu.NoiseModel(
+        p_false_pos=0.01,
+        p_false_neg=0.05,
+        state_prep_error=0.05,
+        temperature=50.0,
+        runs=5,
+        samples_per_run=3,
+    )
+    sim = TpuEmulator.from_sequence(
+        seq, noise_model=cfg_nm, evaluation_times="Minimal"
+    )
+    res = sim.run()
+    from pulser_tpu.emulator import NoisyResults
+
+    assert isinstance(res, NoisyResults)
+    assert res.n_measures == 15
+    final_counts = res.results[-1]
+    assert abs(sum(final_counts.values()) - 1) < 1e-9
+
+
+def test_simconfig_roundtrip():
+    with pytest.warns(DeprecationWarning):
+        cfg = SimConfig(
+            noise=("SPAM", "dephasing"), eta=0.1, dephasing_rate=0.2
+        )
+    nm = cfg.to_noise_model()
+    assert "SPAM" in nm.noise_types and "dephasing" in nm.noise_types
+    assert nm.state_prep_error == 0.1
+    cfg2 = SimConfig.from_noise_model(nm)
+    assert cfg2.eta == 0.1
+
+
+def test_evaluation_times_options():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(
+        seq, evaluation_times=[0.0, 0.3, 0.7]
+    )
+    # 0 and final time are always included
+    assert sim.evaluation_times[0] == 0.0
+    assert abs(sim.evaluation_times[-1] - 0.7) < 1e-9
+    res = sim.run()
+    assert len(res.states) == len(sim.evaluation_times)
+    norms = [np.linalg.norm(s.full()) for s in res.states]
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+    sim2 = TpuEmulator.from_sequence(seq, evaluation_times=0.1)
+    res2 = sim2.run()
+    assert len(res2.states) == len(sim2.evaluation_times)
+
+
+def test_expect_and_occupation():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(seq)
+    res = sim.run()
+    n_op = sim.build_operator([("sigma_rr", "global")])
+    vals = res.expect([n_op])[0]
+    assert len(vals) == len(sim.evaluation_times)
+    assert np.all(np.asarray(vals) >= -1e-9)
+    assert np.all(np.asarray(vals) <= 2 + 1e-9)
+
+
+def test_initial_state_custom():
+    seq = _bell_sequence()
+    sim = TpuEmulator.from_sequence(seq)
+    psi = np.zeros(4)
+    psi[0] = 1.0  # |rr>
+    sim.set_initial_state(psi)
+    assert isinstance(sim.initial_state, Qobj)
+    res = sim.run()
+    # The |rr> state carries the full interaction energy; the RK4 norm
+    # drift stays well within the 1e-6 *fidelity* budget
+    assert (
+        abs(np.linalg.norm(res.get_final_state().full()) - 1) < 1e-4
+    )
