@@ -14,6 +14,15 @@ from pulser_tpu.emulator.simulation import (
     Solver,
     TpuEmulator,
 )
+from pulser_tpu.emulator.tpu_backend import (
+    QutipBackend,
+    QutipBackendV2,
+    TpuBackend,
+    TpuBackendV2,
+)
+from pulser_tpu.emulator.tpu_config import QutipConfig, TpuConfig
+from pulser_tpu.emulator.tpu_op import QutipOperator, TpuOperator
+from pulser_tpu.emulator.tpu_state import QutipState, TpuState
 
 __all__ = [
     "Hamiltonian",
@@ -30,4 +39,14 @@ __all__ = [
     "QutipEmulator",
     "Solver",
     "TpuEmulator",
+    "QutipBackend",
+    "QutipBackendV2",
+    "TpuBackend",
+    "TpuBackendV2",
+    "QutipConfig",
+    "TpuConfig",
+    "QutipOperator",
+    "TpuOperator",
+    "QutipState",
+    "TpuState",
 ]

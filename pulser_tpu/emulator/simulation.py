@@ -692,7 +692,7 @@ class TpuEmulator:
             else:
                 rho0 = np.outer(psi0, psi0.conj())
             states_arr = mesolve_rk4(
-                jnp.asarray(rho0, dtype=cdtype),
+                np.asarray(rho0, dtype=cdtype),
                 plan,
                 hamiltonian.int_diag,
                 hamiltonian.pairs,
@@ -704,12 +704,11 @@ class TpuEmulator:
                 dtype=cdtype,
             )
             states = [
-                Qobj(np.asarray(s), dims=legal_dims_op)
-                for s in np.asarray(states_arr)
+                Qobj(s, dims=legal_dims_op) for s in states_arr
             ]
         else:
             states_arr = sesolve_rk4(
-                jnp.asarray(psi0, dtype=cdtype),
+                np.asarray(psi0, dtype=cdtype),
                 plan,
                 hamiltonian.int_diag,
                 hamiltonian.pairs,
@@ -720,8 +719,7 @@ class TpuEmulator:
                 dtype=cdtype,
             )
             states = [
-                Qobj(np.asarray(s), dims=legal_dims_ket)
-                for s in np.asarray(states_arr)
+                Qobj(s, dims=legal_dims_ket) for s in states_arr
             ]
 
         with warnings.catch_warnings():

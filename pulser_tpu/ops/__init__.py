@@ -1,13 +1,16 @@
 """TPU compute kernels: structured Hamiltonian application & solvers."""
 
 from pulser_tpu.ops.apply import (
-    apply_axis,
-    apply_col,
-    apply_flip_flop,
-    apply_row,
+    apply_axis_c,
+    apply_axis_r,
+    apply_col_c,
+    apply_flip_flop_r,
+    apply_row_c,
     build_drive_matrices,
+    c2r,
     hamiltonian_matvec,
-    sum_axis_ops,
+    neg_i,
+    r2c,
 )
 from pulser_tpu.ops.solver import (
     EvolutionPlan,
@@ -17,13 +20,16 @@ from pulser_tpu.ops.solver import (
 )
 
 __all__ = [
-    "apply_axis",
-    "apply_col",
-    "apply_flip_flop",
-    "apply_row",
+    "apply_axis_c",
+    "apply_axis_r",
+    "apply_col_c",
+    "apply_flip_flop_r",
+    "apply_row_c",
     "build_drive_matrices",
+    "c2r",
     "hamiltonian_matvec",
-    "sum_axis_ops",
+    "neg_i",
+    "r2c",
     "EvolutionPlan",
     "build_plan",
     "mesolve_rk4",

@@ -12,9 +12,13 @@ structurally instead:
 - the XY flip-flop term is rank-structured → a stack of "lowered"
   vectors contracted with the ``(N, N)`` coupling matrix on the MXU.
 
-All functions are jit-compatible and shape-static; states live in HBM
-as flat ``(d^N,)`` complex vectors (or ``(d^N, d^N)`` density
-matrices).
+**Real-pair arithmetic.** TPUs (and this image's axon backend in
+particular) do not support complex dtypes, so states are carried as
+``(2, d^N)`` real arrays (``[0]=Re, [1]=Im``) and every complex
+contraction is expanded into its real form:
+``(A + iB)(x + iy) = (Ax − By) + i(Bx + Ay)``.
+
+All functions are jit-compatible and shape-static; states live in HBM.
 """
 
 from __future__ import annotations
@@ -26,52 +30,108 @@ import jax
 import jax.numpy as jnp
 
 
-def apply_axis(
-    op: jax.Array, psi: jax.Array, axis: int, d: int, n: int
+def c2r(psi: "jnp.ndarray") -> jax.Array:
+    """Converts a complex vector/matrix to the stacked real-pair form."""
+    return jnp.stack([jnp.real(psi), jnp.imag(psi)])
+
+
+def r2c(psi2: jax.Array) -> jax.Array:
+    """Converts a stacked real-pair array back to complex (host use)."""
+    return psi2[0] + 1j * psi2[1]
+
+
+def apply_axis_r(
+    op: jax.Array, vec: jax.Array, axis: int, d: int, n: int
 ) -> jax.Array:
-    """Applies a ``d×d`` operator to one qudit axis of a state vector.
+    """Applies a REAL ``d×d`` operator to one qudit axis of a real vector.
 
     Args:
-        op: The ``(d, d)`` operator.
-        psi: The flat ``(d**n,)`` state vector.
-        axis: The qudit axis (0-indexed, row-major ordering, qudit 0 is
-            the most significant axis, matching the tensor-product order
-            of the reference's ``qutip.tensor``).
+        op: The ``(d, d)`` real operator.
+        vec: The flat ``(d**n,)`` real vector.
+        axis: The qudit axis (0-indexed, qudit 0 most significant,
+            matching the reference's ``qutip.tensor`` ordering).
         d: The qudit dimension.
         n: The number of qudits.
-
-    Returns:
-        The flat state vector after application.
     """
     left = d**axis
     right = d ** (n - axis - 1)
-    resh = psi.reshape(left, d, right)
+    resh = vec.reshape(left, d, right)
     out = jnp.einsum(
         "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
     )
     return out.reshape(-1)
 
 
-def sum_axis_ops(
-    mats: jax.Array, psi: jax.Array, d: int, n: int
+def apply_axis_c(
+    op_re: jax.Array,
+    op_im: jax.Array,
+    psi2: jax.Array,
+    axis: int,
+    d: int,
+    n: int,
 ) -> jax.Array:
-    """Computes ``Σ_q (M_q at axis q) @ psi`` for per-qudit matrices.
+    """Applies a complex ``d×d`` operator (as a real pair) to one axis.
+
+    ``(A + iB)(x + iy) = (Ax − By) + i(Bx + Ay)``.
 
     Args:
-        mats: ``(n, d, d)`` stack of per-qudit operators.
-        psi: The flat ``(d**n,)`` state vector.
+        op_re: ``(d, d)`` real part of the operator.
+        op_im: ``(d, d)`` imaginary part.
+        psi2: ``(2, d**n)`` real-pair state.
+        axis, d, n: As in :func:`apply_axis_r`.
+    """
+    x, y = psi2[0], psi2[1]
+    ax = apply_axis_r(op_re, x, axis, d, n)
+    ay = apply_axis_r(op_re, y, axis, d, n)
+    bx = apply_axis_r(op_im, x, axis, d, n)
+    by = apply_axis_r(op_im, y, axis, d, n)
+    return jnp.stack([ax - by, bx + ay])
+
+
+def build_drive_matrices(
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_c: jax.Array,
+    pairs: Sequence[tuple[int, int, int]],
+    d: int,
+    n: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Builds the per-qudit drive matrices at one time, as real pairs.
+
+    The Hamiltonian term per basis ``b`` and qudit ``q`` is
+    ``a σ_ij + a* σ_ji − δ σ_kk`` with ``a = 0.5 Ω e^{-iφ}`` (this
+    already includes the reference's ``H + H†`` doubling,
+    ``hamiltonian.py:436-439``).  The real part is symmetric, the
+    imaginary part antisymmetric.
+
+    Args:
+        amp_re: ``(n_bases, n)`` real parts of the drive coefficients.
+        amp_im: ``(n_bases, n)`` imaginary parts.
+        det_c: ``(n_bases, n)`` real detuning coefficients.
+        pairs: Per basis, the static ``(i, j, k)`` index triple.
         d: The qudit dimension.
         n: The number of qudits.
+
+    Returns:
+        ``(mats_re, mats_im)``: two ``(n, d, d)`` real stacks.
     """
-    out = jnp.zeros_like(psi)
-    for q in range(n):
-        out = out + apply_axis(mats[q], psi, q, d, n)
-    return out
+    mats_re = jnp.zeros((n, d, d), dtype=amp_re.dtype)
+    mats_im = jnp.zeros((n, d, d), dtype=amp_re.dtype)
+    for b, (i, j, k) in enumerate(pairs):
+        ar = amp_re[b]
+        ai = amp_im[b]
+        dv = det_c[b]
+        mats_re = mats_re.at[:, i, j].add(ar)
+        mats_re = mats_re.at[:, j, i].add(ar)
+        mats_im = mats_im.at[:, i, j].add(ai)
+        mats_im = mats_im.at[:, j, i].add(-ai)
+        mats_re = mats_re.at[:, k, k].add(-dv)
+    return mats_re, mats_im
 
 
-def apply_flip_flop(
+def apply_flip_flop_r(
     u_mat: jax.Array,
-    psi: jax.Array,
+    psi2: jax.Array,
     d: int,
     n: int,
     up_idx: int,
@@ -79,99 +139,49 @@ def apply_flip_flop(
 ) -> jax.Array:
     """Applies the XY flip-flop term ``Σ_{i≠j} U_ij σ_ud^i σ_du^j``.
 
-    Strategy: lower every qudit once (``low[j] = σ_du^j ψ``), mix the
-    stacked vectors with the coupling matrix on the MXU
-    (``mixed = U @ low``), then raise each qudit and accumulate.
+    U is real, so real and imaginary components evolve independently.
+    Strategy: lower every qudit once, mix the stacked vectors with the
+    coupling matrix on the MXU, then raise each qudit and accumulate.
 
     Args:
-        u_mat: ``(n, n)`` symmetric coupling matrix with zero diagonal.
-        psi: The flat ``(d**n,)`` state vector.
-        d: The qudit dimension.
-        n: The number of qudits.
-        up_idx: Index of the "up" eigenstate in the qudit basis.
-        down_idx: Index of the "down" eigenstate.
+        u_mat: ``(n, n)`` symmetric real couplings, zero diagonal.
+        psi2: ``(2, d**n)`` real-pair state.
+        d, n: Qudit dimension and count.
+        up_idx / down_idx: Eigenbasis indices of "u" and "d".
     """
+    dtype = psi2.dtype
     sigma_du = (
-        jnp.zeros((d, d), dtype=psi.dtype).at[down_idx, up_idx].set(1.0)
+        jnp.zeros((d, d), dtype=dtype).at[down_idx, up_idx].set(1.0)
     )
     sigma_ud = (
-        jnp.zeros((d, d), dtype=psi.dtype).at[up_idx, down_idx].set(1.0)
+        jnp.zeros((d, d), dtype=dtype).at[up_idx, down_idx].set(1.0)
     )
-    low = jnp.stack(
-        [apply_axis(sigma_du, psi, q, d, n) for q in range(n)]
-    )  # (n, d**n)
-    mixed = jnp.einsum(
-        "ij,jD->iD",
-        u_mat.astype(psi.dtype),
-        low,
-        preferred_element_type=psi.dtype,
-    )
-    out = jnp.zeros_like(psi)
-    for q in range(n):
-        out = out + apply_axis(sigma_ud, mixed[q], q, d, n)
-    return out
-
-
-def build_drive_matrices(
-    amp_c: jax.Array,
-    det_c: jax.Array,
-    pairs: Sequence[tuple[int, int, int]],
-    d: int,
-    n: int,
-) -> jax.Array:
-    """Builds the per-qudit ``d×d`` drive matrices at a single time.
-
-    The Hamiltonian term per basis ``b`` and qudit ``q`` is
-    ``a σ_ij + a* σ_ji − δ σ_kk`` with ``a = 0.5 Ω e^{-iφ}`` (this
-    already includes the reference's ``H + H†`` doubling,
-    ``hamiltonian.py:436-439``).
-
-    Args:
-        amp_c: ``(n_bases, n)`` complex drive coefficients at one time.
-        det_c: ``(n_bases, n)`` real detuning coefficients at one time.
-        pairs: Per basis, the static ``(i, j, k)`` index triple: the
-            drive couples ``|i><j|`` and the detuning acts on ``|k><k|``.
-        d: The qudit dimension.
-        n: The number of qudits.
-
-    Returns:
-        ``(n, d, d)`` complex stack of per-qudit matrices.
-    """
-    mats = jnp.zeros((n, d, d), dtype=amp_c.dtype)
-    for b, (i, j, k) in enumerate(pairs):
-        a = amp_c[b]
-        dv = det_c[b].astype(amp_c.dtype)
-        mats = mats.at[:, i, j].add(a)
-        mats = mats.at[:, j, i].add(jnp.conj(a))
-        mats = mats.at[:, k, k].add(-dv)
-    return mats
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("pairs", "d", "n", "xy_indices"),
-)
-def hamiltonian_matvec(
-    psi: jax.Array,
-    diag: jax.Array,
-    amp_c: jax.Array,
-    det_c: jax.Array,
-    pairs: tuple[tuple[int, int, int], ...],
-    d: int,
-    n: int,
-    xy_mat: jax.Array | None = None,
-    xy_indices: tuple[int, int] | None = None,
-) -> jax.Array:
-    """One full ``H(t) @ psi`` (exposed mainly for testing)."""
-    return _hpsi(
-        psi, diag, amp_c, det_c, pairs, d, n, xy_mat, xy_indices
-    )
+    out = []
+    for c in range(2):
+        low = jnp.stack(
+            [
+                apply_axis_r(sigma_du, psi2[c], q, d, n)
+                for q in range(n)
+            ]
+        )  # (n, d**n)
+        mixed = jnp.einsum(
+            "ij,jD->iD",
+            u_mat.astype(dtype),
+            low,
+            preferred_element_type=dtype,
+        )
+        acc = jnp.zeros_like(psi2[c])
+        for q in range(n):
+            acc = acc + apply_axis_r(sigma_ud, mixed[q], q, d, n)
+        out.append(acc)
+    return jnp.stack(out)
 
 
 def _hpsi(
-    psi: jax.Array,
+    psi2: jax.Array,
     diag: jax.Array,
-    amp_c: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
     det_c: jax.Array,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -179,52 +189,126 @@ def _hpsi(
     xy_mat: jax.Array | None,
     xy_indices: tuple[int, int] | None,
 ) -> jax.Array:
-    """Internal, trace-time H @ psi."""
-    out = diag.astype(psi.dtype) * psi
-    mats = build_drive_matrices(amp_c, det_c, pairs, d, n)
-    out = out + sum_axis_ops(mats, psi, d, n)
+    """Trace-time ``H(t) @ psi`` in real-pair form.
+
+    Args:
+        psi2: ``(2, d**n)`` real-pair state.
+        diag: ``(d**n,)`` real diagonal (interaction).
+        amp_re/amp_im/det_c: ``(n_bases, n)`` coefficient slices.
+        pairs, d, n, xy_mat, xy_indices: Static structure.
+    """
+    out = diag[None, :].astype(psi2.dtype) * psi2
+    m_re, m_im = build_drive_matrices(
+        amp_re, amp_im, det_c, pairs, d, n
+    )
+    for q in range(n):
+        out = out + apply_axis_c(m_re[q], m_im[q], psi2, q, d, n)
     if xy_mat is not None:
         assert xy_indices is not None
-        out = out + apply_flip_flop(
-            xy_mat, psi, d, n, xy_indices[0], xy_indices[1]
+        out = out + apply_flip_flop_r(
+            xy_mat, psi2, d, n, xy_indices[0], xy_indices[1]
         )
     return out
 
 
-def apply_row(
-    op: jax.Array, rho: jax.Array, q: int, d: int, n: int
+def neg_i(psi2: jax.Array) -> jax.Array:
+    """Multiplies a real-pair array by ``-i``: (x, y) -> (y, -x)."""
+    return jnp.stack([psi2[1], -psi2[0]])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "d", "n", "xy_indices"),
+)
+def hamiltonian_matvec(
+    psi2: jax.Array,
+    diag: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_c: jax.Array,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_mat: jax.Array | None = None,
+    xy_indices: tuple[int, int] | None = None,
 ) -> jax.Array:
-    """``(op at qudit q) @ rho`` — operator on the row multi-index.
+    """One full ``H(t) @ psi`` in real-pair form (exposed for tests)."""
+    return _hpsi(
+        psi2,
+        diag,
+        amp_re,
+        amp_im,
+        det_c,
+        pairs,
+        d,
+        n,
+        xy_mat,
+        xy_indices,
+    )
+
+
+def apply_row_c(
+    op_re: jax.Array,
+    op_im: jax.Array,
+    rho2: jax.Array,
+    q: int,
+    d: int,
+    n: int,
+) -> jax.Array:
+    """``(op at qudit q) @ rho`` on the row multi-index (real pairs).
 
     Args:
-        op: The ``(d, d)`` operator.
-        rho: The ``(d**n, d**n)`` density matrix.
-        q: The qudit axis on the row index.
-        d: The qudit dimension.
-        n: The number of qudits.
+        op_re/op_im: The ``(d, d)`` operator's real/imaginary parts.
+        rho2: ``(2, d**n, d**n)`` real-pair density matrix.
+        q, d, n: Axis and structure.
     """
     dim = d**n
     left = d**q
     right = d ** (n - q - 1)
-    resh = rho.reshape(left, d, right * dim)
-    out = jnp.einsum(
-        "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
+
+    def one(op, comp):
+        resh = comp.reshape(left, d, right * dim)
+        out = jnp.einsum(
+            "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
+        )
+        return out.reshape(dim, dim)
+
+    x, y = rho2[0], rho2[1]
+    return jnp.stack(
+        [
+            one(op_re, x) - one(op_im, y),
+            one(op_im, x) + one(op_re, y),
+        ]
     )
-    return out.reshape(dim, dim)
 
 
-def apply_col(
-    op: jax.Array, rho: jax.Array, q: int, d: int, n: int
+def apply_col_c(
+    op_re: jax.Array,
+    op_im: jax.Array,
+    rho2: jax.Array,
+    q: int,
+    d: int,
+    n: int,
 ) -> jax.Array:
-    """``rho @ (op at qudit q)`` — operator on the column multi-index.
+    """``rho @ (op at qudit q)`` on the column multi-index (real pairs).
 
     Contracts ``out[..b..] = Σ_a rho[..a..] op[a, b]``.
     """
     dim = d**n
     left = d**q
     right = d ** (n - q - 1)
-    resh = rho.reshape(dim * left, d, right)
-    out = jnp.einsum(
-        "ab,iaj->ibj", op, resh, preferred_element_type=resh.dtype
+
+    def one(op, comp):
+        resh = comp.reshape(dim * left, d, right)
+        out = jnp.einsum(
+            "ab,iaj->ibj", op, resh, preferred_element_type=resh.dtype
+        )
+        return out.reshape(dim, dim)
+
+    x, y = rho2[0], rho2[1]
+    return jnp.stack(
+        [
+            one(op_re, x) - one(op_im, y),
+            one(op_im, x) + one(op_re, y),
+        ]
     )
-    return out.reshape(dim, dim)

@@ -14,6 +14,11 @@ RK4 integrator inside a single ``lax.scan``:
 - states are stored into a preallocated output buffer via a per-step
   scatter index (with a dump row for non-evaluation steps).
 
+**Real-pair arithmetic**: TPU backends do not support complex dtypes,
+so the compiled scan carries states as ``(2, ...)`` real arrays
+(``[0]=Re, [1]=Im``).  The host-facing API still takes/returns complex
+numpy: splitting and recombination happen at the host boundary.
+
 This maps one-to-one onto TPU execution: a single compiled scan whose
 body is a handful of fused axis contractions over an HBM-resident
 statevector.
@@ -31,8 +36,9 @@ import jax.numpy as jnp
 
 from pulser_tpu.ops.apply import (
     _hpsi,
-    apply_col,
-    apply_row,
+    apply_col_c,
+    apply_row_c,
+    neg_i,
 )
 
 
@@ -191,8 +197,13 @@ def build_plan(
     )
 
 
+def _real_dtype(cdtype: Any) -> Any:
+    """The real dtype matching a complex dtype."""
+    return np.zeros((), dtype=cdtype).real.dtype
+
+
 def sesolve_rk4(
-    psi0: jax.Array,
+    psi0: np.ndarray,
     plan: EvolutionPlan,
     static_diag: np.ndarray,
     pairs: tuple[tuple[int, int, int], ...],
@@ -201,11 +212,11 @@ def sesolve_rk4(
     xy_static: np.ndarray | None = None,
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
-) -> jax.Array:
+) -> np.ndarray:
     """Solves ``dψ/dt = -i H(t) ψ`` over the plan's grid.
 
     Args:
-        psi0: The ``(d**n,)`` initial state.
+        psi0: The ``(d**n,)`` complex initial state (host numpy).
         plan: The evolution plan (from :func:`build_plan`). Stage arrays
             must include ``amp`` (n_steps, 3, n_bases, n) complex,
             ``det`` (n_steps, 3, n_bases, n) real, and optionally
@@ -220,14 +231,19 @@ def sesolve_rk4(
         dtype: Complex dtype of the evolution (defaults to psi0's).
 
     Returns:
-        ``(n_eval, dim)`` states at the plan's evaluation times.
+        ``(n_eval, dim)`` complex numpy states at the evaluation times.
     """
-    cdtype = dtype or psi0.dtype
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
     dim = d**n
-    psi0 = jnp.asarray(psi0, dtype=cdtype)
-    amp = jnp.asarray(plan.stage_arrays["amp"], dtype=cdtype)
-    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
-    det = jnp.asarray(plan.stage_arrays["det"], dtype=rdtype)
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+    psi2_0 = jnp.asarray(
+        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
+    )
+    amp_np = np.asarray(plan.stage_arrays["amp"])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
     dts = jnp.asarray(plan.dts, dtype=rdtype)
     store_idx = jnp.asarray(plan.store_idx)
     has_int_w = "int_w" in plan.stage_arrays
@@ -236,21 +252,30 @@ def sesolve_rk4(
         if has_int_w
         else None
     )
-    diag_static = jnp.asarray(static_diag, dtype=rdtype)
+    diag_static = jnp.asarray(np.asarray(static_diag).real, dtype=rdtype)
     xy_s = (
-        jnp.asarray(xy_static, dtype=rdtype)
+        jnp.asarray(np.asarray(xy_static).real, dtype=rdtype)
         if xy_static is not None
         else None
     )
 
-    def h_apply(psi, amp_s, det_s, diag_s, xy_mat_s):
+    def h_apply(psi2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
         return _hpsi(
-            psi, diag_s, amp_s, det_s, pairs, d, n, xy_mat_s, xy_indices
+            psi2,
+            diag_s,
+            ar_s,
+            ai_s,
+            det_s,
+            pairs,
+            d,
+            n,
+            xy_mat_s,
+            xy_indices,
         )
 
     def step(carry, xs):
         psi, out = carry
-        amp_st, det_st, h, sidx, w_st = xs
+        ar_st, ai_st, det_st, h, sidx, w_st = xs
 
         def diag_at(s):
             if has_int_w:
@@ -264,32 +289,25 @@ def sesolve_rk4(
                 return jnp.tensordot(w_st[s], xy_s, axes=1)
             return xy_s[0]
 
-        mi = -1j
-        k1 = mi * h_apply(psi, amp_st[0], det_st[0], diag_at(0), xy_at(0))
-        k2 = mi * h_apply(
-            psi + 0.5 * h * k1,
-            amp_st[1],
-            det_st[1],
-            diag_at(1),
-            xy_at(1),
-        )
-        k3 = mi * h_apply(
-            psi + 0.5 * h * k2,
-            amp_st[1],
-            det_st[1],
-            diag_at(1),
-            xy_at(1),
-        )
-        k4 = mi * h_apply(
-            psi + h * k3, amp_st[2], det_st[2], diag_at(2), xy_at(2)
-        )
+        def deriv(psi_s, s):
+            return neg_i(
+                h_apply(
+                    psi_s, ar_st[s], ai_st[s], det_st[s],
+                    diag_at(s), xy_at(s),
+                )
+            )
+
+        k1 = deriv(psi, 0)
+        k2 = deriv(psi + 0.5 * h * k1, 1)
+        k3 = deriv(psi + 0.5 * h * k2, 1)
+        k4 = deriv(psi + h * k3, 2)
         psi = psi + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         out = out.at[sidx].set(psi)
         return (psi, out), None
 
-    out0 = jnp.zeros((plan.n_eval + 1, dim), dtype=cdtype)
+    out0 = jnp.zeros((plan.n_eval + 1, 2, dim), dtype=rdtype)
     if plan.eval_idx0 is not None:
-        out0 = out0.at[plan.eval_idx0].set(psi0)
+        out0 = out0.at[plan.eval_idx0].set(psi2_0)
 
     w_dummy = (
         int_w
@@ -297,13 +315,16 @@ def sesolve_rk4(
         else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
     )
     (psi_f, out), _ = jax.lax.scan(
-        step, (psi0, out0), (amp, det, dts, store_idx, w_dummy)
+        step,
+        (psi2_0, out0),
+        (amp_re, amp_im, det, dts, store_idx, w_dummy),
     )
-    return out[: plan.n_eval][jnp.asarray(plan.eval_map)]
+    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
 def mesolve_rk4(
-    rho0: jax.Array,
+    rho0: np.ndarray,
     plan: EvolutionPlan,
     static_diag: np.ndarray,
     pairs: tuple[tuple[int, int, int], ...],
@@ -313,27 +334,32 @@ def mesolve_rk4(
     xy_static: np.ndarray | None = None,
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
-) -> jax.Array:
+) -> np.ndarray:
     """Solves the Lindblad master equation over the plan's grid.
 
     ``dρ/dt = -i[H, ρ] + Σ_{k,q} L ρ L† − ½{L†L, ρ}`` with every
     collapse operator a local ``d×d`` matrix applied on each qudit.
 
     Args:
-        rho0: ``(dim, dim)`` initial density matrix.
-        collapse_ops: List of local ``(d, d)`` collapse operators (each
-            is applied on every qudit).
+        rho0: ``(dim, dim)`` complex initial density matrix (host).
+        collapse_ops: List of local ``(d, d)`` complex collapse
+            operators (each is applied on every qudit).
         (other args as in :func:`sesolve_rk4`)
 
     Returns:
-        ``(n_eval, dim, dim)`` density matrices at the evaluation times.
+        ``(n_eval, dim, dim)`` complex density matrices (host numpy).
     """
-    cdtype = dtype or rho0.dtype
+    cdtype = dtype or np.asarray(rho0).dtype
+    rdtype = _real_dtype(cdtype)
     dim = d**n
-    rho0 = jnp.asarray(rho0, dtype=cdtype)
-    amp = jnp.asarray(plan.stage_arrays["amp"], dtype=cdtype)
-    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
-    det = jnp.asarray(plan.stage_arrays["det"], dtype=rdtype)
+    rho0_np = np.asarray(rho0, dtype=cdtype)
+    rho2_0 = jnp.asarray(
+        np.stack([rho0_np.real, rho0_np.imag]), dtype=rdtype
+    )
+    amp_np = np.asarray(plan.stage_arrays["amp"])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
     dts = jnp.asarray(plan.dts, dtype=rdtype)
     store_idx = jnp.asarray(plan.store_idx)
     has_int_w = "int_w" in plan.stage_arrays
@@ -342,22 +368,42 @@ def mesolve_rk4(
         if has_int_w
         else None
     )
-    diag_static = jnp.asarray(static_diag, dtype=rdtype)
+    diag_static = jnp.asarray(np.asarray(static_diag).real, dtype=rdtype)
     xy_s = (
-        jnp.asarray(xy_static, dtype=rdtype)
+        jnp.asarray(np.asarray(xy_static).real, dtype=rdtype)
         if xy_static is not None
         else None
     )
-    c_ops = [jnp.asarray(c, dtype=cdtype) for c in collapse_ops]
-    c_dag_c = [c.conj().T @ c for c in c_ops]
+    # Host-side complex prep of the collapse algebra, split re/im
+    c_list = []
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        cd_np = c_np.conj().T
+        cdc_np = cd_np @ c_np
+        c_list.append(
+            tuple(
+                (
+                    jnp.asarray(m.real, dtype=rdtype),
+                    jnp.asarray(m.imag, dtype=rdtype),
+                )
+                for m in (c_np, cd_np, cdc_np)
+            )
+        )
 
-    def h_left(rho, amp_s, det_s, diag_s, xy_mat_s):
-        # H @ rho: apply H to every column
+    def dag2(rho2):
+        # Conjugate transpose in real-pair form
+        return jnp.stack(
+            [jnp.swapaxes(rho2[0], -1, -2), -jnp.swapaxes(rho2[1], -1, -2)]
+        )
+
+    def h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        # H @ rho: apply H to every column (real-pair columns)
         return jax.vmap(
-            lambda col: _hpsi(
-                col,
+            lambda col2: _hpsi(
+                col2,
                 diag_s,
-                amp_s,
+                ar_s,
+                ai_s,
                 det_s,
                 pairs,
                 d,
@@ -365,33 +411,32 @@ def mesolve_rk4(
                 xy_mat_s,
                 xy_indices,
             ),
-            in_axes=1,
-            out_axes=1,
-        )(rho)
+            in_axes=2,
+            out_axes=2,
+        )(rho2)
 
-    def rhs(rho, amp_s, det_s, diag_s, xy_mat_s):
-        h_rho = h_left(rho, amp_s, det_s, diag_s, xy_mat_s)
+    def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        h_rho = h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s)
         # rho @ H = (H @ rho†)† for Hermitian H
-        rho_h = (
-            h_left(
-                rho.conj().T, amp_s, det_s, diag_s, xy_mat_s
-            )
-            .conj()
-            .T
+        rho_h = dag2(
+            h_left(dag2(rho2), ar_s, ai_s, det_s, diag_s, xy_mat_s)
         )
-        drho = -1j * (h_rho - rho_h)
-        for c, cdc in zip(c_ops, c_dag_c):
-            cd = c.conj().T
+        drho = neg_i(h_rho - rho_h)
+        for (c_re, c_im), (cd_re, cd_im), (cdc_re, cdc_im) in c_list:
             for q in range(n):
-                l_rho = apply_row(c, rho, q, d, n)
-                drho = drho + apply_col(cd, l_rho, q, d, n)
-                drho = drho - 0.5 * apply_row(cdc, rho, q, d, n)
-                drho = drho - 0.5 * apply_col(cdc, rho, q, d, n)
+                l_rho = apply_row_c(c_re, c_im, rho2, q, d, n)
+                drho = drho + apply_col_c(cd_re, cd_im, l_rho, q, d, n)
+                drho = drho - 0.5 * apply_row_c(
+                    cdc_re, cdc_im, rho2, q, d, n
+                )
+                drho = drho - 0.5 * apply_col_c(
+                    cdc_re, cdc_im, rho2, q, d, n
+                )
         return drho
 
     def step(carry, xs):
         rho, out = carry
-        amp_st, det_st, h, sidx, w_st = xs
+        ar_st, ai_st, det_st, h, sidx, w_st = xs
 
         def diag_at(s):
             if has_int_w:
@@ -405,29 +450,23 @@ def mesolve_rk4(
                 return jnp.tensordot(w_st[s], xy_s, axes=1)
             return xy_s[0]
 
-        k1 = rhs(rho, amp_st[0], det_st[0], diag_at(0), xy_at(0))
-        k2 = rhs(
-            rho + 0.5 * h * k1,
-            amp_st[1],
-            det_st[1],
-            diag_at(1),
-            xy_at(1),
-        )
-        k3 = rhs(
-            rho + 0.5 * h * k2,
-            amp_st[1],
-            det_st[1],
-            diag_at(1),
-            xy_at(1),
-        )
-        k4 = rhs(rho + h * k3, amp_st[2], det_st[2], diag_at(2), xy_at(2))
+        def deriv(rho_s, s):
+            return rhs(
+                rho_s, ar_st[s], ai_st[s], det_st[s],
+                diag_at(s), xy_at(s),
+            )
+
+        k1 = deriv(rho, 0)
+        k2 = deriv(rho + 0.5 * h * k1, 1)
+        k3 = deriv(rho + 0.5 * h * k2, 1)
+        k4 = deriv(rho + h * k3, 2)
         rho = rho + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
         out = out.at[sidx].set(rho)
         return (rho, out), None
 
-    out0 = jnp.zeros((plan.n_eval + 1, dim, dim), dtype=cdtype)
+    out0 = jnp.zeros((plan.n_eval + 1, 2, dim, dim), dtype=rdtype)
     if plan.eval_idx0 is not None:
-        out0 = out0.at[plan.eval_idx0].set(rho0)
+        out0 = out0.at[plan.eval_idx0].set(rho2_0)
 
     w_dummy = (
         int_w
@@ -435,6 +474,9 @@ def mesolve_rk4(
         else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
     )
     (rho_f, out), _ = jax.lax.scan(
-        step, (rho0, out0), (amp, det, dts, store_idx, w_dummy)
+        step,
+        (rho2_0, out0),
+        (amp_re, amp_im, det, dts, store_idx, w_dummy),
     )
-    return out[: plan.n_eval][jnp.asarray(plan.eval_map)]
+    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
