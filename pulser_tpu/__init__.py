@@ -51,6 +51,8 @@ __all__ = [
     "MockDevice",
     "WeightedAnalogDevice",
     "Sequence",
+    "EmulatorConfig",
+    "QPUBackend",
 ]
 
 
@@ -68,4 +70,16 @@ def __getattr__(name: str):
         import pulser_tpu.backend as backend
 
         return backend
+    if name == "backends":
+        import pulser_tpu.backends as backends
+
+        return backends
+    if name == "EmulatorConfig":
+        from pulser_tpu.backend.config import EmulatorConfig
+
+        return EmulatorConfig
+    if name == "QPUBackend":
+        from pulser_tpu.backend.qpu import QPUBackend
+
+        return QPUBackend
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

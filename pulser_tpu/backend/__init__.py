@@ -17,15 +17,38 @@ from pulser_tpu.backend.default_observables import (
     Occupation,
     StateResult,
 )
-from pulser_tpu.backend.observable import Callback, Observable
+from pulser_tpu.backend.observable import (
+    AggregationMethod,
+    Callback,
+    Observable,
+)
 from pulser_tpu.backend.operator import Operator, OperatorRepr
+from pulser_tpu.backend.qpu import QPUBackend
+from pulser_tpu.backend.remote import (
+    BatchStatus,
+    JobParams,
+    JobStatus,
+    RemoteBackend,
+    RemoteConnection,
+    RemoteResults,
+    RemoteResultsError,
+)
 from pulser_tpu.backend.results import Results, ResultsSequence
 from pulser_tpu.backend.state import State, StateRepr
 
 __all__ = [
+    "AggregationMethod",
     "Backend",
     "EmulatorBackend",
     "BackendConfig",
+    "QPUBackend",
+    "BatchStatus",
+    "JobParams",
+    "JobStatus",
+    "RemoteBackend",
+    "RemoteConnection",
+    "RemoteResults",
+    "RemoteResultsError",
     "EmulationConfig",
     "EmulatorConfig",
     "BitStrings",
