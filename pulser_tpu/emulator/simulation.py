@@ -53,7 +53,12 @@ from pulser_tpu.emulator.simresults import (
     NoisyResults,
     SimulationResults,
 )
-from pulser_tpu.ops.solver import build_plan, mesolve_rk4, sesolve_rk4
+from pulser_tpu.ops.solver import (
+    build_plan,
+    mcsolve_rk4,
+    mesolve_rk4,
+    sesolve_rk4,
+)
 
 
 class HamiltonianWithReps(NamedTuple):
@@ -683,10 +688,43 @@ class TpuEmulator:
         is_dm_input = self.initial_state.isoper and not (
             self.initial_state.isket
         )
+        # Mirrors the reference's solver auto-selection
+        # (simulation.py:705-721): with collapse operators, DEFAULT
+        # uses the quantum-jump solver under stochastic noise and the
+        # master equation otherwise.
+        use_mcsolve = (
+            use_lindblad
+            and not is_dm_input
+            and (
+                self.solver == Solver.MCSOLVER
+                or (
+                    self.solver == Solver.DEFAULT
+                    and _has_stochastic_noise(self.noise_model)
+                )
+            )
+        )
 
         legal_dims_ket = [[d] * n, [1] * n]
         legal_dims_op = [[d] * n, [d] * n]
-        if use_lindblad or is_dm_input:
+        if use_mcsolve:
+            states_arr = mcsolve_rk4(
+                np.asarray(psi0, dtype=cdtype),
+                plan,
+                hamiltonian.int_diag,
+                hamiltonian.pairs,
+                d,
+                n,
+                hamiltonian._local_collapse_mats,
+                ntraj=mcsolve_ntraj,
+                seed=int(np.random.randint(2**31)),
+                xy_static=hamiltonian.xy_mat,
+                xy_indices=hamiltonian.xy_indices,
+                dtype=cdtype,
+            )
+            states = [
+                Qobj(s, dims=legal_dims_op) for s in states_arr
+            ]
+        elif use_lindblad or is_dm_input:
             if is_dm_input:
                 rho0 = self.initial_state.full()
             else:

@@ -35,9 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from pulser_tpu.ops.apply import (
+    _group_matrix,
     _hpsi,
+    apply_axis_c,
+    apply_block_c,
     apply_col_c,
     apply_row_c,
+    group_sizes,
     neg_i,
 )
 
@@ -480,3 +484,223 @@ def mesolve_rk4(
     )
     out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+def mcsolve_rk4(
+    psi0: np.ndarray,
+    plan: EvolutionPlan,
+    static_diag: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    ntraj: int,
+    seed: int,
+    xy_static: np.ndarray | None = None,
+    xy_indices: tuple[int, int] | None = None,
+    dtype: Any = None,
+) -> np.ndarray:
+    """Quantum-jump Monte-Carlo (MCWF) solve, trajectory-averaged.
+
+    Each trajectory evolves ``dψ/dt = -i H_eff ψ`` with the
+    non-Hermitian ``H_eff = H - (i/2) Σ_{k,q} L†L``; when the decayed
+    norm crosses a uniform random threshold a jump is applied (channel
+    chosen ∝ ``‖L ψ‖²``) and a new threshold is drawn — the standard
+    MCWF unravelling that ``qutip.mcsolve`` implements (reference
+    ``simulation.py:689-735``).  All trajectories run batched on-device
+    via ``vmap`` over a single compiled scan, and the returned states
+    are averaged into density matrices on-device (matching QuTiP's
+    ``McResult.states`` average).
+
+    Args:
+        psi0: ``(dim,)`` complex initial state (host numpy).
+        collapse_ops: Local ``(d, d)`` complex collapse operators, each
+            applied on every qudit.
+        ntraj: The number of Monte-Carlo trajectories.
+        seed: Seed for the on-device RNG.
+        (other args as in :func:`sesolve_rk4`)
+
+    Returns:
+        ``(n_eval, dim, dim)`` trajectory-averaged density matrices.
+    """
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    dim = d**n
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+    psi2_0 = jnp.asarray(
+        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
+    )
+    amp_np = np.asarray(plan.stage_arrays["amp"])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
+    dts = jnp.asarray(plan.dts, dtype=rdtype)
+    store_idx = jnp.asarray(plan.store_idx)
+    has_int_w = "int_w" in plan.stage_arrays
+    int_w = (
+        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        if has_int_w
+        else None
+    )
+    diag_static = jnp.asarray(np.asarray(static_diag).real, dtype=rdtype)
+    xy_s = (
+        jnp.asarray(np.asarray(xy_static).real, dtype=rdtype)
+        if xy_static is not None
+        else None
+    )
+    # Collapse ops (host complex prep): per-op real pairs + the summed
+    # G = Σ_k L†L (Hermitian), whose per-qubit group matrices are static
+    c_res, c_ims = [], []
+    g_np = np.zeros((d, d), dtype=np.complex128)
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        g_np += c_np.conj().T @ c_np
+        c_res.append(c_np.real)
+        c_ims.append(c_np.imag)
+    c_re_arr = jnp.asarray(np.stack(c_res), dtype=rdtype)
+    c_im_arr = jnp.asarray(np.stack(c_ims), dtype=rdtype)
+    n_cops = len(collapse_ops)
+
+    groups = group_sizes(d, n)
+    g_re_stack = jnp.asarray(
+        np.tile(g_np.real[None], (n, 1, 1)), dtype=rdtype
+    )
+    g_im_stack = jnp.asarray(
+        np.tile(g_np.imag[None], (n, 1, 1)), dtype=rdtype
+    )
+    # Static group matrices of G (built once, reused every stage)
+    g_groups = []
+    q0 = 0
+    for g in groups:
+        g_groups.append(
+            (
+                *_group_matrix(g_re_stack, g_im_stack, q0, q0 + g, d),
+                d**q0,
+                d**g,
+                d ** (n - q0 - g),
+            )
+        )
+        q0 += g
+
+    def g_apply(psi2):
+        out = jnp.zeros_like(psi2)
+        for gr, gi, left, block, right in g_groups:
+            out = out + apply_block_c(gr, gi, psi2, left, block, right)
+        return out
+
+    def deriv(psi2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        h_psi = _hpsi(
+            psi2, diag_s, ar_s, ai_s, det_s,
+            pairs, d, n, xy_mat_s, xy_indices,
+        )
+        return neg_i(h_psi) - 0.5 * g_apply(psi2)
+
+    def candidates(psi2):
+        """All (k, q) jump candidates stacked: (n_cops*n, 2, dim)."""
+        cands = []
+        for k in range(n_cops):
+            for q in range(n):
+                cands.append(
+                    apply_axis_c(
+                        c_re_arr[k], c_im_arr[k], psi2, q, d, n
+                    )
+                )
+        return jnp.stack(cands)
+
+    def do_jump(psi2, key):
+        cands = candidates(psi2)
+        w = jnp.sum(cands**2, axis=(1, 2))
+        cum = jnp.cumsum(w)
+        key, k1, k2 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, dtype=rdtype) * cum[-1]
+        idx = jnp.searchsorted(cum, u)
+        idx = jnp.clip(idx, 0, len(cands) - 1)
+        psi_new = cands[idx] / jnp.sqrt(
+            jnp.maximum(w[idx], 1e-30)
+        )
+        r_new = jax.random.uniform(k2, dtype=rdtype)
+        return psi_new, r_new, key
+
+    def one_traj(key):
+        key, k0 = jax.random.split(key)
+        r0 = jax.random.uniform(k0, dtype=rdtype)
+
+        def step(carry, xs):
+            psi, out, r, key = carry
+            ar_st, ai_st, det_st, h, sidx, w_st = xs
+
+            def diag_at(s):
+                if has_int_w:
+                    return jnp.tensordot(w_st[s], diag_static, axes=1)
+                return diag_static
+
+            def xy_at(s):
+                if xy_s is None:
+                    return None
+                if has_int_w and xy_s.shape[0] == 2:
+                    return jnp.tensordot(w_st[s], xy_s, axes=1)
+                return xy_s[0]
+
+            def f(p, s):
+                return deriv(
+                    p, ar_st[s], ai_st[s], det_st[s],
+                    diag_at(s), xy_at(s),
+                )
+
+            k1 = f(psi, 0)
+            k2 = f(psi + 0.5 * h * k1, 1)
+            k3 = f(psi + 0.5 * h * k2, 1)
+            k4 = f(psi + h * k3, 2)
+            psi = psi + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+            norm2 = jnp.sum(psi**2)
+            psi, r, key = jax.lax.cond(
+                norm2 <= r,
+                lambda p, rr, kk: do_jump(p, kk),
+                lambda p, rr, kk: (p, rr, kk),
+                psi,
+                r,
+                key,
+            )
+            # Store the normalized state (QuTiP mcsolve convention)
+            psi_n = psi / jnp.sqrt(
+                jnp.maximum(jnp.sum(psi**2), 1e-30)
+            )
+            out = out.at[sidx].set(psi_n)
+            return (psi, out, r, key), None
+
+        out0 = jnp.zeros((plan.n_eval + 1, 2, dim), dtype=rdtype)
+        if plan.eval_idx0 is not None:
+            out0 = out0.at[plan.eval_idx0].set(psi2_0)
+        w_dummy = (
+            int_w
+            if int_w is not None
+            else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+        )
+        (psi_f, out, _, _), _ = jax.lax.scan(
+            step,
+            (psi2_0, out0, r0, key),
+            (amp_re, amp_im, det, dts, store_idx, w_dummy),
+        )
+        return out[: plan.n_eval]
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
+    # (ntraj, n_eval, 2, dim)
+    states = jax.vmap(one_traj)(keys)
+
+    # Average |ψ><ψ| over trajectories on-device:
+    # Re(ρ) = Σ (x xᵀ + y yᵀ) / N ; Im(ρ) = Σ (y xᵀ − x yᵀ) / N
+    x = states[:, :, 0, :]
+    y = states[:, :, 1, :]
+    scale = jnp.asarray(1.0 / ntraj, dtype=rdtype)
+    rho_re = (
+        jnp.einsum("tea,teb->eab", x, x)
+        + jnp.einsum("tea,teb->eab", y, y)
+    ) * scale
+    rho_im = (
+        jnp.einsum("tea,teb->eab", y, x)
+        - jnp.einsum("tea,teb->eab", x, y)
+    ) * scale
+    rho_re_np = np.asarray(rho_re)[plan.eval_map]
+    rho_im_np = np.asarray(rho_im)[plan.eval_map]
+    return (rho_re_np + 1j * rho_im_np).astype(cdtype)

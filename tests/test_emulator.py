@@ -265,3 +265,38 @@ def test_initial_state_custom():
     assert (
         abs(np.linalg.norm(res.get_final_state().full()) - 1) < 1e-4
     )
+
+
+def test_mcsolve_converges_to_mesolve(mod_device):
+    """Quantum-jump MC average must match the master equation."""
+    from pulser_tpu.emulator.simulation import Solver
+
+    reg = tpu.Register.square(2, spacing=8.0, prefix="q")
+
+    def make_seq():
+        seq = tpu.Sequence(reg, mod_device)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(600, 2 * np.pi, 0.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(dephasing_rate=0.3)
+    np.random.seed(0)
+    sim_me = TpuEmulator.from_sequence(
+        make_seq(), noise_model=nm, solver=Solver.MESOLVER
+    )
+    rho_me = sim_me.run().get_final_state().full()
+
+    np.random.seed(1)
+    sim_mc = TpuEmulator.from_sequence(
+        make_seq(),
+        noise_model=nm,
+        solver=Solver.MCSOLVER,
+        n_trajectories=500,
+    )
+    rho_mc = sim_mc.run().get_final_state().full()
+
+    assert abs(np.trace(rho_mc).real - 1.0) < 1e-8
+    # MC sampling error ~ 1/sqrt(500)
+    assert np.max(np.abs(rho_mc - rho_me)) < 0.03

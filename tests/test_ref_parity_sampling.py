@@ -201,3 +201,34 @@ def test_modulation_buffers_parity():
         wf_t.modulated_samples(ch_t).as_array(detach=True),
         atol=1e-12,
     )
+
+
+def test_switch_device_strict_keeps_samples():
+    """Strict device switch must leave the samples bit-exact."""
+    import warnings
+
+    reg = tpu.Register.square(2, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(100, 2.0, 0.0, 0.0), "ryd")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        new_seq = seq.with_new_device(
+            tpu.devices.DigitalAnalogDevice, strict=True
+        )
+    g1 = tpu_sample(seq).to_nested_dict()["Global"]["ground-rydberg"]
+    g2 = tpu_sample(new_seq).to_nested_dict()["Global"]["ground-rydberg"]
+    for k in ("amp", "det", "phase"):
+        np.testing.assert_array_equal(
+            np.asarray(g1[k], dtype=float),
+            np.asarray(g2[k], dtype=float),
+        )
+
+
+def test_switch_device_no_match_raises():
+    reg = tpu.Register.square(2, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ram", "raman_local", initial_target="q0")
+    seq.add(tpu.Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "ram")
+    with pytest.raises(TypeError, match="No match for channel"):
+        seq.with_new_device(tpu.devices.AnalogDevice)
