@@ -122,6 +122,13 @@ def main() -> None:
     # driver provides (TPU when available).
     import jax
 
+    # Persistent XLA compilation cache: the 16-atom scan takes ~3.5 min
+    # to compile; cached compiles load in seconds on subsequent runs.
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_pulser_tpu"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pulser_tpu.emulator import TpuEmulator
 

@@ -41,6 +41,45 @@ def r2c(psi2: jax.Array) -> jax.Array:
     return psi2[0] + 1j * psi2[1]
 
 
+def _apply_middle_r(
+    op: jax.Array, vec: jax.Array, left: int, block: int, right: int
+) -> jax.Array:
+    """Contracts a real ``block×block`` op onto the middle reshape axis.
+
+    Singleton ``left``/``right`` axes are squeezed away: a trailing
+    dimension of 1 would otherwise be padded to the TPU's 128-wide
+    lane tiles, multiplying the memory traffic ~100x.
+    """
+    dt = vec.dtype
+    if left == 1 and right == 1:
+        return jnp.einsum(
+            "ab,b->a", op, vec, preferred_element_type=dt
+        )
+    if right == 1:
+        out = jnp.einsum(
+            "ab,ib->ia",
+            op,
+            vec.reshape(left, block),
+            preferred_element_type=dt,
+        )
+        return out.reshape(-1)
+    if left == 1:
+        out = jnp.einsum(
+            "ab,bj->aj",
+            op,
+            vec.reshape(block, right),
+            preferred_element_type=dt,
+        )
+        return out.reshape(-1)
+    out = jnp.einsum(
+        "ab,ibj->iaj",
+        op,
+        vec.reshape(left, block, right),
+        preferred_element_type=dt,
+    )
+    return out.reshape(-1)
+
+
 def apply_axis_r(
     op: jax.Array, vec: jax.Array, axis: int, d: int, n: int
 ) -> jax.Array:
@@ -54,13 +93,9 @@ def apply_axis_r(
         d: The qudit dimension.
         n: The number of qudits.
     """
-    left = d**axis
-    right = d ** (n - axis - 1)
-    resh = vec.reshape(left, d, right)
-    out = jnp.einsum(
-        "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
+    return _apply_middle_r(
+        op, vec, d**axis, d, d ** (n - axis - 1)
     )
-    return out.reshape(-1)
 
 
 def apply_axis_c(
@@ -254,15 +289,11 @@ def apply_block_c(
         psi2: ``(2, left*block*right)`` real-pair state.
         left/block/right: The reshape factorization.
     """
+    x, y = psi2[0], psi2[1]
 
     def one(op, comp):
-        resh = comp.reshape(left, block, right)
-        out = jnp.einsum(
-            "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
-        )
-        return out.reshape(-1)
+        return _apply_middle_r(op, comp, left, block, right)
 
-    x, y = psi2[0], psi2[1]
     return jnp.stack(
         [
             one(op_re, x) - one(op_im, y),
@@ -376,11 +407,9 @@ def apply_row_c(
     right = d ** (n - q - 1)
 
     def one(op, comp):
-        resh = comp.reshape(left, d, right * dim)
-        out = jnp.einsum(
-            "ab,ibj->iaj", op, resh, preferred_element_type=resh.dtype
-        )
-        return out.reshape(dim, dim)
+        return _apply_middle_r(
+            op, comp.reshape(-1), left, d, right * dim
+        ).reshape(dim, dim)
 
     x, y = rho2[0], rho2[1]
     return jnp.stack(
@@ -408,11 +437,10 @@ def apply_col_c(
     right = d ** (n - q - 1)
 
     def one(op, comp):
-        resh = comp.reshape(dim * left, d, right)
-        out = jnp.einsum(
-            "ab,iaj->ibj", op, resh, preferred_element_type=resh.dtype
-        )
-        return out.reshape(dim, dim)
+        # Σ_a x[..a..] op[a, b]  ==  middle-axis application of op.T
+        return _apply_middle_r(
+            op.T, comp.reshape(-1), dim * left, d, right
+        ).reshape(dim, dim)
 
     x, y = rho2[0], rho2[1]
     return jnp.stack(

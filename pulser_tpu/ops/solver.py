@@ -27,6 +27,7 @@ statevector.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import numpy as np
@@ -263,19 +264,72 @@ def sesolve_rk4(
         else None
     )
 
-    def h_apply(psi2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
-        return _hpsi(
-            psi2,
-            diag_s,
-            ar_s,
-            ai_s,
-            det_s,
-            pairs,
-            d,
-            n,
-            xy_mat_s,
-            xy_indices,
-        )
+    w_dummy = (
+        int_w
+        if int_w is not None
+        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+    )
+    out = _sesolve_scan(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        store_idx,
+        w_dummy,
+        diag_static,
+        xy_s,
+        pairs=pairs,
+        d=d,
+        n=n,
+        xy_indices=xy_indices,
+        has_int_w=has_int_w,
+        n_eval=plan.n_eval,
+        eval_idx0=plan.eval_idx0,
+    )
+    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "xy_indices",
+        "has_int_w",
+        "n_eval",
+        "eval_idx0",
+    ),
+)
+def _sesolve_scan(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    store_idx: jax.Array,
+    int_w: jax.Array,
+    diag_static: jax.Array,
+    xy_s: jax.Array | None,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_indices: tuple[int, int] | None,
+    has_int_w: bool,
+    n_eval: int,
+    eval_idx0: int | None,
+) -> jax.Array:
+    """The compiled sesolve scan (cached across calls by jit).
+
+    Everything the scan closes over is passed as an argument so
+    repeated solves with the same static structure hit the jit cache
+    instead of re-tracing (re-tracing cost dwarfs the solve itself).
+    """
+    rdtype = psi2_0.dtype
+    dim = psi2_0.shape[-1]
 
     def step(carry, xs):
         psi, out = carry
@@ -295,9 +349,17 @@ def sesolve_rk4(
 
         def deriv(psi_s, s):
             return neg_i(
-                h_apply(
-                    psi_s, ar_st[s], ai_st[s], det_st[s],
-                    diag_at(s), xy_at(s),
+                _hpsi(
+                    psi_s,
+                    diag_at(s),
+                    ar_st[s],
+                    ai_st[s],
+                    det_st[s],
+                    pairs,
+                    d,
+                    n,
+                    xy_at(s),
+                    xy_indices,
                 )
             )
 
@@ -309,22 +371,15 @@ def sesolve_rk4(
         out = out.at[sidx].set(psi)
         return (psi, out), None
 
-    out0 = jnp.zeros((plan.n_eval + 1, 2, dim), dtype=rdtype)
-    if plan.eval_idx0 is not None:
-        out0 = out0.at[plan.eval_idx0].set(psi2_0)
-
-    w_dummy = (
-        int_w
-        if int_w is not None
-        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
-    )
+    out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
+    if eval_idx0 is not None:
+        out0 = out0.at[eval_idx0].set(psi2_0)
     (psi_f, out), _ = jax.lax.scan(
         step,
         (psi2_0, out0),
-        (amp_re, amp_im, det, dts, store_idx, w_dummy),
+        (amp_re, amp_im, det, dts, store_idx, int_w),
     )
-    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
-    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+    return out
 
 
 def mesolve_rk4(
@@ -394,11 +449,79 @@ def mesolve_rk4(
             )
         )
 
-    def dag2(rho2):
-        # Conjugate transpose in real-pair form
-        return jnp.stack(
-            [jnp.swapaxes(rho2[0], -1, -2), -jnp.swapaxes(rho2[1], -1, -2)]
-        )
+    w_dummy = (
+        int_w
+        if int_w is not None
+        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+    )
+    out = _mesolve_scan(
+        rho2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        store_idx,
+        w_dummy,
+        diag_static,
+        xy_s,
+        tuple(c_list),
+        pairs=pairs,
+        d=d,
+        n=n,
+        xy_indices=xy_indices,
+        has_int_w=has_int_w,
+        n_eval=plan.n_eval,
+        eval_idx0=plan.eval_idx0,
+    )
+    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+def _dag2(rho2: jax.Array) -> jax.Array:
+    """Conjugate transpose of a real-pair density matrix."""
+    return jnp.stack(
+        [
+            jnp.swapaxes(rho2[0], -1, -2),
+            -jnp.swapaxes(rho2[1], -1, -2),
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "xy_indices",
+        "has_int_w",
+        "n_eval",
+        "eval_idx0",
+    ),
+)
+def _mesolve_scan(
+    rho2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    store_idx: jax.Array,
+    int_w: jax.Array,
+    diag_static: jax.Array,
+    xy_s: jax.Array | None,
+    c_list: tuple,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_indices: tuple[int, int] | None,
+    has_int_w: bool,
+    n_eval: int,
+    eval_idx0: int | None,
+) -> jax.Array:
+    """The compiled Lindblad scan (cached across calls by jit)."""
+    rdtype = rho2_0.dtype
+    dim = rho2_0.shape[-1]
 
     def h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
         # H @ rho: apply H to every column (real-pair columns)
@@ -422,8 +545,8 @@ def mesolve_rk4(
     def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
         h_rho = h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s)
         # rho @ H = (H @ rho†)† for Hermitian H
-        rho_h = dag2(
-            h_left(dag2(rho2), ar_s, ai_s, det_s, diag_s, xy_mat_s)
+        rho_h = _dag2(
+            h_left(_dag2(rho2), ar_s, ai_s, det_s, diag_s, xy_mat_s)
         )
         drho = neg_i(h_rho - rho_h)
         for (c_re, c_im), (cd_re, cd_im), (cdc_re, cdc_im) in c_list:
@@ -468,22 +591,15 @@ def mesolve_rk4(
         out = out.at[sidx].set(rho)
         return (rho, out), None
 
-    out0 = jnp.zeros((plan.n_eval + 1, 2, dim, dim), dtype=rdtype)
-    if plan.eval_idx0 is not None:
-        out0 = out0.at[plan.eval_idx0].set(rho2_0)
-
-    w_dummy = (
-        int_w
-        if int_w is not None
-        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
-    )
+    out0 = jnp.zeros((n_eval + 1, 2, dim, dim), dtype=rdtype)
+    if eval_idx0 is not None:
+        out0 = out0.at[eval_idx0].set(rho2_0)
     (rho_f, out), _ = jax.lax.scan(
         step,
         (rho2_0, out0),
-        (amp_re, amp_im, det, dts, store_idx, w_dummy),
+        (amp_re, amp_im, det, dts, store_idx, int_w),
     )
-    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
-    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+    return out
 
 
 def mcsolve_rk4(
@@ -561,14 +677,93 @@ def mcsolve_rk4(
     c_im_arr = jnp.asarray(np.stack(c_ims), dtype=rdtype)
     n_cops = len(collapse_ops)
 
-    groups = group_sizes(d, n)
     g_re_stack = jnp.asarray(
         np.tile(g_np.real[None], (n, 1, 1)), dtype=rdtype
     )
     g_im_stack = jnp.asarray(
         np.tile(g_np.imag[None], (n, 1, 1)), dtype=rdtype
     )
-    # Static group matrices of G (built once, reused every stage)
+
+    w_dummy = (
+        int_w
+        if int_w is not None
+        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+    )
+    rho_re, rho_im = _mcsolve_scan(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        store_idx,
+        w_dummy,
+        diag_static,
+        xy_s,
+        c_re_arr,
+        c_im_arr,
+        g_re_stack,
+        g_im_stack,
+        jnp.asarray(seed, dtype=jnp.uint32),
+        pairs=pairs,
+        d=d,
+        n=n,
+        xy_indices=xy_indices,
+        has_int_w=has_int_w,
+        n_eval=plan.n_eval,
+        eval_idx0=plan.eval_idx0,
+        ntraj=ntraj,
+        n_cops=n_cops,
+    )
+    rho_re_np = np.asarray(rho_re)[plan.eval_map]
+    rho_im_np = np.asarray(rho_im)[plan.eval_map]
+    return (rho_re_np + 1j * rho_im_np).astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "xy_indices",
+        "has_int_w",
+        "n_eval",
+        "eval_idx0",
+        "ntraj",
+        "n_cops",
+    ),
+)
+def _mcsolve_scan(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    store_idx: jax.Array,
+    int_w: jax.Array,
+    diag_static: jax.Array,
+    xy_s: jax.Array | None,
+    c_re_arr: jax.Array,
+    c_im_arr: jax.Array,
+    g_re_stack: jax.Array,
+    g_im_stack: jax.Array,
+    seed: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_indices: tuple[int, int] | None,
+    has_int_w: bool,
+    n_eval: int,
+    eval_idx0: int | None,
+    ntraj: int,
+    n_cops: int,
+) -> tuple[jax.Array, jax.Array]:
+    """The compiled MCWF trajectory batch (cached across calls)."""
+    rdtype = psi2_0.dtype
+    dim = psi2_0.shape[-1]
+    groups = group_sizes(d, n)
+    # Static group matrices of G = Σ_k L†L (built once per trace)
     g_groups = []
     q0 = 0
     for g in groups:
@@ -596,7 +791,7 @@ def mcsolve_rk4(
         return neg_i(h_psi) - 0.5 * g_apply(psi2)
 
     def candidates(psi2):
-        """All (k, q) jump candidates stacked: (n_cops*n, 2, dim)."""
+        # All (k, q) jump candidates stacked: (n_cops*n, 2, dim)
         cands = []
         for k in range(n_cops):
             for q in range(n):
@@ -614,7 +809,7 @@ def mcsolve_rk4(
         key, k1, k2 = jax.random.split(key, 3)
         u = jax.random.uniform(k1, dtype=rdtype) * cum[-1]
         idx = jnp.searchsorted(cum, u)
-        idx = jnp.clip(idx, 0, len(cands) - 1)
+        idx = jnp.clip(idx, 0, n_cops * n - 1)
         psi_new = cands[idx] / jnp.sqrt(
             jnp.maximum(w[idx], 1e-30)
         )
@@ -669,20 +864,15 @@ def mcsolve_rk4(
             out = out.at[sidx].set(psi_n)
             return (psi, out, r, key), None
 
-        out0 = jnp.zeros((plan.n_eval + 1, 2, dim), dtype=rdtype)
-        if plan.eval_idx0 is not None:
-            out0 = out0.at[plan.eval_idx0].set(psi2_0)
-        w_dummy = (
-            int_w
-            if int_w is not None
-            else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
-        )
+        out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
+        if eval_idx0 is not None:
+            out0 = out0.at[eval_idx0].set(psi2_0)
         (psi_f, out, _, _), _ = jax.lax.scan(
             step,
             (psi2_0, out0, r0, key),
-            (amp_re, amp_im, det, dts, store_idx, w_dummy),
+            (amp_re, amp_im, det, dts, store_idx, int_w),
         )
-        return out[: plan.n_eval]
+        return out[:n_eval]
 
     keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
     # (ntraj, n_eval, 2, dim)
@@ -701,6 +891,4 @@ def mcsolve_rk4(
         jnp.einsum("tea,teb->eab", y, x)
         - jnp.einsum("tea,teb->eab", x, y)
     ) * scale
-    rho_re_np = np.asarray(rho_re)[plan.eval_map]
-    rho_im_np = np.asarray(rho_im)[plan.eval_map]
-    return (rho_re_np + 1j * rho_im_np).astype(cdtype)
+    return rho_re, rho_im
