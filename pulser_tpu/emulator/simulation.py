@@ -651,17 +651,39 @@ class TpuEmulator:
         # highest-energy interaction eigenstates (QuTiP's adaptive
         # stepper does this implicitly).
         spacings = np.diff(knots)
-        lambda_max = float(np.max(np.abs(hamiltonian.int_diag)))
-        if hamiltonian.xy_mat is not None:
-            lambda_max += float(
-                np.max(np.sum(np.abs(hamiltonian.xy_mat[0]), axis=1))
-            )
-        lambda_max += float(
-            np.sum(
-                2 * np.max(np.abs(hamiltonian.amp_coeffs), axis=(1, 2))
-                + np.max(np.abs(hamiltonian.det_coeffs), axis=(1, 2))
+        use_lindblad_step = (
+            len(hamiltonian.lindblad_data.local_collapse_ops) > 0
+        )
+        can_use_ip = (
+            hamiltonian.xy_mat is None
+            and hamiltonian.int_w is None
+            and not use_lindblad_step
+            and not (
+                self.initial_state.isoper
+                and not self.initial_state.isket
             )
         )
+        lambda_max = float(
+            np.sum(
+                2 * np.max(np.abs(hamiltonian.amp_coeffs), axis=(1, 2))
+            )
+        )
+        if not can_use_ip:
+            # Without the interaction picture the full diagonal
+            # contributes to the stiffness
+            lambda_max += float(
+                np.max(np.abs(hamiltonian.int_diag))
+            ) + float(
+                np.sum(
+                    np.max(np.abs(hamiltonian.det_coeffs), axis=(1, 2))
+                )
+            )
+            if hamiltonian.xy_mat is not None:
+                lambda_max += float(
+                    np.max(
+                        np.sum(np.abs(hamiltonian.xy_mat[0]), axis=1)
+                    )
+                )
         max_step = min(
             float(np.median(spacings)) if len(spacings) else 1e-3,
             1e-3,
@@ -745,6 +767,19 @@ class TpuEmulator:
                 Qobj(s, dims=legal_dims_op) for s in states_arr
             ]
         else:
+            # Occupancy masks of the detuning projectors enable the
+            # interaction-picture path (exact diagonal rotation).
+            ip_occ = None
+            if hamiltonian.xy_mat is None and hamiltonian.int_w is None:
+                dim = d**n
+                idx = np.arange(dim)
+                ip_occ = np.zeros(
+                    (len(hamiltonian.pairs), n, dim), dtype=np.float32
+                )
+                for b, (_, _, k) in enumerate(hamiltonian.pairs):
+                    for q in range(n):
+                        digits = (idx // d ** (n - q - 1)) % d
+                        ip_occ[b, q] = digits == k
             states_arr = sesolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,
@@ -755,6 +790,7 @@ class TpuEmulator:
                 xy_static=hamiltonian.xy_mat,
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
+                ip_occ=ip_occ,
             )
             states = [
                 Qobj(s, dims=legal_dims_ket) for s in states_arr

@@ -53,14 +53,14 @@ def _apply_middle_r(
     dt = vec.dtype
     if left == 1 and right == 1:
         return jnp.einsum(
-            "ab,b->a", op, vec, preferred_element_type=dt
+            "ab,b->a", op, vec, preferred_element_type=dt, precision='highest'
         )
     if right == 1:
         out = jnp.einsum(
             "ab,ib->ia",
             op,
             vec.reshape(left, block),
-            preferred_element_type=dt,
+            preferred_element_type=dt, precision='highest',
         )
         return out.reshape(-1)
     if left == 1:
@@ -68,14 +68,14 @@ def _apply_middle_r(
             "ab,bj->aj",
             op,
             vec.reshape(block, right),
-            preferred_element_type=dt,
+            preferred_element_type=dt, precision='highest',
         )
         return out.reshape(-1)
     out = jnp.einsum(
         "ab,ibj->iaj",
         op,
         vec.reshape(left, block, right),
-        preferred_element_type=dt,
+        preferred_element_type=dt, precision='highest',
     )
     return out.reshape(-1)
 
@@ -205,6 +205,7 @@ def apply_flip_flop_r(
             u_mat.astype(dtype),
             low,
             preferred_element_type=dtype,
+            precision="highest",
         )
         acc = jnp.zeros_like(psi2[c])
         for q in range(n):

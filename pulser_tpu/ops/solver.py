@@ -42,6 +42,7 @@ from pulser_tpu.ops.apply import (
     apply_block_c,
     apply_col_c,
     apply_row_c,
+    build_drive_matrices,
     group_sizes,
     neg_i,
 )
@@ -104,6 +105,58 @@ def _interp_at(
     t1 = knots[idx + 1]
     frac = np.clip((times - t0) / (t1 - t0), 0.0, 1.0)
     return coeffs[..., idx] * (1 - frac) + coeffs[..., idx + 1] * frac
+
+
+def _integ_at(
+    coeffs: np.ndarray, knots: np.ndarray, times: np.ndarray
+) -> np.ndarray:
+    """Exact cumulative integral of piecewise-linear coefficients.
+
+    ``∫₀ᵗ c(t') dt'`` with ``c`` linear between knots (constant outside
+    the knot range), evaluated at arbitrary times — closed-form
+    (piecewise quadratic), no quadrature error.
+
+    Args:
+        coeffs: Array with the time axis LAST, shape ``(..., n_knots)``.
+        knots: ``(n_knots,)`` ascending times (first knot defines t=0
+            of the integral).
+        times: ``(m,)`` times to evaluate at.
+
+    Returns:
+        ``(..., m)`` integral values.
+    """
+    if len(knots) == 1:
+        return coeffs * (times - knots[0])
+    seg = np.diff(knots)
+    # Cumulative integral at the knots (trapezoid, exact for pw-linear)
+    cum_knots = np.concatenate(
+        [
+            np.zeros(coeffs.shape[:-1] + (1,)),
+            np.cumsum(
+                0.5 * (coeffs[..., 1:] + coeffs[..., :-1]) * seg,
+                axis=-1,
+            ),
+        ],
+        axis=-1,
+    )
+    idx = np.clip(
+        np.searchsorted(knots, times, side="right") - 1,
+        0,
+        len(knots) - 2,
+    )
+    t0 = knots[idx]
+    dt = np.clip(times - t0, 0.0, None)
+    dt_in = np.minimum(dt, seg[idx])  # inside the segment
+    slope = (coeffs[..., idx + 1] - coeffs[..., idx]) / seg[idx]
+    inner = (
+        cum_knots[..., idx]
+        + coeffs[..., idx] * dt_in
+        + 0.5 * slope * dt_in**2
+    )
+    # Constant extrapolation past the last knot
+    return inner + coeffs[..., idx + 1] * np.clip(
+        dt - seg[idx], 0.0, None
+    )
 
 
 def build_plan(
@@ -189,6 +242,18 @@ def build_plan(
             vals.reshape(c.shape[:-1] + (n_steps, 3)), (-2, -1), (0, 1)
         )
         stage_arrays[name] = vals
+    # Exact detuning integrals + absolute stage times, for the
+    # interaction-picture solver (phase = ∫D dt', closed-form)
+    if "det" in coeffs:
+        cum = _integ_at(
+            np.asarray(coeffs["det"]).real, knots, flat_times
+        )
+        stage_arrays["det_cum"] = np.moveaxis(
+            cum.reshape(coeffs["det"].shape[:-1] + (n_steps, 3)),
+            (-2, -1),
+            (0, 1),
+        )
+    stage_arrays["t_stage"] = stage_times - knots[0]
 
     return EvolutionPlan(
         dts=dts,
@@ -217,6 +282,7 @@ def sesolve_rk4(
     xy_static: np.ndarray | None = None,
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
+    ip_occ: np.ndarray | None = None,
 ) -> np.ndarray:
     """Solves ``dψ/dt = -i H(t) ψ`` over the plan's grid.
 
@@ -234,6 +300,14 @@ def sesolve_rk4(
             interpolated with ``int_w`` when 2).
         xy_indices: (up_idx, down_idx) for the flip-flop term.
         dtype: Complex dtype of the evolution (defaults to psi0's).
+        ip_occ: Optional ``(n_bases, n, dim)`` 0/1 occupancy masks of
+            each basis' detuning projector. When given (and no XY term
+            or interaction interpolation is present) the solve runs in
+            the **interaction picture**: the full diagonal
+            ``D(t) = int_diag − Σ det·occ`` is rotated away exactly
+            (``ψ = e^{-iΦ(t)} φ``, ``Φ = ∫D``), so the integrator only
+            sees the small amplitude term — dramatically better
+            accuracy at the same step size.
 
     Returns:
         ``(n_eval, dim)`` complex numpy states at the evaluation times.
@@ -269,26 +343,161 @@ def sesolve_rk4(
         if int_w is not None
         else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
     )
-    out = _sesolve_scan(
-        psi2_0,
-        amp_re,
-        amp_im,
-        det,
-        dts,
-        store_idx,
-        w_dummy,
-        diag_static,
-        xy_s,
-        pairs=pairs,
-        d=d,
-        n=n,
-        xy_indices=xy_indices,
-        has_int_w=has_int_w,
-        n_eval=plan.n_eval,
-        eval_idx0=plan.eval_idx0,
+    use_ip = (
+        ip_occ is not None and xy_s is None and not has_int_w
     )
+    if use_ip:
+        # Phases only matter mod 2π and the occupancies are exactly
+        # 0/1, so the detuning integrals can be range-reduced on host
+        # (sign: D = int_diag − Σ det·occ → Φ gets −∫det terms).
+        two_pi = 2 * np.pi
+        det_cum_mod = jnp.asarray(
+            (-plan.stage_arrays["det_cum"]) % two_pi, dtype=rdtype
+        )
+        t_stage = jnp.asarray(
+            plan.stage_arrays["t_stage"], dtype=rdtype
+        )
+        occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
+        out = _sesolve_scan_ip(
+            psi2_0,
+            amp_re,
+            amp_im,
+            det_cum_mod,
+            t_stage,
+            dts,
+            store_idx,
+            diag_static,
+            occ,
+            pairs=pairs,
+            d=d,
+            n=n,
+            n_eval=plan.n_eval,
+            eval_idx0=plan.eval_idx0,
+        )
+    else:
+        out = _sesolve_scan(
+            psi2_0,
+            amp_re,
+            amp_im,
+            det,
+            dts,
+            store_idx,
+            w_dummy,
+            diag_static,
+            xy_s,
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=xy_indices,
+            has_int_w=has_int_w,
+            n_eval=plan.n_eval,
+            eval_idx0=plan.eval_idx0,
+        )
     out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+def _cmul(rot_c: jax.Array, rot_s: jax.Array, v2: jax.Array) -> jax.Array:
+    """Multiplies a real-pair array by the rotor ``rot_c + i rot_s``."""
+    return jnp.stack(
+        [
+            rot_c * v2[0] - rot_s * v2[1],
+            rot_s * v2[0] + rot_c * v2[1],
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pairs", "d", "n", "n_eval", "eval_idx0"),
+)
+def _sesolve_scan_ip(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_cum_mod: jax.Array,
+    t_stage: jax.Array,
+    dts: jax.Array,
+    store_idx: jax.Array,
+    diag_static: jax.Array,
+    occ: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    n_eval: int,
+    eval_idx0: int | None,
+) -> jax.Array:
+    """Interaction-picture sesolve scan (cached across calls by jit).
+
+    Integrates ``dφ/dt = -i e^{iΦ} A(t) e^{-iΦ} φ`` with
+    ``Φ(t) = t·int_diag − Σ_{b,q} (∫det_bq) occ_bq`` computed exactly
+    per stage; only the small amplitude term ``A`` is integrated
+    numerically, so RK4's error no longer scales with the (large)
+    diagonal energies.
+    """
+    rdtype = psi2_0.dtype
+    dim = psi2_0.shape[-1]
+    groups = group_sizes(d, n)
+    two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
+
+    def phase_at(t_s, cum_s):
+        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0)
+        phi = jnp.mod(diag_static * t_s, two_pi)
+        phi = phi + jnp.einsum(
+            "bq,bqD->D", cum_s, occ, preferred_element_type=rdtype, precision='highest'
+        )
+        return phi
+
+    def amp_apply(psi2, ar_s, ai_s):
+        zero_det = jnp.zeros_like(ar_s)
+        m_re, m_im = build_drive_matrices(
+            ar_s, ai_s, zero_det, pairs, d, n
+        )
+        out = jnp.zeros_like(psi2)
+        q0 = 0
+        for g in groups:
+            g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+            out = out + apply_block_c(
+                g_re, g_im, psi2, d**q0, d**g, d ** (n - q0 - g)
+            )
+            q0 += g
+        return out
+
+    def step(carry, xs):
+        phi_state, out = carry
+        ar_st, ai_st, cum_st, t_st, h, sidx = xs
+
+        def deriv(p, s):
+            ph = phase_at(t_st[s], cum_st[s])
+            c = jnp.cos(ph)
+            sn = jnp.sin(ph)
+            w = _cmul(c, -sn, p)  # e^{-iΦ} ⊙ φ
+            y = amp_apply(w, ar_st[s], ai_st[s])
+            return neg_i(_cmul(c, sn, y))  # -i e^{iΦ} ⊙ y
+
+        k1 = deriv(phi_state, 0)
+        k2 = deriv(phi_state + 0.5 * h * k1, 1)
+        k3 = deriv(phi_state + 0.5 * h * k2, 1)
+        k4 = deriv(phi_state + h * k3, 2)
+        phi_state = phi_state + (h / 6.0) * (
+            k1 + 2 * k2 + 2 * k3 + k4
+        )
+        # Store in the lab frame: ψ = e^{-iΦ(t+h)} φ
+        ph2 = phase_at(t_st[2], cum_st[2])
+        psi_lab = _cmul(jnp.cos(ph2), -jnp.sin(ph2), phi_state)
+        out = out.at[sidx].set(psi_lab)
+        return (phi_state, out), None
+
+    out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
+    if eval_idx0 is not None:
+        out0 = out0.at[eval_idx0].set(psi2_0)
+    (phi_f, out), _ = jax.lax.scan(
+        step,
+        (psi2_0, out0),
+        (amp_re, amp_im, det_cum_mod, t_stage, dts, store_idx),
+    )
+    return out
 
 
 @functools.partial(
@@ -884,11 +1093,11 @@ def _mcsolve_scan(
     y = states[:, :, 1, :]
     scale = jnp.asarray(1.0 / ntraj, dtype=rdtype)
     rho_re = (
-        jnp.einsum("tea,teb->eab", x, x)
-        + jnp.einsum("tea,teb->eab", y, y)
+        jnp.einsum("tea,teb->eab", x, x, precision="highest")
+        + jnp.einsum("tea,teb->eab", y, y, precision="highest")
     ) * scale
     rho_im = (
-        jnp.einsum("tea,teb->eab", y, x)
-        - jnp.einsum("tea,teb->eab", x, y)
+        jnp.einsum("tea,teb->eab", y, x, precision="highest")
+        - jnp.einsum("tea,teb->eab", x, y, precision="highest")
     ) * scale
     return rho_re, rho_im

@@ -300,3 +300,146 @@ def test_mcsolve_converges_to_mesolve(mod_device):
     assert abs(np.trace(rho_mc).real - 1.0) < 1e-8
     # MC sampling error ~ 1/sqrt(500)
     assert np.max(np.abs(rho_mc - rho_me)) < 0.03
+
+
+def test_interaction_picture_matches_direct_integration(mod_device):
+    """The IP solver must agree with the direct RK4 to fp precision."""
+    from pulser_tpu.ops.solver import build_plan, sesolve_rk4
+
+    reg = tpu.Register.square(3, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, mod_device)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantAmplitude(
+            4 * np.pi,
+            tpu.RampWaveform(800, -12 * np.pi, 4 * np.pi),
+            0.0,
+        ),
+        "ryd",
+    )
+    sim = TpuEmulator.from_sequence(seq)
+    ham = sim._current_hamiltonian
+    knots = ham.sampling_times
+    d, n = ham.dim, ham.n_qudits
+    dim = d**n
+    plan = build_plan(
+        knots,
+        {"amp": ham.amp_coeffs, "det": ham.det_coeffs},
+        np.array([knots[-1]]),
+        max_step=1e-3,
+    )
+    psi0 = sim.initial_state.full()[:, 0].astype(np.complex128)
+    psi_direct = sesolve_rk4(
+        psi0, plan, ham.int_diag, ham.pairs, d, n
+    )[-1]
+    idx = np.arange(dim)
+    ip_occ = np.zeros((len(ham.pairs), n, dim), np.float32)
+    for b, (_, _, k) in enumerate(ham.pairs):
+        for q in range(n):
+            ip_occ[b, q] = ((idx // d ** (n - q - 1)) % d) == k
+    psi_ip = sesolve_rk4(
+        psi0, plan, ham.int_diag, ham.pairs, d, n, ip_occ=ip_occ
+    )[-1]
+    fid = (
+        abs(
+            np.vdot(
+                psi_direct / np.linalg.norm(psi_direct),
+                psi_ip / np.linalg.norm(psi_ip),
+            )
+        )
+        ** 2
+    )
+    assert 1 - fid < 1e-10
+    # And the IP norm must be essentially exact
+    assert abs(np.linalg.norm(psi_ip) - 1) < 1e-7
+
+
+def _scipy_reference_final(sim, rtol=1e-11):
+    """f64 scipy reference on the emulator's own Hamiltonian terms."""
+    from scipy.integrate import solve_ivp
+
+    ham = sim._current_hamiltonian
+    knots = ham.sampling_times
+    amp_c, det_c = ham.amp_coeffs, ham.det_coeffs
+    diag, pairs = ham.int_diag, ham.pairs
+    d, n = ham.dim, ham.n_qudits
+
+    def coeffs_at(t):
+        i = np.clip(
+            np.searchsorted(knots, t, "right") - 1, 0, len(knots) - 2
+        )
+        f = np.clip((t - knots[i]) / (knots[i + 1] - knots[i]), 0, 1)
+        return (
+            amp_c[..., i] * (1 - f) + amp_c[..., i + 1] * f,
+            det_c[..., i] * (1 - f) + det_c[..., i + 1] * f,
+        )
+
+    def hpsi(t, psi):
+        a, de = coeffs_at(t)
+        out = diag * psi
+        psit = psi.reshape([d] * n)
+        for b, (i, j, k) in enumerate(pairs):
+            for q in range(n):
+                m = np.zeros((d, d), complex)
+                m[i, j] = a[b, q]
+                m[j, i] = np.conj(a[b, q])
+                m[k, k] = -de[b, q]
+                out += np.moveaxis(
+                    np.tensordot(m, psit, axes=([1], [q])), 0, q
+                ).reshape(-1)
+        return -1j * out
+
+    psi0 = sim.initial_state.full()[:, 0].astype(complex)
+    t_end = sim._eval_times_array[-1]
+    sol = solve_ivp(
+        hpsi,
+        (knots[0], t_end),
+        psi0,
+        t_eval=[t_end],
+        rtol=rtol,
+        atol=1e-13,
+        method="DOP853",
+    )
+    return sol.y[:, -1]
+
+
+def test_all_basis_qutrit_vs_scipy():
+    """'all'-basis (qutrit) evolution must match the dense reference."""
+    reg = tpu.Register.square(2, spacing=8.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.declare_channel("ram", "raman_global")
+    seq.add(tpu.Pulse.ConstantPulse(300, np.pi, 1.0, 0.2), "ryd")
+    seq.add(tpu.Pulse.ConstantPulse(300, np.pi, -1.0, 0.0), "ram")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim.basis_name == "all"
+    assert sim.dim == 3
+    psi = sim.run().get_final_state(
+        ignore_global_phase=False
+    ).full()[:, 0]
+    psi_ref = _scipy_reference_final(sim)
+    fid = (
+        abs(np.vdot(psi_ref, psi / np.linalg.norm(psi))) ** 2
+    )
+    assert 1 - fid < 1e-8
+
+
+def test_leakage_basis_runs_mesolve(mod_device):
+    """with_leakage adds an error level and runs the Lindblad path."""
+    nm = tpu.NoiseModel(
+        with_leakage=True,
+        eff_noise_rates=(0.05,),
+        eff_noise_opers=(
+            np.array([[0, 1j, 0], [0, 0, 0], [0, 0, 0]], complex),
+        ),
+    )
+    reg = tpu.Register.square(2, spacing=8.0, prefix="q")
+    seq = tpu.Sequence(reg, mod_device)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(300, np.pi, 0.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq, noise_model=nm)
+    assert sim.basis_name == "ground-rydberg_with_error"
+    assert sim.dim == 3
+    rho = sim.run().get_final_state().full()
+    assert abs(np.trace(rho).real - 1) < 1e-9
+    assert np.max(np.abs(rho - rho.conj().T)) < 1e-12
