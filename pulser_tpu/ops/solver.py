@@ -177,54 +177,71 @@ def build_plan(
             than this are subdivided evenly. Defaults to the median knot
             spacing (i.e. no subdivision on a uniform grid).
     """
+    from pulser_tpu import native
+
     knots = np.asarray(knots, dtype=float)
     eval_times_in = np.unique(np.asarray(eval_times, dtype=float))
     t_end = knots[-1]
     eval_times_in = np.clip(eval_times_in, knots[0], t_end)
-    # Merge near-duplicate eval times (fp artifacts like 0.7 vs
-    # 0.7000000000000001), remembering the original->unique mapping
-    uniq: list[float] = []
-    eval_map = np.empty(len(eval_times_in), dtype=np.int32)
-    for i, t in enumerate(eval_times_in):
-        if not uniq or t - uniq[-1] > 1e-9:
-            uniq.append(float(t))
-        eval_map[i] = len(uniq) - 1
-    eval_times = np.array(uniq)
-
-    grid = np.union1d(knots, eval_times)
     if max_step is None:
         spacings = np.diff(knots)
         max_step = float(np.median(spacings)) if len(spacings) else 1e-3
-    # Subdivide long intervals
-    pieces = [np.array([grid[0]])]
-    for a, b in zip(grid[:-1], grid[1:]):
-        m = max(1, int(np.ceil((b - a) / (max_step * (1 + 1e-9)))))
-        pieces.append(np.linspace(a, b, m + 1)[1:])
-    grid = np.concatenate(pieces)
-    # Deduplicate within tolerance
-    keep = np.ones(len(grid), dtype=bool)
-    keep[1:] = np.diff(grid) > 1e-12
-    grid = grid[keep]
 
-    dts = np.diff(grid)
-    n_steps = len(dts)
-
-    # Map each post-step time to an eval slot (or the dump row)
+    # Merge near-duplicate eval times (fp artifacts like 0.7 vs
+    # 0.7000000000000001), remembering the original->unique mapping
+    merged = native.merge_eval_times(eval_times_in)
+    if merged is not None:
+        eval_times, eval_map = merged
+    else:
+        uniq: list[float] = []
+        eval_map = np.empty(len(eval_times_in), dtype=np.int32)
+        for i, t in enumerate(eval_times_in):
+            if not uniq or t - uniq[-1] > 1e-9:
+                uniq.append(float(t))
+            eval_map[i] = len(uniq) - 1
+        eval_times = np.array(uniq)
     n_eval = len(eval_times)
-    store_idx = np.full(n_steps, n_eval, dtype=np.int32)
-    eval_pos = np.searchsorted(grid, eval_times)
-    # Snap to nearest grid point (within fp tolerance)
-    for slot, t in enumerate(eval_times):
-        pos = eval_pos[slot]
-        cand = [
-            p
-            for p in (pos - 1, pos, pos + 1)
-            if 0 <= p < len(grid) and abs(grid[p] - t) < 1e-9
-        ]
-        assert cand, (t, "not on the integration grid")
-        p = cand[0]
-        if p > 0:
-            store_idx[p - 1] = slot
+
+    # Integration grid + post-step output-slot mapping: native plan
+    # compiler when available, numpy fallback otherwise
+    built = native.build_grid(knots, eval_times, max_step)
+    if built is not None:
+        grid, store_idx = built
+        dts = np.diff(grid)
+        n_steps = len(dts)
+    else:
+        grid = np.union1d(knots, eval_times)
+        # Subdivide long intervals
+        pieces = [np.array([grid[0]])]
+        for a, b in zip(grid[:-1], grid[1:]):
+            m = max(
+                1, int(np.ceil((b - a) / (max_step * (1 + 1e-9))))
+            )
+            pieces.append(np.linspace(a, b, m + 1)[1:])
+        grid = np.concatenate(pieces)
+        # Deduplicate within tolerance
+        keep = np.ones(len(grid), dtype=bool)
+        keep[1:] = np.diff(grid) > 1e-12
+        grid = grid[keep]
+
+        dts = np.diff(grid)
+        n_steps = len(dts)
+
+        # Map each post-step time to an eval slot (or the dump row)
+        store_idx = np.full(n_steps, n_eval, dtype=np.int32)
+        eval_pos = np.searchsorted(grid, eval_times)
+        # Snap to nearest grid point (within fp tolerance)
+        for slot, t in enumerate(eval_times):
+            pos = eval_pos[slot]
+            cand = [
+                p
+                for p in (pos - 1, pos, pos + 1)
+                if 0 <= p < len(grid) and abs(grid[p] - t) < 1e-9
+            ]
+            assert cand, (t, "not on the integration grid")
+            p = cand[0]
+            if p > 0:
+                store_idx[p - 1] = slot
     eval_idx0 = None
     if abs(grid[0] - eval_times[0]) < 1e-9 if n_eval else False:
         eval_idx0 = 0

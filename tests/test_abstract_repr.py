@@ -145,3 +145,52 @@ def test_our_json_passes_reference_schema(ref_pulser):
     ref_seq = ref.Sequence.from_abstract_repr(my_json)
     assert list(ref_seq.declared_channels) == ["ryd"]
     assert list(ref_seq.declared_variables) == ["amp"]
+
+
+def test_emulation_config_roundtrip():
+    from pulser_tpu.backend.config import EmulationConfig
+    from pulser_tpu.backend.default_observables import (
+        BitStrings,
+        Fidelity,
+        Occupation,
+    )
+    from pulser_tpu.emulator import TpuState
+
+    st = TpuState.from_state_amplitudes(
+        eigenstates=("r", "g"), amplitudes={"gg": 1.0}
+    )
+    cfg = EmulationConfig(
+        observables=[
+            BitStrings(evaluation_times=[1.0]),
+            Occupation(),
+            Fidelity(st),
+        ],
+        default_evaluation_times=np.array([0.0, 0.5, 1.0]),
+        noise_model=tpu.NoiseModel(dephasing_rate=0.1),
+    )
+    cfg2 = EmulationConfig.from_abstract_repr(cfg.to_abstract_repr())
+    assert [type(o).__name__ for o in cfg2.observables] == [
+        "BitStrings",
+        "Occupation",
+        "Fidelity",
+    ]
+    assert cfg2.noise_model == cfg.noise_model
+    # Observables keep their uuids through the roundtrip
+    assert [o.uuid for o in cfg2.observables] == [
+        o.uuid for o in cfg.observables
+    ]
+
+
+def test_results_roundtrip():
+    from pulser_tpu.backend.default_observables import BitStrings
+    from pulser_tpu.backend.results import Results
+
+    res = Results(atom_order=("q0", "q1"), total_duration=500)
+    obs = BitStrings(evaluation_times=[1.0])
+    res._store(
+        observable=obs, time=1.0, value={"00": 250, "11": 250}
+    )
+    res2 = Results.from_abstract_repr(res.to_abstract_repr())
+    assert res2.atom_order == ("q0", "q1")
+    assert res2.total_duration == 500
+    assert res2.get_result(obs, 1.0) == {"00": 250, "11": 250}

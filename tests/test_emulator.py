@@ -443,3 +443,37 @@ def test_leakage_basis_runs_mesolve(mod_device):
     rho = sim.run().get_final_state().full()
     assert abs(np.trace(rho).real - 1) < 1e-9
     assert np.max(np.abs(rho - rho.conj().T)) < 1e-12
+
+
+def test_native_plan_builder_matches_python(mod_device):
+    """The C++ plan compiler must agree exactly with the fallback."""
+    from pulser_tpu import native
+    from pulser_tpu.ops.solver import build_plan
+
+    reg = tpu.Register.square(2, spacing=7.0, prefix="q")
+    seq = tpu.Sequence(reg, mod_device)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantPulse(777, np.pi, 1.0, 0.0), "ryd"
+    )
+    sim = TpuEmulator.from_sequence(seq)
+    ham = sim._current_hamiltonian
+    coeffs = {"amp": ham.amp_coeffs, "det": ham.det_coeffs}
+    eval_times = np.linspace(0, ham.sampling_times[-1], 37)
+    if native._load() is None:
+        pytest.skip("no native toolchain available")
+    p_nat = build_plan(
+        ham.sampling_times, coeffs, eval_times, max_step=0.4e-3
+    )
+    saved = native._load_failed, native._lib
+    try:
+        native._load_failed, native._lib = True, None
+        p_py = build_plan(
+            ham.sampling_times, coeffs, eval_times, max_step=0.4e-3
+        )
+    finally:
+        native._load_failed, native._lib = saved
+    np.testing.assert_array_equal(p_nat.grid, p_py.grid)
+    np.testing.assert_array_equal(p_nat.store_idx, p_py.store_idx)
+    np.testing.assert_array_equal(p_nat.eval_map, p_py.eval_map)
+    np.testing.assert_array_equal(p_nat.dts, p_py.dts)
