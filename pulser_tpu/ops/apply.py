@@ -438,10 +438,15 @@ def apply_col_c(
     right = d ** (n - q - 1)
 
     def one(op, comp):
-        # Σ_a x[..a..] op[a, b]  ==  middle-axis application of op.T
-        return _apply_middle_r(
-            op.T, comp.reshape(-1), dim * left, d, right
+        # (ρ M)ᵀ = Mᵀ ρᵀ: transpose, ROW-apply op.T, transpose back.
+        # A direct column application would reshape to
+        # (dim·left, d, right) whose small trailing axis gets padded
+        # to the TPU's 128-wide lanes; the transposed form keeps the
+        # trailing axis ≥ dim.
+        yt = _apply_middle_r(
+            op.T, comp.T.reshape(-1), left, d, right * dim
         ).reshape(dim, dim)
+        return yt.T
 
     x, y = rho2[0], rho2[1]
     return jnp.stack(

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from pulser_tpu.ops.apply import (
+    _apply_middle_r,
     _group_matrix,
     _hpsi,
     apply_axis_c,
@@ -481,25 +482,32 @@ def _sesolve_scan_ip(
             q0 += g
         return out
 
+    # RK4 as a 4-iteration inner scan (single rhs trace)
+    rk_stage = jnp.asarray([0, 1, 1, 2])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
     def step(carry, xs):
         phi_state, out = carry
         ar_st, ai_st, cum_st, t_st, h, sidx = xs
 
-        def deriv(p, s):
+        def stage_body(stage_carry, i):
+            k_prev, acc = stage_carry
+            s = rk_stage[i]
             ph = phase_at(t_st[s], cum_st[s])
             c = jnp.cos(ph)
             sn = jnp.sin(ph)
+            p = phi_state + (h * rk_a[i]) * k_prev
             w = _cmul(c, -sn, p)  # e^{-iΦ} ⊙ φ
             y = amp_apply(w, ar_st[s], ai_st[s])
-            return neg_i(_cmul(c, sn, y))  # -i e^{iΦ} ⊙ y
+            k = neg_i(_cmul(c, sn, y))  # -i e^{iΦ} ⊙ y
+            return (k, acc + rk_b[i] * k), None
 
-        k1 = deriv(phi_state, 0)
-        k2 = deriv(phi_state + 0.5 * h * k1, 1)
-        k3 = deriv(phi_state + 0.5 * h * k2, 1)
-        k4 = deriv(phi_state + h * k3, 2)
-        phi_state = phi_state + (h / 6.0) * (
-            k1 + 2 * k2 + 2 * k3 + k4
+        zeros = jnp.zeros_like(phi_state)
+        (k_f, acc), _ = jax.lax.scan(
+            stage_body, (zeros, zeros), jnp.arange(4)
         )
+        phi_state = phi_state + h * acc
         # Store in the lab frame: ψ = e^{-iΦ(t+h)} φ
         ph2 = phase_at(t_st[2], cum_st[2])
         psi_lab = _cmul(jnp.cos(ph2), -jnp.sin(ph2), phi_state)
@@ -557,43 +565,54 @@ def _sesolve_scan(
     rdtype = psi2_0.dtype
     dim = psi2_0.shape[-1]
 
+    # RK4 as a 4-iteration inner scan: the H·ψ graph compiles once
+    rk_stage = jnp.asarray([0, 1, 1, 2])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
     def step(carry, xs):
         psi, out = carry
         ar_st, ai_st, det_st, h, sidx, w_st = xs
 
-        def diag_at(s):
-            if has_int_w:
-                return jnp.tensordot(w_st[s], diag_static, axes=1)
-            return diag_static
+        def stage_body(stage_carry, i):
+            k_prev, acc = stage_carry
+            s = rk_stage[i]
 
-        def xy_at(s):
-            if xy_s is None:
-                return None
-            if has_int_w and xy_s.shape[0] == 2:
-                return jnp.tensordot(w_st[s], xy_s, axes=1)
-            return xy_s[0]
+            def diag_at():
+                if has_int_w:
+                    return jnp.tensordot(
+                        w_st[s], diag_static, axes=1
+                    )
+                return diag_static
 
-        def deriv(psi_s, s):
-            return neg_i(
+            def xy_at():
+                if xy_s is None:
+                    return None
+                if has_int_w and xy_s.shape[0] == 2:
+                    return jnp.tensordot(w_st[s], xy_s, axes=1)
+                return xy_s[0]
+
+            k = neg_i(
                 _hpsi(
-                    psi_s,
-                    diag_at(s),
+                    psi + (h * rk_a[i]) * k_prev,
+                    diag_at(),
                     ar_st[s],
                     ai_st[s],
                     det_st[s],
                     pairs,
                     d,
                     n,
-                    xy_at(s),
+                    xy_at(),
                     xy_indices,
                 )
             )
+            return (k, acc + rk_b[i] * k), None
 
-        k1 = deriv(psi, 0)
-        k2 = deriv(psi + 0.5 * h * k1, 1)
-        k3 = deriv(psi + 0.5 * h * k2, 1)
-        k4 = deriv(psi + h * k3, 2)
-        psi = psi + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        zeros = jnp.zeros_like(psi)
+        (k_f, acc), _ = jax.lax.scan(
+            stage_body, (zeros, zeros), jnp.arange(4)
+        )
+        psi = psi + h * acc
         out = out.at[sidx].set(psi)
         return (psi, out), None
 
@@ -745,12 +764,71 @@ def _mesolve_scan(
     n_eval: int,
     eval_idx0: int | None,
 ) -> jax.Array:
-    """The compiled Lindblad scan (cached across calls by jit)."""
+    """The compiled Lindblad scan (cached across calls by jit).
+
+    The coherent part applies the grouped drive matrices directly to
+    the row/column multi-indices of ``ρ`` (one MXU matmul per group
+    per side), the diagonal broadcasts, and the anticommutator
+    ``−½{Σ L†L, ρ}`` uses static group matrices — only the ``L ρ L†``
+    terms remain per-qudit.
+    """
     rdtype = rho2_0.dtype
     dim = rho2_0.shape[-1]
+    groups = group_sizes(d, n)
 
-    def h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
-        # H @ rho: apply H to every column (real-pair columns)
+    def row_block_c(g_re, g_im, rho2, left, block, right):
+        def one(op, comp):
+            return _apply_middle_r(
+                op, comp.reshape(-1), left, block, right * dim
+            ).reshape(dim, dim)
+
+        x, y = rho2[0], rho2[1]
+        return jnp.stack(
+            [one(g_re, x) - one(g_im, y), one(g_im, x) + one(g_re, y)]
+        )
+
+    def col_block_c(g_re, g_im, rho2, left, block, right):
+        def one(op, comp):
+            # (ρ M)ᵀ = Mᵀ ρᵀ: row-apply on the transpose so the
+            # trailing axis stays ≥ dim (lane-tile friendly)
+            yt = _apply_middle_r(
+                op.T, comp.T.reshape(-1), left, block, right * dim
+            ).reshape(dim, dim)
+            return yt.T
+
+        x, y = rho2[0], rho2[1]
+        return jnp.stack(
+            [one(g_re, x) - one(g_im, y), one(g_im, x) + one(g_re, y)]
+        )
+
+    # Static group matrices of G_tot = Σ_{k} L†L summed over ops,
+    # replicated per qudit (built once per trace)
+    g_tot_groups = []
+    if c_list:
+        cdc_re_sum = sum(cdc_re for (_, _, (cdc_re, _)) in c_list)
+        cdc_im_sum = sum(cdc_im for (_, _, (_, cdc_im)) in c_list)
+        g_re_stack = jnp.broadcast_to(
+            cdc_re_sum[None], (n,) + cdc_re_sum.shape
+        )
+        g_im_stack = jnp.broadcast_to(
+            cdc_im_sum[None], (n,) + cdc_im_sum.shape
+        )
+        q0 = 0
+        for g in groups:
+            g_tot_groups.append(
+                (
+                    *_group_matrix(
+                        g_re_stack, g_im_stack, q0, q0 + g, d
+                    ),
+                    d**q0,
+                    d**g,
+                    d ** (n - q0 - g),
+                )
+            )
+            q0 += g
+
+    def h_left_vmap(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        # Fallback (XY term present): apply H per column
         return jax.vmap(
             lambda col2: _hpsi(
                 col2,
@@ -768,52 +846,101 @@ def _mesolve_scan(
             out_axes=2,
         )(rho2)
 
-    def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
-        h_rho = h_left(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s)
-        # rho @ H = (H @ rho†)† for Hermitian H
-        rho_h = _dag2(
-            h_left(_dag2(rho2), ar_s, ai_s, det_s, diag_s, xy_mat_s)
+    def commutator(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        if xy_s is not None:
+            h_rho = h_left_vmap(
+                rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s
+            )
+            rho_h = _dag2(
+                h_left_vmap(
+                    _dag2(rho2), ar_s, ai_s, det_s, diag_s, xy_mat_s
+                )
+            )
+            return h_rho - rho_h
+        # Diagonal part broadcasts on rows/columns
+        h_rho = rho2 * diag_s[None, :, None]
+        rho_h = rho2 * diag_s[None, None, :]
+        m_re, m_im = build_drive_matrices(
+            ar_s, ai_s, det_s, pairs, d, n
         )
-        drho = neg_i(h_rho - rho_h)
-        for (c_re, c_im), (cd_re, cd_im), (cdc_re, cdc_im) in c_list:
+        q0 = 0
+        for g in groups:
+            g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+            left, block, right = d**q0, d**g, d ** (n - q0 - g)
+            h_rho = h_rho + row_block_c(
+                g_re, g_im, rho2, left, block, right
+            )
+            rho_h = rho_h + col_block_c(
+                g_re, g_im, rho2, left, block, right
+            )
+            q0 += g
+        return h_rho - rho_h
+
+    def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
+        drho = neg_i(
+            commutator(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s)
+        )
+        # −½ {G_tot, ρ} with static group matrices
+        for g_re, g_im, left, block, right in g_tot_groups:
+            drho = drho - 0.5 * row_block_c(
+                g_re, g_im, rho2, left, block, right
+            )
+            drho = drho - 0.5 * col_block_c(
+                g_re, g_im, rho2, left, block, right
+            )
+        # Σ L ρ L† stays per (op, qudit)
+        for (c_re, c_im), (cd_re, cd_im), _ in c_list:
             for q in range(n):
                 l_rho = apply_row_c(c_re, c_im, rho2, q, d, n)
-                drho = drho + apply_col_c(cd_re, cd_im, l_rho, q, d, n)
-                drho = drho - 0.5 * apply_row_c(
-                    cdc_re, cdc_im, rho2, q, d, n
-                )
-                drho = drho - 0.5 * apply_col_c(
-                    cdc_re, cdc_im, rho2, q, d, n
+                drho = drho + apply_col_c(
+                    cd_re, cd_im, l_rho, q, d, n
                 )
         return drho
+
+    # RK4 expressed as a 4-iteration inner scan so the (large) rhs
+    # graph is traced/compiled once instead of four times — the
+    # backend compile of the Lindblad step is the dominant cost.
+    rk_stage = jnp.asarray([0, 1, 1, 2])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
     def step(carry, xs):
         rho, out = carry
         ar_st, ai_st, det_st, h, sidx, w_st = xs
 
-        def diag_at(s):
-            if has_int_w:
-                return jnp.tensordot(w_st[s], diag_static, axes=1)
-            return diag_static
+        def stage_body(stage_carry, i):
+            k_prev, acc = stage_carry
+            s = rk_stage[i]
 
-        def xy_at(s):
-            if xy_s is None:
-                return None
-            if has_int_w and xy_s.shape[0] == 2:
-                return jnp.tensordot(w_st[s], xy_s, axes=1)
-            return xy_s[0]
+            def diag_at():
+                if has_int_w:
+                    return jnp.tensordot(
+                        w_st[s], diag_static, axes=1
+                    )
+                return diag_static
 
-        def deriv(rho_s, s):
-            return rhs(
-                rho_s, ar_st[s], ai_st[s], det_st[s],
-                diag_at(s), xy_at(s),
+            def xy_at():
+                if xy_s is None:
+                    return None
+                if has_int_w and xy_s.shape[0] == 2:
+                    return jnp.tensordot(w_st[s], xy_s, axes=1)
+                return xy_s[0]
+
+            k = rhs(
+                rho + (h * rk_a[i]) * k_prev,
+                ar_st[s],
+                ai_st[s],
+                det_st[s],
+                diag_at(),
+                xy_at(),
             )
+            return (k, acc + rk_b[i] * k), None
 
-        k1 = deriv(rho, 0)
-        k2 = deriv(rho + 0.5 * h * k1, 1)
-        k3 = deriv(rho + 0.5 * h * k2, 1)
-        k4 = deriv(rho + h * k3, 2)
-        rho = rho + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        zeros = jnp.zeros_like(rho)
+        (k_f, acc), _ = jax.lax.scan(
+            stage_body, (zeros, zeros), jnp.arange(4)
+        )
+        rho = rho + h * acc
         out = out.at[sidx].set(rho)
         return (rho, out), None
 
@@ -1042,6 +1169,10 @@ def _mcsolve_scan(
         r_new = jax.random.uniform(k2, dtype=rdtype)
         return psi_new, r_new, key
 
+    rk_stage = jnp.asarray([0, 1, 1, 2])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
     def one_traj(key):
         key, k0 = jax.random.split(key)
         r0 = jax.random.uniform(k0, dtype=rdtype)
@@ -1050,29 +1181,39 @@ def _mcsolve_scan(
             psi, out, r, key = carry
             ar_st, ai_st, det_st, h, sidx, w_st = xs
 
-            def diag_at(s):
-                if has_int_w:
-                    return jnp.tensordot(w_st[s], diag_static, axes=1)
-                return diag_static
+            def stage_body(stage_carry, i):
+                k_prev, acc = stage_carry
+                s = rk_stage[i]
 
-            def xy_at(s):
-                if xy_s is None:
-                    return None
-                if has_int_w and xy_s.shape[0] == 2:
-                    return jnp.tensordot(w_st[s], xy_s, axes=1)
-                return xy_s[0]
+                def diag_at():
+                    if has_int_w:
+                        return jnp.tensordot(
+                            w_st[s], diag_static, axes=1
+                        )
+                    return diag_static
 
-            def f(p, s):
-                return deriv(
-                    p, ar_st[s], ai_st[s], det_st[s],
-                    diag_at(s), xy_at(s),
+                def xy_at():
+                    if xy_s is None:
+                        return None
+                    if has_int_w and xy_s.shape[0] == 2:
+                        return jnp.tensordot(w_st[s], xy_s, axes=1)
+                    return xy_s[0]
+
+                k = deriv(
+                    psi + (h * rk_a[i]) * k_prev,
+                    ar_st[s],
+                    ai_st[s],
+                    det_st[s],
+                    diag_at(),
+                    xy_at(),
                 )
+                return (k, acc + rk_b[i] * k), None
 
-            k1 = f(psi, 0)
-            k2 = f(psi + 0.5 * h * k1, 1)
-            k3 = f(psi + 0.5 * h * k2, 1)
-            k4 = f(psi + h * k3, 2)
-            psi = psi + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            zeros = jnp.zeros_like(psi)
+            (k_f, acc), _ = jax.lax.scan(
+                stage_body, (zeros, zeros), jnp.arange(4)
+            )
+            psi = psi + h * acc
 
             norm2 = jnp.sum(psi**2)
             psi, r, key = jax.lax.cond(
