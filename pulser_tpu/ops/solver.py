@@ -77,6 +77,25 @@ class EvolutionPlan:
     eval_map: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([], dtype=np.int32)
     )
+    #: Segmented layout: ``seg_map[s, i]`` is the flat step index of
+    #: inner step ``i`` of segment ``s`` (segments end exactly at the
+    #: unique eval times; shorter segments are padded at the START by
+    #: repeating their first step index with a zero ``seg_dts`` entry).
+    #: The solvers scan segments and emit the state after each one —
+    #: no multi-gigabyte output buffer ever rides in the scan carry.
+    seg_map: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0), dtype=np.int64)
+    )
+    seg_dts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 0))
+    )
+    #: Exact detuning integrals at the (unique) eval times, for the
+    #: interaction-picture lab-frame rotation: (n_eval, n_bases, n).
+    eval_det_cum: np.ndarray | None = None
+
+    def seg_stage(self, name: str) -> np.ndarray:
+        """A stage array gathered into the (n_seg, L, 3, ...) layout."""
+        return self.stage_arrays[name][self.seg_map]
 
 
 def _interp_at(
@@ -247,6 +266,29 @@ def build_plan(
     if abs(grid[0] - eval_times[0]) < 1e-9 if n_eval else False:
         eval_idx0 = 0
 
+    # Segmented layout: segment s holds the steps ending at eval slot
+    # s (start-padded to the max segment length with repeated indices
+    # and zero dts)
+    ends = np.full(n_eval, -2, dtype=np.int64)
+    for i, s in enumerate(store_idx):
+        if s < n_eval:
+            ends[s] = i
+    if eval_idx0 is not None:
+        ends[0] = -1  # eval at t=0: zero-length segment
+    assert (ends >= -1).all(), "unmapped evaluation slot"
+    prev = np.concatenate([[-1], ends[:-1]])
+    seg_lens = ends - prev
+    seg_len = max(int(seg_lens.max()), 1) if n_eval else 1
+    pad = seg_len - seg_lens  # (n_eval,)
+    inner = np.arange(seg_len)
+    rel = np.maximum(inner[None, :] - pad[:, None], 0)
+    seg_map = np.minimum(
+        prev[:, None] + 1 + rel, max(n_steps - 1, 0)
+    ).astype(np.int64)
+    seg_dts = np.where(
+        inner[None, :] >= pad[:, None], dts[seg_map], 0.0
+    )
+
     # Precompute the three RK4 stage values per step for each coefficient
     stage_times = np.stack(
         [grid[:-1], (grid[:-1] + grid[1:]) / 2, grid[1:]], axis=1
@@ -271,6 +313,11 @@ def build_plan(
             (-2, -1),
             (0, 1),
         )
+        # The same integrals at the eval times (IP lab-frame rotation)
+        cum_eval = _integ_at(
+            np.asarray(coeffs["det"]).real, knots, eval_times
+        )
+        eval_cum = np.moveaxis(cum_eval, -1, 0)  # (n_eval, nb, n)
     stage_arrays["t_stage"] = stage_times - knots[0]
 
     return EvolutionPlan(
@@ -282,6 +329,9 @@ def build_plan(
         grid=grid,
         eval_times=eval_times,
         eval_map=eval_map,
+        seg_map=seg_map,
+        seg_dts=seg_dts,
+        eval_det_cum=eval_cum if "det" in coeffs else None,
     )
 
 
@@ -332,20 +382,19 @@ def sesolve_rk4(
     """
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
-    dim = d**n
     psi0_np = np.asarray(psi0, dtype=cdtype)
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
-    amp_np = np.asarray(plan.stage_arrays["amp"])
+    # Segmented stage arrays: (n_seg, L, 3, ...)
+    amp_np = plan.seg_stage("amp")
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
-    dts = jnp.asarray(plan.dts, dtype=rdtype)
-    store_idx = jnp.asarray(plan.store_idx)
+    det = jnp.asarray(plan.seg_stage("det").real, dtype=rdtype)
+    dts = jnp.asarray(plan.seg_dts, dtype=rdtype)
     has_int_w = "int_w" in plan.stage_arrays
     int_w = (
-        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        jnp.asarray(plan.seg_stage("int_w"), dtype=rdtype)
         if has_int_w
         else None
     )
@@ -359,7 +408,7 @@ def sesolve_rk4(
     w_dummy = (
         int_w
         if int_w is not None
-        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+        else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
     )
     use_ip = (
         ip_occ is not None and xy_s is None and not has_int_w
@@ -370,12 +419,18 @@ def sesolve_rk4(
         # (sign: D = int_diag − Σ det·occ → Φ gets −∫det terms).
         two_pi = 2 * np.pi
         det_cum_mod = jnp.asarray(
-            (-plan.stage_arrays["det_cum"]) % two_pi, dtype=rdtype
+            (-plan.seg_stage("det_cum")) % two_pi, dtype=rdtype
         )
         t_stage = jnp.asarray(
-            plan.stage_arrays["t_stage"], dtype=rdtype
+            plan.seg_stage("t_stage"), dtype=rdtype
         )
         occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
+        eval_t = jnp.asarray(
+            plan.eval_times - plan.grid[0], dtype=rdtype
+        )
+        eval_cum_mod = jnp.asarray(
+            (-plan.eval_det_cum) % two_pi, dtype=rdtype
+        )
         out = _sesolve_scan_ip(
             psi2_0,
             amp_re,
@@ -383,14 +438,13 @@ def sesolve_rk4(
             det_cum_mod,
             t_stage,
             dts,
-            store_idx,
+            eval_t,
+            eval_cum_mod,
             diag_static,
             occ,
             pairs=pairs,
             d=d,
             n=n,
-            n_eval=plan.n_eval,
-            eval_idx0=plan.eval_idx0,
         )
     else:
         out = _sesolve_scan(
@@ -399,7 +453,6 @@ def sesolve_rk4(
             amp_im,
             det,
             dts,
-            store_idx,
             w_dummy,
             diag_static,
             xy_s,
@@ -408,10 +461,8 @@ def sesolve_rk4(
             n=n,
             xy_indices=xy_indices,
             has_int_w=has_int_w,
-            n_eval=plan.n_eval,
-            eval_idx0=plan.eval_idx0,
         )
-    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+    out_np = np.asarray(out)[plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
@@ -427,7 +478,7 @@ def _cmul(rot_c: jax.Array, rot_s: jax.Array, v2: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pairs", "d", "n", "n_eval", "eval_idx0"),
+    static_argnames=("pairs", "d", "n"),
 )
 def _sesolve_scan_ip(
     psi2_0: jax.Array,
@@ -436,15 +487,14 @@ def _sesolve_scan_ip(
     det_cum_mod: jax.Array,
     t_stage: jax.Array,
     dts: jax.Array,
-    store_idx: jax.Array,
+    eval_t: jax.Array,
+    eval_cum_mod: jax.Array,
     diag_static: jax.Array,
     occ: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
     n: int,
-    n_eval: int,
-    eval_idx0: int | None,
 ) -> jax.Array:
     """Interaction-picture sesolve scan (cached across calls by jit).
 
@@ -453,9 +503,12 @@ def _sesolve_scan_ip(
     per stage; only the small amplitude term ``A`` is integrated
     numerically, so RK4's error no longer scales with the (large)
     diagonal energies.
+
+    Stage arrays arrive in the segmented ``(n_seg, L, 3, ...)`` layout:
+    the outer scan emits the lab-frame state after each segment (one
+    append-only write per eval time).
     """
     rdtype = psi2_0.dtype
-    dim = psi2_0.shape[-1]
     groups = group_sizes(d, n)
     two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
 
@@ -487,9 +540,8 @@ def _sesolve_scan_ip(
     rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
     rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
-    def step(carry, xs):
-        phi_state, out = carry
-        ar_st, ai_st, cum_st, t_st, h, sidx = xs
+    def step(phi_state, xs):
+        ar_st, ai_st, cum_st, t_st, h = xs
 
         def stage_body(stage_carry, i):
             k_prev, acc = stage_carry
@@ -507,22 +559,32 @@ def _sesolve_scan_ip(
         (k_f, acc), _ = jax.lax.scan(
             stage_body, (zeros, zeros), jnp.arange(4)
         )
-        phi_state = phi_state + h * acc
-        # Store in the lab frame: ψ = e^{-iΦ(t+h)} φ
-        ph2 = phase_at(t_st[2], cum_st[2])
-        psi_lab = _cmul(jnp.cos(ph2), -jnp.sin(ph2), phi_state)
-        out = out.at[sidx].set(psi_lab)
-        return (phi_state, out), None
+        return phi_state + h * acc, None
 
-    out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
-    if eval_idx0 is not None:
-        out0 = out0.at[eval_idx0].set(psi2_0)
-    (phi_f, out), _ = jax.lax.scan(
-        step,
-        (psi2_0, out0),
-        (amp_re, amp_im, det_cum_mod, t_stage, dts, store_idx),
+    def segment(phi_state, seg_xs):
+        ar_sg, ai_sg, cum_sg, t_sg, h_sg, te, ce = seg_xs
+        phi_state, _ = jax.lax.scan(
+            step, phi_state, (ar_sg, ai_sg, cum_sg, t_sg, h_sg)
+        )
+        # Emit in the lab frame: ψ = e^{-iΦ(t_eval)} φ
+        ph = phase_at(te, ce)
+        psi_lab = _cmul(jnp.cos(ph), -jnp.sin(ph), phi_state)
+        return phi_state, psi_lab
+
+    phi_f, ys = jax.lax.scan(
+        segment,
+        psi2_0,
+        (
+            amp_re,
+            amp_im,
+            det_cum_mod,
+            t_stage,
+            dts,
+            eval_t,
+            eval_cum_mod,
+        ),
     )
-    return out
+    return ys
 
 
 @functools.partial(
@@ -533,8 +595,6 @@ def _sesolve_scan_ip(
         "n",
         "xy_indices",
         "has_int_w",
-        "n_eval",
-        "eval_idx0",
     ),
 )
 def _sesolve_scan(
@@ -543,7 +603,6 @@ def _sesolve_scan(
     amp_im: jax.Array,
     det: jax.Array,
     dts: jax.Array,
-    store_idx: jax.Array,
     int_w: jax.Array,
     diag_static: jax.Array,
     xy_s: jax.Array | None,
@@ -553,26 +612,22 @@ def _sesolve_scan(
     n: int,
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
-    n_eval: int,
-    eval_idx0: int | None,
 ) -> jax.Array:
     """The compiled sesolve scan (cached across calls by jit).
 
     Everything the scan closes over is passed as an argument so
     repeated solves with the same static structure hit the jit cache
-    instead of re-tracing (re-tracing cost dwarfs the solve itself).
+    instead of re-tracing. Stage arrays arrive in the segmented
+    ``(n_seg, L, 3, ...)`` layout; the outer scan emits the state
+    after each segment (append-only, no carried output buffer).
     """
-    rdtype = psi2_0.dtype
-    dim = psi2_0.shape[-1]
-
     # RK4 as a 4-iteration inner scan: the H·ψ graph compiles once
     rk_stage = jnp.asarray([0, 1, 1, 2])
     rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
     rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
-    def step(carry, xs):
-        psi, out = carry
-        ar_st, ai_st, det_st, h, sidx, w_st = xs
+    def step(psi, xs):
+        ar_st, ai_st, det_st, h, w_st = xs
 
         def stage_body(stage_carry, i):
             k_prev, acc = stage_carry
@@ -612,19 +667,16 @@ def _sesolve_scan(
         (k_f, acc), _ = jax.lax.scan(
             stage_body, (zeros, zeros), jnp.arange(4)
         )
-        psi = psi + h * acc
-        out = out.at[sidx].set(psi)
-        return (psi, out), None
+        return psi + h * acc, None
 
-    out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
-    if eval_idx0 is not None:
-        out0 = out0.at[eval_idx0].set(psi2_0)
-    (psi_f, out), _ = jax.lax.scan(
-        step,
-        (psi2_0, out0),
-        (amp_re, amp_im, det, dts, store_idx, int_w),
+    def segment(psi, seg_xs):
+        psi, _ = jax.lax.scan(step, psi, seg_xs)
+        return psi, psi
+
+    psi_f, ys = jax.lax.scan(
+        segment, psi2_0, (amp_re, amp_im, det, dts, int_w)
     )
-    return out
+    return ys
 
 
 def mesolve_rk4(
@@ -655,20 +707,18 @@ def mesolve_rk4(
     """
     cdtype = dtype or np.asarray(rho0).dtype
     rdtype = _real_dtype(cdtype)
-    dim = d**n
     rho0_np = np.asarray(rho0, dtype=cdtype)
     rho2_0 = jnp.asarray(
         np.stack([rho0_np.real, rho0_np.imag]), dtype=rdtype
     )
-    amp_np = np.asarray(plan.stage_arrays["amp"])
+    amp_np = plan.seg_stage("amp")
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
-    dts = jnp.asarray(plan.dts, dtype=rdtype)
-    store_idx = jnp.asarray(plan.store_idx)
+    det = jnp.asarray(plan.seg_stage("det").real, dtype=rdtype)
+    dts = jnp.asarray(plan.seg_dts, dtype=rdtype)
     has_int_w = "int_w" in plan.stage_arrays
     int_w = (
-        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        jnp.asarray(plan.seg_stage("int_w"), dtype=rdtype)
         if has_int_w
         else None
     )
@@ -697,28 +747,60 @@ def mesolve_rk4(
     w_dummy = (
         int_w
         if int_w is not None
-        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+        else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
     )
-    out = _mesolve_scan(
-        rho2_0,
-        amp_re,
-        amp_im,
-        det,
-        dts,
-        store_idx,
-        w_dummy,
-        diag_static,
-        xy_s,
-        tuple(c_list),
-        pairs=pairs,
-        d=d,
-        n=n,
-        xy_indices=xy_indices,
-        has_int_w=has_int_w,
-        n_eval=plan.n_eval,
-        eval_idx0=plan.eval_idx0,
-    )
-    out_np = np.asarray(out[: plan.n_eval])[plan.eval_map]
+
+    # Long Lindblad evolutions are split into several device calls so
+    # no single XLA execution outlives the runtime's watchdog; ρ is
+    # carried between chunks (the last emitted state of a chunk IS the
+    # integrator state). Segment counts are padded to a multiple of
+    # the chunk size with zero-dt segments so every call reuses the
+    # same compiled executable.
+    n_seg, seg_len = plan.seg_dts.shape
+    max_steps_per_call = 4096 // max(1, len(c_list) + 1)
+    segs_per_call = max(1, max_steps_per_call // max(seg_len, 1))
+    n_calls = max(1, -(-n_seg // segs_per_call))
+    pad_segs = n_calls * segs_per_call - n_seg
+
+    def pad_seg_axis(arr):
+        if pad_segs == 0:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.repeat(arr[-1:], pad_segs, axis=0)]
+        )
+
+    amp_re_p = pad_seg_axis(amp_re)
+    amp_im_p = pad_seg_axis(amp_im)
+    det_p = pad_seg_axis(det)
+    w_p = pad_seg_axis(w_dummy)
+    dts_p = pad_seg_axis(dts)
+    if pad_segs:
+        dts_p = dts_p.at[n_seg:].set(0.0)
+
+    outs = []
+    rho_c = rho2_0
+    for ci in range(n_calls):
+        sl = slice(ci * segs_per_call, (ci + 1) * segs_per_call)
+        ys = _mesolve_scan(
+            rho_c,
+            amp_re_p[sl],
+            amp_im_p[sl],
+            det_p[sl],
+            dts_p[sl],
+            w_p[sl],
+            diag_static,
+            xy_s,
+            tuple(c_list),
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=xy_indices,
+            has_int_w=has_int_w,
+        )
+        # Materialize now: keeps each device execution bounded
+        outs.append(np.asarray(ys))
+        rho_c = ys[-1]
+    out_np = np.concatenate(outs)[:n_seg][plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
@@ -740,8 +822,6 @@ def _dag2(rho2: jax.Array) -> jax.Array:
         "n",
         "xy_indices",
         "has_int_w",
-        "n_eval",
-        "eval_idx0",
     ),
 )
 def _mesolve_scan(
@@ -750,7 +830,6 @@ def _mesolve_scan(
     amp_im: jax.Array,
     det: jax.Array,
     dts: jax.Array,
-    store_idx: jax.Array,
     int_w: jax.Array,
     diag_static: jax.Array,
     xy_s: jax.Array | None,
@@ -761,8 +840,6 @@ def _mesolve_scan(
     n: int,
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
-    n_eval: int,
-    eval_idx0: int | None,
 ) -> jax.Array:
     """The compiled Lindblad scan (cached across calls by jit).
 
@@ -904,9 +981,8 @@ def _mesolve_scan(
     rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
     rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
-    def step(carry, xs):
-        rho, out = carry
-        ar_st, ai_st, det_st, h, sidx, w_st = xs
+    def step(rho, xs):
+        ar_st, ai_st, det_st, h, w_st = xs
 
         def stage_body(stage_carry, i):
             k_prev, acc = stage_carry
@@ -940,19 +1016,16 @@ def _mesolve_scan(
         (k_f, acc), _ = jax.lax.scan(
             stage_body, (zeros, zeros), jnp.arange(4)
         )
-        rho = rho + h * acc
-        out = out.at[sidx].set(rho)
-        return (rho, out), None
+        return rho + h * acc, None
 
-    out0 = jnp.zeros((n_eval + 1, 2, dim, dim), dtype=rdtype)
-    if eval_idx0 is not None:
-        out0 = out0.at[eval_idx0].set(rho2_0)
-    (rho_f, out), _ = jax.lax.scan(
-        step,
-        (rho2_0, out0),
-        (amp_re, amp_im, det, dts, store_idx, int_w),
+    def segment(rho, seg_xs):
+        rho, _ = jax.lax.scan(step, rho, seg_xs)
+        return rho, rho
+
+    rho_f, ys = jax.lax.scan(
+        segment, rho2_0, (amp_re, amp_im, det, dts, int_w)
     )
-    return out
+    return ys
 
 
 def mcsolve_rk4(
@@ -999,15 +1072,14 @@ def mcsolve_rk4(
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
-    amp_np = np.asarray(plan.stage_arrays["amp"])
+    amp_np = plan.seg_stage("amp")
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(plan.stage_arrays["det"].real, dtype=rdtype)
-    dts = jnp.asarray(plan.dts, dtype=rdtype)
-    store_idx = jnp.asarray(plan.store_idx)
+    det = jnp.asarray(plan.seg_stage("det").real, dtype=rdtype)
+    dts = jnp.asarray(plan.seg_dts, dtype=rdtype)
     has_int_w = "int_w" in plan.stage_arrays
     int_w = (
-        jnp.asarray(plan.stage_arrays["int_w"], dtype=rdtype)
+        jnp.asarray(plan.seg_stage("int_w"), dtype=rdtype)
         if has_int_w
         else None
     )
@@ -1040,7 +1112,7 @@ def mcsolve_rk4(
     w_dummy = (
         int_w
         if int_w is not None
-        else jnp.zeros((len(plan.dts), 3, 1), dtype=rdtype)
+        else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
     )
     rho_re, rho_im = _mcsolve_scan(
         psi2_0,
@@ -1048,7 +1120,6 @@ def mcsolve_rk4(
         amp_im,
         det,
         dts,
-        store_idx,
         w_dummy,
         diag_static,
         xy_s,
@@ -1062,8 +1133,6 @@ def mcsolve_rk4(
         n=n,
         xy_indices=xy_indices,
         has_int_w=has_int_w,
-        n_eval=plan.n_eval,
-        eval_idx0=plan.eval_idx0,
         ntraj=ntraj,
         n_cops=n_cops,
     )
@@ -1080,8 +1149,6 @@ def mcsolve_rk4(
         "n",
         "xy_indices",
         "has_int_w",
-        "n_eval",
-        "eval_idx0",
         "ntraj",
         "n_cops",
     ),
@@ -1092,7 +1159,6 @@ def _mcsolve_scan(
     amp_im: jax.Array,
     det: jax.Array,
     dts: jax.Array,
-    store_idx: jax.Array,
     int_w: jax.Array,
     diag_static: jax.Array,
     xy_s: jax.Array | None,
@@ -1107,8 +1173,6 @@ def _mcsolve_scan(
     n: int,
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
-    n_eval: int,
-    eval_idx0: int | None,
     ntraj: int,
     n_cops: int,
 ) -> tuple[jax.Array, jax.Array]:
@@ -1178,8 +1242,8 @@ def _mcsolve_scan(
         r0 = jax.random.uniform(k0, dtype=rdtype)
 
         def step(carry, xs):
-            psi, out, r, key = carry
-            ar_st, ai_st, det_st, h, sidx, w_st = xs
+            psi, r, key = carry
+            ar_st, ai_st, det_st, h, w_st = xs
 
             def stage_body(stage_carry, i):
                 k_prev, acc = stage_carry
@@ -1215,6 +1279,8 @@ def _mcsolve_scan(
             )
             psi = psi + h * acc
 
+            # A jump on a zero-length (padded) step cannot trigger:
+            # the norm is unchanged since the last real step
             norm2 = jnp.sum(psi**2)
             psi, r, key = jax.lax.cond(
                 norm2 <= r,
@@ -1224,22 +1290,22 @@ def _mcsolve_scan(
                 r,
                 key,
             )
-            # Store the normalized state (QuTiP mcsolve convention)
+            return (psi, r, key), None
+
+        def segment(seg_carry, seg_xs):
+            (psi, r, key), _ = jax.lax.scan(step, seg_carry, seg_xs)
+            # Emit the normalized state (QuTiP mcsolve convention)
             psi_n = psi / jnp.sqrt(
                 jnp.maximum(jnp.sum(psi**2), 1e-30)
             )
-            out = out.at[sidx].set(psi_n)
-            return (psi, out, r, key), None
+            return (psi, r, key), psi_n
 
-        out0 = jnp.zeros((n_eval + 1, 2, dim), dtype=rdtype)
-        if eval_idx0 is not None:
-            out0 = out0.at[eval_idx0].set(psi2_0)
-        (psi_f, out, _, _), _ = jax.lax.scan(
-            step,
-            (psi2_0, out0, r0, key),
-            (amp_re, amp_im, det, dts, store_idx, int_w),
+        _, ys = jax.lax.scan(
+            segment,
+            (psi2_0, r0, key),
+            (amp_re, amp_im, det, dts, int_w),
         )
-        return out[:n_eval]
+        return ys  # (n_seg, 2, dim)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
     # (ntraj, n_eval, 2, dim)
