@@ -728,21 +728,62 @@ def mesolve_rk4(
         if xy_static is not None
         else None
     )
-    # Host-side complex prep of the collapse algebra, split re/im
-    c_list = []
+    # Host-side complex prep of the collapse algebra:
+    # - Σ_k L†L (for the anticommutator's static group matrices);
+    # - the L ρ L† terms decomposed into matrix units: any local L is
+    #   Σ v_a |i_a><j_a|, so L ρ L† = Σ_{a,b} v_a v_b* E_{i_a j_a} ρ
+    #   E_{j_b i_b} — each term moves one (j_a, j_b) block of ρ to
+    #   (i_a, i_b) with a static slice (indices known at trace time).
+    dim = d**n
+    cdc_sum = np.zeros((d, d), dtype=np.complex128)
+    lrl_idx: list[tuple[int, int, int, int]] = []
+    lrl_coef: list[list[float]] = []
+    # Terms whose units are both diagonal (i==j) collapse into one
+    # elementwise (dim, dim) mask: W[r, c] = Σ_q Σ_t c_t
+    # [digit_q(r)=i1][digit_q(c)=i2] — the whole dephasing-type
+    # dissipator then costs a single fused multiply per stage.
+    diag_mask = np.zeros((dim, dim), dtype=np.complex128)
+    idx_digits = (
+        np.arange(dim)[None, :]
+        // (d ** (n - 1 - np.arange(n)))[:, None]
+    ) % d  # (n, dim)
     for c_np in collapse_ops:
         c_np = np.asarray(c_np, dtype=np.complex128)
-        cd_np = c_np.conj().T
-        cdc_np = cd_np @ c_np
-        c_list.append(
-            tuple(
-                (
-                    jnp.asarray(m.real, dtype=rdtype),
-                    jnp.asarray(m.imag, dtype=rdtype),
-                )
-                for m in (c_np, cd_np, cdc_np)
-            )
-        )
+        cdc_sum += c_np.conj().T @ c_np
+        nz = [
+            (i, j, c_np[i, j])
+            for i in range(d)
+            for j in range(d)
+            if abs(c_np[i, j]) > 1e-14
+        ]
+        for i1, j1, v1 in nz:
+            for i2, j2, v2 in nz:
+                c = v1 * np.conj(v2)
+                if i1 == j1 and i2 == j2:
+                    row_hits = (idx_digits == i1).astype(float)
+                    col_hits = (idx_digits == i2).astype(float)
+                    # Σ_q over matching digits on rows AND columns
+                    diag_mask += c * np.einsum(
+                        "qr,qc->rc", row_hits, col_hits
+                    )
+                else:
+                    lrl_idx.append((i1, j1, i2, j2))
+                    lrl_coef.append([c.real, c.imag])
+    cdc_pair = (
+        jnp.asarray(cdc_sum.real, dtype=rdtype),
+        jnp.asarray(cdc_sum.imag, dtype=rdtype),
+    )
+    lrl_coef_arr = (
+        jnp.asarray(np.asarray(lrl_coef), dtype=rdtype)
+        if lrl_coef
+        else jnp.zeros((0, 2), dtype=rdtype)
+    )
+    has_diag_mask = bool(np.any(np.abs(diag_mask) > 1e-14))
+    diag_mask_pair = (
+        jnp.asarray(diag_mask.real, dtype=rdtype),
+        jnp.asarray(diag_mask.imag, dtype=rdtype),
+    )
+    has_cops = bool(collapse_ops)
 
     w_dummy = (
         int_w
@@ -757,7 +798,10 @@ def mesolve_rk4(
     # the chunk size with zero-dt segments so every call reuses the
     # same compiled executable.
     n_seg, seg_len = plan.seg_dts.shape
-    max_steps_per_call = 4096 // max(1, len(c_list) + 1)
+    # Conservative per-call step budget: Lindblad steps on large
+    # density matrices run ~50-150 ms each on current hardware and a
+    # single execution must stay well under the runtime's watchdog
+    max_steps_per_call = max(256, 2048 // (len(collapse_ops) + 1))
     segs_per_call = max(1, max_steps_per_call // max(seg_len, 1))
     n_calls = max(1, -(-n_seg // segs_per_call))
     pad_segs = n_calls * segs_per_call - n_seg
@@ -790,12 +834,17 @@ def mesolve_rk4(
             w_p[sl],
             diag_static,
             xy_s,
-            tuple(c_list),
+            cdc_pair,
+            lrl_coef_arr,
+            diag_mask_pair,
             pairs=pairs,
             d=d,
             n=n,
             xy_indices=xy_indices,
             has_int_w=has_int_w,
+            lrl_idx=tuple(lrl_idx),
+            has_cops=has_cops,
+            has_diag_mask=has_diag_mask,
         )
         # Materialize now: keeps each device execution bounded
         outs.append(np.asarray(ys))
@@ -822,6 +871,9 @@ def _dag2(rho2: jax.Array) -> jax.Array:
         "n",
         "xy_indices",
         "has_int_w",
+        "lrl_idx",
+        "has_cops",
+        "has_diag_mask",
     ),
 )
 def _mesolve_scan(
@@ -833,21 +885,28 @@ def _mesolve_scan(
     int_w: jax.Array,
     diag_static: jax.Array,
     xy_s: jax.Array | None,
-    c_list: tuple,
+    cdc_pair: tuple,
+    lrl_coef_arr: jax.Array,
+    diag_mask_pair: tuple,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
     n: int,
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
+    lrl_idx: tuple[tuple[int, int, int, int], ...],
+    has_cops: bool,
+    has_diag_mask: bool,
 ) -> jax.Array:
     """The compiled Lindblad scan (cached across calls by jit).
 
     The coherent part applies the grouped drive matrices directly to
     the row/column multi-indices of ``ρ`` (one MXU matmul per group
     per side), the diagonal broadcasts, and the anticommutator
-    ``−½{Σ L†L, ρ}`` uses static group matrices — only the ``L ρ L†``
-    terms remain per-qudit.
+    ``−½{Σ L†L, ρ}`` uses static group matrices. The ``L ρ L†``
+    dissipator terms are matrix-unit block moves with static indices
+    (``lrl_idx``) — one cheap strided slice-add each instead of full
+    operator applications.
     """
     rdtype = rho2_0.dtype
     dim = rho2_0.shape[-1]
@@ -881,9 +940,8 @@ def _mesolve_scan(
     # Static group matrices of G_tot = Σ_{k} L†L summed over ops,
     # replicated per qudit (built once per trace)
     g_tot_groups = []
-    if c_list:
-        cdc_re_sum = sum(cdc_re for (_, _, (cdc_re, _)) in c_list)
-        cdc_im_sum = sum(cdc_im for (_, _, (_, cdc_im)) in c_list)
+    if has_cops:
+        cdc_re_sum, cdc_im_sum = cdc_pair
         g_re_stack = jnp.broadcast_to(
             cdc_re_sum[None], (n,) + cdc_re_sum.shape
         )
@@ -965,12 +1023,30 @@ def _mesolve_scan(
             drho = drho - 0.5 * col_block_c(
                 g_re, g_im, rho2, left, block, right
             )
-        # Σ L ρ L† stays per (op, qudit)
-        for (c_re, c_im), (cd_re, cd_im), _ in c_list:
+        # Σ_q L ρ L†, diagonal-unit part: one elementwise complex
+        # multiply with the precomputed (dim, dim) mask
+        if has_diag_mask:
+            w_re, w_im = diag_mask_pair
+            drho = drho + jnp.stack(
+                [
+                    w_re * rho2[0] - w_im * rho2[1],
+                    w_im * rho2[0] + w_re * rho2[1],
+                ]
+            )
+        # Remaining (non-diagonal-unit) terms: unit-matrix row apply
+        # followed by a coefficient-folded column apply per qudit
+        zero_dd = jnp.zeros((d, d), dtype=rho2.dtype)
+        for t, (i1, j1, i2, j2) in enumerate(lrl_idx):
+            cr = lrl_coef_arr[t, 0]
+            ci_ = lrl_coef_arr[t, 1]
+            u1 = zero_dd.at[i1, j1].set(1.0)
+            # (E_{i2 j2})† scaled by the complex coefficient
+            u2d_re = zero_dd.at[j2, i2].set(1.0) * cr
+            u2d_im = zero_dd.at[j2, i2].set(1.0) * ci_
             for q in range(n):
-                l_rho = apply_row_c(c_re, c_im, rho2, q, d, n)
+                l_rho = apply_row_c(u1, zero_dd, rho2, q, d, n)
                 drho = drho + apply_col_c(
-                    cd_re, cd_im, l_rho, q, d, n
+                    u2d_re, u2d_im, l_rho, q, d, n
                 )
         return drho
 
