@@ -211,13 +211,15 @@ class SimulationResults(ABC, ResultsSequence[ResultType]):
             return proj
 
         w = self[t_index]._weights()
+        # NOTE: multiply on the Qobj side — a numpy scalar's __mul__
+        # would absorb the Qobj into a plain ndarray
         return cast(
             Qobj,
             sum(
-                w[i]
-                * _proj_from_bitstring(
+                _proj_from_bitstring(
                     np.binary_repr(i, width=self._size)
                 )
+                * float(w[i])
                 for i in np.nonzero(w)[0]
             ),
         )

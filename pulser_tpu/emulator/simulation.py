@@ -58,6 +58,7 @@ from pulser_tpu.ops.solver import (
     mcsolve_rk4,
     mesolve_rk4,
     sesolve_rk4,
+    sesolve_rk4_batched,
 )
 
 
@@ -771,15 +772,7 @@ class TpuEmulator:
             # interaction-picture path (exact diagonal rotation).
             ip_occ = None
             if hamiltonian.xy_mat is None and hamiltonian.int_w is None:
-                dim = d**n
-                idx = np.arange(dim)
-                ip_occ = np.zeros(
-                    (len(hamiltonian.pairs), n, dim), dtype=np.float32
-                )
-                for b, (_, _, k) in enumerate(hamiltonian.pairs):
-                    for q in range(n):
-                        digits = (idx // d ** (n - q - 1)) % d
-                        ip_occ[b, q] = digits == k
+                ip_occ = self._make_ip_occ(hamiltonian)
             states_arr = sesolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,
@@ -796,6 +789,26 @@ class TpuEmulator:
                 Qobj(s, dims=legal_dims_ket) for s in states_arr
             ]
 
+        return self._wrap_coherent(states)
+
+    @staticmethod
+    def _make_ip_occ(hamiltonian: Hamiltonian) -> np.ndarray:
+        """Detuning-projector occupancy masks: (n_bases, n, dim)."""
+        d = hamiltonian.dim
+        n = hamiltonian.n_qudits
+        dim = d**n
+        idx = np.arange(dim)
+        ip_occ = np.zeros(
+            (len(hamiltonian.pairs), n, dim), dtype=np.float32
+        )
+        for b, (_, _, k) in enumerate(hamiltonian.pairs):
+            for q in range(n):
+                digits = (idx // d ** (n - q - 1)) % d
+                ip_occ[b, q] = digits == k
+        return ip_occ
+
+    def _wrap_coherent(self, states: list[Qobj]) -> CoherentResults:
+        """Wraps per-eval-time states into CoherentResults."""
         with warnings.catch_warnings():
             warnings.simplefilter(
                 "ignore", category=DeprecationWarning
@@ -941,15 +954,8 @@ class TpuEmulator:
             n_measures,
         )
 
-    def _noisy_runs(
-        self,
-        progress_bar: bool,
-        print_progress: bool = False,
-        **options: Any,
-    ) -> Iterator[tuple[SimulationResults, int]]:
-        n_trajectories = self.n_trajectories
-        traj_nb = 0
-        # Repeated run() calls use fresh noise trajectories
+    def _refresh_trajectories(self) -> None:
+        """Draws fresh noise trajectories for repeated run() calls."""
         if self._noise_trajectories_used:
             noise_model = self._hamiltonian_data.noise_model
             self._hamiltonian_data = HamiltonianData(
@@ -962,6 +968,112 @@ class TpuEmulator:
                 ),
             )
         self._noise_trajectories_used = True
+
+    def _can_batch_trajectories(self) -> bool:
+        """Whether noise trajectories can integrate as one batch.
+
+        True for pure statevector evolutions (no collapse operators,
+        ket initial state) without XY coupling or interaction
+        interpolation — trajectory noise then only perturbs the
+        coefficient values, so every trajectory shares the compiled
+        program and the batch runs in a single vmapped device call.
+        """
+        ham0 = self._noiseless_hamiltonian
+        return (
+            len(ham0.lindblad_data.local_collapse_ops) == 0
+            and ham0.xy_mat is None
+            and ham0.int_w is None
+            and self.initial_state.isket
+        )
+
+    def _noisy_runs_batched(
+        self,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> Iterator[tuple[SimulationResults, int]]:
+        """Batched variant of :meth:`_noisy_runs` (single device call).
+
+        The reference loops trajectories serially through
+        ``qutip.sesolve`` (``simulation.py:848-861``); here the whole
+        trajectory batch integrates in one vmapped program.
+        """
+        self._refresh_trajectories()
+        hams = list(self._hamiltonians)
+        if print_progress:
+            print(
+                f"Emulating Trajectories [1 - {self.n_trajectories}]"
+                f"/{self.n_trajectories} (batched)"
+            )
+        first = hams[0].hamiltonian
+        d, n = first.dim, first.n_qudits
+        knots = first.sampling_times
+        # Shared step cap: the tightest across trajectories
+        lambda_max = max(
+            float(
+                np.sum(
+                    2
+                    * np.max(np.abs(h.hamiltonian.amp_coeffs), axis=(1, 2))
+                )
+            )
+            for h in hams
+        )
+        max_step = min(
+            float(np.median(np.diff(knots)))
+            if len(knots) > 1
+            else 1e-3,
+            1e-3,
+            0.8 / max(lambda_max, 1e-9),
+        )
+        if "max_step" in options and options["max_step"]:
+            max_step = min(max_step, float(options["max_step"]))
+        plans = [
+            build_plan(
+                h.hamiltonian.sampling_times,
+                {
+                    "amp": h.hamiltonian.amp_coeffs,
+                    "det": h.hamiltonian.det_coeffs,
+                },
+                self._eval_times_array,
+                max_step=max_step,
+            )
+            for h in hams
+        ]
+        diags = np.stack([h.hamiltonian.int_diag for h in hams])
+        cdtype = _default_cdtype()
+        psi0 = self.initial_state.full()[:, 0]
+        states_batch = sesolve_rk4_batched(
+            np.asarray(psi0, dtype=cdtype),
+            plans,
+            diags,
+            first.pairs,
+            d,
+            n,
+            self._make_ip_occ(first),
+            dtype=cdtype,
+        )
+        legal_dims_ket = [[d] * n, [1] * n]
+        for hwr, states_t in zip(hams, states_batch):
+            self._current_hamiltonian = hwr.hamiltonian
+            states_q = [
+                Qobj(s, dims=legal_dims_ket) for s in states_t
+            ]
+            yield self._wrap_coherent(states_q), hwr.reps
+
+    def _noisy_runs(
+        self,
+        progress_bar: bool,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> Iterator[tuple[SimulationResults, int]]:
+        if self._can_batch_trajectories():
+            yield from self._noisy_runs_batched(
+                print_progress=print_progress, **options
+            )
+            return
+        n_trajectories = self.n_trajectories
+        traj_nb = 0
+        # Repeated run() calls use fresh noise trajectories
+        self._refresh_trajectories()
         for ham, reps in self._hamiltonians:
             if print_progress:
                 if reps == 1:

@@ -1401,3 +1401,91 @@ def _mcsolve_scan(
         - jnp.einsum("tea,teb->eab", x, y, precision="highest")
     ) * scale
     return rho_re, rho_im
+
+
+def sesolve_rk4_batched(
+    psi0: np.ndarray,
+    plans: list[EvolutionPlan],
+    static_diags: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    ip_occ: np.ndarray,
+    dtype: Any = None,
+) -> np.ndarray:
+    """Batched interaction-picture sesolve over noise trajectories.
+
+    The reference runs its noise-trajectory loop serially through
+    ``qutip.sesolve`` (``simulation.py:848-861``); here every
+    trajectory's stage coefficients are stacked on a leading axis and
+    the whole batch integrates in a single ``vmap``-ped device program
+    — the TPU-native realization of Monte-Carlo noise parallelism.
+
+    Args:
+        psi0: ``(dim,)`` shared complex initial state.
+        plans: One :func:`build_plan` result per trajectory; all must
+            share the same grid/segment structure (same knots and
+            eval times — true for noise trajectories, which only
+            perturb coefficient *values*).
+        static_diags: ``(T, dim)`` per-trajectory interaction
+            diagonals (register noise perturbs positions).
+        pairs, d, n: Static Hamiltonian structure.
+        ip_occ: ``(n_bases, n, dim)`` detuning-projector occupancies.
+        dtype: Complex dtype of the evolution.
+
+    Returns:
+        ``(T, n_eval, dim)`` complex states at the evaluation times.
+    """
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+    psi2_0 = jnp.asarray(
+        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
+    )
+    two_pi = 2 * np.pi
+    amp_np = np.stack([p.seg_stage("amp") for p in plans])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det_cum_mod = jnp.asarray(
+        np.stack(
+            [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+        ),
+        dtype=rdtype,
+    )
+    t_stage = jnp.asarray(
+        plans[0].seg_stage("t_stage"), dtype=rdtype
+    )
+    dts = jnp.asarray(plans[0].seg_dts, dtype=rdtype)
+    eval_t = jnp.asarray(
+        plans[0].eval_times - plans[0].grid[0], dtype=rdtype
+    )
+    eval_cum_mod = jnp.asarray(
+        np.stack(
+            [(-p.eval_det_cum) % two_pi for p in plans]
+        ),
+        dtype=rdtype,
+    )
+    diags = jnp.asarray(np.asarray(static_diags).real, dtype=rdtype)
+    occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
+
+    batched = jax.vmap(
+        lambda ar, ai, cm, dg, ec: _sesolve_scan_ip(
+            psi2_0,
+            ar,
+            ai,
+            cm,
+            t_stage,
+            dts,
+            eval_t,
+            ec,
+            dg,
+            occ,
+            pairs=pairs,
+            d=d,
+            n=n,
+        )
+    )
+    out = batched(amp_re, amp_im, det_cum_mod, diags, eval_cum_mod)
+    # (T, n_seg, 2, dim) -> complex numpy at the requested eval times
+    out_np = np.asarray(out)[:, plans[0].eval_map]
+    return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)

@@ -477,3 +477,30 @@ def test_native_plan_builder_matches_python(mod_device):
     np.testing.assert_array_equal(p_nat.store_idx, p_py.store_idx)
     np.testing.assert_array_equal(p_nat.eval_map, p_py.eval_map)
     np.testing.assert_array_equal(p_nat.dts, p_py.dts)
+
+
+def test_batched_trajectories_match_serial(mod_device):
+    """The vmapped trajectory batch must equal the serial loop."""
+    reg = tpu.Register.square(2, spacing=7.0, prefix="q")
+
+    def mk():
+        seq = tpu.Sequence(reg, mod_device)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(400, 2 * np.pi, 1.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, laser_waist=100.0, runs=10, samples_per_run=1
+    )
+    obs = np.diag([1, 0] * 8).astype(complex)
+    np.random.seed(7)
+    sim_b = TpuEmulator.from_sequence(mk(), noise_model=nm)
+    assert sim_b._can_batch_trajectories()
+    eb = np.asarray(sim_b.run().expect([obs])[0], float)
+    np.random.seed(7)
+    sim_s = TpuEmulator.from_sequence(mk(), noise_model=nm)
+    sim_s._can_batch_trajectories = lambda: False
+    es = np.asarray(sim_s.run().expect([obs])[0], float)
+    np.testing.assert_allclose(eb, es, atol=1e-9)
