@@ -8,9 +8,8 @@ fixed-step RK4 scan solvers of :mod:`pulser_tpu.ops.solver`:
 - ``sesolve`` → :func:`sesolve_rk4` on HBM-resident statevectors;
 - ``mesolve`` → :func:`mesolve_rk4` on density matrices with axis-wise
   local collapse operators;
-- ``mcsolve`` currently falls back to the master equation, which gives
-  the exact trajectory-averaged result (instead of a Monte-Carlo
-  estimate of it).
+- ``mcsolve`` → :func:`mcsolve_rk4`, the quantum-jump (MCWF)
+  unravelling with trajectories batched on-device via ``vmap``.
 
 The evaluation-times semantics (Full/Minimal/array/fraction, union with
 {0, T}), the +1 duration extension and the noisy-trajectory loop match
@@ -89,12 +88,10 @@ class Solver(str, Enum):
 
     If the noise model has no effective noise, the Schrödinger solver is
     used (this setting is ignored). With effective noise:
-        - ``DEFAULT``: master-equation solver (also covering the
-          stochastic case exactly, where the reference would Monte-Carlo
-          sample),
+        - ``DEFAULT``: quantum-jump Monte-Carlo under stochastic noise,
+          master equation otherwise (the reference's auto-selection),
         - ``MESOLVER``: master-equation solver,
-        - ``MCSOLVER``: Monte-Carlo intent — currently solved via the
-          master equation (exact trajectory average).
+        - ``MCSOLVER``: quantum-jump Monte-Carlo (MCWF) solver.
     """
 
     DEFAULT = "default"
