@@ -504,3 +504,73 @@ def test_batched_trajectories_match_serial(mod_device):
     sim_s._can_batch_trajectories = lambda: False
     es = np.asarray(sim_s.run().expect([obs])[0], float)
     np.testing.assert_allclose(eb, es, atol=1e-9)
+
+
+def test_eom_sequence_emulation(mod_device):
+    """An EOM-mode sequence emulates and conserves the norm."""
+    seq = tpu.Sequence(
+        tpu.Register.square(2, spacing=7.0, prefix="q"), mod_device
+    )
+    ch = next(
+        name
+        for name, ch in mod_device.channels.items()
+        if ch.eom_config is not None and ch.addressing == "Global"
+    )
+    seq.declare_channel("ryd", ch)
+    seq.enable_eom_mode("ryd", amp_on=2.0, detuning_on=0.0)
+    seq.add_eom_pulse("ryd", duration=200, phase=0.0)
+    seq.delay(100, "ryd")
+    seq.add_eom_pulse("ryd", duration=100, phase=0.5)
+    seq.disable_eom_mode("ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    psi = sim.run().get_final_state(
+        ignore_global_phase=False
+    ).full()[:, 0]
+    psi_ref = _scipy_reference_final(sim)
+    fid = abs(np.vdot(psi_ref, psi / np.linalg.norm(psi))) ** 2
+    assert 1 - fid < 1e-7
+
+
+def test_slm_mask_xy_interaction_ramp(mod_device):
+    """XY SLM masking exercises the int_w interpolation path."""
+    reg = tpu.Register(
+        {"q0": (0.0, 0.0), "q1": (8.0, 0.0), "q2": (0.0, 8.0)}
+    )
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("mw", "mw_global")
+    seq.config_slm_mask(["q0"])
+    seq.add(tpu.Pulse.ConstantPulse(300, 2.0, 0.0, 0.0), "mw")
+    seq.add(tpu.Pulse.ConstantPulse(300, 1.0, 1.0, 0.0), "mw")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim._current_hamiltonian.int_w is not None
+    psi = sim.run().get_final_state().full()[:, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-4
+
+
+def test_slm_mask_ising_uses_dmm(mod_device):
+    """Ising SLM masking goes through the auto-added DMM detuning."""
+    reg = tpu.Register.square(2, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.config_slm_mask(["q0"])
+    seq.add(tpu.Pulse.ConstantPulse(300, 2 * np.pi, 0.0, 0.0), "ryd")
+    seq.add(tpu.Pulse.ConstantPulse(300, np.pi, 1.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim._current_hamiltonian.int_w is None
+    rho_or_psi = sim.run().get_final_state().full()
+    assert abs(np.linalg.norm(rho_or_psi) - 1) < 1e-4
+
+
+def test_xy_with_magnetic_field(mod_device):
+    """XY-mode emulation under a tilted magnetic field runs exactly."""
+    reg = tpu.Register(
+        {"a": (0.0, 0.0), "b": (8.0, 0.0), "c": (0.0, 8.0)}
+    )
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.set_magnetic_field(10.0, 5.0, 20.0)
+    seq.declare_channel("mw", "mw_global")
+    seq.add(tpu.Pulse.ConstantPulse(400, 2.0, 1.0, 0.0), "mw")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim.basis_name == "XY"
+    psi = sim.run().get_final_state().full()[:, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-5
