@@ -1190,30 +1190,50 @@ def mcsolve_rk4(
         if int_w is not None
         else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
     )
-    rho_re, rho_im = _mcsolve_scan(
-        psi2_0,
-        amp_re,
-        amp_im,
-        det,
-        dts,
-        w_dummy,
-        diag_static,
-        xy_s,
-        c_re_arr,
-        c_im_arr,
-        g_re_stack,
-        g_im_stack,
-        jnp.asarray(seed, dtype=jnp.uint32),
-        pairs=pairs,
-        d=d,
-        n=n,
-        xy_indices=xy_indices,
-        has_int_w=has_int_w,
-        ntraj=ntraj,
-        n_cops=n_cops,
-    )
-    rho_re_np = np.asarray(rho_re)[plan.eval_map]
-    rho_im_np = np.asarray(rho_im)[plan.eval_map]
+    # Trajectories run in bounded chunks so no single device
+    # execution outlives the runtime's watchdog; partial density-
+    # matrix sums accumulate on host.
+    n_steps_tot = int(np.count_nonzero(plan.seg_dts))
+    chunk = max(1, min(ntraj, 65536 // max(1, n_steps_tot)))
+    n_chunks = -(-ntraj // chunk)
+    # Full chunks everywhere: the effective trajectory count is
+    # n_chunks*chunk >= ntraj (extra trajectories only tighten the
+    # Monte-Carlo estimate)
+    rho_re_acc: np.ndarray | None = None
+    rho_im_acc: np.ndarray | None = None
+    for ci in range(n_chunks):
+        rho_re, rho_im = _mcsolve_scan(
+            psi2_0,
+            amp_re,
+            amp_im,
+            det,
+            dts,
+            w_dummy,
+            diag_static,
+            xy_s,
+            c_re_arr,
+            c_im_arr,
+            g_re_stack,
+            g_im_stack,
+            jnp.asarray(seed + ci, dtype=jnp.uint32),
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=xy_indices,
+            has_int_w=has_int_w,
+            ntraj=chunk,
+            n_cops=n_cops,
+        )
+        rr = np.asarray(rho_re) / n_chunks
+        ri = np.asarray(rho_im) / n_chunks
+        if rho_re_acc is None:
+            rho_re_acc, rho_im_acc = rr, ri
+        else:
+            rho_re_acc += rr
+            rho_im_acc += ri
+    assert rho_re_acc is not None and rho_im_acc is not None
+    rho_re_np = rho_re_acc[plan.eval_map]
+    rho_im_np = rho_im_acc[plan.eval_map]
     return (rho_re_np + 1j * rho_im_np).astype(cdtype)
 
 
