@@ -82,4 +82,29 @@ def __getattr__(name: str):
         from pulser_tpu.backend.qpu import QPUBackend
 
         return QPUBackend
+    if name == "sequence":
+        import importlib
+        import sys
+
+        # The partially-initialized module must be returned during
+        # its own import (submodule imports re-enter this hook)
+        mod = sys.modules.get("pulser_tpu.sequence")
+        if mod is not None:
+            return mod
+        return importlib.import_module("pulser_tpu.sequence")
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(
+        set(globals())
+        | {
+            "Sequence",
+            "sampler",
+            "sequence",
+            "backend",
+            "backends",
+            "EmulatorConfig",
+            "QPUBackend",
+        }
+    )

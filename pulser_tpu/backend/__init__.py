@@ -1,5 +1,10 @@
 """Classes for backend execution."""
 
+import pulser_tpu.noise_model as noise_model  # For backwards compat
+from pulser_tpu.noise_model import (  # For backwards compat
+    NoiseModel as NoiseModel,
+)
+
 from pulser_tpu.backend.abc import Backend, EmulatorBackend
 from pulser_tpu.backend.config import (
     BackendConfig,
