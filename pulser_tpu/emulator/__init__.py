@@ -1,6 +1,9 @@
 """The TPU-native emulation stack (replaces pulser_simulation)."""
 
 from pulser_tpu.emulator.hamiltonian import Hamiltonian
+from pulser_tpu.backend.config import EmulatorConfig
+from pulser_tpu.emulator.aggregators import density_matrix_aggregator
+from pulser_tpu.noise_model import NoiseModel
 from pulser_tpu.emulator.qobj import Qobj, basis, qeye, tensor
 from pulser_tpu.emulator.sim_result import QutipResult, TpuResult
 from pulser_tpu.emulator.simconfig import SimConfig
@@ -25,6 +28,9 @@ from pulser_tpu.emulator.tpu_op import QutipOperator, TpuOperator
 from pulser_tpu.emulator.tpu_state import QutipState, TpuState
 
 __all__ = [
+    "EmulatorConfig",
+    "NoiseModel",
+    "density_matrix_aggregator",
     "Hamiltonian",
     "Qobj",
     "basis",

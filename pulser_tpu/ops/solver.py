@@ -821,7 +821,10 @@ def mesolve_rk4(
     if pad_segs:
         dts_p = dts_p.at[n_seg:].set(0.0)
 
-    outs = []
+    # Launch every chunk first (async dispatch; the ρ carry is a
+    # device-side dependency), then fetch in order — the device
+    # executes chunk i+1 while the host drains chunk i.
+    ys_handles = []
     rho_c = rho2_0
     for ci in range(n_calls):
         sl = slice(ci * segs_per_call, (ci + 1) * segs_per_call)
@@ -846,10 +849,11 @@ def mesolve_rk4(
             has_cops=has_cops,
             has_diag_mask=has_diag_mask,
         )
-        # Materialize now: keeps each device execution bounded
-        outs.append(np.asarray(ys))
+        ys_handles.append(ys)
         rho_c = ys[-1]
-    out_np = np.concatenate(outs)[:n_seg][plan.eval_map]
+    out_np = np.concatenate(
+        [np.asarray(ys) for ys in ys_handles]
+    )[:n_seg][plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
