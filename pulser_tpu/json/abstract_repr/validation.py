@@ -41,6 +41,16 @@ def _get_schema(object_type: ObjectType) -> dict | None:
         return json.load(f)  # type: ignore[no-any-return]
 
 
+def _load_schema_copy(filename: str) -> Any:
+    """Loads a sibling schema by filename (for local $ref handling).
+
+    fastjsonschema mutates the '$ref's of schemas it compiles, so a
+    fresh copy is returned every time.
+    """
+    with open(SCHEMAS_PATH / filename, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
 @functools.lru_cache
 def _get_validator(object_type: ObjectType) -> Any:
     schema = _get_schema(object_type)
@@ -49,11 +59,25 @@ def _get_validator(object_type: ObjectType) -> Any:
     try:
         import fastjsonschema
 
-        return fastjsonschema.compile(schema)
+        # Sibling files are referenced with bare filenames (the ""
+        # URI scheme)
+        return fastjsonschema.compile(
+            schema, handlers={"": _load_schema_copy}
+        )
     except ImportError:  # pragma: no cover
         import jsonschema
+        from referencing import Registry, Resource
 
-        return lambda obj: jsonschema.validate(obj, schema)
+        registry = Registry(
+            [
+                (p.name, Resource.from_contents(_load_schema_copy(p.name)))
+                for p in SCHEMAS_PATH.glob("*-schema.json")
+            ]
+        )
+        validator = jsonschema.Draft7Validator(
+            schema, registry=registry
+        )
+        return validator.validate
 
 
 def validate_abstract_repr(obj_str: str, name: ObjectType) -> None:
