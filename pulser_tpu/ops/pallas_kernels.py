@@ -1,0 +1,327 @@
+"""Fused Pallas TPU kernel for the interaction-picture sesolve.
+
+The XLA scan solver (``ops/solver.py``) dispatches ~30 fused regions
+per RK4 stage; on the TPU each region carries fixed overhead that
+dwarfs the actual arithmetic at statevector sizes. This kernel fuses
+an entire evaluation segment — every RK4 step, the interaction-picture
+rotors, the drive application and the lab-frame emission — into one
+Pallas program with the state resident in VMEM.
+
+Structure (flagship ground-rydberg case: ``d=2``, one drive basis):
+
+- The statevector lives as two ``(R, C)`` f32 VMEM scratch buffers
+  (real/imag), with the row index carrying qubits ``0..n_row-1`` and
+  the column index the rest — both axes lane/sublane aligned.
+- The interaction-picture phase ``Φ(t) = (diag·t mod 2π) + Σ_q c_q
+  bit_q`` is built from broadcasted iota bit masks (no ``(dim,)``
+  occupancy tables).
+- The amplitude term ``Σ_q a_q σ_gr^{(q)} + h.c.`` splits into one
+  kron-summed matrix per axis group, synthesized in-kernel from XOR
+  masks (``G[r, c] ≠ 0 ⟺ r ^ c == 2^bit``) and applied as four MXU
+  matmuls per side.
+
+Falls back to the XLA path for every other configuration
+(see ``sesolve_rk4``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - platform specific
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None  # type: ignore[assignment]
+
+_TWO_PI = 2 * np.pi
+
+#: RK4 tableau (stage coefficient index, increment weight, k weight)
+_RK_STAGES = ((0, 0.0, 1 / 6), (1, 0.5, 1 / 3), (1, 0.5, 1 / 3), (2, 1.0, 1 / 6))
+
+
+def _bit_masks(size: int, n_bits: int, axis: int):
+    """Per-bit 0/1 masks of an axis iota, broadcast-ready."""
+    shape = (size, 1) if axis == 0 else (1, size)
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return [
+        ((iota >> (n_bits - 1 - q)) & 1).astype(jnp.float32)
+        for q in range(n_bits)
+    ]
+
+
+def _xor_iotas(size: int):
+    """The XOR and row-iota int32 tensors for mask synthesis."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return r ^ c, r
+
+
+def _group_mats(a_re, a_im, xor, r_iota, n_bits):
+    """Kron-summed off-diagonal drive matrix for one axis group.
+
+    Matches ``build_drive_matrices`` with pairs ``(i=1, j=0)``:
+    ``M_q = a_q |1><0| + ā_q |0><1|`` per qubit — the real part lands
+    symmetrically on the XOR mask, the imaginary part carries ``+a_im``
+    where the row bit is 1 and ``−a_im`` where it is 0. Masks are
+    synthesized per qubit and die immediately (VMEM is the limit).
+    """
+    g_re = jnp.zeros(xor.shape, jnp.float32)
+    g_im = jnp.zeros(xor.shape, jnp.float32)
+    for q in range(n_bits):
+        bit = 1 << (n_bits - 1 - q)
+        m = (xor == bit).astype(jnp.float32)
+        g_re = g_re + m * a_re[q]
+        sign = (
+            ((r_iota >> (n_bits - 1 - q)) & 1).astype(jnp.float32)
+            * 2.0
+            - 1.0
+        )
+        g_im = g_im + m * (a_im[q] * sign)
+    return g_re, g_im
+
+
+def _mm(a, b):
+    return jnp.dot(
+        a,
+        b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _ip_sesolve_kernel(
+    a_re_ref,
+    a_im_ref,
+    cum_ref,
+    t_ref,
+    dt_ref,
+    eval_t_ref,
+    eval_cum_ref,
+    diag_ref,
+    psi0_re_ref,
+    psi0_im_ref,
+    out_ref,
+    psi_re,
+    psi_im,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+):
+    """One grid step = one evaluation segment (state persists in VMEM)."""
+    rows, cols = 1 << n_row, 1 << n_col
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        psi_re[:] = psi0_re_ref[:]
+        psi_im[:] = psi0_im_ref[:]
+
+    row_bits = _bit_masks(rows, n_row, 0)
+    col_bits = _bit_masks(cols, n_col, 1)
+    xor_a, riota_a = _xor_iotas(rows)
+    xor_b, riota_b = _xor_iotas(cols)
+    diag = diag_ref[:]
+
+    def phase(t, cum):
+        # The detuning projector sits on eigenbasis index 0 (σ_rr in
+        # the r-first convention): its occupancy is ``1 − bit_q``, so
+        # the phase carries the summed integral minus the bit-weighted
+        # terms
+        ph = jnp.mod(diag * t, _TWO_PI) + jnp.sum(cum)
+        for q in range(n_row):
+            ph = ph - cum[q] * row_bits[q]
+        for q in range(n_col):
+            ph = ph - cum[n_row + q] * col_bits[q]
+        return ph
+
+    def step_body(i, carry):
+        pr, pi = carry
+        h = dt_ref[0, i, 0]
+
+        def make_stage(sidx, a_w, b_w):
+            def stage_fn(op):
+                k_r, k_i, acc_r, acc_i = op
+                xr = pr + (h * a_w) * k_r
+                xi = pi + (h * a_w) * k_i
+                ph = phase(
+                    t_ref[0, i, sidx], cum_ref[0, i, sidx, :]
+                )
+                c = jnp.cos(ph)
+                sn = jnp.sin(ph)
+                # w = e^{-iΦ} x = (c - i s)(xr + i xi)
+                wr = c * xr + sn * xi
+                wi = c * xi - sn * xr
+                ga_re, ga_im = _group_mats(
+                    a_re_ref[0, i, sidx, :n_row],
+                    a_im_ref[0, i, sidx, :n_row],
+                    xor_a,
+                    riota_a,
+                    n_row,
+                )
+                gb_re, gb_im = _group_mats(
+                    a_re_ref[0, i, sidx, n_row:],
+                    a_im_ref[0, i, sidx, n_row:],
+                    xor_b,
+                    riota_b,
+                    n_col,
+                )
+                # y = G_A w (rows) + w G_Bᵀ (columns); G_B real part
+                # is symmetric and imaginary part antisymmetric by
+                # construction, so w @ G_Bᵀ re-uses the forward
+                # matrices
+                yr = (
+                    _mm(ga_re, wr)
+                    - _mm(ga_im, wi)
+                    + _mm(wr, gb_re)
+                    + _mm(wi, gb_im)
+                )
+                yi = (
+                    _mm(ga_im, wr)
+                    + _mm(ga_re, wi)
+                    + _mm(wi, gb_re)
+                    - _mm(wr, gb_im)
+                )
+                # k = -i e^{+iΦ} y
+                z_r = c * yr - sn * yi
+                z_i = c * yi + sn * yr
+                k_r = z_i
+                k_i = -z_r
+                return (
+                    k_r,
+                    k_i,
+                    acc_r + b_w * k_r,
+                    acc_i + b_w * k_i,
+                )
+
+            return stage_fn
+
+        branches = [
+            make_stage(sidx, a_w, b_w)
+            for sidx, a_w, b_w in _RK_STAGES
+        ]
+
+        # A 4-iteration stage loop with a switch keeps only ONE
+        # stage's intermediates live on Mosaic's (conservatively
+        # sized) VMEM stack — a Python unroll quadruples it and
+        # overflows for dim 65536
+        def stage_loop(j, op):
+            return jax.lax.switch(j, branches, op)
+
+        zeros = jnp.zeros_like(pr)
+        k_r, k_i, acc_r, acc_i = jax.lax.fori_loop(
+            0, 4, stage_loop, (zeros, zeros, zeros, zeros)
+        )
+        return (pr + h * acc_r, pi + h * acc_i)
+
+    pr, pi = jax.lax.fori_loop(
+        0, seg_len, step_body, (psi_re[:], psi_im[:])
+    )
+    psi_re[:] = pr
+    psi_im[:] = pi
+
+    # Emit in the lab frame: ψ = e^{-iΦ(t_eval)} φ
+    ph = phase(eval_t_ref[0, 0, 0], eval_cum_ref[0, 0, :])
+    c = jnp.cos(ph)
+    sn = jnp.sin(ph)
+    out_ref[0, 0] = c * pr + sn * pi
+    out_ref[0, 1] = c * pi - sn * pr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_row", "n_col", "seg_len", "interpret"),
+)
+def ip_sesolve_pallas(
+    a_re,
+    a_im,
+    cum_mod,
+    t_stage,
+    seg_dts,
+    eval_t,
+    eval_cum_mod,
+    diag2d,
+    psi0_re,
+    psi0_im,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Runs the fused interaction-picture sesolve kernel.
+
+    Args:
+        a_re/a_im: ``(n_seg, L, 3, n)`` drive coefficient stages.
+        cum_mod: ``(n_seg, L, 3, n)`` range-reduced ``−∫det`` stages.
+        t_stage: ``(n_seg, L, 3)`` absolute stage times.
+        seg_dts: ``(n_seg, L)`` step sizes (0 = padding).
+        eval_t: ``(n_seg,)`` evaluation times.
+        eval_cum_mod: ``(n_seg, n)`` range-reduced ``−∫det`` at the
+            evaluation times.
+        diag2d: ``(R, C)`` static interaction diagonal.
+        psi0_re/psi0_im: ``(R, C)`` initial state.
+        n_row/n_col: Qubits on the row/column axis (``R=2^n_row``).
+        seg_len: Steps per segment (static).
+        interpret: Run in the Pallas interpreter (for CPU testing).
+
+    Returns:
+        ``(n_seg, 2, R, C)`` lab-frame states after each segment.
+    """
+    n_seg = a_re.shape[0]
+    n = n_row + n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    kernel = functools.partial(
+        _ip_sesolve_kernel,
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=seg_len,
+    )
+    scratch = [
+        pltpu.VMEM((rows, cols), jnp.float32),
+        pltpu.VMEM((rows, cols), jnp.float32),
+    ]
+    # Per-segment blocks whose last two dims equal the array's (the
+    # TPU tiling rule); sub-2D operands are reshaped host-side so the
+    # dynamic step index never lands on a lane dimension.
+    return pl.pallas_call(
+        kernel,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, seg_len, 3), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, seg_len, 1), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, rows, cols), lambda s: (s, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_seg, 2, rows, cols), jnp.float32
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        a_re,
+        a_im,
+        cum_mod,
+        t_stage,
+        seg_dts,
+        eval_t,
+        eval_cum_mod,
+        diag2d,
+        psi0_re,
+        psi0_im,
+    )

@@ -413,6 +413,21 @@ def sesolve_rk4(
     use_ip = (
         ip_occ is not None and xy_s is None and not has_int_w
     )
+    # The fused Pallas kernel covers the flagship configuration:
+    # qubits (d=2), a single drive basis, interaction picture, state
+    # large enough to tile the TPU's lanes and small enough for VMEM
+    if (
+        use_ip
+        and d == 2
+        and len(pairs) == 1
+        and pairs[0] == (1, 0, 0)
+        and 14 <= n <= 17
+        and rdtype == np.float32
+        and _pallas_available()
+    ):
+        return _sesolve_rk4_pallas(
+            psi0_np, plan, static_diag, n, cdtype
+        )
     if use_ip:
         # Phases only matter mod 2π and the occupancies are exactly
         # 0/1, so the detuning integrals can be range-reduced on host
@@ -537,8 +552,8 @@ def _sesolve_scan_ip(
 
     # RK4 as a 4-iteration inner scan (single rhs trace)
     rk_stage = jnp.asarray([0, 1, 1, 2])
-    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
-    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def step(phi_state, xs):
         ar_st, ai_st, cum_st, t_st, h = xs
@@ -622,9 +637,10 @@ def _sesolve_scan(
     after each segment (append-only, no carried output buffer).
     """
     # RK4 as a 4-iteration inner scan: the H·ψ graph compiles once
+    rdtype = psi2_0.dtype
     rk_stage = jnp.asarray([0, 1, 1, 2])
-    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
-    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def step(psi, xs):
         ar_st, ai_st, det_st, h, w_st = xs
@@ -1058,8 +1074,8 @@ def _mesolve_scan(
     # graph is traced/compiled once instead of four times — the
     # backend compile of the Lindblad step is the dominant cost.
     rk_stage = jnp.asarray([0, 1, 1, 2])
-    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
-    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def step(rho, xs):
         ar_st, ai_st, det_st, h, w_st = xs
@@ -1334,8 +1350,8 @@ def _mcsolve_scan(
         return psi_new, r_new, key
 
     rk_stage = jnp.asarray([0, 1, 1, 2])
-    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0])
-    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+    rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+    rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def one_traj(key):
         key, k0 = jax.random.split(key)
@@ -1513,3 +1529,65 @@ def sesolve_rk4_batched(
     # (T, n_seg, 2, dim) -> complex numpy at the requested eval times
     out_np = np.asarray(out)[:, plans[0].eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
+
+
+def _pallas_available() -> bool:
+    """Whether the fused Pallas kernels should be used."""
+    import os
+
+    if os.environ.get("PULSER_TPU_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _sesolve_rk4_pallas(
+    psi0_np: np.ndarray,
+    plan: EvolutionPlan,
+    static_diag: np.ndarray,
+    n: int,
+    cdtype: Any,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Dispatches the fused Pallas interaction-picture solve.
+
+    Host-side preparation mirrors :func:`sesolve_rk4`'s IP path; the
+    device work runs as a single Pallas program per launch (see
+    :mod:`pulser_tpu.ops.pallas_kernels`).
+    """
+    from pulser_tpu.ops.pallas_kernels import ip_sesolve_pallas
+
+    n_col = min(8, n - 7) if n >= 15 else 7
+    n_row = n - n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    two_pi = 2 * np.pi
+    a = plan.seg_stage("amp")[..., 0, :]  # single basis: (S, L, 3, n)
+    cum = (-plan.seg_stage("det_cum")[..., 0, :]) % two_pi
+    t_st = plan.seg_stage("t_stage")
+    eval_t = plan.eval_times - plan.grid[0]
+    eval_cum = (-plan.eval_det_cum[:, 0, :]) % two_pi
+    n_seg, seg_len = plan.seg_dts.shape
+    f32 = np.float32
+    out = ip_sesolve_pallas(
+        jnp.asarray(a.real, f32),
+        jnp.asarray(a.imag, f32),
+        jnp.asarray(cum, f32),
+        jnp.asarray(t_st, f32),
+        jnp.asarray(plan.seg_dts, f32).reshape(n_seg, seg_len, 1),
+        jnp.asarray(eval_t, f32).reshape(n_seg, 1, 1),
+        jnp.asarray(eval_cum, f32).reshape(n_seg, 1, n),
+        jnp.asarray(
+            np.asarray(static_diag).real.reshape(rows, cols), f32
+        ),
+        jnp.asarray(psi0_np.real.reshape(rows, cols), f32),
+        jnp.asarray(psi0_np.imag.reshape(rows, cols), f32),
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=seg_len,
+        interpret=interpret,
+    )
+    out_np = np.asarray(out)[plan.eval_map]
+    flat = out_np.reshape(len(plan.eval_map), 2, rows * cols)
+    return (flat[:, 0] + 1j * flat[:, 1]).astype(cdtype)
