@@ -113,12 +113,17 @@ def _ip_sesolve_kernel(
     n_row: int,
     n_col: int,
     seg_len: int,
+    segs_per_traj: int,
 ):
-    """One grid step = one evaluation segment (state persists in VMEM)."""
+    """One grid step = one evaluation segment (state persists in VMEM).
+
+    The grid flattens (trajectory, segment): the state scratch resets
+    from ``psi0`` at each trajectory's first segment.
+    """
     rows, cols = 1 << n_row, 1 << n_col
     s = pl.program_id(0)
 
-    @pl.when(s == 0)
+    @pl.when(s % segs_per_traj == 0)
     def _():
         psi_re[:] = psi0_re_ref[:]
         psi_im[:] = psi0_im_ref[:]
@@ -127,7 +132,7 @@ def _ip_sesolve_kernel(
     col_bits = _bit_masks(cols, n_col, 1)
     xor_a, riota_a = _xor_iotas(rows)
     xor_b, riota_b = _xor_iotas(cols)
-    diag = diag_ref[:]
+    diag = diag_ref[0]
 
     def phase(t, cum):
         # The detuning projector sits on eigenbasis index 0 (σ_rr in
@@ -236,7 +241,7 @@ def _ip_sesolve_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_row", "n_col", "seg_len", "interpret"),
+    static_argnames=("n_row", "n_col", "seg_len", "segs_per_traj", "interpret"),
 )
 def ip_sesolve_pallas(
     a_re,
@@ -253,9 +258,15 @@ def ip_sesolve_pallas(
     n_row: int,
     n_col: int,
     seg_len: int,
+    segs_per_traj: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Runs the fused interaction-picture sesolve kernel.
+
+    For trajectory batches, stack the per-trajectory segments on the
+    leading axis (``n_seg = T·segs_per_traj``) and pass a
+    ``(T, R, C)`` diagonal; the state resets from ``psi0`` at each
+    trajectory boundary.
 
     Args:
         a_re/a_im: ``(n_seg, L, 3, n)`` drive coefficient stages.
@@ -275,13 +286,19 @@ def ip_sesolve_pallas(
         ``(n_seg, 2, R, C)`` lab-frame states after each segment.
     """
     n_seg = a_re.shape[0]
+    if segs_per_traj is None:
+        segs_per_traj = n_seg
+    if diag2d.ndim == 2:
+        diag2d = diag2d[None]
     n = n_row + n_col
     rows, cols = 1 << n_row, 1 << n_col
+    spt = segs_per_traj
     kernel = functools.partial(
         _ip_sesolve_kernel,
         n_row=n_row,
         n_col=n_col,
         seg_len=seg_len,
+        segs_per_traj=spt,
     )
     scratch = [
         pltpu.VMEM((rows, cols), jnp.float32),
@@ -301,7 +318,7 @@ def ip_sesolve_pallas(
             pl.BlockSpec((1, seg_len, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),
-            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+            pl.BlockSpec((1, rows, cols), lambda s: (s // spt, 0, 0)),
             pl.BlockSpec((rows, cols), lambda s: (0, 0)),
             pl.BlockSpec((rows, cols), lambda s: (0, 0)),
         ],

@@ -421,7 +421,7 @@ def sesolve_rk4(
         and d == 2
         and len(pairs) == 1
         and pairs[0] == (1, 0, 0)
-        and 14 <= n <= 17
+        and 10 <= n <= 17
         and rdtype == np.float32
         and _pallas_available()
     ):
@@ -1479,6 +1479,9 @@ def sesolve_rk4_batched(
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
     psi0_np = np.asarray(psi0, dtype=cdtype)
+    # NOTE: the fused Pallas kernel is NOT used here — its grid is
+    # sequential on a single core, so the XLA vmap (which vectorizes
+    # the whole trajectory batch) wins for batched solves.
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
@@ -1559,7 +1562,7 @@ def _sesolve_rk4_pallas(
     """
     from pulser_tpu.ops.pallas_kernels import ip_sesolve_pallas
 
-    n_col = min(8, n - 7) if n >= 15 else 7
+    n_col = 8 if n >= 15 else 7  # rows >= 8 (f32 sublane tile)
     n_row = n - n_col
     rows, cols = 1 << n_row, 1 << n_col
     two_pi = 2 * np.pi
@@ -1579,7 +1582,7 @@ def _sesolve_rk4_pallas(
         jnp.asarray(eval_t, f32).reshape(n_seg, 1, 1),
         jnp.asarray(eval_cum, f32).reshape(n_seg, 1, n),
         jnp.asarray(
-            np.asarray(static_diag).real.reshape(rows, cols), f32
+            np.asarray(static_diag).real.reshape(1, rows, cols), f32
         ),
         jnp.asarray(psi0_np.real.reshape(rows, cols), f32),
         jnp.asarray(psi0_np.imag.reshape(rows, cols), f32),
@@ -1591,3 +1594,68 @@ def _sesolve_rk4_pallas(
     out_np = np.asarray(out)[plan.eval_map]
     flat = out_np.reshape(len(plan.eval_map), 2, rows * cols)
     return (flat[:, 0] + 1j * flat[:, 1]).astype(cdtype)
+
+
+def _sesolve_batched_pallas(
+    psi0_np: np.ndarray,
+    plans: list[EvolutionPlan],
+    static_diags: np.ndarray,
+    n: int,
+    cdtype: Any,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Trajectory-batched dispatch of the fused Pallas sesolve.
+
+    Flattens (trajectory, segment) onto the kernel grid; the state
+    resets from ``psi0`` at every trajectory boundary.
+    """
+    from pulser_tpu.ops.pallas_kernels import ip_sesolve_pallas
+
+    n_col = 8 if n >= 15 else 7  # rows >= 8 (f32 sublane tile)
+    n_row = n - n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    two_pi = 2 * np.pi
+    n_traj = len(plans)
+    spt, seg_len = plans[0].seg_dts.shape
+
+    a = np.concatenate(
+        [p.seg_stage("amp")[..., 0, :] for p in plans]
+    )  # (T*S, L, 3, n)
+    cum = np.concatenate(
+        [(-p.seg_stage("det_cum")[..., 0, :]) % two_pi for p in plans]
+    )
+    t_st = np.concatenate([p.seg_stage("t_stage") for p in plans])
+    dts = np.concatenate([p.seg_dts for p in plans])
+    eval_t = np.concatenate(
+        [p.eval_times - p.grid[0] for p in plans]
+    )
+    eval_cum = np.concatenate(
+        [(-p.eval_det_cum[:, 0, :]) % two_pi for p in plans]
+    )
+    n_flat = n_traj * spt
+    f32 = np.float32
+    out = ip_sesolve_pallas(
+        jnp.asarray(a.real, f32),
+        jnp.asarray(a.imag, f32),
+        jnp.asarray(cum, f32),
+        jnp.asarray(t_st, f32),
+        jnp.asarray(dts, f32).reshape(n_flat, seg_len, 1),
+        jnp.asarray(eval_t, f32).reshape(n_flat, 1, 1),
+        jnp.asarray(eval_cum, f32).reshape(n_flat, 1, n),
+        jnp.asarray(
+            np.asarray(static_diags).real.reshape(
+                n_traj, rows, cols
+            ),
+            f32,
+        ),
+        jnp.asarray(psi0_np.real.reshape(rows, cols), f32),
+        jnp.asarray(psi0_np.imag.reshape(rows, cols), f32),
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=seg_len,
+        segs_per_traj=spt,
+        interpret=interpret,
+    )
+    out_np = np.asarray(out).reshape(n_traj, spt, 2, rows * cols)
+    out_np = out_np[:, plans[0].eval_map]
+    return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
