@@ -1,9 +1,9 @@
-"""Dataclasses for storing and processing the channel samples.
+"""Dense per-channel sample containers and their lowering passes.
 
 Behavioral parity with reference
-``pulser-core/pulser/sampler/samples.py`` — per-channel dense
-amp/det/phase series, EOM-aware modulation pipeline and the
-``to_nested_dict`` lowering consumed by the emulator.
+``pulser-core/pulser/sampler/samples.py``: amp/det/phase series per
+channel, the EOM-aware output-modulation pipeline and the
+``to_nested_dict`` layout consumed by the emulator.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ if TYPE_CHECKING:
     from pulser_tpu.sequence._basis_ref import _QubitRef
     from pulser_tpu.sequence._schedule import _EOMSettings, _TimeSlot
 
-"""Literal constants for addressing."""
+# Keys of the nested sample dictionary
 _GLOBAL = "Global"
 _LOCAL = "Local"
 _AMP = "amp"
@@ -39,44 +39,41 @@ _PHASE = "phase"
 
 
 def _prepare_dict(N: int, in_xy: bool = False) -> dict:
-    """Constructs the empty nested sample dict for a duration of N ns."""
+    """An empty nested sample dictionary spanning N nanoseconds."""
 
-    def new_qty_dict() -> dict:
+    def zeros_triple() -> dict:
         return {
-            _AMP: pm.AbstractArray(np.zeros(N)),
-            _DET: pm.AbstractArray(np.zeros(N)),
-            _PHASE: pm.AbstractArray(np.zeros(N)),
+            q: pm.AbstractArray(np.zeros(N))
+            for q in (_AMP, _DET, _PHASE)
         }
 
-    def new_qdict() -> dict:
-        return defaultdict(new_qty_dict)
+    def per_qubit() -> dict:
+        return defaultdict(zeros_triple)
 
     if in_xy:
         return {
-            _GLOBAL: {"XY": new_qty_dict()},
-            _LOCAL: {"XY": new_qdict()},
+            _GLOBAL: {"XY": zeros_triple()},
+            _LOCAL: {"XY": per_qubit()},
         }
-    else:
-        return {
-            _GLOBAL: defaultdict(new_qty_dict),
-            _LOCAL: defaultdict(new_qdict),
-        }
+    return {
+        _GLOBAL: defaultdict(zeros_triple),
+        _LOCAL: defaultdict(per_qubit),
+    }
 
 
 def _default_to_regular(d: dict | defaultdict) -> dict:
-    """Converts defaultdicts to regular dicts, recursively."""
+    """Recursively downgrades defaultdicts to plain dicts."""
     if isinstance(d, dict):
-        d = {k: _default_to_regular(v) for k, v in d.items()}
+        return {k: _default_to_regular(v) for k, v in d.items()}
     return d
 
 
 @dataclass
 class _PulseTargetSlot:
-    """Auxiliary class to store target information at the sample level.
+    """A sample-level slot: a time span and the qubits it addresses.
 
-    NOTE: While it stores targets, targets themselves are insufficient to
-    conclude on the addressing of the samples. Additional info is needed:
-    compare against a known register or the original sequence information.
+    The stored targets alone do not determine the addressing; that
+    requires the channel (or register) the slot came from.
     """
 
     ti: int
@@ -86,7 +83,7 @@ class _PulseTargetSlot:
 
 @dataclass
 class _SlmMask:
-    """Auxiliary class to store the SLM mask configuration."""
+    """SLM mask state: masked qubits and when the mask lifts."""
 
     targets: set[QubitId] = field(default_factory=set)
     end: int = 0
@@ -94,7 +91,7 @@ class _SlmMask:
 
 @dataclass
 class ChannelSamples:
-    """Gathers samples of a channel."""
+    """The dense sample record of one channel."""
 
     amp: pm.AbstractArray
     det: pm.AbstractArray
@@ -114,78 +111,59 @@ class ChannelSamples:
             == len(self.centered_phase)
         )
         self.duration = len(self.amp)
-
+        # Slots must be well-ordered and non-overlapping
         for t in self.slots:
-            assert t.ti < t.tf  # well ordered slots
+            assert t.ti < t.tf
         for t1, t2 in zip(self.slots, self.slots[1:]):
-            assert t1.tf <= t2.ti  # no overlaps on a given channel
+            assert t1.tf <= t2.ti
 
     @property
     def initial_targets(self) -> set[QubitId]:
-        """Returns the initial targets."""
-        return (
-            self.target_time_slots[0].targets
-            if self.target_time_slots
-            else set()
-        )
+        """The targets of the first retargeting (empty if none)."""
+        if not self.target_time_slots:
+            return set()
+        return self.target_time_slots[0].targets
 
     @property
     def centered_phase(self) -> pm.AbstractArray:
-        """The phase samples centered in ]-π, π]."""
+        """The phase samples wrapped into ]-π, π]."""
         if self._centered_phase is not None:
             return self._centered_phase
-        phase_ = self.phase.copy() % (2 * np.pi)
-        phase_[phase_ > np.pi] -= 2 * np.pi
-        return phase_
+        wrapped = self.phase.copy() % (2 * np.pi)
+        wrapped[wrapped > np.pi] -= 2 * np.pi
+        return wrapped
 
     @property
     def phase_modulation(self) -> pm.AbstractArray:
-        r"""The phase modulation samples (in rad).
+        r"""The equivalent phase-modulation samples (rad).
 
-        Combines the integral of the detuning samples with the phase
-        offset samples according to
-        :math:`\phi(t) = \phi_c(t) - \sum_{k=0}^{t} \delta(k)`.
+        ``φ(t) = φ_c(t) − Σ_{k≤t} δ(k)``: the running detuning
+        integral folded into the (centered) phase offsets.
         """
         return self.centered_phase - pm.cumsum(self.det * 1e-3)
 
     def extend_duration(self, new_duration: int) -> ChannelSamples:
-        """Extends the duration of the samples.
+        """Pads the samples out to a longer duration.
 
-        Pads the amplitude and detuning samples with zeros (or, in an open
-        EOM block, keeps the detuning at detuning_off) and the phase with
-        its last value (or zero if empty).
+        Amplitude pads with zeros; detuning pads with zero unless an
+        EOM block is still open (then with its detuning_off); phase
+        holds its final value.
 
         Args:
-            new_duration: The new duration for the samples (in ns). Must
-                be greater than or equal to the current duration.
-
-        Returns:
-            The extended channel samples.
+            new_duration: Target duration (ns), at least the current
+                one.
         """
         extension = new_duration - self.duration
         if extension < 0:
             raise ValueError("Can't extend samples to a lower duration.")
 
-        new_amp = pm.pad(self.amp, (0, extension))
-        # When in EOM mode, keep the detuning at detuning_off
-        if self.eom_blocks and self.eom_blocks[-1].tf is None:
-            final_detuning = float(self.eom_blocks[-1].detuning_off)
-        else:
-            final_detuning = 0.0
-        new_detuning = pm.pad(
-            self.det,
-            (0, extension),
-            mode="constant",
-            constant_values=final_detuning,
+        open_eom = bool(self.eom_blocks) and self.eom_blocks[-1].tf is None
+        det_fill = (
+            float(self.eom_blocks[-1].detuning_off) if open_eom else 0.0
         )
-        new_phase = pm.pad(
-            self.phase,
-            (0, extension),
-            mode="edge" if self.phase.size > 0 else "constant",
-        )
-        _new_centered_phase = None
+        padded_centered = None
         if self._centered_phase is not None:
-            _new_centered_phase = pm.pad(
+            padded_centered = pm.pad(
                 self._centered_phase,
                 (0, extension),
                 mode=(
@@ -194,269 +172,246 @@ class ChannelSamples:
                     else "constant"
                 ),
             )
-
         return replace(
             self,
-            amp=new_amp,
-            det=new_detuning,
-            phase=new_phase,
-            _centered_phase=_new_centered_phase,
+            amp=pm.pad(self.amp, (0, extension)),
+            det=pm.pad(
+                self.det,
+                (0, extension),
+                mode="constant",
+                constant_values=det_fill,
+            ),
+            phase=pm.pad(
+                self.phase,
+                (0, extension),
+                mode="edge" if self.phase.size > 0 else "constant",
+            ),
+            _centered_phase=padded_centered,
         )
 
     def is_empty(self) -> bool:
-        """Whether the channel is effectively empty.
-
-        The channel is considered empty if all amplitude and detuning
-        samples are zero.
-        """
-        return bool(
-            (
-                np.count_nonzero(self.amp.as_array(detach=True))
-                + np.count_nonzero(self.det.as_array(detach=True))
-            )
-            == 0
-        )
+        """True when no amplitude or detuning sample is nonzero."""
+        nonzero = np.count_nonzero(
+            self.amp.as_array(detach=True)
+        ) + np.count_nonzero(self.det.as_array(detach=True))
+        return bool(nonzero == 0)
 
     def _generate_std_samples(self) -> ChannelSamples:
-        new_samples = {
+        """The non-EOM ("standard") view of the samples.
+
+        EOM regions are blanked: amplitude to zero and detuning to the
+        block's detuning_off, so the standard modulation transitions
+        smoothly into and out of the EOM-modulated regions.
+        """
+        std = {
             key: getattr(self, key).copy() for key in ("amp", "det")
         }
         for block in self.eom_blocks:
-            region = slice(block.ti, block.tf)
-            new_samples["amp"][region] = 0
-            # For modulation purposes, the detuning on the standard samples
-            # is kept at 'detuning_off', permitting a smooth transition
-            # to/from the EOM modulated samples
-            new_samples["det"][region] = block.detuning_off
-
-        return replace(self, **new_samples)
+            span = slice(block.ti, block.tf)
+            std["amp"][span] = 0
+            std["det"][span] = block.detuning_off
+        return replace(self, **std)
 
     def get_eom_mode_intervals(self) -> list[tuple[int, int]]:
-        """Returns EOM mode intervals."""
-        return [
-            (
-                block.ti,
-                block.tf if block.tf is not None else self.duration,
-            )
-            for block in self.eom_blocks
-        ]
+        """The [start, end) spans of the EOM blocks."""
+        out = []
+        for block in self.eom_blocks:
+            end = block.tf if block.tf is not None else self.duration
+            out.append((block.ti, end))
+        return out
 
     def in_eom_mode(self, slot: _TimeSlot | _PulseTargetSlot) -> bool:
-        """States if a time slot is inside an EOM mode block."""
+        """Whether the given slot starts inside an EOM block."""
         return any(
             start <= slot.ti < end
             for start, end in self.get_eom_mode_intervals()
         )
 
+    @staticmethod
+    def _masked(
+        samples: pm.AbstractArray,
+        mask: np.ndarray,
+        keep_end_values: bool = False,
+    ) -> pm.AbstractArray:
+        """Blanks samples outside ``mask``.
+
+        With ``keep_end_values``, each blanked region instead holds the
+        boundary sample values (last value everywhere, first value in
+        the leading half for interior regions) so a follow-up
+        modulation transitions smoothly.
+        """
+        out = samples.copy()
+        mask = np.pad(mask, (0, len(out) - len(mask)), mode="edge")
+        if not keep_end_values:
+            out[~mask] = 0
+            return out
+        # Contiguous blanked regions as (start, stop) pairs
+        edges = np.flatnonzero(
+            np.diff(
+                np.r_[np.int8(0), (~mask).view(np.int8), np.int8(0)]
+            )
+        )
+        for start, stop in edges.reshape(-1, 2).tolist():
+            width = stop - start
+            if not width:
+                continue  # pragma: no cover
+            out[start:stop] = samples[stop - 1]
+            if start > 0:
+                out[start: start + width // 2] = samples[start]
+        return out
+
+    def _modulate_with_eom(
+        self, channel_obj: Channel
+    ) -> dict[str, pm.AbstractArray]:
+        """Output modulation when EOM blocks are present.
+
+        Standard and EOM-modulated signals are synthesized separately,
+        masked to their regions (with fall-time extensions and the
+        reduced-bandwidth buffer treatment for the detuning) and
+        summed.
+        """
+        eom_samples = {
+            key: getattr(self, key).copy() for key in ("amp", "det")
+        }
+        std_samples = self._generate_std_samples()
+
+        # Region masks (self.duration already includes fall time)
+        eom_mask = np.zeros(self.duration, dtype=bool)
+        eom_mask_ext = eom_mask.copy()  # fall-time extensions only
+        eom_fall_time = 2 * cast(
+            BaseEOM, channel_obj.eom_config
+        ).rise_time
+        for block in self.eom_blocks:
+            end = block.tf or self.duration
+            eom_mask[block.ti: end] = True
+            eom_mask_ext[end: end + eom_fall_time] = True
+        eom_mask = eom_mask + eom_mask_ext
+
+        buffers_mask = np.zeros_like(eom_mask, dtype=bool)
+        for start, end in itertools.chain(
+            self.eom_start_buffers, self.eom_end_buffers
+        ):
+            buffers_mask[start:end] = True
+        buffers_mask = buffers_mask & ~eom_mask_ext
+        buffer_ch_obj = replace(
+            channel_obj,
+            mod_bandwidth=channel_obj._eom_buffer_mod_bandwidth,
+        )
+
+        if block.tf is None:
+            # Ends while still in EOM mode: the trailing fall time must
+            # keep the detuning at detuning_off for modulation
+            eom_samples["det"][-eom_fall_time:] = block.detuning_off
+
+        out: dict[str, pm.AbstractArray] = {}
+        for key in ("amp", "det"):
+            key_samples = getattr(std_samples, key)
+            modulated_std = channel_obj.modulate(
+                key_samples, keep_ends=key == "det"
+            )
+            if key == "det":
+                std_mask = ~(eom_mask + buffers_mask)
+                # The buffers see a reduced modulation bandwidth; hold
+                # the boundary values so the transition is flat
+                modulated_buffer = buffer_ch_obj.modulate(
+                    self._masked(
+                        key_samples, ~std_mask, keep_end_values=True
+                    ),
+                    keep_ends=True,
+                )
+            else:
+                std_mask = ~eom_mask
+                modulated_buffer = (
+                    pm.AbstractArray(modulated_std) * 0.0
+                )
+
+            std = self._masked(modulated_std, std_mask)
+            buffers = self._masked(
+                modulated_buffer[: len(std)], buffers_mask
+            )
+
+            if key == "det":
+                # When an EOM block ends, the effective detuning ramps
+                # back at the STANDARD bandwidth (the lightshift decays
+                # together with it): substitute the standard modulation
+                # into the fall-time extension
+                samples_ = eom_samples[key]
+                samples_[eom_mask_ext] = modulated_std[
+                    : len(eom_mask_ext)
+                ][eom_mask_ext]
+                if eom_mask[0]:
+                    # Starts in EOM mode: seed the modulation with
+                    # detuning_off, dropped again afterwards
+                    samples_ = pm.pad(
+                        samples_,
+                        (1, 0),
+                        "constant",
+                        constant_values=float(
+                            self.eom_blocks[0].detuning_off
+                        ),
+                    )
+                modulated_eom = channel_obj.modulate(
+                    samples_, eom=True, keep_ends=True
+                )[(1 if eom_mask[0] else 0):]
+            else:
+                modulated_eom = channel_obj.modulate(
+                    eom_samples[key], eom=True
+                )
+
+            eom = self._masked(modulated_eom, eom_mask)
+
+            # Sum std + eom + buffers, padding to the longest
+            pieces = sorted([std, eom, buffers], key=len)
+            total = pieces[-1]
+            for arr in pieces[:-1]:
+                total = total + pm.pad(
+                    arr, (0, pieces[-1].size - arr.size)
+                )
+            out[key] = total
+        return out
+
     def modulate(
         self, channel_obj: Channel, max_duration: Optional[int] = None
     ) -> ChannelSamples:
-        """Modulates the samples for a given channel.
+        """Applies the channel's output modulation to the samples.
 
-        Assumes that the detuning and phase start at their initial values
-        and are kept at their final values.
+        Detuning and phase are treated as starting at their initial
+        values and holding their final ones.
 
         Args:
-            channel_obj: The channel object for which to modulate.
-            max_duration: If defined, truncates the modulated samples to
-                at most this duration.
-
-        Returns:
-            The modulated channel samples.
+            channel_obj: The channel whose modulation model to apply.
+            max_duration: Optional cap on the modulated duration (ns).
         """
-
-        def masked(
-            samples: pm.AbstractArray,
-            mask: np.ndarray,
-            keep_end_values: bool = False,
-        ) -> pm.AbstractArray:
-            new_samples = samples.copy()
-            # Extend the mask to fit the size of the samples
-            mask = np.pad(
-                mask, (0, len(new_samples) - len(mask)), mode="edge"
-            )
-            if keep_end_values:
-                # Extract contiguous masked regions as [ti, tf] pairs
-                masked_regions: list = (
-                    np.flatnonzero(
-                        np.diff(
-                            np.r_[
-                                np.int8(0),
-                                (~mask).view(np.int8),
-                                np.int8(0),
-                            ]
-                        )
-                    )
-                    .reshape(-1, 2)
-                    .tolist()
-                )
-                for reg in masked_regions:
-                    if not (delta := reg[1] - reg[0]):
-                        continue  # pragma: no cover
-                    # Set the masked region to the final sample value
-                    new_samples[reg[0]: reg[1]] = samples[reg[1] - 1]
-                    if reg[0] > 0:
-                        # If not starting from 0, set the first half of
-                        # the region to the first sample value
-                        new_samples[reg[0]: reg[0] + delta // 2] = (
-                            samples[reg[0]]
-                        )
-            else:
-                new_samples[~mask] = 0
-            return new_samples
-
-        new_samples: dict[str, pm.AbstractArray] = {}
-
-        eom_samples: dict[str, pm.AbstractArray] = {
-            key: getattr(self, key).copy() for key in ("amp", "det")
-        }
-
         if self.eom_blocks:
-            std_samples = self._generate_std_samples()
-            # Note: self.duration already includes the fall time
-            eom_mask = np.zeros(self.duration, dtype=bool)
-            # Extension of the EOM mask outside of the EOM interval
-            eom_mask_ext = eom_mask.copy()
-            eom_fall_time = 2 * cast(
-                BaseEOM, channel_obj.eom_config
-            ).rise_time
-            for block in self.eom_blocks:
-                # If block.tf is None, uses the full duration as the tf
-                end = block.tf or self.duration
-                eom_mask[block.ti: end] = True
-                # Extends EOM masks to include fall time
-                ext_end = end + eom_fall_time
-                eom_mask_ext[end:ext_end] = True
-
-            # 'eom_mask_ext' is needed on its own, but it can already be
-            # added to the 'eom_mask'
-            eom_mask = eom_mask + eom_mask_ext
-
-            eom_buffers_mask = np.zeros_like(eom_mask, dtype=bool)
-            for start, end in itertools.chain(
-                self.eom_start_buffers, self.eom_end_buffers
-            ):
-                eom_buffers_mask[start:end] = True
-            eom_buffers_mask = eom_buffers_mask & ~eom_mask_ext
-            buffer_ch_obj = replace(
-                channel_obj,
-                mod_bandwidth=channel_obj._eom_buffer_mod_bandwidth,
-            )
-
-            if block.tf is None:
-                # The sequence finishes in EOM mode, so 'end' was already
-                # including the fall time (unlike when it is disabled).
-                # For modulation, keep the detuning during the last fall
-                # time at 'detuning_off'
-                eom_samples["det"][-eom_fall_time:] = block.detuning_off
-
-            for key in ("amp", "det"):
-                # Modulate the pre-filtered standard samples, then mask
-                # them to only the parts outside the EOM mask. This
-                # ensures smooth transitions between EOM and STD samples
-                key_samples = getattr(std_samples, key)
-                modulated_std = channel_obj.modulate(
-                    key_samples, keep_ends=key == "det"
-                )
-                if key == "det":
-                    std_mask = ~(eom_mask + eom_buffers_mask)
-                    # Adjusted detuning modulation during EOM buffers
-                    modulated_buffer = buffer_ch_obj.modulate(
-                        # Makes detuning constant before and after EOM
-                        # blocks for a smooth transition
-                        masked(
-                            key_samples, ~std_mask, keep_end_values=True
-                        ),
-                        keep_ends=True,
-                    )
-                else:
-                    std_mask = ~eom_mask
-                    modulated_buffer = (
-                        pm.AbstractArray(modulated_std) * 0.0
-                    )
-
-                std = masked(modulated_std, std_mask)
-                buffers = masked(
-                    modulated_buffer[: len(std)], eom_buffers_mask
-                )
-
-                # At the end of an EOM block, the detuning ramps quickly
-                # back towards `detuning_off` while the lightshift is also
-                # ramping to zero, so the effective detuning transitions
-                # at the standard modulation bandwidth. To mimic this, the
-                # detuning at the end of each block is substituted by the
-                # standard modulated detuning during the transition period
-                # (the EOM modulation is superimposed on the standard one)
-                if key == "det":
-                    samples_ = eom_samples[key]
-                    samples_[eom_mask_ext] = modulated_std[
-                        : len(eom_mask_ext)
-                    ][eom_mask_ext]
-                    # Starts out in EOM mode: prepend 'detuning_off' so
-                    # the modulation starts off from that value, then
-                    # remove the extra value after modulation
-                    if eom_mask[0]:
-                        samples_ = pm.pad(
-                            samples_,
-                            (1, 0),
-                            "constant",
-                            constant_values=float(
-                                self.eom_blocks[0].detuning_off
-                            ),
-                        )
-                    modulated_eom = channel_obj.modulate(
-                        samples_, eom=True, keep_ends=True
-                    )[(1 if eom_mask[0] else 0):]
-                else:
-                    modulated_eom = channel_obj.modulate(
-                        eom_samples[key], eom=True
-                    )
-
-                # Filtered to include only the parts inside the EOM mask
-                eom = masked(modulated_eom, eom_mask)
-
-                # 'std', 'eom' and 'buffers' are summed; extend shorter
-                # arrays to match the longest first
-                sample_arrs = [std, eom, buffers]
-                sample_arrs.sort(key=len)
-                new_samples[key] = sample_arrs[-1]
-                for arr in sample_arrs[:-1]:
-                    arr = pm.pad(
-                        arr,
-                        (0, sample_arrs[-1].size - arr.size),
-                    )
-                    new_samples[key] = new_samples[key] + arr
-
+            new_samples = self._modulate_with_eom(channel_obj)
         else:
-            new_samples["amp"] = channel_obj.modulate(self.amp)
-            new_samples["det"] = channel_obj.modulate(
-                self.det, keep_ends=True
-            )
+            new_samples = {
+                "amp": channel_obj.modulate(self.amp),
+                "det": channel_obj.modulate(self.det, keep_ends=True),
+            }
 
-        new_len_ = len(new_samples["amp"])
+        new_len = len(new_samples["amp"])
         new_samples["phase"] = pm.pad(
-            self.phase,
-            (0, new_len_ - len(self.phase)),
-            mode="edge",
+            self.phase, (0, new_len - len(self.phase)), mode="edge"
         )
         new_samples["_centered_phase"] = pm.pad(
             self.centered_phase,
-            (0, new_len_ - len(self.centered_phase)),
+            (0, new_len - len(self.centered_phase)),
             mode="edge",
         )
-        for key in new_samples:
-            new_samples[key] = new_samples[key].astype(float)[
-                slice(0, max_duration)
-            ]
-        return replace(self, **new_samples)  # type: ignore[arg-type]
+        clipped = {
+            key: arr.astype(float)[slice(0, max_duration)]
+            for key, arr in new_samples.items()
+        }
+        return replace(self, **clipped)  # type: ignore[arg-type]
 
 
 @dataclass
 class DMMSamples(ChannelSamples):
-    """Gathers samples of a DMM channel."""
+    """Samples of a DMM channel (detuning weighted per qubit)."""
 
-    # These shouldn't have defaults, but subclassing ChannelSamples
-    # requires them (pre-KW_ONLY pattern)
+    # Defaults forced by dataclass subclassing (pre-KW_ONLY layout);
+    # they are always provided in practice
     detuning_map: DetuningMap | None = None
     spot_waist: float | None = None
     qubits: dict[QubitId, pm.AbstractArray] = field(default_factory=dict)
@@ -467,7 +422,7 @@ _SamplesType = Literal["abstract", "array", "tensor"]
 
 @dataclass
 class SequenceSamples:
-    """Gathers samples for each channel in a sequence."""
+    """All channel samples of a sequence plus sequence-level context."""
 
     channels: list[str]
     samples_list: list[ChannelSamples]
@@ -481,17 +436,17 @@ class SequenceSamples:
 
     @property
     def channel_samples(self) -> dict[str, ChannelSamples]:
-        """Mapping between the channel name and its samples."""
+        """Per-channel-name access to the samples."""
         return dict(zip(self.channels, self.samples_list))
 
     @property
     def max_duration(self) -> int:
-        """The maximum duration among the channel samples."""
+        """The longest duration among the channels."""
         return max(samples.duration for samples in self.samples_list)
 
     @property
     def used_bases(self) -> set[str]:
-        """The bases with non-zero pulses."""
+        """The bases actually driven by nonzero samples."""
         return {
             ch_obj.basis
             for ch_obj, ch_samples in zip(
@@ -502,23 +457,22 @@ class SequenceSamples:
 
     @property
     def eigenbasis(self) -> list[States]:
-        """The basis of eigenstates used for simulation."""
-        if len(self.used_bases) == 0:
+        """The eigenstate basis an emulation of these samples needs."""
+        if not self.used_bases:
             return EIGENSTATES["XY" if self._in_xy else "ground-rydberg"]
         return get_states_from_bases(self.used_bases)
 
     @property
     def _in_xy(self) -> bool:
-        """Checks if the sequence is in XY mode."""
+        """Whether these samples live in XY mode (exclusive)."""
         bases = {ch_obj.basis for ch_obj in self._ch_objs.values()}
-        in_xy = False
-        if "XY" in bases:
-            assert bases == {"XY"}
-            in_xy = True
-        return in_xy
+        if "XY" not in bases:
+            return False
+        assert bases == {"XY"}
+        return True
 
     def extend_duration(self, new_duration: int) -> SequenceSamples:
-        """Extend the duration of each samples to a new duration."""
+        """Pads every channel's samples to a common new duration."""
         return replace(
             self,
             samples_list=[
@@ -527,30 +481,72 @@ class SequenceSamples:
             ],
         )
 
+    def _emit_global(
+        self, d: dict, basis: str, cs: ChannelSamples
+    ) -> None:
+        """Adds a Global channel's samples into the nested dict.
+
+        In XY mode with an SLM mask, the masked window is instead
+        distributed locally to the unmasked qubits.
+        """
+        start_t = self._slm_mask.end if basis == "XY" else 0
+        d[_GLOBAL][basis][_AMP][start_t:] += cs.amp[start_t:]
+        d[_GLOBAL][basis][_DET][start_t:] += cs.det[start_t:]
+        d[_GLOBAL][basis][_PHASE][start_t:] += cs.phase[start_t:]
+        if start_t == 0:
+            return
+        unmasked = cs.slots[0].targets - self._slm_mask.targets
+        for t in unmasked:
+            d[_LOCAL][basis][t][_AMP][:start_t] += cs.amp[:start_t]
+            d[_LOCAL][basis][t][_DET][:start_t] += cs.det[:start_t]
+            d[_LOCAL][basis][t][_PHASE][:start_t] += cs.phase[:start_t]
+
+    def _emit_local(
+        self,
+        d: dict,
+        basis: str,
+        cs: ChannelSamples,
+        det_weight_map: dict,
+        in_xy: bool,
+    ) -> None:
+        """Distributes a channel's samples per targeted qubit."""
+        if not cs.slots:
+            # Touch the defaultdict so empty channels still register
+            for t in cs.initial_targets:
+                d[_LOCAL][basis][t]
+        for s in cs.slots:
+            for t in s.targets:
+                ti = s.ti
+                if in_xy and t in self._slm_mask.targets:
+                    ti = max(ti, self._slm_mask.end)
+                span = slice(ti, s.tf)
+                d[_LOCAL][basis][t][_AMP][span] += cs.amp[span]
+                d[_LOCAL][basis][t][_DET][span] += (
+                    cs.det[span] * det_weight_map[t]
+                )
+                d[_LOCAL][basis][t][_PHASE][span] += cs.phase[span]
+
     def to_nested_dict(
         self,
         all_local: bool = False,
         samples_type: _SamplesType = "array",
     ) -> dict:
-        """Format in the nested dictionary form.
-
-        This is the format expected by the emulator.
+        """Lowers the samples into the emulator's nested-dict layout.
 
         Args:
-            all_local: Forces all samples to be distributed by their
-                individual targets, even when applied by a global channel.
-            samples_type: The array type to return the samples in. Can be
-                "array" (the default), "tensor" (JAX) or "abstract".
+            all_local: Distribute even globally-applied samples per
+                individual target.
+            samples_type: "array" (numpy, default), "tensor" (JAX) or
+                "abstract".
 
         Returns:
-            A nested dictionary splitting the samples according to their
-            addressing ('Global' or 'Local'), the targeted basis and, in
-            the 'Local' case, the targeted qubit.
+            ``{"Global"|"Local"} -> basis -> [qubit ->] quantity``
+            mapping of sample arrays.
         """
-        _samples_type_options = get_args(_SamplesType)
-        if samples_type not in _samples_type_options:
+        allowed = get_args(_SamplesType)
+        if samples_type not in allowed:
             raise ValueError(
-                f"'samples_type' must be one of {_samples_type_options!r},"
+                f"'samples_type' must be one of {allowed!r},"
                 f" not {samples_type!r}."
             )
 
@@ -561,84 +557,55 @@ class SequenceSamples:
                 if samples.duration != self.max_duration
                 else samples
             )
-            addr = self._ch_objs[chname].addressing
-            basis = self._ch_objs[chname].basis
+            ch_obj = self._ch_objs[chname]
+            basis = ch_obj.basis
             is_dmm = isinstance(samples, DMMSamples)
-            in_xy = basis == "XY"
             if is_dmm:
-                samples = cast(DMMSamples, samples)
-                det_map = cast(DetuningMap, samples.detuning_map)
-                det_weight_map = defaultdict(
+                dmm = cast(DMMSamples, samples)
+                det_weight_map: dict = defaultdict(
                     int,
-                    det_map.get_qubit_weight_map(
-                        samples.qubits, samples.spot_waist
-                    ),
+                    cast(
+                        DetuningMap, dmm.detuning_map
+                    ).get_qubit_weight_map(dmm.qubits, dmm.spot_waist),
                 )
             else:
                 det_weight_map = defaultdict(lambda: 1.0)
-            if addr == _GLOBAL and not all_local and not is_dmm:
-                start_t = self._slm_mask.end if in_xy else 0
-                d[_GLOBAL][basis][_AMP][start_t:] += cs.amp[start_t:]
-                d[_GLOBAL][basis][_DET][start_t:] += cs.det[start_t:]
-                d[_GLOBAL][basis][_PHASE][start_t:] += cs.phase[start_t:]
-                if start_t == 0:
-                    # Prevents the lines below from running unnecessarily
-                    continue
-                unmasked_targets = (
-                    cs.slots[0].targets - self._slm_mask.targets
-                )
-                for t in unmasked_targets:
-                    d[_LOCAL][basis][t][_AMP][:start_t] += cs.amp[:start_t]
-                    d[_LOCAL][basis][t][_DET][:start_t] += cs.det[:start_t]
-                    d[_LOCAL][basis][t][_PHASE][:start_t] += cs.phase[
-                        :start_t
-                    ]
+            if (
+                ch_obj.addressing == _GLOBAL
+                and not all_local
+                and not is_dmm
+            ):
+                self._emit_global(d, basis, cs)
             else:
-                if not cs.slots:
-                    # Fill the defaultdict entries so the dict isn't empty
-                    for t in cs.initial_targets:
-                        d[_LOCAL][basis][t]
-                for s in cs.slots:
-                    for t in s.targets:
-                        ti = s.ti
-                        if in_xy and t in self._slm_mask.targets:
-                            ti = max(ti, self._slm_mask.end)
-                        times = slice(ti, s.tf)
-                        d[_LOCAL][basis][t][_AMP][times] += cs.amp[times]
-                        d[_LOCAL][basis][t][_DET][times] += (
-                            cs.det[times] * det_weight_map[t]
-                        )
-                        d[_LOCAL][basis][t][_PHASE][times] += cs.phase[
-                            times
-                        ]
+                self._emit_local(
+                    d, basis, cs, det_weight_map, basis == "XY"
+                )
 
         regular_dict = _default_to_regular(d)
+        if samples_type == "abstract":
+            return regular_dict
 
         def cast_arrays(arr_dict: dict) -> dict:
-            for k in arr_dict:
-                if isinstance(arr_dict[k], dict):
-                    arr_dict[k] = cast_arrays(arr_dict[k])
+            for k, v in arr_dict.items():
+                if isinstance(v, dict):
+                    arr_dict[k] = cast_arrays(v)
                     continue
-                assert isinstance(arr := arr_dict[k], pm.AbstractArray)
+                assert isinstance(v, pm.AbstractArray)
                 arr_dict[k] = (
-                    arr.as_tensor()
+                    v.as_tensor()
                     if samples_type == "tensor"
-                    else arr.as_array(detach=True)
+                    else v.as_array(detach=True)
                 )
             return arr_dict
 
-        if samples_type != "abstract":
-            regular_dict = cast_arrays(regular_dict)
-
-        return regular_dict
+        return cast_arrays(regular_dict)
 
     def __repr__(self) -> str:
-        blocks = [
+        return "\n\n".join(
             f"{chname}:\n{cs!r}"
             for chname, cs in zip(self.channels, self.samples_list)
-        ]
-        return "\n\n".join(blocks)
+        )
 
 
-# Backwards-compatible alias (the reference renamed _TargetSlot)
+# Alias kept for symmetry with older payloads
 _TargetSlot = _PulseTargetSlot

@@ -1,11 +1,11 @@
-"""Containers storing the schedule of operations in the Sequence.
+"""Per-channel instruction timelines backing the Sequence builder.
 
-Behavioral parity with reference
-``pulser-core/pulser/sequence/_schedule.py:35-721`` — the per-channel
-timeline with conflict resolution, phase-jump buffers, fall times, EOM
-enable/disable buffers, detuned delays and slot-surgery truncation.  The
-3443-line reference test file checks exact ns timings; any change here
-must preserve them.
+Re-implements the scheduling semantics of reference
+``pulser-core/pulser/sequence/_schedule.py:35-721``: conflict-protocol
+delays, phase-jump buffers, modulation fall times, EOM enable/disable
+buffers, detuned delays and slot-level truncation. The timings here are
+an exact behavioral contract — the parity tests compare them to the
+reference at nanosecond resolution.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from pulser_tpu.waveforms import ConstantWaveform
 
 
 class _TimeSlot(NamedTuple):
-    """Auxiliary class to store the information in the schedule."""
+    """One timeline entry: a pulse, "delay" or "target" with its span."""
 
     type: Union[Pulse, str]
     ti: int
@@ -43,6 +43,8 @@ class _TimeSlot(NamedTuple):
 
 @dataclass
 class _EOMSettings:
+    """An (open or closed) EOM-mode block on a channel timeline."""
+
     rabi_freq: pm.AbstractArray
     detuning_on: pm.AbstractArray
     detuning_off: pm.AbstractArray
@@ -53,16 +55,20 @@ class _EOMSettings:
 
 @dataclass
 class _PhaseDriftParams:
+    """Accumulated detuning-off phase drift bookkeeping (EOM mode)."""
+
     drift_rate: pm.AbstractArray  # rad/µs
     ti: int  # ns
 
     def calc_phase_drift(self, tf: int) -> pm.AbstractArray:
-        """Calculate the phase drift during the elapsed time."""
+        """Phase accumulated between ``self.ti`` and ``tf``."""
         return self.drift_rate * (tf - self.ti) * 1e-3
 
 
 @dataclass
 class _ChannelSchedule:
+    """The ordered slot timeline of a single declared channel."""
+
     channel_id: str
     channel_obj: Channel
 
@@ -71,26 +77,30 @@ class _ChannelSchedule:
         self.eom_blocks: list[_EOMSettings] = []
 
     def last_target(self) -> int:
-        """Last time a target happened on the channel."""
-        for slot in self.slots[::-1]:
-            if slot.type == "target":
-                return slot.tf
-        return 0  # pragma: no cover
+        """When the channel was last retargeted (0 if never)."""
+        return next(
+            (s.tf for s in reversed(self.slots) if s.type == "target"),
+            0,
+        )
 
     def last_pulse_slot(
         self, ignore_detuned_delay: bool = False
     ) -> _TimeSlot:
-        """The last slot with a Pulse."""
-        for slot in self.slots[::-1]:
-            if isinstance(slot.type, Pulse) and not (
-                ignore_detuned_delay and self.is_detuned_delay(slot.type)
+        """The most recent slot holding an actual pulse."""
+        for slot in reversed(self.slots):
+            if not isinstance(slot.type, Pulse):
+                continue
+            if ignore_detuned_delay and self.is_detuned_delay(
+                slot.type
             ):
-                return slot
+                continue
+            return slot
         raise RuntimeError("There is no slot with a pulse.")
 
     def in_eom_mode(self, time_slot: Optional[_TimeSlot] = None) -> bool:
-        """States if a time slot is inside an EOM mode block."""
+        """Whether the channel (or a given slot) is inside EOM mode."""
         if time_slot is None:
+            # "Currently" in EOM mode == last block is still open
             return bool(self.eom_blocks) and (
                 self.eom_blocks[-1].tf is None
             )
@@ -101,149 +111,160 @@ class _ChannelSchedule:
 
     @staticmethod
     def is_detuned_delay(pulse: Pulse) -> bool:
-        """Tells if a pulse is actually a delay with a constant detuning."""
+        """Whether a pulse is a zero-amplitude constant-detuning hold."""
+        if not isinstance(pulse, Pulse):
+            return False
+        amp_wf = pulse.amplitude
         return bool(
-            isinstance(pulse, Pulse)
-            and isinstance(pulse.amplitude, ConstantWaveform)
-            and pulse.amplitude[0] == 0.0
+            isinstance(amp_wf, ConstantWaveform)
+            and amp_wf[0] == 0.0
             and isinstance(pulse.detuning, ConstantWaveform)
         )
 
     def get_eom_mode_intervals(self) -> list[tuple[int, int]]:
-        return [
-            (
-                block.ti,
-                block.tf if block.tf is not None else self.get_duration(),
-            )
-            for block in self.eom_blocks
-        ]
+        """The [start, end) span of every EOM block (open -> now)."""
+        out = []
+        for block in self.eom_blocks:
+            end = block.tf if block.tf is not None else self.get_duration()
+            out.append((block.ti, end))
+        return out
 
     def get_duration(self, include_fall_time: bool = False) -> int:
-        temp_tf = 0
-        for i, op in enumerate(self.slots[::-1]):
+        """The channel duration, optionally extended by fall times."""
+        end = 0
+        for i, op in enumerate(reversed(self.slots)):
             if i == 0:
-                # Start with the last slot found
-                temp_tf = op.tf
+                end = op.tf
                 if not include_fall_time:
-                    break
+                    return end
             if isinstance(op.type, Pulse):
-                temp_tf = max(
-                    temp_tf,
-                    op.tf
-                    + op.type.fall_time(
-                        self.channel_obj, in_eom_mode=self.in_eom_mode()
-                    ),
+                fall = op.type.fall_time(
+                    self.channel_obj, in_eom_mode=self.in_eom_mode()
                 )
-                break
-            elif temp_tf - op.tf >= 2 * self.channel_obj.rise_time:
-                # No pulse behind 'op' with a long enough fall time
-                break
-        return temp_tf
+                return max(end, op.tf + fall)
+            if end - op.tf >= 2 * self.channel_obj.rise_time:
+                # Anything further back has fully rung down by `end`
+                return end
+        return end
 
     def adjust_duration(self, duration: int) -> int:
-        """Adjust a duration for this channel."""
+        """Rounds a duration up to the channel's valid grid."""
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             return self.channel_obj.validate_duration(
                 max(duration, self.channel_obj.min_duration)
             )
 
-    def get_samples(
-        self, ignore_detuned_delay_phase: bool = True
-    ) -> ChannelSamples:
-        """Returns the samples of the channel."""
-        # Keep only pulse slots
-        channel_slots = [
-            s for s in self.slots if isinstance(s.type, Pulse)
-        ]
-        dt = self.get_duration()
-        amp, det, phase = (
-            pm.AbstractArray(np.zeros(dt)),
-            pm.AbstractArray(np.zeros(dt)),
-            pm.AbstractArray(np.zeros(dt)),
+    def _extended_slot_end(
+        self, ind: int, pulse_slots: list[_TimeSlot]
+    ) -> int:
+        """A pulse slot's end including its (clipped) modulation tail."""
+        s = pulse_slots[ind]
+        fall = cast(Pulse, s.type).fall_time(
+            self.channel_obj,
+            in_eom_mode=self.in_eom_mode(time_slot=s),
         )
-        slots: list[_PulseTargetSlot] = []
-        target_time_slots: list[_TimeSlot] = [
-            s for s in self.slots if s.type == "target"
-        ]
-        # Extracting the EOM Buffers
-        eom_intervals_ti = [block.ti for block in self.eom_blocks]
-        nb_eom_intervals = len(eom_intervals_ti)
-        eom_start_buffers = [(0, 0) for _ in range(nb_eom_intervals)]
-        eom_end_buffers = [(0, 0) for _ in range(nb_eom_intervals)]
-        in_eom_mode = False
-        eom_block_n = -1
+        if ind + 1 < len(pulse_slots):
+            fall = min(fall, pulse_slots[ind + 1].ti - s.tf)
+        return s.tf + fall
 
-        for ind, s in enumerate(channel_slots):
-            pulse = cast(Pulse, s.type)
-            amp[s.ti: s.tf] += pulse.amplitude.samples
-            det[s.ti: s.tf] += pulse.detuning.samples
+    def _phase_start(
+        self,
+        ind: int,
+        pulse_slots: list[_TimeSlot],
+        ignore_detuned_delay_phase: bool,
+    ) -> int:
+        """Where this pulse's phase takes over in the phase track.
 
-            tf = s.tf
-            # Account for the extended duration of the pulses after
-            # modulation, which is at most fall_time
-            fall_time = pulse.fall_time(
-                self.channel_obj,
-                in_eom_mode=self.in_eom_mode(time_slot=s),
-            )
-            tf += (
-                min(fall_time, channel_slots[ind + 1].ti - s.tf)
-                if ind < len(channel_slots) - 1
-                else fall_time
-            )
-            slots.append(_PulseTargetSlot(s.ti, tf, s.targets))
-
+        The takeover point is ``phase_jump_time`` before the pulse,
+        clamped so it never reaches back into the previous real pulse
+        ("no-delay" additions can shrink the buffer to zero).
+        """
+        ph_jump_t = self.channel_obj.phase_jump_time
+        ti = pulse_slots[ind].ti
+        for prev in range(ind - 1, -1, -1):
+            prev_slot = pulse_slots[prev]
             if ignore_detuned_delay_phase and self.is_detuned_delay(
-                pulse
+                cast(Pulse, prev_slot.type)
             ):
-                # The phase of detuned delays is not considered
                 continue
+            return max(ti - ph_jump_t, prev_slot.tf)
+        return 0
 
-            ph_jump_t = self.channel_obj.phase_jump_time
-            for last_pulse_ind in range(ind - 1, -1, -1):
-                last_pulse_slot = channel_slots[last_pulse_ind]
-                # Skips over detuned delay pulses
-                if not (
-                    ignore_detuned_delay_phase
-                    and self.is_detuned_delay(
-                        cast(Pulse, last_pulse_slot.type)
-                    )
-                ):
-                    # Accounts for when a pulse is added with 'no-delay',
-                    # i.e. there is no phase_jump_time in between a phase
-                    # jump
-                    t_start = max(s.ti - ph_jump_t, last_pulse_slot.tf)
-                    break
-            else:
-                t_start = 0
-            # Overrides all values from t_start on. The next pulses will
-            # do the same, so the last phase is automatically kept till
-            # the end
-            phase[t_start:] = pulse.phase
-
-        # Create EOM start and end buffers
+    def _collect_eom_buffers(
+        self, amp: pm.AbstractArray, det: pm.AbstractArray
+    ) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+        """Finds the zero-amplitude buffers around every EOM block."""
+        block_starts = [block.ti for block in self.eom_blocks]
+        n_blocks = len(block_starts)
+        starts = [(0, 0)] * n_blocks
+        ends = [(0, 0)] * n_blocks
+        inside = False
+        block_n = -1
         for s in self.slots:
             if s.ti == -1:
                 continue
-
             if self.in_eom_mode(s):
-                # EOM mode starts
-                if not in_eom_mode:
-                    in_eom_mode = True
-                    eom_block_n += 1
-            elif in_eom_mode:
-                # Buffer when EOM mode is disabled and next slot has 0 amp
-                in_eom_mode = False
+                if not inside:
+                    inside = True
+                    block_n += 1
+            elif inside:
+                inside = False
+                # End buffer: the slot right after disabling, if the
+                # amplitude is back at zero
                 if amp[s.ti] == 0:
-                    eom_end_buffers[eom_block_n] = (s.ti, s.tf)
+                    ends[block_n] = (s.ti, s.tf)
             if (
-                eom_block_n + 1 < nb_eom_intervals
-                and s.tf == eom_intervals_ti[eom_block_n + 1]
+                block_n + 1 < n_blocks
+                and s.tf == block_starts[block_n + 1]
                 and det[s.tf - 1]
-                == self.eom_blocks[eom_block_n + 1].detuning_off
+                == self.eom_blocks[block_n + 1].detuning_off
             ):
-                # Buffer if next is eom and final det matches det_off
-                eom_start_buffers[eom_block_n + 1] = (s.ti, s.tf)
+                # Start buffer: final detuning already sits at the
+                # upcoming block's detuning_off
+                starts[block_n + 1] = (s.ti, s.tf)
+        return starts, ends
+
+    def get_samples(
+        self, ignore_detuned_delay_phase: bool = True
+    ) -> ChannelSamples:
+        """Lowers the timeline to dense amp/det/phase sample arrays."""
+        pulse_slots = [
+            s for s in self.slots if isinstance(s.type, Pulse)
+        ]
+        dt = self.get_duration()
+        amp = pm.AbstractArray(np.zeros(dt))
+        det = pm.AbstractArray(np.zeros(dt))
+        phase = pm.AbstractArray(np.zeros(dt))
+        slots: list[_PulseTargetSlot] = []
+
+        for ind, s in enumerate(pulse_slots):
+            pulse = cast(Pulse, s.type)
+            amp[s.ti: s.tf] += pulse.amplitude.samples
+            det[s.ti: s.tf] += pulse.detuning.samples
+            slots.append(
+                _PulseTargetSlot(
+                    s.ti,
+                    self._extended_slot_end(ind, pulse_slots),
+                    s.targets,
+                )
+            )
+            if ignore_detuned_delay_phase and self.is_detuned_delay(
+                pulse
+            ):
+                continue
+            # Overwrite from the takeover point to the end; later
+            # pulses overwrite their own suffix, so the final phase
+            # naturally persists
+            t_start = self._phase_start(
+                ind, pulse_slots, ignore_detuned_delay_phase
+            )
+            phase[t_start:] = pulse.phase
+
+        eom_start_buffers, eom_end_buffers = self._collect_eom_buffers(
+            amp, det
+        )
+        target_slots = [s for s in self.slots if s.type == "target"]
 
         return ChannelSamples(
             amp,
@@ -253,7 +274,7 @@ class _ChannelSchedule:
             self.eom_blocks,
             eom_start_buffers,
             eom_end_buffers,
-            target_time_slots,
+            target_slots,
         )
 
     @overload
@@ -270,12 +291,13 @@ class _ChannelSchedule:
         return self.slots[key]
 
     def __iter__(self) -> Iterator[_TimeSlot]:
-        for slot in self.slots:
-            yield slot
+        yield from self.slots
 
 
 @dataclass
 class _DMMSchedule(_ChannelSchedule):
+    """A channel schedule bound to a detuning map."""
+
     detuning_map: DetuningMap
 
     def __post_init__(self) -> None:
@@ -287,25 +309,27 @@ class _DMMSchedule(_ChannelSchedule):
         ignore_detuned_delay_phase: bool = True,
         qubits: dict[QubitId, pm.AbstractArray] | None = None,
     ) -> DMMSamples:
-        ch_samples = super().get_samples(
-            ignore_detuned_delay_phase=ignore_detuned_delay_phase
-        )
-        init_fields = {
-            f.name: getattr(ch_samples, f.name)
-            for f in fields(ch_samples)
-            if f.init
-        }
         if qubits is None:
             raise ValueError(
                 "'qubits' must be defined when extracting the samples of a"
                 " DMM channel."
             )
+        base = super().get_samples(
+            ignore_detuned_delay_phase=ignore_detuned_delay_phase
+        )
+        kwargs = {
+            f.name: getattr(base, f.name)
+            for f in fields(base)
+            if f.init
+        }
         return DMMSamples(
-            **init_fields, detuning_map=self.detuning_map, qubits=qubits
+            **kwargs, detuning_map=self.detuning_map, qubits=qubits
         )
 
 
 class _Schedule(Dict[str, _ChannelSchedule]):
+    """All channel timelines plus the cross-channel scheduling logic."""
+
     def __init__(self, max_duration: int | None = None):
         self.max_duration = max_duration
         super().__init__()
@@ -315,38 +339,32 @@ class _Schedule(Dict[str, _ChannelSchedule]):
         channel: Optional[str] = None,
         include_fall_time: bool = False,
     ) -> int:
-        if channel is None:
-            channels = tuple(self.keys())
-            if not channels:
-                return 0
-        else:
-            channels = (channel,)
-
+        """The longest channel duration (or one channel's)."""
+        names = (channel,) if channel is not None else tuple(self)
+        if not names:
+            return 0
         return max(
-            self[id].get_duration(include_fall_time) for id in channels
+            self[name].get_duration(include_fall_time)
+            for name in names
         )
 
     def find_slm_mask_times(self) -> list[int]:
-        # Find tentative initial and final time of SLM mask if possible
+        """Tentative [ti, tf] of the SLM mask: the earliest real pulse.
+
+        Only non-DMM Global channels can trigger the mask.
+        """
         mask_time: list[int] = []
         for ch_schedule in self.values():
-            if ch_schedule.channel_obj.addressing != "Global" or isinstance(
-                ch_schedule.channel_obj, DMM
-            ):
+            ch_obj = ch_schedule.channel_obj
+            if ch_obj.addressing != "Global" or isinstance(ch_obj, DMM):
                 continue
-            # Cycle on slots in schedule until the first pulse is found
             for slot in ch_schedule:
                 if not isinstance(
                     slot.type, Pulse
                 ) or ch_schedule.is_detuned_delay(slot.type):
                     continue
-                ti = slot.ti
-                tf = slot.tf
-                if mask_time:
-                    if ti < mask_time[0]:
-                        mask_time = [ti, tf]
-                else:
-                    mask_time = [ti, tf]
+                if not mask_time or slot.ti < mask_time[0]:
+                    mask_time = [slot.ti, slot.tf]
                 break
         return mask_time
 
@@ -360,19 +378,20 @@ class _Schedule(Dict[str, _ChannelSchedule]):
         _skip_buffer: bool = False,
         _skip_wait_for_fall: bool = False,
     ) -> None:
+        """Opens an EOM block, inserting the enable buffer if needed."""
         channel_obj = self[channel_id].channel_obj
-        # Adds a buffer unless the channel is empty or _skip_buffer = True
         if not _skip_buffer and self.get_duration(channel_id):
             if not _skip_wait_for_fall:
-                # Wait for the last pulse to ramp down (if needed)
+                # The previous output must ring down first
                 self.wait_for_fall(channel_id)
-            eom_buffer_time = self[channel_id].adjust_duration(
+            buffer_ns = self[channel_id].adjust_duration(
                 channel_obj._eom_buffer_time
             )
             if detuning_off != 0:
+                # The buffer is a detuned hold at detuning_off
                 self.add_pulse(
                     Pulse.ConstantPulse(
-                        eom_buffer_time,
+                        buffer_ns,
                         0.0,
                         detuning_off,
                         self._get_last_pulse_phase(channel_id),
@@ -382,33 +401,36 @@ class _Schedule(Dict[str, _ChannelSchedule]):
                     protocol="no-delay",
                 )
             else:
-                self.add_delay(eom_buffer_time, channel_id)
+                self.add_delay(buffer_ns, channel_id)
 
-        # Set up the EOM
-        eom_settings = _EOMSettings(
-            rabi_freq=amp_on,
-            detuning_on=detuning_on,
-            detuning_off=detuning_off,
-            ti=self[channel_id][-1].tf,
-            switching_beams=switching_beams,
+        self[channel_id].eom_blocks.append(
+            _EOMSettings(
+                rabi_freq=amp_on,
+                detuning_on=detuning_on,
+                detuning_off=detuning_off,
+                ti=self[channel_id][-1].tf,
+                switching_beams=switching_beams,
+            )
         )
-
-        self[channel_id].eom_blocks.append(eom_settings)
 
     def disable_eom(
         self, channel_id: str, _skip_buffer: bool = False
     ) -> None:
+        """Closes the open EOM block, adding the disable buffer."""
         self[channel_id].eom_blocks[-1].tf = self[channel_id][-1].tf
         channel_obj = self[channel_id].channel_obj
         eom_config = channel_obj.eom_config
-        if not _skip_buffer:
-            if eom_config and eom_config.custom_buffer_time:
-                eom_buffer_time = self[channel_id].adjust_duration(
+        if _skip_buffer:
+            return
+        if eom_config and eom_config.custom_buffer_time:
+            self.add_delay(
+                self[channel_id].adjust_duration(
                     channel_obj._eom_buffer_time
-                )
-                self.add_delay(eom_buffer_time, channel_id)
-            else:
-                self.wait_for_fall(channel_id)
+                ),
+                channel_id,
+            )
+        else:
+            self.wait_for_fall(channel_id)
 
     def make_next_pulse_slot(
         self,
@@ -419,60 +441,66 @@ class _Schedule(Dict[str, _ChannelSchedule]):
         phase_drift_params: _PhaseDriftParams | None = None,
         block_over_max_duration: bool = False,
     ) -> _TimeSlot:
+        """Computes where the next pulse lands, without committing it.
+
+        Resolves the conflict protocol against other channels, inserts
+        the phase-jump buffer when the phase changes, and (in EOM mode)
+        corrects the phase for the accumulated detuning-off drift.
+        """
+
         def corrected_phase(tf: int) -> pm.AbstractArray:
-            phase_drift = pm.AbstractArray(
+            drift = pm.AbstractArray(
                 phase_drift_params.calc_phase_drift(tf)
                 if phase_drift_params
                 else 0
             )
-            return pulse.phase - phase_drift
+            return pulse.phase - drift
 
         last = self[channel][-1]
         t0 = last.tf
         current_max_t = max(t0, *phase_barrier_ts)
-        # Buffer to add between pulses of different phase
         phase_jump_buffer = 0
         if protocol != "no-delay":
             current_max_t = self._find_add_delay(
                 current_max_t, channel, protocol
             )
             try:
-                # Gets the last pulse on the channel
                 last_pulse_slot = self[channel].last_pulse_slot(
                     ignore_detuned_delay=True
                 )
+            except RuntimeError:
+                pass  # First pulse on this channel
+            else:
                 last_pulse = cast(Pulse, last_pulse_slot.type)
-                # Checks if the current pulse changes the phase
                 if last_pulse.phase != corrected_phase(current_max_t):
-                    # Subtracts the time that has already elapsed since
-                    # the last pulse from the phase_jump_time and adds the
-                    # fall_time to let the last pulse ramp down
+                    # Deduct the time already elapsed since the last
+                    # pulse, and let it ramp down first (EOM mode also
+                    # enforces a 2*rise_time floor)
                     ch_obj = self[channel].channel_obj
                     in_eom_mode = self[channel].in_eom_mode()
+                    wait = max(
+                        ch_obj.phase_jump_time,
+                        2 * ch_obj.rise_time * in_eom_mode,
+                    )
                     phase_jump_buffer = (
-                        max(
-                            ch_obj.phase_jump_time,
-                            # In EOM mode, wait at least 2*rise_time
-                            2 * ch_obj.rise_time * in_eom_mode,
-                        )
+                        wait
                         + last_pulse.fall_time(
                             ch_obj, in_eom_mode=in_eom_mode
                         )
                         - (t0 - last_pulse_slot.tf)
                     )
-            except RuntimeError:
-                # No previous pulse
-                pass
 
         delay_duration = max(current_max_t - t0, phase_jump_buffer)
         if delay_duration > 0:
-            delay_duration = self[channel].adjust_duration(delay_duration)
+            delay_duration = self[channel].adjust_duration(
+                delay_duration
+            )
 
         ti = t0 + delay_duration
         tf = ti + pulse.duration
         self._check_duration(tf, block_over_max_duration)
-        # dataclasses.replace() does not work on Pulse (init=False fields)
         if phase_drift_params is not None:
+            # Rebuild rather than replace(): Pulse has init=False fields
             pulse = Pulse(
                 amplitude=pulse.amplitude,
                 detuning=pulse.detuning,
@@ -489,6 +517,7 @@ class _Schedule(Dict[str, _ChannelSchedule]):
         protocol: str,
         phase_drift_params: _PhaseDriftParams | None = None,
     ) -> None:
+        """Schedules a pulse (with any implied delay before it)."""
         last = self[channel][-1]
         time_slot = self.make_next_pulse_slot(
             pulse,
@@ -498,29 +527,30 @@ class _Schedule(Dict[str, _ChannelSchedule]):
             phase_drift_params,
             True,
         )
-        delay_duration = time_slot.ti - last.tf
-        if delay_duration > 0:
-            self.add_delay(delay_duration, channel)
+        gap = time_slot.ti - last.tf
+        if gap > 0:
+            self.add_delay(gap, channel)
         self[channel].slots.append(time_slot)
 
     def add_delay(self, duration: int, channel: str) -> None:
+        """Appends a delay slot (a detuned hold inside EOM mode)."""
         last = self[channel][-1]
         ti = last.tf
         tf = ti + self[channel].channel_obj.validate_duration(duration)
         self._check_duration(tf)
+        eom_active = self[channel].in_eom_mode()
         if (
-            self[channel].in_eom_mode()
+            eom_active
             and self[channel].eom_blocks[-1].detuning_off != 0
         ):
-            phase = self._get_last_pulse_phase(channel)
-            delay_pulse = Pulse.ConstantPulse(
+            hold = Pulse.ConstantPulse(
                 tf - ti,
                 0.0,
                 self[channel].eom_blocks[-1].detuning_off,
-                phase,
+                self._get_last_pulse_phase(channel),
             )
             self[channel].slots.append(
-                _TimeSlot(delay_pulse, ti, tf, last.targets)
+                _TimeSlot(hold, ti, tf, last.targets)
             )
         else:
             self[channel].slots.append(
@@ -528,172 +558,164 @@ class _Schedule(Dict[str, _ChannelSchedule]):
             )
 
     def add_target(self, qubits_set: set[QubitId], channel: str) -> None:
+        """Appends a retargeting slot, enforcing retarget timings."""
         channel_obj = self[channel].channel_obj
-        if self[channel].slots:
-            self.wait_for_fall(channel)
+        if not self[channel].slots:
+            self._check_duration(0)
+            self[channel].slots.append(
+                _TimeSlot("target", -1, 0, set(qubits_set))
+            )
+            return
 
-            last = self[channel][-1]
-            if last.targets == qubits_set:
-                return
-            ti = last.tf
-            retarget = cast(int, channel_obj.min_retarget_interval)
-            elapsed = ti - self[channel].last_target()
-            delta = cast(int, np.clip(retarget - elapsed, 0, retarget))
-            if channel_obj.fixed_retarget_t:
-                delta = max(delta, channel_obj.fixed_retarget_t)
-            if delta != 0:
-                delta = self[channel].adjust_duration(delta)
-            tf = ti + delta
-
-        else:
-            ti = -1
-            tf = 0
+        self.wait_for_fall(channel)
+        last = self[channel][-1]
+        if last.targets == qubits_set:
+            return
+        ti = last.tf
+        retarget = cast(int, channel_obj.min_retarget_interval)
+        elapsed = ti - self[channel].last_target()
+        delta = cast(int, np.clip(retarget - elapsed, 0, retarget))
+        if channel_obj.fixed_retarget_t:
+            delta = max(delta, channel_obj.fixed_retarget_t)
+        if delta != 0:
+            delta = self[channel].adjust_duration(delta)
+        tf = ti + delta
         self._check_duration(tf)
         self[channel].slots.append(
             _TimeSlot("target", ti, tf, set(qubits_set))
         )
 
+    @staticmethod
+    def _rewind_eom_blocks(
+        threshold: int, ch_schedule: _ChannelSchedule
+    ) -> None:
+        """Drops/reopens EOM blocks cut by a truncation threshold."""
+        for ind, block in enumerate(ch_schedule.eom_blocks):
+            end = block.tf if block.tf is not None else threshold
+            if block.ti < threshold <= end:
+                # The cut lands inside this block: it stays, reopened
+                ch_schedule.eom_blocks = ch_schedule.eom_blocks[
+                    :ind
+                ] + [replace(block, tf=None)]
+                return
+            if threshold < block.ti:
+                # This block (and everything after) is gone
+                ch_schedule.eom_blocks = ch_schedule.eom_blocks[:ind]
+                return
+
     def truncate(self, duration: int) -> None:
-        def adjust_eom_blocks(
-            threshold: int, ch_schedule: _ChannelSchedule
-        ) -> None:
-            for eom_ind, eom_block in enumerate(ch_schedule.eom_blocks):
-                # Threshold falls within an EOM block
-                if (
-                    eom_block.ti < threshold <= (eom_block.tf or threshold)
-                ):  # tf can be None
-                    # This block becomes open again, as the EOM mode will
-                    # be enabled again
-                    new_eom_block = replace(eom_block, tf=None)
-                    ch_schedule.eom_blocks = ch_schedule.eom_blocks[
-                        :eom_ind
-                    ] + [new_eom_block]
-                    break
-                # Threshold falls before the start of an EOM block
-                if threshold < eom_block.ti:
-                    # Remove that block and all blocks after it
-                    ch_schedule.eom_blocks = ch_schedule.eom_blocks[
-                        :eom_ind
-                    ]
-                    break
-
+        """Cuts every channel timeline at (a valid rounding of) t."""
         for ch_name, ch_schedule in self.items():
-            all_slots = ch_schedule.slots.copy()
-            # Channel duration below the threshold: do nothing
-            if ch_schedule.get_duration() <= duration:
-                continue
+            self._truncate_channel(ch_name, ch_schedule, duration)
 
-            # Make sure the duration is valid for the channel
-            threshold = ch_schedule.adjust_duration(duration)
-            if threshold > duration:
-                # The duration was rounded up; remove one clock period so
-                # it's rounded down instead
-                threshold -= ch_schedule.channel_obj.clock_period
+    def _truncate_channel(
+        self,
+        ch_name: str,
+        ch_schedule: _ChannelSchedule,
+        duration: int,
+    ) -> None:
+        all_slots = ch_schedule.slots.copy()
+        if ch_schedule.get_duration() <= duration:
+            return
 
-            # Always true because `duration` was previously validated to
-            # be >= min_duration
-            assert (
-                ch_schedule.channel_obj.min_duration
-                <= threshold
-                <= duration
+        threshold = ch_schedule.adjust_duration(duration)
+        if threshold > duration:
+            # adjust_duration rounds up; truncation must round down
+            threshold -= ch_schedule.channel_obj.clock_period
+        # Guaranteed by the prior >= min_duration validation
+        assert (
+            ch_schedule.channel_obj.min_duration
+            <= threshold
+            <= duration
+        )
+
+        for slot_ind, slot in enumerate(all_slots):
+            if slot.ti < threshold <= slot.tf:
+                break
+
+        if slot.tf == threshold:
+            # Clean cut at a slot boundary
+            self._rewind_eom_blocks(threshold, ch_schedule)
+            ch_schedule.slots = ch_schedule.slots[: slot_ind + 1]
+            return
+
+        # Drop the cut slot; a shortened replacement may be re-added
+        ch_schedule.slots = all_slots[:slot_ind]
+
+        if (
+            not ch_schedule.in_eom_mode(slot)
+            and slot_ind < len(all_slots) - 1
+            and ch_schedule.in_eom_mode(all_slots[slot_ind + 1])
+        ):
+            warnings.warn(
+                f"'enable_eom_mode()' instruction on channel"
+                f" {ch_name!r} at t = {threshold} ns was removed by a "
+                "'truncate()' call.",
+                stacklevel=3,
             )
-            # Find the slot where to truncate
-            for slot_ind, slot in enumerate(all_slots):
-                if slot.ti < threshold <= slot.tf:
-                    break
+            # The cut slot was the EOM start buffer; its block goes too
+            self._rewind_eom_blocks(threshold, ch_schedule)
+            return
 
-            # If the slot terminates at the threshold, just keep the
-            # schedule up to this slot (inclusively)
-            if slot.tf == threshold:
-                adjust_eom_blocks(threshold, ch_schedule)
-                ch_schedule.slots = ch_schedule.slots[: slot_ind + 1]
-                continue
-
-            # Remove all slots up to the threshold slot, including it.
-            # If possible, a replacement slot is added further down
-            ch_schedule.slots = all_slots[:slot_ind]
-
-            if (
-                not ch_schedule.in_eom_mode(slot)
-                and slot_ind < len(all_slots) - 1  # not the last slot
-                and ch_schedule.in_eom_mode(all_slots[slot_ind + 1])
-            ):
-                warnings.warn(
-                    f"'enable_eom_mode()' instruction on channel"
-                    f" {ch_name!r} at t = {threshold} ns was removed by a "
-                    "'truncate()' call.",
-                    stacklevel=3,
-                )
-                # EOM start buffer: just remove it since the associated
-                # EOM block is removed by adjust_eom_blocks()
-                adjust_eom_blocks(threshold, ch_schedule)
-                continue
-
-            if not ch_schedule.in_eom_mode(
-                slot
-            ) and ch_schedule.in_eom_mode(all_slots[slot_ind - 1]):
-                warnings.warn(
-                    f"'disable_eom_mode()' instruction on channel"
-                    f" {ch_name!r} at t = {threshold} ns was removed by a "
-                    "'truncate()' call.",
-                    stacklevel=3,
-                )
-                adjust_eom_blocks(threshold, ch_schedule)
-                # EOM end buffer: remove it and reopen EOM mode
-                ch_schedule.eom_blocks[-1] = replace(
-                    ch_schedule.eom_blocks[-1], tf=None
-                )
-                continue
-
-            # EOM blocks for all other cases
-            adjust_eom_blocks(threshold, ch_schedule)
-
-            if slot.type == "target":
-                warnings.warn(
-                    f"'target()' instruction on channel {ch_name!r} at "
-                    f"t = {threshold} ns was removed by a "
-                    "'truncate()' call.",
-                    stacklevel=3,
-                )
-                continue
-
-            new_slot_duration = threshold - slot.ti
-
-            if new_slot_duration < ch_schedule.channel_obj.min_duration:
-                # Remove the slot because it can't be truncated
-                continue
-
-            if slot.type == "delay":
-                # Add new delay, reduced by the truncation
-                self.add_delay(new_slot_duration, ch_name)
-                continue
-
-            assert isinstance(pulse := slot.type, Pulse)
-            new_pulse = Pulse(
-                amplitude=pulse.amplitude.truncated(new_slot_duration),
-                detuning=pulse.detuning.truncated(new_slot_duration),
-                phase=pulse.phase,
-                # The pulse does not finish, so the post_phase_shift is
-                # dropped (documented in `Sequence.truncate()`)
-                post_phase_shift=0,
+        if not ch_schedule.in_eom_mode(
+            slot
+        ) and ch_schedule.in_eom_mode(all_slots[slot_ind - 1]):
+            warnings.warn(
+                f"'disable_eom_mode()' instruction on channel"
+                f" {ch_name!r} at t = {threshold} ns was removed by a "
+                "'truncate()' call.",
+                stacklevel=3,
             )
-            ch_schedule.slots = ch_schedule.slots[:slot_ind]
-            # The pulse slot was already there, we are just replacing it
-            self.add_pulse(
-                new_pulse,
-                ch_name,
-                phase_barrier_ts=[0],
-                protocol="no-delay",
+            self._rewind_eom_blocks(threshold, ch_schedule)
+            # The cut slot was the EOM end buffer: reopen the block
+            ch_schedule.eom_blocks[-1] = replace(
+                ch_schedule.eom_blocks[-1], tf=None
             )
+            return
+
+        self._rewind_eom_blocks(threshold, ch_schedule)
+
+        if slot.type == "target":
+            warnings.warn(
+                f"'target()' instruction on channel {ch_name!r} at "
+                f"t = {threshold} ns was removed by a "
+                "'truncate()' call.",
+                stacklevel=3,
+            )
+            return
+
+        new_duration = threshold - slot.ti
+        if new_duration < ch_schedule.channel_obj.min_duration:
+            # Too short to keep in any form
+            return
+
+        if slot.type == "delay":
+            self.add_delay(new_duration, ch_name)
+            return
+
+        assert isinstance(pulse := slot.type, Pulse)
+        shortened = Pulse(
+            amplitude=pulse.amplitude.truncated(new_duration),
+            detuning=pulse.detuning.truncated(new_duration),
+            phase=pulse.phase,
+            # An interrupted pulse never applies its post_phase_shift
+            # (documented in Sequence.truncate())
+            post_phase_shift=0,
+        )
+        ch_schedule.slots = ch_schedule.slots[:slot_ind]
+        self.add_pulse(
+            shortened,
+            ch_name,
+            phase_barrier_ts=[0],
+            protocol="no-delay",
+        )
 
     def wait_for_fall(self, channel: str) -> None:
-        """Adds a delay to let the channel's amplitude ramp down."""
-        # Extra time needed for the output to finish
+        """Delays until the channel's modulated output rings down."""
         fall_time = (
             self[channel].get_duration(include_fall_time=True)
             - self[channel].get_duration()
         )
-        # If there is a fall time, a delay is added to account for it
         if fall_time > 0:
             self.add_delay(
                 self[channel].adjust_duration(fall_time), channel
@@ -702,34 +724,35 @@ class _Schedule(Dict[str, _ChannelSchedule]):
     def _find_add_delay(
         self, t0: int, channel: str, protocol: str
     ) -> int:
+        """Resolves the conflict protocol against the other channels.
+
+        "min-delay" waits only on slots sharing targets; "wait-for-all"
+        waits on every channel's (fall-time-extended) activity.
+        """
         current_max_t = t0
+        own_targets = self[channel][-1].targets
         for ch, ch_schedule in self.items():
             if ch == channel:
                 continue
-            this_chobj = self[ch].channel_obj
-            in_eom_mode = self[ch].in_eom_mode()
+            ch_obj = ch_schedule.channel_obj
+            in_eom_mode = ch_schedule.in_eom_mode()
             for op in ch_schedule[::-1]:
                 if not isinstance(op.type, Pulse):
-                    if op.tf + 2 * this_chobj.rise_time <= current_max_t:
-                        # No pulse behind 'op' needing a delay
+                    if op.tf + 2 * ch_obj.rise_time <= current_max_t:
+                        # Nothing older can still be ringing
                         break
-                elif (
-                    op.tf
-                    + op.type.fall_time(
-                        this_chobj, in_eom_mode=in_eom_mode
-                    )
-                    <= current_max_t
-                ):
+                    continue
+                extended_tf = op.tf + op.type.fall_time(
+                    ch_obj, in_eom_mode=in_eom_mode
+                )
+                if extended_tf <= current_max_t:
                     break
-                elif (
-                    op.targets & self[channel][-1].targets
+                if (
+                    op.targets & own_targets
                     or protocol == "wait-for-all"
                 ):
-                    current_max_t = op.tf + op.type.fall_time(
-                        this_chobj, in_eom_mode=in_eom_mode
-                    )
+                    current_max_t = extended_tf
                     break
-
         return current_max_t
 
     def _get_last_pulse_phase(self, channel: str) -> pm.AbstractArray:
@@ -737,19 +760,19 @@ class _Schedule(Dict[str, _ChannelSchedule]):
             last_pulse = cast(
                 Pulse, self[channel].last_pulse_slot().type
             )
-            phase = last_pulse.phase
         except RuntimeError:
-            phase = pm.AbstractArray(0.0)
-        return phase
+            return pm.AbstractArray(0.0)
+        return last_pulse.phase
 
     def _check_duration(
         self, t: int, block_over_max_duration: bool = True
     ) -> None:
-        if self.max_duration is not None and t > self.max_duration:
-            msg = (
-                "The sequence's duration exceeded the maximum duration"
-                f" allowed by the device ({self.max_duration} ns)."
-            )
-            if block_over_max_duration:
-                raise RuntimeError(msg)
-            warnings.warn(msg, UserWarning)
+        if self.max_duration is None or t <= self.max_duration:
+            return
+        msg = (
+            "The sequence's duration exceeded the maximum duration"
+            f" allowed by the device ({self.max_duration} ns)."
+        )
+        if block_over_max_duration:
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning)

@@ -1,11 +1,11 @@
-"""All built-in waveform types and their Waveform parent class.
+"""Waveform primitives: the Waveform ABC and its seven built-ins.
 
 Behavioral parity with reference ``pulser-core/pulser/waveforms.py``:
-same seven waveform classes over 1-ns samples, same durations, sample
-values, modulation buffers, slicing and arithmetic.  Sample generation is
-host-side numpy (it runs once at build time); values flow through
-``pulser_tpu.math`` so JAX arrays assigned to sequence variables keep the
-whole pipeline differentiable.
+identical durations, per-nanosecond sample values, modulation buffers,
+slicing and arithmetic for all seven waveform kinds. Samples are
+generated host-side with numpy (once, at build time) but flow through
+``pulser_tpu.math`` so that JAX-valued parameters keep the pipeline
+differentiable end to end.
 """
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ _InterpWaveformT = TypeVar("_InterpWaveformT", bound="InterpolatedWaveform")
 
 
 def _is_traced(value: Any) -> bool:
-    """Whether a value is a JAX tracer (can't be cast to a host scalar)."""
+    """True when a value is an abstract JAX tracer (no host scalar)."""
     import jax
 
     if isinstance(value, pm.AbstractArray):
@@ -62,9 +62,10 @@ def _is_traced(value: Any) -> bool:
 
 
 def _cast_check(type_: type[T], value: Any, name: str) -> T:
+    """Casts to a host scalar, passing tracers through untouched."""
     if _is_traced(value):
-        # Numeric by construction; host-side casting is deferred so that
-        # differentiation through the value stays possible.
+        # The value is numeric by construction; defer the cast so the
+        # computation stays differentiable
         return cast(T, value)
     try:
         with warnings.catch_warnings():
@@ -78,47 +79,47 @@ def _cast_check(type_: type[T], value: Any, name: str) -> T:
 
 
 class Waveform(ABC):
-    """The abstract class for a pulse's waveform."""
+    """Base class of every pulse waveform."""
 
     def __new__(
         cls: type[_WaveformT], *args: Any, **kwargs: Any
     ) -> _WaveformT:
-        """Returns a ParamObj if any argument is parametrized."""
-        for x in itertools.chain(args, kwargs.values()):
-            if isinstance(x, Parametrized):
-                return ParamObj(  # type: ignore[return-value]
-                    cls, *args, **kwargs
-                )
+        """Defers construction to a ParamObj on parametrized inputs."""
+        if any(
+            isinstance(x, Parametrized)
+            for x in itertools.chain(args, kwargs.values())
+        ):
+            return ParamObj(cls, *args, **kwargs)  # type: ignore
         return object.__new__(cls)
 
     def __init__(self, duration: Union[int, Parametrized]):
-        """Initializes a waveform with a given duration.
+        """Stores a validated integer duration (ns).
 
         Args:
             duration: The waveform's duration (in ns).
         """
         assert not isinstance(duration, Parametrized)
         _duration = _cast_check(int, duration, "duration")
-
         if _duration <= 0:
             raise ValueError(
                 "A waveform must have a positive duration, "
                 + f"not {duration}."
             )
-        elif duration - _duration != 0:
+        if duration - _duration != 0:
             warnings.warn(
                 f"A waveform duration of {duration} ns is below the"
                 " supported precision of 1 ns. It was rounded down "
                 + f"to {_duration} ns.",
                 stacklevel=3,
             )
-
         self._duration = _duration
+
+    # --- Core sample interface -------------------------------------
 
     @property
     @abstractmethod
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
+        """The waveform duration (ns)."""
 
     @cached_property
     @abstractmethod
@@ -127,35 +128,203 @@ class Waveform(ABC):
 
     @property
     def samples(self) -> pm.AbstractArray:
-        """The value at each time step that describes the waveform."""
+        """One value per nanosecond describing the waveform."""
         return self._samples.copy()
 
     @property
     def first_value(self) -> float:
-        """The first value in the waveform."""
+        """The waveform's initial sample."""
         return float(self[0])
 
     @property
     def last_value(self) -> float:
-        """The last value in the waveform."""
+        """The waveform's final sample."""
         return float(self[-1])
 
     @property
     def integral(self) -> float:
-        """Integral of the waveform (in [waveform units].µs)."""
-        return float(pm.sum(self._samples)) * 1e-3  # ns * rad/µs = 1e-3
+        """The integral over time (in [units]·µs)."""
+        # 1 ns step × rad/µs values = 1e-3
+        return float(pm.sum(self._samples)) * 1e-3
+
+    # --- Duration manipulation --------------------------------------
+
+    def with_new_duration(self, new_duration: int) -> Waveform:
+        """A copy of this waveform stretched to a new duration."""
+        raise NotImplementedError(
+            f"{self.__class__.__name__} does not support"
+            " modifications to its duration."
+        )
+
+    def change_duration(self, new_duration: int) -> Waveform:
+        """Deprecated spelling of :meth:`with_new_duration`."""
+        warnings.warn(
+            "'Waveform.change_duration()' has been deprecated and replaced by"
+            " 'Waveform.with_new_duration()'.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.with_new_duration(new_duration)
+
+    def truncated(self, new_duration: int) -> Waveform:
+        """This waveform cut short at ``new_duration``.
+
+        Durations at or above the current one return an (independent)
+        copy.
+        """
+        if new_duration >= self.duration:
+            return self * 1.0
+        cut = _cast_check(int, new_duration, "new_duration")
+        return CustomWaveform(self.samples[:cut])
+
+    # --- Output modulation -------------------------------------------
+
+    def modulated_samples(
+        self, channel: Channel, eom: bool = False
+    ) -> pm.AbstractArray:
+        """The samples as they leave a channel's modulator.
+
+        The result is trimmed to the minimal buffer times.
+
+        Args:
+            channel: The modulating channel.
+            eom: Use the channel's EOM bandwidth.
+        """
+        detach = True
+        if self.samples.requires_grad:
+            self._modulated_samples.cache_clear()
+            detach = False
+        start, end = self.modulation_buffers(channel)
+        mod_samples = self._modulated_samples(channel, eom=eom)
+        tr = channel.rise_time
+        trimmed = mod_samples[tr - start: len(mod_samples) - tr + end]
+        if detach:
+            return pm.AbstractArray(trimmed.as_array(detach=True))
+        return trimmed
+
+    @functools.lru_cache()
+    def modulation_buffers(
+        self, channel: Channel, eom: bool = False
+    ) -> tuple[int, int]:
+        """The smallest leading/trailing buffers modulation requires.
+
+        Args:
+            channel: The modulating channel.
+            eom: Use the channel's EOM bandwidth.
+
+        Returns:
+            (start, end) buffer durations in ns.
+        """
+        if not channel.mod_bandwidth:
+            return 0, 0
+        return channel.calc_modulation_buffer(
+            self._samples,
+            self._modulated_samples(channel, eom=eom),
+            eom=eom,
+        )
+
+    @functools.lru_cache()
+    def _modulated_samples(
+        self, channel: Channel, eom: bool = False
+    ) -> pm.AbstractArray:
+        """Untrimmed modulated samples (cached per channel)."""
+        return channel.modulate(self._samples, eom=eom)
+
+    # --- Serialization hooks -----------------------------------------
+
+    @abstractmethod
+    def _to_dict(self) -> dict[str, Any]:
+        pass
+
+    @abstractmethod
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        pass
+
+    # --- Indexing ------------------------------------------------------
+
+    def __getitem__(
+        self, index_or_slice: Union[int, slice]
+    ) -> pm.AbstractArray:
+        if isinstance(index_or_slice, slice):
+            return self._samples[self._check_slice(index_or_slice)]
+        return self._samples[self._check_index(index_or_slice)]
+
+    def _check_index(self, i: int) -> int:
+        if not (-self.duration <= i < self.duration):
+            raise IndexError(
+                "Index ('index_or_slice' = "
+                f"{i}) must be in the range "
+                f"0~{self.duration - 1}, or "
+                f"{-self.duration}~-1 from the end."
+            )
+        return i if i >= 0 else self.duration + i
+
+    def _check_slice(self, s: slice) -> slice:
+        if s.step is not None and s.step != 1:
+            raise IndexError("The step of the slice must be None or 1.")
+
+        def resolve(bound: int | None, default: int) -> int:
+            if bound is None:
+                return default
+            return bound if bound >= 0 else self.duration + bound
+
+        start = min(max(resolve(s.start, 0), 0), self.duration)
+        stop = min(max(resolve(s.stop, self.duration), 0), self.duration)
+        return slice(start, max(stop, start))
+
+    # --- Arithmetic -----------------------------------------------------
+
+    @abstractmethod
+    def __mul__(self, other: float | ArrayLike) -> Waveform:
+        pass
+
+    def __neg__(self) -> Waveform:
+        return self.__mul__(-1.0)
+
+    def __truediv__(self, other: float | ArrayLike) -> Waveform:
+        other_ = pm.AbstractArray(other)
+        if np.any(other_.as_array(detach=True) == 0):
+            raise ZeroDivisionError("Can't divide a waveform by zero.")
+        return self.__mul__(1 / other_)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Waveform):
+            return False
+        if self.duration != other.duration:
+            return False
+        return bool(
+            np.all(
+                np.isclose(
+                    self.samples.as_array(detach=True),
+                    other.samples.as_array(detach=True),
+                )
+            )
+        )
+
+    def __hash__(self) -> int:
+        return hash(tuple(self.samples.tolist()))
+
+    @abstractmethod
+    def __str__(self) -> str:
+        pass
+
+    @abstractmethod
+    def __repr__(self) -> str:
+        pass
+
+    # --- Plotting -------------------------------------------------------
 
     def draw(
         self,
         output_channel: Optional[Channel] = None,
         ylabel: str | None = None,
     ) -> None:
-        """Draws the waveform.
+        """Plots the waveform (and optionally its modulated output).
 
         Args:
-            output_channel: The output channel. If given, draws the
-                modulated waveform on top of the input one.
-            ylabel: An optional label for the y-axis of the plot.
+            output_channel: When given, the modulated output is drawn
+                on top of the programmed input.
+            ylabel: Optional y-axis label.
         """
         import matplotlib.pyplot as plt
 
@@ -169,185 +338,8 @@ class Waveform(ABC):
                 label="Input",
                 start_t=self.modulation_buffers(output_channel)[0],
             )
-            self._plot(
-                ax,
-                channel=output_channel,
-                label="Output",
-            )
+            self._plot(ax, channel=output_channel, label="Output")
         plt.show()
-
-    def with_new_duration(self, new_duration: int) -> Waveform:
-        """Returns a new waveform with modified duration."""
-        raise NotImplementedError(
-            f"{self.__class__.__name__} does not support"
-            " modifications to its duration."
-        )
-
-    def change_duration(self, new_duration: int) -> Waveform:
-        """Deprecated alias kept for API parity (use with_new_duration)."""
-        warnings.warn(
-            "'Waveform.change_duration()' has been deprecated and replaced by"
-            " 'Waveform.with_new_duration()'.",
-            DeprecationWarning,
-            stacklevel=2,
-        )
-        return self.with_new_duration(new_duration)
-
-    def truncated(self, new_duration: int) -> Waveform:
-        """Returns a new waveform, truncated to a new duration.
-
-        If the new duration is above this waveform's duration, a copy is
-        returned instead.
-        """
-        if new_duration >= self.duration:
-            return self * 1.0
-        return CustomWaveform(
-            self.samples[: _cast_check(int, new_duration, "new_duration")]
-        )
-
-    def modulated_samples(
-        self, channel: Channel, eom: bool = False
-    ) -> pm.AbstractArray:
-        """The waveform samples as output of a given channel.
-
-        This duration is adjusted according to the minimal buffer times.
-
-        Args:
-            channel: The channel modulating the waveform.
-            eom: Whether to modulate for the EOM.
-
-        Returns:
-            The array of samples after modulation.
-        """
-        detach = True
-        if self.samples.requires_grad:
-            self._modulated_samples.cache_clear()
-            detach = False
-        start, end = self.modulation_buffers(channel)
-        mod_samples = self._modulated_samples(channel, eom=eom)
-        tr = channel.rise_time
-        trim = slice(tr - start, len(mod_samples) - tr + end)
-        final_samples = mod_samples[trim]
-        if detach:
-            return pm.AbstractArray(final_samples.as_array(detach=True))
-        return final_samples
-
-    @functools.lru_cache()
-    def modulation_buffers(
-        self, channel: Channel, eom: bool = False
-    ) -> tuple[int, int]:
-        """The minimal buffers needed around a modulated waveform.
-
-        Args:
-            channel: The channel modulating the waveform.
-            eom: Whether to calculate the buffers with the EOM bandwidth.
-
-        Returns:
-            The minimum buffer times at the start and end of the samples,
-            in ns.
-        """
-        if not channel.mod_bandwidth:
-            return 0, 0
-
-        return channel.calc_modulation_buffer(
-            self._samples, self._modulated_samples(channel, eom=eom), eom=eom
-        )
-
-    @functools.lru_cache()
-    def _modulated_samples(
-        self, channel: Channel, eom: bool = False
-    ) -> pm.AbstractArray:
-        """The waveform samples as output of a channel (untrimmed)."""
-        return channel.modulate(self._samples, eom=eom)
-
-    @abstractmethod
-    def _to_dict(self) -> dict[str, Any]:
-        pass
-
-    @abstractmethod
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        pass
-
-    @abstractmethod
-    def __str__(self) -> str:
-        pass
-
-    @abstractmethod
-    def __repr__(self) -> str:
-        pass
-
-    def __getitem__(
-        self, index_or_slice: Union[int, slice]
-    ) -> pm.AbstractArray:
-        if isinstance(index_or_slice, slice):
-            s: slice = self._check_slice(index_or_slice)
-            return self._samples[s]
-        else:
-            index: int = self._check_index(index_or_slice)
-            return self._samples[index]
-
-    def _check_index(self, i: int) -> int:
-        if i < -self.duration or i >= self.duration:
-            raise IndexError(
-                "Index ('index_or_slice' = "
-                f"{i}) must be in the range "
-                f"0~{self.duration - 1}, or "
-                f"{-self.duration}~-1 from the end."
-            )
-        return i if i >= 0 else self.duration + i
-
-    def _check_slice(self, s: slice) -> slice:
-        if s.step is not None and s.step != 1:
-            raise IndexError("The step of the slice must be None or 1.")
-
-        start = (
-            0
-            if s.start is None
-            else (s.start if s.start >= 0 else self.duration + s.start)
-        )
-        stop = (
-            self.duration
-            if s.stop is None
-            else (s.stop if s.stop >= 0 else self.duration + s.stop)
-        )
-
-        start = min(max(start, 0), self.duration)
-        stop = min(max(stop, 0), self.duration)
-        stop = max(stop, start)
-
-        return slice(start, stop)
-
-    @abstractmethod
-    def __mul__(self, other: float | ArrayLike) -> Waveform:
-        pass
-
-    def __neg__(self) -> Waveform:
-        return self.__mul__(-1.0)
-
-    def __truediv__(self, other: float | ArrayLike) -> Waveform:
-        other_ = pm.AbstractArray(other)
-        if np.any(other_.as_array(detach=True) == 0):
-            raise ZeroDivisionError("Can't divide a waveform by zero.")
-        else:
-            return self.__mul__(1 / other_)
-
-    def __eq__(self, other: object) -> bool:
-        if not isinstance(other, Waveform):
-            return False
-        elif self.duration != other.duration:
-            return False
-        else:
-            return bool(
-                np.all(
-                    np.isclose(
-                        self.samples.as_array(detach=True),
-                        other.samples.as_array(detach=True),
-                    )
-                )
-            )
-
-    def __hash__(self) -> int:
-        return hash(tuple(self.samples.tolist()))
 
     def _plot(
         self,
@@ -371,50 +363,48 @@ class Waveform(ABC):
             samples = np.pad(samples, 1)
             ts = np.pad(ts, 1, mode="edge")
 
-        color_dict: dict[str, Any]
         if color:
-            color_dict = {"color": color}
+            color_kwargs: dict[str, Any] = {"color": color}
             hline_color = color
             ax.tick_params(axis="y", labelcolor=color)
         else:
-            color_dict = {}
+            color_kwargs = {}
             hline_color = "black"
 
         if ylabel:
-            ax.set_ylabel(ylabel, fontsize=14, **color_dict)
-        ax.plot(ts, samples, label=label, **color_dict)
+            ax.set_ylabel(ylabel, fontsize=14, **color_kwargs)
+        ax.plot(ts, samples, label=label, **color_kwargs)
         ax.axhline(0, color=hline_color, linestyle=":", linewidth=0.5)
-
         if label:
             plt.legend()
 
 
 class CompositeWaveform(Waveform):
-    """A waveform combining multiple smaller waveforms.
+    """The concatenation of two or more waveforms.
 
     Args:
-        waveforms: Two or more waveforms to combine.
+        waveforms: Two or more waveforms to chain in order.
     """
 
     def __init__(self, *waveforms: Union[Parametrized, Waveform]):
-        """Initializes a waveform from multiple waveforms."""
+        """Validates and stores the component waveforms."""
         if len(waveforms) < 2:
             raise ValueError(
                 "Needs at least two waveforms to form a CompositeWaveform."
             )
         waveforms = cast(Tuple[Waveform, ...], waveforms)
         for wf in waveforms:
-            self._validate(wf)
-
+            if not isinstance(wf, Waveform):
+                raise TypeError(
+                    f"{wf!r} is not a valid waveform. "
+                    "Please provide a valid Waveform."
+                )
         self._waveforms = list(waveforms)
 
     @property
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
-        duration = 0
-        for wf in self._waveforms:
-            duration += wf.duration
-        return duration
+        """The summed duration of the components (ns)."""
+        return sum(wf.duration for wf in self._waveforms)
 
     @cached_property
     def _samples(self) -> pm.AbstractArray:
@@ -422,15 +412,8 @@ class CompositeWaveform(Waveform):
 
     @property
     def waveforms(self) -> list[Waveform]:
-        """The waveforms encapsulated in the composite waveform."""
+        """The component waveforms, in order."""
         return list(self._waveforms)
-
-    def _validate(self, waveform: Waveform) -> None:
-        if not isinstance(waveform, Waveform):
-            raise TypeError(
-                f"{waveform!r} is not a valid waveform. "
-                "Please provide a valid Waveform."
-            )
 
     def _to_dict(self) -> dict[str, Any]:
         return obj_to_dict(self, *self._waveforms)
@@ -439,36 +422,34 @@ class CompositeWaveform(Waveform):
         return abstract_repr("CompositeWaveform", *self._waveforms)
 
     def __str__(self) -> str:
-        contents_list = ["{!r}"] * len(self._waveforms)
-        contents = ", ".join(contents_list)
-        contents = contents.format(*self._waveforms)
-        return f"Composite({contents})"
+        pieces = ", ".join(repr(wf) for wf in self._waveforms)
+        return f"Composite({pieces})"
 
     def __repr__(self) -> str:
         return f"CompositeWaveform({self.duration} ns, {self._waveforms!r})"
 
     def __mul__(self, other: float | ArrayLike) -> CompositeWaveform:
-        other_ = pm.AbstractArray(other, dtype=float)
-        return CompositeWaveform(*(wf * other_ for wf in self._waveforms))
+        k = pm.AbstractArray(other, dtype=float)
+        return CompositeWaveform(*(wf * k for wf in self._waveforms))
 
 
 class CustomWaveform(Waveform):
-    """A custom waveform.
+    """A waveform given directly by its samples.
 
     Args:
-        samples: The modulation values at each time step.
-            The number of samples dictates the duration, in ns.
+        samples: One modulation value per nanosecond; the sample count
+            sets the duration.
     """
 
     def __init__(self, samples: ArrayLike | pm.TensorLike):
-        """Initializes a custom waveform."""
+        """Stores the sample array."""
         samples_arr = pm.AbstractArray(samples, dtype=float)
         self._samples_arr: pm.AbstractArray = samples_arr
         super().__init__(len(samples_arr))
 
     @property
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
+        """The waveform duration (ns)."""
         return int(self._duration)
 
     @cached_property
@@ -494,11 +475,11 @@ class CustomWaveform(Waveform):
 
 
 class ConstantWaveform(Waveform):
-    """A waveform of constant value.
+    """A flat waveform.
 
     Args:
         duration: The waveform duration (in ns).
-        value: The value.
+        value: The constant sample value.
     """
 
     def __init__(
@@ -506,7 +487,7 @@ class ConstantWaveform(Waveform):
         duration: Union[int, Parametrized],
         value: Union[float, pm.TensorLike, Parametrized],
     ):
-        """Initializes a constant waveform."""
+        """Validates and stores the value."""
         super().__init__(duration)
         assert not isinstance(value, Parametrized)
         _cast_check(float, value, "value")
@@ -514,7 +495,7 @@ class ConstantWaveform(Waveform):
 
     @property
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
+        """The waveform duration (ns)."""
         return self._duration
 
     @cached_property
@@ -522,11 +503,11 @@ class ConstantWaveform(Waveform):
         return self._value * np.ones(self.duration)
 
     def with_new_duration(self, new_duration: int) -> ConstantWaveform:
-        """Returns a new waveform with modified duration."""
+        """The same value over a different duration."""
         return ConstantWaveform(new_duration, self._value)
 
     def truncated(self, new_duration: int) -> ConstantWaveform:
-        """Returns a new waveform, truncated to a new duration."""
+        """A shortened copy (still a ConstantWaveform)."""
         return self.with_new_duration(min(new_duration, self.duration))
 
     def _to_dict(self) -> dict[str, Any]:
@@ -546,17 +527,18 @@ class ConstantWaveform(Waveform):
 
     def __mul__(self, other: float | ArrayLike) -> ConstantWaveform:
         return ConstantWaveform(
-            self._duration, self._value * pm.AbstractArray(other, dtype=float)
+            self._duration,
+            self._value * pm.AbstractArray(other, dtype=float),
         )
 
 
 class RampWaveform(Waveform):
-    """A linear ramp waveform.
+    """A linear ramp between two values.
 
     Args:
         duration: The waveform duration (in ns).
-        start: The value at the initial sample.
-        stop: The value at the final sample.
+        start: The first sample's value.
+        stop: The last sample's value.
     """
 
     def __init__(
@@ -565,7 +547,7 @@ class RampWaveform(Waveform):
         start: Union[float, pm.TensorLike, Parametrized],
         stop: Union[float, pm.TensorLike, Parametrized],
     ):
-        """Initializes a ramp waveform."""
+        """Validates and stores the endpoints."""
         super().__init__(duration)
         assert not isinstance(start, Parametrized)
         assert not isinstance(stop, Parametrized)
@@ -576,14 +558,17 @@ class RampWaveform(Waveform):
 
     @property
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
+        """The waveform duration (ns)."""
         return self._duration
 
     @cached_property
     def _samples(self) -> pm.AbstractArray:
-        ramp = self._slope * np.arange(self._duration, dtype=float) + (
-            self._start
+        ramp = (
+            self._slope * np.arange(self._duration, dtype=float)
+            + self._start
         )
+        # Clamp fp noise to the endpoint range; traced values clamp
+        # through jnp so gradients survive
         if _is_traced(self._start) or _is_traced(self._stop):
             import jax.numpy as jnp
 
@@ -593,12 +578,9 @@ class RampWaveform(Waveform):
             hi = jnp.maximum(
                 self._start.as_tensor(), self._stop.as_tensor()
             )
-            return pm.AbstractArray(
-                jnp.clip(ramp.as_tensor(), lo, hi)
-            )
+            return pm.AbstractArray(jnp.clip(ramp.as_tensor(), lo, hi))
         return pm.clip(
-            ramp,
-            *sorted(map(float, [self._start, self._stop])),
+            ramp, *sorted(map(float, [self._start, self._stop]))
         )
 
     @property
@@ -607,11 +589,11 @@ class RampWaveform(Waveform):
 
     @property
     def slope(self) -> float:
-        r"""Slope of the ramp, in [waveform units] / ns."""
+        r"""The ramp's slope, in [units]/ns."""
         return float(self._slope)
 
     def with_new_duration(self, new_duration: int) -> RampWaveform:
-        """Returns a new waveform with modified duration."""
+        """The same endpoints over a different duration."""
         return RampWaveform(new_duration, self._start, self._stop)
 
     def _to_dict(self) -> dict[str, Any]:
@@ -636,19 +618,48 @@ class RampWaveform(Waveform):
         return RampWaveform(self._duration, self._start * k, self._stop * k)
 
 
-class BlackmanWaveform(Waveform):
-    """A Blackman window of a specified duration and area.
+class _WindowWaveform(Waveform):
+    """Shared machinery of area-normalized window waveforms."""
+
+    _area: pm.AbstractArray
+    _norm_samples: pm.AbstractArray
+    _scaling: pm.AbstractArray
+
+    def _setup_window(
+        self,
+        area: Union[float, pm.TensorLike, Parametrized],
+        window: np.ndarray,
+    ) -> None:
+        assert not isinstance(area, Parametrized)
+        _cast_check(float, area, "area")
+        self._area = pm.AbstractArray(area, dtype=float)
+        self._norm_samples = pm.AbstractArray(
+            np.clip(window, 0, np.inf)
+        )
+        # ns → µs conversion of the normalization
+        self._scaling = self._area / pm.sum(self._norm_samples) * 1e3
+
+    @property
+    def duration(self) -> int:
+        """The waveform duration (ns)."""
+        return self._duration
+
+    @cached_property
+    def _samples(self) -> pm.AbstractArray:
+        return self._norm_samples * self._scaling
+
+
+class BlackmanWaveform(_WindowWaveform):
+    """A Blackman window with a prescribed area.
 
     Warning:
-        The BlackmanWaveform assumes its values are in rad/µs for the
-        area calculation. If this is not the case, the 'area' value should
-        be scaled accordingly.
+        The area computation assumes rad/µs sample values; rescale
+        'area' if the units differ.
 
     Args:
         duration: The waveform duration (in ns).
-        area: The integral of the waveform. Can be negative, in which
-            case it takes the positive waveform and changes the sign of all
-            its values.
+        area: The waveform integral. A negative area yields the
+            sign-flipped positive waveform.
     """
 
     def __init__(
@@ -656,16 +667,9 @@ class BlackmanWaveform(Waveform):
         duration: Union[int, Parametrized],
         area: Union[float, pm.TensorLike, Parametrized],
     ):
-        """Initializes a Blackman waveform."""
+        """Builds the window for the given duration/area."""
         super().__init__(duration)
-        assert not isinstance(area, Parametrized)
-        _cast_check(float, area, "area")
-        self._area = pm.AbstractArray(area, dtype=float)
-
-        self._norm_samples = pm.AbstractArray(
-            np.clip(np.blackman(self._duration), 0, np.inf)
-        )
-        self._scaling = self._area / pm.sum(self._norm_samples) * 1e3
+        self._setup_window(area, np.blackman(self._duration))
 
     @classmethod
     @parametrize
@@ -674,16 +678,12 @@ class BlackmanWaveform(Waveform):
         max_val: Union[float, Parametrized],
         area: Union[float, pm.TensorLike, Parametrized],
     ) -> BlackmanWaveform:
-        """Creates a Blackman waveform bounded by a maximum value.
-
-        The duration is chosen so that the maximum value is not surpassed,
-        but approached as closely as possible.
+        """The shortest Blackman window under a peak-value bound.
 
         Args:
-            max_val: The maximum value threshold (in rad/µs). If negative,
-                it is taken as the lower bound. Must match the sign of
-                `area`.
-            area: The area under the waveform.
+            max_val: The peak bound (rad/µs); negative values bound
+                from below and must match the sign of `area`.
+            area: The waveform integral.
         """
         max_val = cast(float, max_val)
         assert not isinstance(area, Parametrized)
@@ -694,29 +694,28 @@ class BlackmanWaveform(Waveform):
                 "The maximum value and the area must have matching signs."
             )
 
-        # Deal only with positive areas
+        # Work with positive quantities throughout
         area = pm.AbstractArray(area, dtype=float) * float(area_sign)
         max_val *= float(area_sign)
 
-        # A normalized Blackman waveform has an area of 0.42 * duration
-        duration = np.ceil(float(area) / (0.42 * max_val) * 1e3)  # in ns
+        # A unit Blackman window integrates to ~0.42 × duration
+        duration = np.ceil(float(area) / (0.42 * max_val) * 1e3)  # ns
         wf = cls(duration, area)
         previous_wf = None
-
-        # Adjust for rounding errors to make sure max_val is not surpassed
+        # Walk up until the peak no longer exceeds the bound
         while float(wf._scaling) > max_val:
             duration += 1
             previous_wf = wf
             wf = cls(duration, area)
 
-        # numpy.blackman() reaches 1.0 only for odd sample counts, so the
-        # previous even duration may get closer to max_val.
-        _arr_max = float(np.max(wf.samples.as_array(detach=True)))
+        # np.blackman peaks at exactly 1.0 only for odd counts; the
+        # last even duration can approach max_val more closely
+        peak = float(np.max(wf.samples.as_array(detach=True)))
         if (
             previous_wf is not None
             and duration % 2 == 1
             and (
-                _arr_max
+                peak
                 < np.max(previous_wf.samples.as_array(detach=True))
                 <= max_val
             )
@@ -725,17 +724,8 @@ class BlackmanWaveform(Waveform):
 
         return wf if area_sign != -1 else cast(BlackmanWaveform, -wf)
 
-    @property
-    def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
-        return self._duration
-
-    @cached_property
-    def _samples(self) -> pm.AbstractArray:
-        return self._norm_samples * self._scaling
-
     def with_new_duration(self, new_duration: int) -> BlackmanWaveform:
-        """Returns a new waveform with the same area but a new duration."""
+        """The same area spread over a different duration."""
         return BlackmanWaveform(new_duration, self._area)
 
     def _to_dict(self) -> dict[str, Any]:
@@ -755,39 +745,38 @@ class BlackmanWaveform(Waveform):
 
     def __mul__(self, other: float | ArrayLike) -> BlackmanWaveform:
         return BlackmanWaveform(
-            self._duration, self._area * pm.AbstractArray(other, dtype=float)
+            self._duration,
+            self._area * pm.AbstractArray(other, dtype=float),
         )
 
 
 class InterpolatedWaveform(Waveform):
-    """A waveform created from interpolation of a set of data points.
+    """A waveform interpolated through a set of control points.
 
     Args:
         duration: The waveform duration (in ns).
-        values: Values of the interpolation points, castable to float or
-            a parametrized object.
-        times: Fractions of the total duration (between 0 and 1), indicating
-            where to place each value on the time axis. If not given, the
-            values are spread evenly throughout the full duration.
-        interpolator: The SciPy interpolation class to use. Supports
-            "PchipInterpolator" (default) and "interp1d" (deprecated).
-        **interpolator_kwargs: Extra parameters for the interpolator class
-            (deprecated).
+        values: The control-point values (float-castable), or a
+            parametrized object.
+        times: Where each value sits on the time axis, as fractions of
+            the duration in [0, 1]. Defaults to an even spread.
+        interpolator: The SciPy interpolator: "PchipInterpolator"
+            (default) or "interp1d" (deprecated).
+        **interpolator_kwargs: Extra interpolator options (deprecated).
     """
 
     def __new__(
         cls: type[_InterpWaveformT], *args: Any, **kwargs: Any
     ) -> _InterpWaveformT:
-        """Creates InterpolatedWaveform or ParamObj depending on input."""
+        """Validates values/times, deferring to ParamObj when needed."""
         cls._check_values_times(
             args[1] if len(args) >= 2 else kwargs["values"],
             args[2] if len(args) >= 3 else kwargs.get("times", None),
         )
-        for x in itertools.chain(args, kwargs.values()):
-            if isinstance(x, Parametrized):
-                return ParamObj(  # type: ignore[return-value]
-                    cls, *args, **kwargs
-                )
+        if any(
+            isinstance(x, Parametrized)
+            for x in itertools.chain(args, kwargs.values())
+        ):
+            return ParamObj(cls, *args, **kwargs)  # type: ignore
         return object.__new__(cls)
 
     def __init__(
@@ -798,15 +787,13 @@ class InterpolatedWaveform(Waveform):
         interpolator: str = "PchipInterpolator",
         **interpolator_kwargs: Any,
     ):
-        """Initializes a new InterpolatedWaveform."""
+        """Builds the interpolant over the control points."""
         super().__init__(duration)
         self._values = np.array(values, dtype=float)
-        if times is not None:
-            times = cast(ArrayLike, times)
-            times_ = np.array(times, dtype=float)
-            self._times = times_
-        else:
+        if times is None:
             self._times = np.linspace(0, 1, num=len(self._values))
+        else:
+            self._times = np.array(cast(ArrayLike, times), dtype=float)
 
         valid_interpolators = ("PchipInterpolator", "interp1d")
         if interpolator not in valid_interpolators:
@@ -830,17 +817,16 @@ class InterpolatedWaveform(Waveform):
                 DeprecationWarning,
                 stacklevel=2,
             )
-        interp_cls = getattr(interpolate, interpolator)
         self._data_pts = np.array(
-            [
-                (t, v)
-                for t, v in zip(
-                    self._times * (self._duration - 1), self._values
-                )
-            ]
+            list(
+                zip(self._times * (self._duration - 1), self._values)
+            )
         )
+        interp_cls = getattr(interpolate, interpolator)
         self._interp_func = interp_cls(
-            self._data_pts[:, 0], self._data_pts[:, 1], **interpolator_kwargs
+            self._data_pts[:, 0],
+            self._data_pts[:, 1],
+            **interpolator_kwargs,
         )
         self._kwargs: dict[str, Any] = {
             "times": times,
@@ -853,9 +839,9 @@ class InterpolatedWaveform(Waveform):
         values: Union[ArrayLike, Parametrized],
         times: Optional[Union[ArrayLike, Parametrized]] = None,
     ) -> None:
-        """Check whether the types of values and times are valid."""
+        """Early type/value validation of values and times."""
 
-        def _err_message(argument_name: str) -> str:
+        def bad_type_msg(argument_name: str) -> str:
             return (
                 f"`{argument_name}` must be a parametrized object or a "
                 "sequence of elements castable to float. To make a sequence"
@@ -863,17 +849,18 @@ class InterpolatedWaveform(Waveform):
                 "desired size."
             )
 
+        values_ = None
         if not isinstance(values, Parametrized):
             try:
                 values_ = np.array(values, dtype=float)
             except TypeError as e:
-                raise TypeError(_err_message("values")) from e
+                raise TypeError(bad_type_msg("values")) from e
         if times is None or isinstance(times, Parametrized):
             return
         try:
             times_ = np.array(times, dtype=float)
         except TypeError as e:
-            raise TypeError(_err_message("times")) from e
+            raise TypeError(bad_type_msg("times")) from e
         if np.any(times_ < 0):
             raise ValueError(
                 "All values in `times` must be greater than or equal to 0."
@@ -882,15 +869,11 @@ class InterpolatedWaveform(Waveform):
             raise ValueError(
                 "All values in `times` must be less than or equal to 1."
             )
-        unique_times = np.unique(times)
-        if len(times_) != len(unique_times):
+        if len(times_) != len(np.unique(times)):
             raise ValueError(
                 "`times` must be an array of non-repeating values."
             )
-        if (
-            not isinstance(values, Parametrized)
-            and times_.size != values_.size
-        ):
+        if values_ is not None and times_.size != values_.size:
             raise ValueError(
                 "When specified, the number of time coordinates in `times`"
                 f" ({times_.size}) must match the number of `values` "
@@ -899,38 +882,47 @@ class InterpolatedWaveform(Waveform):
 
     @property
     def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
+        """The waveform duration (ns)."""
         return self._duration
 
     @cached_property
     def _samples(self) -> pm.AbstractArray:
         samples = self._interp_func(np.arange(self._duration))
-        if self._kwargs["interpolator"] == "PchipInterpolator" and set(
-            self._kwargs
-        ) == {"times", "interpolator"}:
+        default_config = self._kwargs[
+            "interpolator"
+        ] == "PchipInterpolator" and set(self._kwargs) == {
+            "times",
+            "interpolator",
+        }
+        if default_config:
             return pm.clip(
                 samples, np.min(self._values), np.max(self._values)
             )
+        # Legacy interpolators: round away sub-precision noise
         value_range = np.max(np.abs(samples))
         decimals = int(
-            min(np.finfo(samples.dtype).precision - np.log10(value_range), 9)
-        )  # Reduces decimal values below 9 for large ranges
+            min(
+                np.finfo(samples.dtype).precision
+                - np.log10(value_range),
+                9,
+            )
+        )
         return pm.AbstractArray(np.round(samples, decimals=decimals))
 
     @property
     def interp_function(
         self,
     ) -> Union[interpolate.PchipInterpolator, interpolate.interp1d]:
-        """The interpolating function."""
+        """The underlying SciPy interpolant."""
         return self._interp_func
 
     @property
     def data_points(self) -> np.ndarray:
-        """Points (t[ns], value) that define the interpolation."""
+        """The (t[ns], value) control points."""
         return self._data_pts.copy()
 
     def with_new_duration(self, new_duration: int) -> InterpolatedWaveform:
-        """Returns a new waveform with the same coords but a new duration."""
+        """The same control points over a different duration."""
         return InterpolatedWaveform(
             new_duration, self._values, **self._kwargs
         )
@@ -954,7 +946,9 @@ class InterpolatedWaveform(Waveform):
         )
         if not channel:
             ax.scatter(
-                self._data_pts[:, 0] + start_t, self._data_pts[:, 1], c=color
+                self._data_pts[:, 0] + start_t,
+                self._data_pts[:, 1],
+                c=color,
             )
 
     def _to_dict(self) -> dict[str, Any]:
@@ -993,19 +987,17 @@ class InterpolatedWaveform(Waveform):
         )
 
 
-class KaiserWaveform(Waveform):
-    """A Kaiser window of a specified duration and beta parameter.
+class KaiserWaveform(_WindowWaveform):
+    """A Kaiser window with a prescribed area and beta parameter.
 
     Warning:
-        The KaiserWaveform assumes its values are in rad/µs for the
-        area calculation. If this is not the case, the 'area' value
-        should be scaled accordingly.
+        The area computation assumes rad/µs sample values; rescale
+        'area' if the units differ.
 
     Args:
         duration: The waveform duration (in ns).
-        area: The integral of the waveform. Can be negative, in which case
-            the sign of all values is flipped.
-        beta: The beta parameter of the Kaiser window. Default 14.
+        area: The waveform integral; a negative area flips all signs.
+        beta: The Kaiser beta parameter (default 14).
     """
 
     def __init__(
@@ -1014,29 +1006,20 @@ class KaiserWaveform(Waveform):
         area: Union[float, pm.TensorLike, Parametrized],
         beta: Optional[Union[float, Parametrized]] = 14.0,
     ):
-        """Initializes a Kaiser waveform."""
+        """Builds the window for the given duration/area/beta."""
         super().__init__(duration)
-
-        assert not isinstance(area, Parametrized)
-        _cast_check(float, area, "area")
-        self._area = pm.AbstractArray(area, dtype=float)
-
         beta = cast(float, beta)
-        # Guards against a beta that would require grad
+        # beta can't require grad (it shapes the window itself)
         pm.AbstractArray(beta).as_array()
         self._beta = _cast_check(float, beta, "beta")
-
         if self._beta < 0.0:
             raise ValueError(
                 f"The beta parameter (`beta` = {self._beta})"
                 " must be greater than 0."
             )
-
-        self._norm_samples = pm.AbstractArray(
-            np.clip(np.kaiser(self._duration, self._beta), 0, np.inf)
+        self._setup_window(
+            area, np.kaiser(self._duration, self._beta)
         )
-
-        self._scaling = self._area / pm.sum(self._norm_samples) * 1e3
 
     @classmethod
     @parametrize
@@ -1046,16 +1029,13 @@ class KaiserWaveform(Waveform):
         area: Union[float, pm.TensorLike, Parametrized],
         beta: Optional[Union[float, Parametrized]] = 14.0,
     ) -> KaiserWaveform:
-        """Creates a Kaiser waveform bounded by a maximum value.
-
-        The duration is chosen so that the maximum value is not surpassed,
-        but approached as closely as possible.
+        """The shortest Kaiser window under a peak-value bound.
 
         Args:
-            max_val: The maximum value threshold (in rad/µs). Must match
-                the sign of `area`.
-            area: The area under the waveform.
-            beta: The beta parameter of the Kaiser window. Default 14.
+            max_val: The peak bound (rad/µs); must match the sign of
+                `area`.
+            area: The waveform integral.
+            beta: The Kaiser beta parameter (default 14).
         """
         max_val = cast(float, max_val)
         assert not isinstance(area, Parametrized)
@@ -1067,21 +1047,20 @@ class KaiserWaveform(Waveform):
                 "The maximum value and the area must have matching signs."
             )
 
-        # All computations will be done on a positive area
+        # Work with positive quantities throughout
         area = pm.AbstractArray(area, dtype=float)
         is_negative: bool = area_float < 0
         if is_negative:
             area_float = -area_float
             max_val = -max_val
 
-        # First guess of the best duration from the long-duration area ratio
+        # Seed from the long-window area-to-peak ratio
         ratio: np.floating = max_val * np.sum(np.kaiser(100, beta)) / 100
         duration_guess: int = int(area_float * 1000.0 / ratio)
-
         duration_best: int = 0
 
         if duration_guess < 11:
-            # Seesawing effect on short durations: test all solutions
+            # Short windows see-saw; brute force the candidates
             max_val_best = 0.0
             for duration in range(1, 16):
                 kaiser_temp = np.kaiser(duration, beta)
@@ -1091,7 +1070,7 @@ class KaiserWaveform(Waveform):
                     max_val_best = float(max_val_temp)
                     duration_best = duration
         else:
-            # Walk from the guessed duration in the right direction
+            # March from the guess toward the bound
             kaiser_guess = np.kaiser(duration_guess, beta)
             scaling_guess = 1000 * area_float / np.sum(kaiser_guess)
             max_val_temp = np.max(kaiser_guess) * scaling_guess
@@ -1100,28 +1079,17 @@ class KaiserWaveform(Waveform):
                 1 if np.max(kaiser_guess) * scaling_guess >= max_val else -1
             )
             duration = duration_guess
-
             while np.sign(max_val_temp - max_val) == step:
                 duration += step
                 kaiser_temp = np.kaiser(duration, beta)
                 scaling = 1000 * area_float / np.sum(kaiser_temp)
                 max_val_temp = np.max(kaiser_temp) * scaling
-
             duration_best = duration if step == 1 else duration + 1
 
         return cls(duration_best, area, beta)
 
-    @property
-    def duration(self) -> int:
-        """The duration of the pulse (in ns)."""
-        return self._duration
-
-    @cached_property
-    def _samples(self) -> pm.AbstractArray:
-        return self._norm_samples * self._scaling
-
     def with_new_duration(self, new_duration: int) -> KaiserWaveform:
-        """Returns a new waveform with the same area/beta, new duration."""
+        """The same area/beta over a different duration."""
         return KaiserWaveform(new_duration, self._area, self._beta)
 
     def _to_dict(self) -> dict[str, Any]:
@@ -1152,7 +1120,6 @@ class KaiserWaveform(Waveform):
         )
 
 
-# Replicate __init__'s signature in __new__ for every Waveform subclass
 def _copy_func(f: FunctionType) -> FunctionType:
     return FunctionType(
         f.__code__,
@@ -1163,7 +1130,9 @@ def _copy_func(f: FunctionType) -> FunctionType:
     )
 
 
-for m in inspect.getmembers(sys.modules[__name__], inspect.isclass):
-    if m[1].__module__ == __name__:
-        _new = _copy_func(m[1].__new__)  # type: ignore
-        m[1].__new__ = functools.update_wrapper(_new, m[1].__init__)
+# Give every subclass's __new__ the signature of its __init__, so
+# introspection (and the parametrized machinery) sees real parameters
+for _, _cls in inspect.getmembers(sys.modules[__name__], inspect.isclass):
+    if _cls.__module__ == __name__:
+        _new = _copy_func(_cls.__new__)  # type: ignore
+        _cls.__new__ = functools.update_wrapper(_new, _cls.__init__)
