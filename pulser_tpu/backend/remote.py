@@ -1,8 +1,10 @@
-"""Base classes for remote backend execution.
+"""The remote-execution layer: connections, backends and lazy results.
 
 Behavioral parity with reference
-``pulser-core/pulser/backend/remote.py:32-442`` (``RemoteConnection``,
-``RemoteResults``, ``RemoteBackend`` and the open-batch protocol).
+``pulser-core/pulser/backend/remote.py:32-442``: the
+``RemoteConnection`` protocol, ``RemoteResults`` (deferred fetching by
+batch/job id), ``RemoteBackend`` with job-parameter validation and the
+open-batch context manager.
 """
 
 from __future__ import annotations
@@ -22,14 +24,14 @@ from pulser_tpu.sequence import Sequence
 
 
 class JobParams(TypedDict, total=False):
-    """The parameters for an individual job running on a backend."""
+    """Execution parameters of one job within a batch."""
 
     runs: int
     variables: dict[str, Any]
 
 
 class BatchStatus(Enum):
-    """Status of a batch."""
+    """The lifecycle states of a submitted batch."""
 
     PENDING = auto()
     RUNNING = auto()
@@ -41,7 +43,7 @@ class BatchStatus(Enum):
 
 
 class JobStatus(Enum):
-    """Status of a remote job."""
+    """The lifecycle states of one job within a batch."""
 
     PENDING = auto()
     RUNNING = auto()
@@ -52,113 +54,11 @@ class JobStatus(Enum):
 
 
 class RemoteResultsError(Exception):
-    """Error raised when fetching remote results fails."""
-
-    pass
-
-
-class RemoteResults(ResultsSequence):
-    """A collection of results obtained through a remote connection.
-
-    Args:
-        batch_id: The ID that identifies the batch linked to the
-            results.
-        connection: The remote connection over which to get the batch's
-            status and fetch the results.
-        job_ids: If given, specifies which jobs within the batch should
-            be included in the results and in what order. If left
-            undefined, all jobs are included.
-    """
-
-    def __init__(
-        self,
-        batch_id: str,
-        connection: RemoteConnection,
-        job_ids: list[str] | None = None,
-    ):
-        """Instantiates a new collection of remote results."""
-        self._batch_id = batch_id
-        self._connection = connection
-        if job_ids is not None and not set(job_ids).issubset(
-            all_job_ids := self._connection._get_job_ids(
-                self._batch_id
-            )
-        ):
-            unknown_ids = [
-                id_ for id_ in job_ids if id_ not in all_job_ids
-            ]
-            raise RuntimeError(
-                f"Batch {self._batch_id!r} does not contain jobs "
-                f"{unknown_ids}."
-            )
-        self._job_ids = job_ids
-
-    @property
-    def results(self) -> tuple[Results, ...]:
-        """The actual results, obtained after execution is done."""
-        return self._results_seq
-
-    @property
-    def batch_id(self) -> str:
-        """The ID of the batch containing these results."""
-        return self._batch_id
-
-    @property
-    def job_ids(self) -> list[str]:
-        """The IDs of the jobs within these results' batch."""
-        if self._job_ids is None:
-            return self._connection._get_job_ids(self._batch_id)
-        return self._job_ids
-
-    def get_batch_status(self) -> BatchStatus:
-        """Gets the status of the batch linked to these results."""
-        return self._connection._get_batch_status(self._batch_id)
-
-    def get_available_results(self) -> dict[str, Results]:
-        """Returns the available results.
-
-        Unlike the `results` property, does not raise when some jobs
-        have no results yet.
-
-        Returns:
-            A mapping of job ID to results; jobs with no result are
-            omitted.
-        """
-        results = {
-            k: v[1]
-            for k, v in self._connection._query_job_progress(
-                self.batch_id
-            ).items()
-            if v[1] is not None
-        }
-        if self._job_ids:
-            return {
-                k: v for k, v in results.items() if k in self._job_ids
-            }
-        return results
-
-    def __getattr__(self, name: str) -> Any:
-        if name == "_results_seq":
-            try:
-                self._results_seq = tuple(
-                    self._connection._fetch_result(
-                        self.batch_id, self._job_ids
-                    )
-                )
-                return self._results_seq
-            except RemoteResultsError as e:
-                raise RemoteResultsError(
-                    "Results are not available for all jobs. Use the "
-                    "`get_available_results` method to retrieve"
-                    " partial results."
-                ) from e
-        raise AttributeError(
-            f"'RemoteResults' object has no attribute '{name}'."
-        )
+    """Raised when remote results cannot be retrieved."""
 
 
 class RemoteConnection(ABC):
-    """The abstract base class for a remote connection."""
+    """The protocol a remote execution service must implement."""
 
     @abstractmethod
     def submit(
@@ -169,62 +69,62 @@ class RemoteConnection(ABC):
         batch_id: str | None = None,
         **kwargs: Any,
     ) -> RemoteResults:
-        """Submit a job for execution."""
+        """Submits a sequence for execution."""
         pass
 
     @abstractmethod
     def _fetch_result(
         self, batch_id: str, job_ids: list[str] | None
     ) -> typing.Sequence[Results]:
-        """Fetches the results of a completed batch."""
+        """Retrieves the results of a finished batch."""
         pass
 
     @abstractmethod
     def _query_job_progress(
         self, batch_id: str
     ) -> Mapping[str, tuple[JobStatus, Results | None]]:
-        """Fetches the status and results of all jobs in a batch.
+        """Per-job status and (possibly partial) results of a batch.
 
-        Unlike `_fetch_result`, does not raise when some jobs have no
-        results. Maps each job ID to its status and results.
+        Never raises for jobs that have not finished — their results
+        entry is simply None.
         """
         pass
 
     @abstractmethod
     def _get_batch_status(self, batch_id: str) -> BatchStatus:
-        """Gets the status of a batch from its ID."""
+        """The current status of a batch."""
+        pass
+
+    @abstractmethod
+    def supports_open_batch(self) -> bool:
+        """Whether this connection can create open batches."""
         pass
 
     def _get_job_ids(self, batch_id: str) -> list[str]:
-        """Gets all the job IDs within a batch."""
+        """The ids of every job in a batch (optional capability)."""
         raise NotImplementedError(
             "Unable to find job IDs through this remote connection."
         )
 
     def fetch_available_devices(self) -> dict[str, Device]:
-        """Fetches the devices available through this connection."""
+        """The devices reachable via this connection (optional)."""
         raise NotImplementedError(
             "Unable to fetch the available devices through this "
             "remote connection."
         )
 
     def _close_batch(self, batch_id: str) -> None:
-        """Closes a batch using its ID."""
+        """Closes an open batch (optional capability)."""
         raise NotImplementedError(  # pragma: no cover
             "Unable to close batch through this remote connection"
         )
 
-    @abstractmethod
-    def supports_open_batch(self) -> bool:
-        """Whether this connection supports creating an open batch."""
-        pass
-
     @staticmethod
     def _add_measurement_to_sequence(sequence: Sequence) -> Sequence:
-        """Adds a measurement to a Sequence if needed and possible.
+        """Appends an implicit measurement when exactly one basis is used.
 
-        Possible only when a single basis is addressed. Also converts
-        all tensors in the Sequence to arrays.
+        The sequence is deep-copied through a serialization roundtrip,
+        which also converts any tensors to plain arrays.
         """
         if sequence.is_measured():
             return sequence
@@ -234,7 +134,6 @@ class RemoteConnection(ABC):
                 "The measurement basis can't be implicitly determined "
                 "for a sequence not addressing a single basis."
             )
-        # Serialization roundtrip == deepcopy with tensors as arrays
         sequence = Sequence.from_abstract_repr(
             sequence.to_abstract_repr(skip_validation=True)
         )
@@ -242,13 +141,14 @@ class RemoteConnection(ABC):
         return sequence
 
     def update_sequence_device(self, sequence: Sequence) -> Sequence:
-        """Matches the Sequence's device with an available one.
+        """Swaps the sequence's device for its current remote version.
 
         Args:
-            sequence: The Sequence to check.
+            sequence: The sequence whose device to refresh.
 
         Returns:
-            The Sequence, with the latest version of its Device.
+            The sequence, rebuilt on the up-to-date device when the
+            stored one is stale.
         """
         try:
             available_devices = self.fetch_available_devices()
@@ -259,7 +159,8 @@ class RemoteConnection(ABC):
                 " sequence is incompatible with the device."
             )
             return sequence
-        available_device_names = {
+
+        by_name = {
             dev.name: key for key, dev in available_devices.items()
         }
         err_suffix = (
@@ -267,43 +168,124 @@ class RemoteConnection(ABC):
             f"`{type(self).__name__}.fetch_available_devices()` and"
             " rebuild the sequence with one of the options."
         )
-        if (
-            name := sequence.device.name
-        ) not in available_device_names:
+        name = sequence.device.name
+        if name not in by_name:
             raise ValueError(
                 "The device used in the sequence does not match any "
                 "of the devices currently available through the"
                 " remote connection." + err_suffix
             )
-        if sequence.device != (
-            new_device := available_devices[
-                available_device_names[name]
-            ]
-        ):
-            try:
-                sequence = sequence.with_new_device(
-                    new_device, strict=True
-                )
-            except Exception as e:
-                raise ValueError(
-                    "The sequence is not compatible with the latest "
-                    "device specs." + err_suffix
-                ) from e
-            RemoteBackend.validate_sequence(sequence, mimic_qpu=True)
+        new_device = available_devices[by_name[name]]
+        if sequence.device == new_device:
+            return sequence
+        try:
+            sequence = sequence.with_new_device(new_device, strict=True)
+        except Exception as e:
+            raise ValueError(
+                "The sequence is not compatible with the latest "
+                "device specs." + err_suffix
+            ) from e
+        # The refreshed sequence must also clear the QPU checks
+        RemoteBackend.validate_sequence(sequence, mimic_qpu=True)
         return sequence
 
 
-class RemoteBackend(Backend):
-    """A backend for sequence execution through a remote connection.
+class RemoteResults(ResultsSequence):
+    """Results that materialize lazily over a remote connection.
 
     Args:
-        sequence: A Sequence to execute on a backend accessible via a
-            remote connection.
-        connection: The remote connection through which the jobs are
-            executed.
-        mimic_qpu: Whether to mimic the validations necessary for
-            execution on a QPU.
-        config: An optional backend configuration.
+        batch_id: The batch whose results these are.
+        connection: The connection used for status/result queries.
+        job_ids: An optional subset (and ordering) of the batch's jobs
+            to include; all jobs by default.
+    """
+
+    def __init__(
+        self,
+        batch_id: str,
+        connection: RemoteConnection,
+        job_ids: list[str] | None = None,
+    ):
+        """Binds the results to a batch on a connection."""
+        self._batch_id = batch_id
+        self._connection = connection
+        if job_ids is not None:
+            known = self._connection._get_job_ids(self._batch_id)
+            unknown = [id_ for id_ in job_ids if id_ not in known]
+            if unknown:
+                raise RuntimeError(
+                    f"Batch {self._batch_id!r} does not contain jobs "
+                    f"{unknown}."
+                )
+        self._job_ids = job_ids
+
+    @property
+    def results(self) -> tuple[Results, ...]:
+        """The results; triggers the fetch on first access."""
+        return self._results_seq
+
+    @property
+    def batch_id(self) -> str:
+        """The id of the underlying batch."""
+        return self._batch_id
+
+    @property
+    def job_ids(self) -> list[str]:
+        """The ids of the jobs included in these results."""
+        if self._job_ids is None:
+            return self._connection._get_job_ids(self._batch_id)
+        return self._job_ids
+
+    def get_batch_status(self) -> BatchStatus:
+        """The batch's current status."""
+        return self._connection._get_batch_status(self._batch_id)
+
+    def get_available_results(self) -> dict[str, Results]:
+        """Results of the jobs that have finished so far.
+
+        Returns:
+            Job id -> results, omitting unfinished jobs (no error is
+            raised, unlike the `results` property).
+        """
+        progress = self._connection._query_job_progress(self.batch_id)
+        done = {
+            job: res for job, (_, res) in progress.items()
+            if res is not None
+        }
+        if self._job_ids:
+            return {
+                k: v for k, v in done.items() if k in self._job_ids
+            }
+        return done
+
+    def __getattr__(self, name: str) -> Any:
+        if name == "_results_seq":
+            try:
+                self._results_seq = tuple(
+                    self._connection._fetch_result(
+                        self.batch_id, self._job_ids
+                    )
+                )
+            except RemoteResultsError as e:
+                raise RemoteResultsError(
+                    "Results are not available for all jobs. Use the "
+                    "`get_available_results` method to retrieve"
+                    " partial results."
+                ) from e
+            return self._results_seq
+        raise AttributeError(
+            f"'RemoteResults' object has no attribute '{name}'."
+        )
+
+
+class RemoteBackend(Backend):
+    """A backend that executes sequences over a remote connection.
+
+    Args:
+        sequence: The sequence to execute remotely.
+        connection: The connection carrying the submissions.
+        mimic_qpu: Apply the validations a physical QPU would.
+        config: Optional backend configuration.
     """
 
     _config: BackendConfig
@@ -316,7 +298,7 @@ class RemoteBackend(Backend):
         *,
         config: BackendConfig | None = None,
     ) -> None:
-        """Starts a new remote backend instance."""
+        """Validates the sequence, connection and configuration."""
         super().__init__(sequence, mimic_qpu=mimic_qpu)
         if not isinstance(connection, RemoteConnection):
             raise TypeError(
@@ -324,8 +306,9 @@ class RemoteBackend(Backend):
                 " instance."
             )
         self._connection = connection
-        config = config if config is not None else BackendConfig()
-        if not isinstance(config, BackendConfig):
+        if config is None:
+            config = BackendConfig()
+        elif not isinstance(config, BackendConfig):
             raise TypeError(
                 "When given, a 'config' must be an instance of "
                 f"'BackendConfig'; got {type(config).__name__!r}"
@@ -339,18 +322,14 @@ class RemoteBackend(Backend):
         job_params: list[JobParams] | None = None,
         wait: bool = False,
     ) -> RemoteResults:
-        """Runs the sequence on the remote backend.
+        """Submits the sequence and returns its (lazy) results.
 
         Args:
-            job_params: A list of dictionaries with the parameters to
-                execute each job. If the sequence is parametrized, the
-                values for all its variables must be given, per job,
-                under the 'variables' field.
-            wait: Whether to wait until the results of the jobs become
-                available. If False, the call is non-blocking.
-
-        Returns:
-            The results, available once execution is done.
+            job_params: Per-job execution parameters; a parametrized
+                sequence needs each job's variable values under
+                'variables'.
+            wait: Block until all jobs have results (otherwise the
+                returned object's status can be polled).
         """
         if self._mimic_qpu:
             sequence = self._connection.update_sequence_device(
@@ -369,8 +348,17 @@ class RemoteBackend(Backend):
             **self._submit_kwargs(),
         )
 
+    def open_batch(self) -> _OpenBatchContextManager:
+        """Opens a batch; submissions inside the context share it."""
+        if not self._connection.supports_open_batch():
+            raise NotImplementedError(
+                "Unable to execute open_batch using this remote"
+                " connection"
+            )
+        return _OpenBatchContextManager(self)
+
     def _submit_kwargs(self) -> dict[str, Any]:
-        """Keyword arguments for RemoteConnection.submit() calls."""
+        """Extra keyword arguments attached to every submit() call."""
         return dict(batch_id=self._batch_id)
 
     @staticmethod
@@ -389,20 +377,11 @@ class RemoteBackend(Backend):
                     f" dictionaries; got {type(d)} instead."
                 )
 
-    def open_batch(self) -> _OpenBatchContextManager:
-        """Creates an open batch within a context manager object."""
-        if not self._connection.supports_open_batch():
-            raise NotImplementedError(
-                "Unable to execute open_batch using this remote"
-                " connection"
-            )
-        return _OpenBatchContextManager(self)
-
     @staticmethod
     def validate_job_params(
         job_params: list[JobParams] | None, max_runs: int | None
     ) -> None:
-        """Validates a list of job parameters prior to submission."""
+        """QPU-grade validation of the job parameters."""
         suffix = " when executing a sequence on a real QPU."
         if not job_params:
             raise ValueError("'job_params' must be specified" + suffix)
@@ -421,6 +400,8 @@ class RemoteBackend(Backend):
 
 
 class _OpenBatchContextManager:
+    """Binds a RemoteBackend to an open batch for its lifetime."""
+
     def __init__(self, backend: RemoteBackend) -> None:
         self.backend = backend
 

@@ -1,4 +1,4 @@
-"""The base class for storing backend results.
+"""Observable result storage, serialization and aggregation.
 
 API parity with reference
 ``pulser-core/pulser/backend/results.py:52-530``.
@@ -24,7 +24,7 @@ from pulser_tpu.json.utils import stringify_qubit_ids
 
 ResultsType = TypeVar("ResultsType", bound="Results")
 
-# Special attributes of the deprecated SampledResult
+#: Attributes that only existed on the deprecated SampledResult
 _SAMPLED_RESULT_ATTRS = (
     "sampling_dist",
     "sampling_errors",
@@ -36,20 +36,22 @@ _SAMPLED_RESULT_ATTRS = (
     "meas_basis",
 )
 
+_SKIP_METHODS = (AggregationMethod.SKIP, AggregationMethod.SKIP_WARN)
+
 
 @dataclass(repr=False)
 class Results:
-    """A collection of results.
+    """Time-tagged observable values, keyed by observable identity.
 
     Args:
-        atom_order: The order of the atoms/qudits in the results.
-        total_duration: The total duration of the sequence, in ns.
+        atom_order: The qudit ordering used in states and bitstrings.
+        total_duration: The sequence duration (ns).
     """
 
     atom_order: tuple[str, ...]
-    """The order of the atoms/qudits in the results."""
+    """The qudit ordering used in states and bitstrings."""
     total_duration: int
-    """The total duration of the sequence, in ns."""
+    """The sequence duration (ns)."""
     _results: dict[uuid.UUID, list[Any]] = field(init=False, repr=False)
     _times: dict[uuid.UUID, list[float]] = field(init=False, repr=False)
     _aggregation_methods: dict[uuid.UUID, AggregationMethod] = field(
@@ -63,6 +65,50 @@ class Results:
         self._tagmap = {}
         self._aggregation_methods = {}
 
+    # --- Storage -------------------------------------------------------
+
+    def _store_raw(
+        self,
+        *,
+        uuid: uuid.UUID,
+        tag: str,
+        time: float,
+        value: Any,
+        aggregation_method: AggregationMethod,
+    ) -> None:
+        stored_times = self._times.setdefault(uuid, [])
+        if time in stored_times:
+            raise RuntimeError(
+                f"A value is already stored for observable '{tag}'"
+                f" at time {time}."
+            )
+        self._tagmap[tag] = uuid
+        assert (
+            stored_times == [] or stored_times[-1] < time
+        ), "Evaluation times are not sorted."
+        stored_times.append(time)
+        self._results.setdefault(uuid, []).append(value)
+        self._aggregation_methods[uuid] = aggregation_method
+        assert len(stored_times) == len(self._results[uuid])
+
+    def _store(
+        self, *, observable: Observable, time: float, value: Any
+    ) -> None:
+        """Records one observable value at a relative time.
+
+        Args:
+            observable: The observable the value came from.
+            time: The relative evaluation time.
+            value: The computed value.
+        """
+        self._store_raw(
+            uuid=observable.uuid,
+            tag=observable.tag,
+            time=time,
+            value=value,
+            aggregation_method=observable.default_aggregation_method,
+        )
+
     @classmethod
     def from_final_bitstrings(
         cls: Type[ResultsType],
@@ -70,16 +116,16 @@ class Results:
         total_duration: int,
         final_bitstrings: collections.abc.Mapping[str, int],
     ) -> ResultsType:
-        """Creates a Results instance with bitstrings at t=1.0.
+        """Wraps a final-time bitstring counter into a Results.
 
-        The bitstrings are stored under a fabricated BitStrings observable
-        instance. Use `Results.final_bitstrings` or
-        `Results.get_result("bitstrings", 1.0)` to retrieve them.
+        The counts land under a synthesized BitStrings observable at
+        t=1.0; read them back through ``final_bitstrings`` or
+        ``get_result("bitstrings", 1.0)``.
 
         Args:
-            atom_order: The order of the atoms/qudits in the results.
-            total_duration: The total duration of the sequence, in ns.
-            final_bitstrings: The bitstring counter to store.
+            atom_order: The qudit ordering of the bitstrings.
+            total_duration: The sequence duration (ns).
+            final_bitstrings: The counter to store.
         """
         from pulser_tpu.backend.default_observables import BitStrings
 
@@ -91,60 +137,17 @@ class Results:
                 f"got {final_bitstrings}"
             )
 
-        n_samples = sum(bitstrings.values())
-        bitstrings_obs = BitStrings(num_shots=n_samples)
-        # Override UUID so two instances with the same counts are equal
-        bitstrings_obs._uuid = uuid.UUID(
-            "00000000-0000-0000-0000-000000000000"
-        )
+        obs = BitStrings(num_shots=sum(bitstrings.values()))
+        # A fixed UUID keeps two instances with equal counts equal
+        obs._uuid = uuid.UUID("00000000-0000-0000-0000-000000000000")
 
         res = cls(
             atom_order=tuple(atom_order), total_duration=total_duration
         )
-        res._store(observable=bitstrings_obs, time=1.0, value=bitstrings)
+        res._store(observable=obs, time=1.0, value=bitstrings)
         return res
 
-    def _store_raw(
-        self,
-        *,
-        uuid: uuid.UUID,
-        tag: str,
-        time: float,
-        value: Any,
-        aggregation_method: AggregationMethod,
-    ) -> None:
-        _times = self._times.setdefault(uuid, [])
-        if time in _times:
-            raise RuntimeError(
-                f"A value is already stored for observable '{tag}'"
-                f" at time {time}."
-            )
-        self._tagmap[tag] = uuid
-        assert (
-            _times == [] or _times[-1] < time
-        ), "Evaluation times are not sorted."
-        _times.append(time)
-        self._results.setdefault(uuid, []).append(value)
-        self._aggregation_methods[uuid] = aggregation_method
-        assert len(_times) == len(self._results[uuid])
-
-    def _store(
-        self, *, observable: Observable, time: float, value: Any
-    ) -> None:
-        """Store the result of an observable at a specific time.
-
-        Args:
-            observable: The observable computing the result.
-            time: The relative time at which the observable was taken.
-            value: The value of the observable.
-        """
-        self._store_raw(
-            uuid=observable.uuid,
-            tag=observable.tag,
-            time=time,
-            value=value,
-            aggregation_method=observable.default_aggregation_method,
-        )
+    # --- Access --------------------------------------------------------
 
     def __getattr__(self, name: str) -> Any:
         if name in self._tagmap:
@@ -158,7 +161,6 @@ class Results:
                 stacklevel=3,
             )
             return self.final_bitstrings
-
         if name in _SAMPLED_RESULT_ATTRS:
             raise AttributeError(
                 f"{name} is available only in 'SampledResult', which has"
@@ -168,7 +170,7 @@ class Results:
 
     @property
     def final_bitstrings(self) -> dict[str, int]:
-        """The bitstrings at the end of the sequence, if available."""
+        """The t=1.0 bitstring counts, when stored."""
         try:
             return cast(
                 typing.Dict[str, int],
@@ -184,7 +186,7 @@ class Results:
 
     @property
     def final_state(self) -> State:
-        """The state at the end of the sequence, if available."""
+        """The t=1.0 state, when stored."""
         try:
             return cast(State, self.get_result("state", time=1.0))
         except ValueError:
@@ -196,47 +198,39 @@ class Results:
             )
 
     def get_result_tags(self) -> list[str]:
-        """Get a list of results tags present in this object."""
+        """Every stored result tag."""
         return list(self._tagmap.keys())
 
     def get_result_times(
         self, observable: Observable | str
     ) -> list[float]:
-        """Get a list of times for which the given result is stored.
+        """The relative times an observable's values were stored at.
 
         Args:
-            observable: The observable instance used to calculate the
-                result, or its tag.
-
-        Returns:
-            List of relative times.
+            observable: The Observable instance, or its tag.
         """
         return list(self._times[self._find_uuid(observable)])
 
     def get_result(
         self, observable: Observable | str, time: float
     ) -> Any:
-        """Get a specific result at a given time.
+        """One stored value, by observable and time.
 
         Args:
-            observable: The observable instance used to calculate the
-                result, or its tag.
-            time: Relative time at which to get the result.
-
-        Returns:
-            The result.
+            observable: The Observable instance, or its tag.
+            time: The relative time to look up.
         """
         obs_uuid = self._find_uuid(observable)
         try:
             ind = self._times[obs_uuid].index(time)
-            return self._results[obs_uuid][ind]
         except (KeyError, ValueError):
             raise ValueError(
                 f"{observable!r} is not available at time {time}."
             )
+        return self._results[obs_uuid][ind]
 
     def get_tagged_results(self) -> dict[str, list[Any]]:
-        """The results for every tag, at every evaluation time."""
+        """Tag -> full value series, for every stored observable."""
         return {
             tag: list(self._results[uuid_])
             for tag, uuid_ in self._tagmap.items()
@@ -257,25 +251,22 @@ class Results:
                 "nor a known observable tag in the results."
             )
 
+    # --- Serialization --------------------------------------------------
+
     def _to_abstract_repr(self) -> dict:
-        d = {
+        return {
             "atom_order": stringify_qubit_ids(self.atom_order),
             "total_duration": self.total_duration,
+            "tagmap": {k: str(v) for k, v in self._tagmap.items()},
+            "results": {
+                str(k): v for k, v in self._results.items()
+            },
+            "times": {str(k): v for k, v in self._times.items()},
+            "aggregation_methods": {
+                str(k): v
+                for k, v in self._aggregation_methods.items()
+            },
         }
-        d["tagmap"] = {
-            key: str(value) for key, value in self._tagmap.items()
-        }
-        d["results"] = {
-            str(key): value for key, value in self._results.items()
-        }
-        d["times"] = {
-            str(key): value for key, value in self._times.items()
-        }
-        d["aggregation_methods"] = {
-            str(key): value
-            for key, value in self._aggregation_methods.items()
-        }
-        return d
 
     @classmethod
     def _from_abstract_repr(cls, obj: dict) -> Results:
@@ -287,30 +278,30 @@ class Results:
             atom_order=tuple(obj["atom_order"]),
             total_duration=obj["total_duration"],
         )
-        for key, value in obj["tagmap"].items():
-            results._tagmap[key] = uuid.UUID(value)
-        for key, value in obj["results"].items():
-            results._results[uuid.UUID(key)] = deserialize_complex(value)
-        for key, value in obj["times"].items():
-            results._times[uuid.UUID(key)] = value
-        for key, value in obj.get("aggregation_methods", {}).items():
-            results._aggregation_methods[uuid.UUID(key)] = (
-                AggregationMethod(value)
-            )
+        results._tagmap.update(
+            (k, uuid.UUID(v)) for k, v in obj["tagmap"].items()
+        )
+        results._results.update(
+            (uuid.UUID(k), deserialize_complex(v))
+            for k, v in obj["results"].items()
+        )
+        results._times.update(
+            (uuid.UUID(k), v) for k, v in obj["times"].items()
+        )
+        results._aggregation_methods.update(
+            (uuid.UUID(k), AggregationMethod(v))
+            for k, v in obj.get("aggregation_methods", {}).items()
+        )
         return results
 
     def to_abstract_repr(self, skip_validation: bool = False) -> str:
-        """Serializes this object into a json string.
+        """Serializes into the abstract-repr JSON string.
 
-        Numpy/JAX arrays are converted into lists; their original class
-        is lost forever.
+        Arrays are flattened to lists (their original type is not
+        recoverable).
 
         Args:
-            skip_validation: Whether to skip validating the json against
-                the schema used for deserialization.
-
-        Returns:
-            The json string.
+            skip_validation: Skip the schema check on the output.
         """
         abstr_str = json.dumps(
             self._to_abstract_repr(), cls=AbstractReprEncoder
@@ -321,10 +312,80 @@ class Results:
 
     @classmethod
     def from_abstract_repr(cls, repr: str) -> Results:
-        """Deserializes a Results object from json."""
+        """Rebuilds a Results from its abstract-repr JSON string."""
         validate_abstract_repr(repr, "results")
-        d = json.loads(repr)
-        return cls._from_abstract_repr(d)
+        return cls._from_abstract_repr(json.loads(repr))
+
+    # --- Aggregation ------------------------------------------------------
+
+    @staticmethod
+    def _common_tags(
+        results_to_aggregate: typing.Sequence[Results],
+    ) -> set[str]:
+        """Tags present in every Results; validates the skips."""
+        tag_sets = [
+            set(x.get_result_tags()) for x in results_to_aggregate
+        ]
+        common_tags = set.intersection(*tag_sets)
+        for results in results_to_aggregate:
+            if results._results and not results._aggregation_methods:
+                raise NotImplementedError(
+                    "You're trying to aggregate results without"
+                    " aggregation methods; this is not supported."
+                )
+            for tag, uid in results._tagmap.items():
+                if tag in common_tags:
+                    continue
+                if (
+                    results._aggregation_methods[uid].value
+                    not in _SKIP_METHODS
+                ):
+                    raise ValueError(
+                        "You're trying to aggregate incompatible results:"
+                        f" result `{tag}` is not present in all results,"
+                        " but it's not marked to be skipped."
+                    )
+        return common_tags
+
+    @staticmethod
+    def _check_compatible(
+        results_to_aggregate: typing.Sequence[Results],
+        common_tags: set[str],
+    ) -> None:
+        result_0 = results_to_aggregate[0]
+        ref_methods = {
+            tag: result_0._aggregation_methods[result_0._find_uuid(tag)]
+            for tag in common_tags
+        }
+        for results in results_to_aggregate:
+            methods = {
+                tag: results._aggregation_methods[
+                    results._find_uuid(tag)
+                ]
+                for tag in common_tags
+            }
+            if methods != ref_methods:
+                raise ValueError(
+                    "You're trying to aggregate incompatible results: "
+                    "they do not all contain the same aggregation"
+                    " functions."
+                )
+        if any(
+            results.atom_order != result_0.atom_order
+            for results in results_to_aggregate
+        ):
+            raise ValueError(
+                "You're trying to aggregate incompatible results: "
+                "they do not all have the same atom order."
+            )
+        if any(
+            results.total_duration != result_0.total_duration
+            for results in results_to_aggregate
+        ):
+            raise ValueError(
+                "You're trying to aggregate incompatible results: "
+                "they do not all have the same sequence duration."
+            )
 
     @classmethod
     def aggregate(
@@ -334,28 +395,25 @@ class Results:
             Callable[[Any], Any] | AggregationMethod
         ),
     ) -> Results:
-        """Aggregate a Sequence of Results objects into a single Results.
+        """Folds several runs' Results into one.
 
-        Accumulates the results of several runs with different noise
-        trajectories into a single averaged Results. By default results
-        are averaged, except BitStrings whose counters are joined.
-        StateResult and EnergyVariance are not supported by default.
+        The per-tag default aggregators average values (BitStrings
+        counters are joined); StateResult and EnergyVariance have no
+        default and must be overridden or skipped.
 
         Warning:
-            Accessing a result from an observable instance is only
-            preserved if all aggregated results originated from the same
-            observable instance; otherwise access it via the tag.
+            Looking results up by Observable *instance* only works when
+            every input stored that exact instance; prefer tags.
 
         Args:
-            results_to_aggregate: The list of Results to aggregate.
+            results_to_aggregate: The Results to fold together.
 
         Keyword Args:
-            aggregation_functions: Overrides the default aggregator for a
-                tag (a Callable over the list of values, or an
-                AggregationMethod enum).
+            aggregation_functions: Per-tag overrides — a callable over
+                the list of values, or an AggregationMethod.
 
         Returns:
-            The aggregated Results object.
+            The combined Results.
         """
         if len(results_to_aggregate) == 0:
             raise ValueError("No results to aggregate.")
@@ -363,97 +421,34 @@ class Results:
         if len(results_to_aggregate) == 1:
             return result_0
 
-        all_tags = set().union(
-            *[set(x.get_result_tags()) for x in results_to_aggregate]
-        )
-        common_tags = all_tags.intersection(
-            *[set(x.get_result_tags()) for x in results_to_aggregate]
-        )
+        common_tags = cls._common_tags(results_to_aggregate)
+        cls._check_compatible(results_to_aggregate, common_tags)
 
-        for results in results_to_aggregate:
-            if results._results and (not results._aggregation_methods):
-                raise NotImplementedError(
-                    "You're trying to aggregate results without"
-                    " aggregation methods; this is not supported."
-                )
-            for tag, uid in results._tagmap.items():
-                if tag not in common_tags and not (
-                    results._aggregation_methods[uid].value
-                    in (
-                        AggregationMethod.SKIP,
-                        AggregationMethod.SKIP_WARN,
-                    )
-                ):
-                    raise ValueError(
-                        "You're trying to aggregate incompatible results:"
-                        f" result `{tag}` is not present in all results,"
-                        " but it's not marked to be skipped."
-                    )
-        if not all(
-            {
-                tag: results._aggregation_methods[results._find_uuid(tag)]
-                for tag in common_tags
-            }
-            == {
-                tag: result_0._aggregation_methods[
-                    result_0._find_uuid(tag)
-                ]
-                for tag in common_tags
-            }
-            for results in results_to_aggregate
-        ):
-            raise ValueError(
-                "You're trying to aggregate incompatible results: "
-                "they do not all contain the same aggregation functions."
-            )
-        if not all(
-            results.atom_order == result_0.atom_order
-            for results in results_to_aggregate
-        ):
-            raise ValueError(
-                "You're trying to aggregate incompatible results: "
-                "they do not all have the same atom order."
-            )
-        if not all(
-            results.total_duration == result_0.total_duration
-            for results in results_to_aggregate
-        ):
-            raise ValueError(
-                "You're trying to aggregate incompatible results: "
-                "they do not all have the same sequence duration."
-            )
         aggregated = Results(
             atom_order=result_0.atom_order,
             total_duration=result_0.total_duration,
         )
         for tag in common_tags:
-            default_aggregation_method = result_0._aggregation_methods[
+            default_method = result_0._aggregation_methods[
                 result_0._tagmap[tag]
             ]
-            aggregation_method = aggregation_functions.get(
-                tag, default_aggregation_method
-            )
-            if (
-                aggregation_method is AggregationMethod.SKIP
-                or aggregation_method is AggregationMethod.SKIP_WARN
-            ):
-                if aggregation_method is AggregationMethod.SKIP_WARN:
+            method = aggregation_functions.get(tag, default_method)
+            if method in _SKIP_METHODS:
+                if method is AggregationMethod.SKIP_WARN:
                     with warnings.catch_warnings():
                         warnings.simplefilter("once")
                         warnings.warn(
                             f"Skipping aggregation of `{tag}`."
                         )
                 continue
-            aggregation_function: Any = (
-                AGGREGATOR_MAPPING[aggregation_method]
-                if isinstance(aggregation_method, AggregationMethod)
-                else aggregation_method
+            fold: Any = (
+                AGGREGATOR_MAPPING[method]
+                if isinstance(method, AggregationMethod)
+                else method
             )
-            evaluation_times = results_to_aggregate[0].get_result_times(
-                tag
-            )
-            if not all(
-                results.get_result_times(tag) == evaluation_times
+            evaluation_times = result_0.get_result_times(tag)
+            if any(
+                results.get_result_times(tag) != evaluation_times
                 for results in results_to_aggregate
             ):
                 raise ValueError(
@@ -462,53 +457,46 @@ class Results:
                     f"the times for `{tag}` are not all the same."
                 )
 
-            _uuids = set(
+            uuids = {
                 res._tagmap[tag] for res in results_to_aggregate
-            )
-            if len(_uuids) == 1:
-                # Preserve the UUID when all results share the same
-                uid = list(_uuids)[0]
-            else:
-                uid = uuid.uuid4()
+            }
+            # Keep the shared UUID when there is one
+            uid = uuids.pop() if len(uuids) == 1 else uuid.uuid4()
 
-            for t in result_0.get_result_times(tag):
-                v = aggregation_function(
-                    [
-                        result.get_result(tag, t)
-                        for result in results_to_aggregate
-                    ]
-                )
-
+            for t in evaluation_times:
                 aggregated._store_raw(
                     uuid=uid,
                     tag=tag,
                     time=t,
-                    value=v,
-                    aggregation_method=default_aggregation_method,
+                    value=fold(
+                        [
+                            result.get_result(tag, t)
+                            for result in results_to_aggregate
+                        ]
+                    ),
+                    aggregation_method=default_method,
                 )
-
         return aggregated
 
     def __str__(self) -> str:
         evaluation_times = {
-            tag: self._times[_uuid]
-            for tag, _uuid in self._tagmap.items()
+            tag: self._times[uid] for tag, uid in self._tagmap.items()
         }
-
         cls_name = self.__class__.__name__
-        lines = [
-            cls_name,
-            "-" * len(cls_name),
-            f"Stored results: {self.get_result_tags()}",
-            f"Evaluation times per result: {evaluation_times}",
-            f"Atom order in states and bitstrings: {self.atom_order}",
-            f"Total sequence duration: {self.total_duration} ns",
-        ]
-        return "\n".join(lines)
+        return "\n".join(
+            [
+                cls_name,
+                "-" * len(cls_name),
+                f"Stored results: {self.get_result_tags()}",
+                f"Evaluation times per result: {evaluation_times}",
+                f"Atom order in states and bitstrings: {self.atom_order}",
+                f"Total sequence duration: {self.total_duration} ns",
+            ]
+        )
 
 
 class ResultsSequence(typing.Sequence[ResultsType]):
-    """An immutable sequence of results."""
+    """An immutable, indexable series of Results."""
 
     _results_seq: tuple[ResultsType, ...]
 
@@ -527,5 +515,4 @@ class ResultsSequence(typing.Sequence[ResultsType]):
         return len(self._results_seq)
 
     def __iter__(self) -> collections.abc.Iterator[ResultsType]:
-        for res in self._results_seq:
-            yield res
+        yield from self._results_seq
