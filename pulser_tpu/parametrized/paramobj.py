@@ -1,11 +1,10 @@
-"""The ParamObj and operator-support mixin for object parametrization.
+"""Deferred calls (ParamObj) and operator support for parametrization.
 
 API parity with reference
 ``pulser-core/pulser/parametrized/paramobj.py:71-437``: a ``ParamObj``
-stores a deferred call whose arguments may contain ``Variable``s; calling
-``build()`` recursively evaluates the stored DAG.  With the JAX math
-backend, assigning JAX arrays to variables makes the whole build
-differentiable.
+records a call whose arguments may contain ``Variable``s; ``build()``
+evaluates the recorded DAG bottom-up. With the JAX math backend,
+assigning JAX arrays to the variables makes every build differentiable.
 """
 
 from __future__ import annotations
@@ -34,8 +33,8 @@ from pulser_tpu.parametrized.paramabc import Parametrized
 if TYPE_CHECKING:
     from pulser_tpu.parametrized import Variable
 
-# Mapping between numpy ufunc names and OpSupport method names (reverse
-# methods are used with inverted inputs for binary ufuncs).
+#: numpy ufunc name -> OpSupport method root (binary ufuncs use the
+#: reflected method when the object sits on the right-hand side)
 _UFUNC_MAP = {
     "add": "add",
     "subtract": "sub",
@@ -55,9 +54,25 @@ _UFUNC_MAP = {
     "ceil": "ceil",
 }
 
+#: Binary dunder roots backed directly by the operator module
+_BINARY_OPS = ("add", "sub", "mul", "truediv", "pow", "mod")
+
+#: Math-method name -> pm function, each returning a deferred call
+_MATH_METHODS = {
+    "rint": ("round", "Rounds the value to the nearest int."),
+    "sqrt": ("sqrt", "Calculates the square root of the object."),
+    "exp": ("exp", "Calculates the exponential of the object."),
+    "log2": ("log2", "Calculates the base-2 logarithm of the object."),
+    "log": ("log", "Calculates the natural logarithm of the object."),
+    "sin": ("sin", "Calculates the trigonometric sine of the object."),
+    "cos": ("cos", "Calculates the trigonometric cosine of the object."),
+    "tan": ("tan", "Calculates the trigonometric tangent of the object."),
+    "tanh": ("tanh", "Calculates the hyperbolic tangent of the object."),
+}
+
 
 class OpSupport:
-    """Methods for supporting operators on parametrized objects."""
+    """Arithmetic/ufunc support shared by all parametrized objects."""
 
     def __array_ufunc__(
         self, ufunc: np.ufunc, method: str, *inputs: Any, **kwargs: Any
@@ -82,7 +97,6 @@ class OpSupport:
                 pass
         return NotImplemented
 
-    # Unary operators
     def __neg__(self) -> ParamObj:
         return ParamObj(operator.neg, self)
 
@@ -96,68 +110,7 @@ class OpSupport:
         return ParamObj(pm.floor, self)
 
     def __round__(self, n: int = 0) -> ParamObj:
-        return (self * 10**n).rint() / 10**n  # type: ignore[return-value]
-
-    def rint(self) -> ParamObj:
-        """Rounds the value to the nearest int."""
-        return ParamObj(pm.round, self)
-
-    def sqrt(self) -> ParamObj:
-        """Calculates the square root of the object."""
-        return ParamObj(pm.sqrt, self)
-
-    def exp(self) -> ParamObj:
-        """Calculates the exponential of the object."""
-        return ParamObj(pm.exp, self)
-
-    def log2(self) -> ParamObj:
-        """Calculates the base-2 logarithm of the object."""
-        return ParamObj(pm.log2, self)
-
-    def log(self) -> ParamObj:
-        """Calculates the natural logarithm of the object."""
-        return ParamObj(pm.log, self)
-
-    def sin(self) -> ParamObj:
-        """Calculates the trigonometric sine of the object."""
-        return ParamObj(pm.sin, self)
-
-    def cos(self) -> ParamObj:
-        """Calculates the trigonometric cosine of the object."""
-        return ParamObj(pm.cos, self)
-
-    def tan(self) -> ParamObj:
-        """Calculates the trigonometric tangent of the object."""
-        return ParamObj(pm.tan, self)
-
-    def tanh(self) -> ParamObj:
-        """Calculates the hyperbolic tangent of the object."""
-        return ParamObj(pm.tanh, self)
-
-    # Binary operators
-    def __add__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.add, self, other)
-
-    def __radd__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.add, other, self)
-
-    def __sub__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.sub, self, other)
-
-    def __rsub__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.sub, other, self)
-
-    def __mul__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.mul, self, other)
-
-    def __rmul__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.mul, other, self)
-
-    def __truediv__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.truediv, self, other)
-
-    def __rtruediv__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.truediv, other, self)
+        return (self * 10**n).rint() / 10**n  # type: ignore
 
     def __floordiv__(self, other: Union[int, float], /) -> ParamObj:
         return (self / other).__floor__()
@@ -165,34 +118,53 @@ class OpSupport:
     def __rfloordiv__(self, other: Union[int, float], /) -> ParamObj:
         return (other / self).__floor__()
 
-    def __pow__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.pow, self, other)
 
-    def __rpow__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.pow, other, self)
+def _install_binary_op(root: str) -> None:
+    op_fn = getattr(operator, root)
 
-    def __mod__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.mod, self, other)
+    def fwd(self: OpSupport, other: Any, /) -> ParamObj:
+        return ParamObj(op_fn, self, other)
 
-    def __rmod__(self, other: Union[int, float], /) -> ParamObj:
-        return ParamObj(operator.mod, other, self)
+    def rev(self: OpSupport, other: Any, /) -> ParamObj:
+        return ParamObj(op_fn, other, self)
+
+    fwd.__name__ = f"__{root}__"
+    rev.__name__ = f"__r{root}__"
+    setattr(OpSupport, fwd.__name__, fwd)
+    setattr(OpSupport, rev.__name__, rev)
+
+
+def _install_math_method(name: str, pm_name: str, doc: str) -> None:
+    pm_fn = getattr(pm, pm_name)
+
+    def fn(self: OpSupport) -> ParamObj:
+        return ParamObj(pm_fn, self)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    setattr(OpSupport, name, fn)
+
+
+for _root in _BINARY_OPS:
+    _install_binary_op(_root)
+for _name, (_pm_name, _doc) in _MATH_METHODS.items():
+    _install_math_method(_name, _pm_name, _doc)
 
 
 class ParamObj(Parametrized, OpSupport):
-    """Holds a deferred call to a given callable.
+    """A recorded call, evaluated lazily at build time.
 
-    When built, a ParamObj instance returns ``cls(*args, **kwargs)`` with
-    all parametrized arguments recursively built first.
+    ``build()`` returns ``cls(*args, **kwargs)`` after recursively
+    building every parametrized argument.
 
     Args:
-        cls: The object to call. Usually a class that's instantiated
-            when called.
-        args: The args for calling `cls`.
-        kwargs: The kwargs for calling `cls`.
+        cls: The callable to invoke (usually a class).
+        args: Positional arguments of the call.
+        kwargs: Keyword arguments of the call.
     """
 
     def __init__(self, cls: Callable, *args: Any, **kwargs: Any) -> None:
-        """Initializes a new ParamObj."""
+        """Records the call and collects the involved variables."""
         self.cls = cls
         self._variables: dict[str, Variable] = {}
         if isinstance(self.cls, Parametrized):
@@ -206,23 +178,28 @@ class ParamObj(Parametrized, OpSupport):
         self._vars_state: dict[str, int] = {}
 
     @property
-    def _default_kwargs(self) -> dict[str, Any]:
-        """The default values for the object's keyword arguments."""
-        cls_signature = inspect.signature(self.cls).parameters
-        return {
-            param: cls_signature[param].default
-            for param in cls_signature
-            if cls_signature[param].default != cls_signature[param].empty
-        }
-
-    @property
     def variables(self) -> dict[str, Variable]:
-        """Returns all involved variables."""
+        """Every variable this call (transitively) depends on."""
         return self._variables
 
+    @property
+    def _default_kwargs(self) -> dict[str, Any]:
+        """Default values of the callable's keyword parameters."""
+        params = inspect.signature(self.cls).parameters
+        return {
+            name: p.default
+            for name, p in params.items()
+            if p.default != p.empty
+        }
+
     def build(self) -> Any:
-        """Builds the object with its variables' last assigned values."""
-        vars_state = {key: var._count for key, var in self._variables.items()}
+        """Evaluates the call with the variables' current values.
+
+        The result is cached until any involved variable is reassigned.
+        """
+        vars_state = {
+            key: var._count for key, var in self._variables.items()
+        }
         if vars_state != self._vars_state:
             self._vars_state = vars_state
             args_ = [
@@ -233,50 +210,131 @@ class ParamObj(Parametrized, OpSupport):
                 key: val.build() if isinstance(val, Parametrized) else val
                 for key, val in self.kwargs.items()
             }
-            if isinstance(self.cls, ParamObj):
-                obj = self.cls.build()
-            else:
-                obj = self.cls
-            self._instance = obj(*args_, **kwargs_)
+            target = (
+                self.cls.build()
+                if isinstance(self.cls, ParamObj)
+                else self.cls
+            )
+            self._instance = target(*args_, **kwargs_)
         return self._instance
 
+    def _is_classmethod_call(self) -> bool:
+        """Whether this records ``SomeClass.some_classmethod(...)``."""
+        return bool(
+            self.args
+            and hasattr(self.args[0], self.cls.__name__)
+            and inspect.isfunction(self.cls)
+            and self.cls.__module__ != "pulser_tpu.math"
+        )
+
     def _to_dict(self) -> dict[str, Any]:
-        def class_to_dict(cls: Callable) -> dict[str, Any]:
-            module = "numpy" if isinstance(cls, np.ufunc) else cls.__module__
+        def callable_to_dict(fn: Callable) -> dict[str, Any]:
+            module = (
+                "numpy" if isinstance(fn, np.ufunc) else fn.__module__
+            )
             return obj_to_dict(
-                self, _build=False, _name=cls.__name__, _module=module
+                self, _build=False, _name=fn.__name__, _module=module
             )
 
-        args = list(self.args)
         if isinstance(self.cls, Parametrized):
             raise ValueError(
                 "Serialization of calls to parametrized objects is not "
                 "supported."
             )
-        elif (
-            len(args) > 0
-            and hasattr(args[0], self.cls.__name__)
-            and inspect.isfunction(self.cls)
-            and self.cls.__module__ != "pulser_tpu.math"
-        ):
-            if inspect.isclass(self.args[0]):
-                cls_dict = obj_to_dict(
-                    self,
-                    _build=False,
-                    _name=self.cls.__name__,
-                    _module=self.args[0].__module__,
-                    _submodule=self.args[0].__name__,
-                )
-                args[0] = class_to_dict(self.args[0])
-            else:
+        args = list(self.args)
+        if self._is_classmethod_call():
+            if not inspect.isclass(self.args[0]):
                 raise NotImplementedError(
                     "Instance or static method "
                     "serialization is not supported."
                 )
+            cls_dict = obj_to_dict(
+                self,
+                _build=False,
+                _name=self.cls.__name__,
+                _module=self.args[0].__module__,
+                _submodule=self.args[0].__name__,
+            )
+            args[0] = callable_to_dict(self.args[0])
         else:
-            cls_dict = class_to_dict(self.cls)
+            cls_dict = callable_to_dict(self.cls)
 
         return obj_to_dict(self, cls_dict, *args, **self.kwargs)
+
+    def _classmethod_abstract_repr(self) -> dict[str, Any]:
+        """Wire format of a recorded classmethod call."""
+        op_name = self.cls.__name__
+        if not inspect.isclass(self.args[0]):
+            raise NotImplementedError(
+                "Instance or static method serialization is not supported."
+            )
+        cls_name = self.args[0].__name__
+        name = f"{cls_name}.{op_name}"
+        signature = SIGNATURES[
+            (
+                "Pulse"
+                if cls_name == "Pulse" and op_name != "ArbitraryPhase"
+                else name
+            )
+        ]
+        assert (
+            signature.var_pos is None
+        ), "Unexpected signature with VAR_POSITIONAL arguments."
+        all_args = {
+            **self._default_kwargs,
+            **dict(zip(signature.all_pos_args(), self.args[1:])),
+            **self.kwargs,
+        }
+        # The constant-amplitude/detuning constructors lower to a plain
+        # Pulse with a zero-duration constant waveform marker
+        if name == "Pulse.ConstantAmplitude":
+            all_args["amplitude"] = abstract_repr(
+                "ConstantWaveform", 0, all_args["amplitude"]
+            )
+            return abstract_repr("Pulse", **all_args)
+        if name == "Pulse.ConstantDetuning":
+            all_args["detuning"] = abstract_repr(
+                "ConstantWaveform", 0, all_args["detuning"]
+            )
+            return abstract_repr("Pulse", **all_args)
+        return abstract_repr(name, **all_args)
+
+    def _signature_abstract_repr(self) -> dict[str, Any]:
+        """Wire format of a call with a registered signature."""
+        op_name = self.cls.__name__
+        signature = SIGNATURES[op_name]
+        filtered_defaults = {
+            key: value
+            for key, value in self._default_kwargs.items()
+            if key in signature.keyword
+        }
+        full_kwargs = {**filtered_defaults, **self.kwargs}
+        if signature.var_pos is not None:
+            return abstract_repr(op_name, *self.args, **full_kwargs)
+
+        all_args = {
+            **full_kwargs,
+            **dict(zip(signature.all_pos_args(), self.args)),
+        }
+        if op_name == "InterpolatedWaveform" and all_args["times"] is None:
+            # The wire format always carries explicit times
+            if isinstance(
+                all_args["values"], pulser_tpu.parametrized.Variable
+            ):
+                num_values = all_args["values"].size
+            else:
+                try:
+                    num_values = len(all_args["values"])
+                except TypeError:
+                    raise AbstractReprError(
+                        "An InterpolatedWaveform with 'values' of unknown "
+                        "length and unspecified 'times' can't be "
+                        "serialized to the abstract representation. To "
+                        "keep the same argument for 'values', provide "
+                        "compatible 'times' explicitly."
+                    )
+            all_args["times"] = np.linspace(0, 1, num=num_values)
+        return abstract_repr(op_name, **all_args)
 
     def _to_abstract_repr(self) -> dict[str, Any]:
         if isinstance(self.cls, Parametrized):
@@ -285,98 +343,24 @@ class ParamObj(Parametrized, OpSupport):
                 "supported."
             )
         op_name = self.cls.__name__
-        if (
-            self.args
-            and hasattr(self.args[0], op_name)
-            and inspect.isfunction(self.cls)
-            and not self.cls.__module__ == "pulser_tpu.math"
-        ):
-            if inspect.isclass(self.args[0]):
-                cls_name = self.args[0].__name__
-                name = f"{cls_name}.{op_name}"
-                signature = SIGNATURES[
-                    (
-                        "Pulse"
-                        if cls_name == "Pulse" and op_name != "ArbitraryPhase"
-                        else name
-                    )
-                ]
-                assert (
-                    signature.var_pos is None
-                ), "Unexpected signature with VAR_POSITIONAL arguments."
-                all_args = {
-                    **self._default_kwargs,
-                    **dict(zip(signature.all_pos_args(), self.args[1:])),
-                    **self.kwargs,
-                }
-                if name == "Pulse.ConstantAmplitude":
-                    all_args["amplitude"] = abstract_repr(
-                        "ConstantWaveform", 0, all_args["amplitude"]
-                    )
-                    return abstract_repr("Pulse", **all_args)
-                elif name == "Pulse.ConstantDetuning":
-                    all_args["detuning"] = abstract_repr(
-                        "ConstantWaveform", 0, all_args["detuning"]
-                    )
-                    return abstract_repr("Pulse", **all_args)
-                else:
-                    return abstract_repr(name, **all_args)
-            raise NotImplementedError(
-                "Instance or static method serialization is not supported."
-            )
-        elif op_name in SIGNATURES:
-            signature = SIGNATURES[op_name]
-            filtered_defaults = {
-                key: value
-                for key, value in self._default_kwargs.items()
-                if key in signature.keyword
-            }
-            full_kwargs = {**filtered_defaults, **self.kwargs}
-            if signature.var_pos is not None:
-                return abstract_repr(op_name, *self.args, **full_kwargs)
-
-            all_args = {
-                **full_kwargs,
-                **dict(zip(signature.all_pos_args(), self.args)),
-            }
-            if op_name == "InterpolatedWaveform" and all_args["times"] is None:
-                if isinstance(
-                    all_args["values"],
-                    pulser_tpu.parametrized.Variable,
-                ):
-                    num_values = all_args["values"].size
-                else:
-                    try:
-                        num_values = len(all_args["values"])
-                    except TypeError:
-                        raise AbstractReprError(
-                            "An InterpolatedWaveform with 'values' of unknown "
-                            "length and unspecified 'times' can't be "
-                            "serialized to the abstract representation. To "
-                            "keep the same argument for 'values', provide "
-                            "compatible 'times' explicitly."
-                        )
-
-                all_args["times"] = np.linspace(0, 1, num=num_values)
-
-            return abstract_repr(op_name, **all_args)
-
-        elif op_name in UNARY_OPERATORS:
+        if self._is_classmethod_call():
+            return self._classmethod_abstract_repr()
+        if op_name in SIGNATURES:
+            return self._signature_abstract_repr()
+        if op_name in UNARY_OPERATORS:
             return dict(expression=op_name, lhs=self.args[0])
-
-        elif op_name in BINARY_OPERATORS:
+        if op_name in BINARY_OPERATORS:
             return dict(
                 expression=op_name,
                 lhs=self.args[0],
                 rhs=self.args[1],
             )
-        else:
-            raise AbstractReprError(
-                f"No abstract representation for '{op_name}'."
-            )
+        raise AbstractReprError(
+            f"No abstract representation for '{op_name}'."
+        )
 
     def __call__(self, *args: Any, **kwargs: Any) -> ParamObj:
-        """Returns a new ParamObj storing a call to the current ParamObj."""
+        """Records a call on the (future) result of this ParamObj."""
         obj = ParamObj(self, *args, **kwargs)
         warnings.warn(
             "Calls to methods of parametrized objects are only "
@@ -390,7 +374,7 @@ class ParamObj(Parametrized, OpSupport):
 
     def __str__(self) -> str:
         args = [str(a) for a in self.args]
-        kwargs = [f"{key}={str(value)}" for key, value in self.kwargs.items()]
+        kwargs = [f"{k}={v}" for k, v in self.kwargs.items()]
         if isinstance(self.cls, Parametrized):
             name = str(self.cls)
         elif (
