@@ -27,9 +27,11 @@ def parametrize(func: F) -> F:
 
     @wraps(func)
     def wrapper(*args: Any, **kwargs: Any) -> Any:
-        for x in chain(args, kwargs.values()):
-            if isinstance(x, Parametrized):
-                return ParamObj(func, *args, **kwargs)
+        if any(
+            isinstance(x, Parametrized)
+            for x in chain(args, kwargs.values())
+        ):
+            return ParamObj(func, *args, **kwargs)
         return func(*args, **kwargs)
 
     return cast(F, wrapper)

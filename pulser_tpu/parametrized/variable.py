@@ -90,6 +90,9 @@ class Variable(Parametrized, OpSupport):
     def __str__(self) -> str:
         return self.name
 
+    def _in_bounds(self, ind: int) -> bool:
+        return -self.size <= ind < self.size
+
     def __getitem__(
         self, key: Union[int, slice, abc.Sequence[int]]
     ) -> VariableItem:
@@ -98,8 +101,9 @@ class Variable(Parametrized, OpSupport):
                 f"Invalid key type {type(key)} for '{self.name}'."
             )
         bad_ind = None
-        if isinstance(key, int) and not -self.size <= key < self.size:
-            bad_ind = key
+        if isinstance(key, int):
+            if not self._in_bounds(key):
+                bad_ind = key
         elif isinstance(key, abc.Sequence):
             for ind_ in key:
                 if not isinstance(ind_, int):
@@ -107,7 +111,7 @@ class Variable(Parametrized, OpSupport):
                         f"Invalid index type {type(ind_)} for variable "
                         f"'{self.name}'."
                     )
-                if not -self.size <= ind_ < self.size:
+                if not self._in_bounds(ind_):
                     bad_ind = ind_
                     break
             else:
@@ -117,7 +121,6 @@ class Variable(Parametrized, OpSupport):
                 f"Index {bad_ind} out of bounds for variable '{self.name}' "
                 f"with size {self.size}."
             )
-
         return VariableItem(self, key)
 
     def __len__(self) -> int:

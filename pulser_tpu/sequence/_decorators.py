@@ -19,6 +19,58 @@ if TYPE_CHECKING:
 
 F = TypeVar("F", bound=Callable)
 
+# Calls that, once made, make a later parametrized `truncate()` freeze
+# the sequence (only measurement remains possible afterwards).
+_TRUNCATE_BLOCKERS = (
+    "target",
+    "enable_eom_mode",
+    "disable_eom_mode",
+)
+
+
+def _check_owned_variables(seq: Sequence, obj: Parametrized) -> None:
+    """Rejects parametrized objects built from foreign variables."""
+    for name, var in obj.variables.items():
+        if name not in seq._variables:
+            raise ValueError(f"Unknown variable '{name}'.")
+        if seq._variables[name] is not var:
+            raise ValueError(
+                f"{obj} has variables that don't come from this "
+                "Sequence. Use only what's returned by this"
+                "Sequence's 'declare_variable' method as your"
+                "variables."
+            )
+
+
+def verify_variable(seq: Sequence, x: Any) -> None:
+    """Ensures every variable inside ``x`` was declared on ``seq``."""
+    if isinstance(x, Parametrized):
+        # From here on the sequence is parametrized
+        seq._building = False
+        _check_owned_variables(seq, x)
+        return
+    if isinstance(x, str):
+        return
+    # Containers may hide parametrized objects — walk them
+    try:
+        iterator = iter(x)
+    except TypeError:
+        return
+    for y in iterator:
+        verify_variable(seq, y)
+
+
+def _frozen_by_truncate(seq: Sequence) -> bool:
+    """Whether a parametrized truncate followed a blocker call."""
+    deferred = [c.name for c in seq._to_build_calls]
+    if "truncate" not in deferred:
+        return False
+    # Everything scheduled up to the (first) truncate, plus every
+    # eagerly-executed call
+    before_cut = [c.name for c in seq._calls]
+    before_cut += deferred[: deferred.index("truncate")]
+    return bool(set(_TRUNCATE_BLOCKERS) & set(before_cut))
+
 
 def screen(func: F) -> F:
     """Blocks the call to a function if the Sequence is parametrized."""
@@ -33,30 +85,6 @@ def screen(func: F) -> F:
         return func(self, *args, **kwargs)
 
     return cast(F, wrapper)
-
-
-def verify_variable(seq: Sequence, x: Any) -> None:
-    """Checks if a variable has been declared in a sequence."""
-    if isinstance(x, Parametrized):
-        # If not already, the sequence becomes parametrized
-        seq._building = False
-        for name, var in x.variables.items():
-            if name not in seq._variables:
-                raise ValueError(f"Unknown variable '{name}'.")
-            elif seq._variables[name] is not var:
-                raise ValueError(
-                    f"{x} has variables that don't come from this "
-                    "Sequence. Use only what's returned by this"
-                    "Sequence's 'declare_variable' method as your"
-                    "variables."
-                )
-    elif not isinstance(x, str):
-        # Recursively look for parametrized objs inside the arguments
-        try:
-            for y in x:
-                verify_variable(seq, y)
-        except TypeError:
-            pass
 
 
 def verify_parametrization(func: F) -> F:
@@ -107,42 +135,22 @@ def conditionally_block(
     def decorator(func: F) -> F:
         @wraps(func)
         def wrapper(self: Sequence, *args: Any, **kwargs: Any) -> Any:
-            if self.is_measured() and if_measured:
+            if if_measured and self.is_measured():
                 raise RuntimeError(
                     "The sequence has been measured, no further "
                     "changes are allowed."
                 )
-            if self.is_parametrized() and if_parametrized_truncated:
-                to_build_call_names = [
-                    call.name for call in self._to_build_calls
-                ]
-                call_names = [call.name for call in self._calls]
-                blocker_calls = (
-                    "target",
-                    "enable_eom_mode",
-                    "disable_eom_mode",
+            if (
+                if_parametrized_truncated
+                and self.is_parametrized()
+                and _frozen_by_truncate(self)
+            ):
+                raise RuntimeError(
+                    "The sequence can only be measured. This is because"
+                    f" it is parametrized and one or more of"
+                    f" {_TRUNCATE_BLOCKERS} was called before a `truncate()`"
+                    " call."
                 )
-                if (
-                    # A parametrized truncate preceded by a blocker call
-                    # freezes the sequence (only measurement is allowed)
-                    "truncate" in to_build_call_names
-                    and (
-                        set(blocker_calls)
-                        & set(
-                            call_names
-                            + to_build_call_names[
-                                : to_build_call_names.index("truncate")
-                            ]
-                        )
-                    )
-                ):
-                    raise RuntimeError(
-                        "The sequence can only be measured. This is because"
-                        f" it is parametrized and one or more of"
-                        f" {blocker_calls} was called before a `truncate()`"
-                        " call."
-                    )
-
             return func(self, *args, **kwargs)
 
         return cast(F, wrapper)
