@@ -28,7 +28,7 @@ from pulser_tpu.channels.modulation import (
 from pulser_tpu.json.utils import get_dataclass_defaults, obj_to_dict
 from pulser_tpu.pulse import Pulse
 
-# Warnings of adjusted waveform duration appear just once
+# Emit duration-rounding warnings a single time only
 warnings.filterwarnings("once", "A duration of")
 
 ChannelType = TypeVar("ChannelType", bound="Channel")
@@ -39,7 +39,7 @@ OPTIONAL_ABSTR_CH_FIELDS = (
     "propagation_dir",
 )
 
-# States ordered as they appear in the state-vector representation
+# State labels, in the order used by the state-vector representation
 States = Literal["u", "d", "r", "g", "h", "x"]
 
 STATES_RANK = get_args(States)
@@ -49,6 +49,45 @@ EIGENSTATES: dict[str, list[States]] = {
     "digital": ["g", "h"],
     "XY": ["u", "d"],  # u -> 0, d -> 1
 }
+
+# Validation groups for Channel.__post_init__. A parameter may appear
+# in several groups; `local_only` ones are validated on Local channels
+# and required to be None on Global ones.
+_ALWAYS_CHECKED = (
+    "max_amp",
+    "max_abs_detuning",
+    "clock_period",
+    "min_duration",
+    "max_duration",
+    "mod_bandwidth",
+    "min_avg_amp",
+    "custom_phase_jump_time",
+)
+_LOCAL_ONLY = (
+    "min_retarget_interval",
+    "fixed_retarget_t",
+    "max_targets",
+)
+_ALLOWS_ZERO = frozenset(
+    (
+        "max_amp",
+        "max_abs_detuning",
+        "min_retarget_interval",
+        "fixed_retarget_t",
+        "min_avg_amp",
+        "custom_phase_jump_time",
+    )
+)
+_ALLOWS_NONE = frozenset(
+    (
+        "max_amp",
+        "max_abs_detuning",
+        "max_duration",
+        "mod_bandwidth",
+        "max_targets",
+        "custom_phase_jump_time",
+    )
+)
 
 
 def get_states_from_bases(bases: Collection[str]) -> list[States]:
@@ -105,25 +144,73 @@ class Channel(ABC):
     eom_config: Optional[BaseEOM] = field(init=False, default=None)
     propagation_dir: tuple[float, float, float] | None = None
 
-    @property
-    def name(self) -> str:
-        """The name of the channel."""
-        return type(self).__name__
+    # ------------------------------------------------------------------
+    # Construction & validation
+    # ------------------------------------------------------------------
 
-    @property
-    @abstractmethod
-    def basis(self) -> str:
-        """The addressed basis name."""
+    @classmethod
+    def _check_constructible(cls) -> None:
+        """Blocks Local/Global on subclasses that pin 'addressing'."""
+        addressing_field = next(
+            f_ for f_ in fields(cls) if f_.name == "addressing"
+        )
+        if (
+            not addressing_field.init
+            and addressing_field.default is not MISSING
+        ):
+            raise NotImplementedError(
+                f"{cls} cannot be initialized from `Local` method."
+            )
 
-    @property
-    def eigenstates(self) -> list[States]:
-        r"""The eigenstates associated with the basis.
+    @classmethod
+    def Local(
+        cls: Type[ChannelType],
+        max_abs_detuning: Optional[float],
+        max_amp: Optional[float],
+        min_retarget_interval: int = 0,
+        fixed_retarget_t: int = 0,
+        max_targets: Optional[int] = None,
+        **kwargs: Any,
+    ) -> ChannelType:
+        """Initializes the channel with local addressing.
 
-        Labels ranked in decreasing order of their associated eigenenergy:
-        "u" (up), "d" (down), "r" (rydberg), "g" (ground), "h" (hyperfine),
-        "x" (error).
+        Args:
+            max_abs_detuning: Maximum possible detuning (in rad/µs), in
+                absolute value.
+            max_amp: Maximum pulse amplitude (in rad/µs).
+            min_retarget_interval: Minimum time required between two
+                target instructions (in ns).
+            fixed_retarget_t: Time taken to change the target (in ns).
+            max_targets: Maximum number of atoms the channel can target
+                simultaneously.
         """
-        return EIGENSTATES[self.basis]
+        cls._check_constructible()
+        return cls(
+            "Local",
+            max_abs_detuning,
+            max_amp,
+            min_retarget_interval,
+            fixed_retarget_t,
+            max_targets,
+            **kwargs,
+        )
+
+    @classmethod
+    def Global(
+        cls: Type[ChannelType],
+        max_abs_detuning: Optional[float],
+        max_amp: Optional[float],
+        **kwargs: Any,
+    ) -> ChannelType:
+        """Initializes the channel with global addressing.
+
+        Args:
+            max_abs_detuning: Maximum possible detuning (in rad/µs), in
+                absolute value.
+            max_amp: Maximum pulse amplitude (in rad/µs).
+        """
+        cls._check_constructible()
+        return cls("Global", max_abs_detuning, max_amp, **kwargs)
 
     @property
     def _internal_param_valid_options(self) -> dict[str, tuple[str, ...]]:
@@ -134,6 +221,27 @@ class Channel(ABC):
             addressing=("Local", "Global"),
         )
 
+    def _check_bound(self, param: str) -> None:
+        """Checks one numeric parameter against its validation group."""
+        value = getattr(self, param)
+        if value is None:
+            if param in _ALLOWS_NONE:
+                return
+            raise TypeError(
+                f"'{param}' can't be None in a '{self.addressing}' "
+                "channel."
+            )
+        prelude = "When defined, " if param in _ALLOWS_NONE else ""
+        if param in _ALLOWS_ZERO:
+            if value >= 0:
+                return
+            comp = "greater than or equal to zero"
+        else:
+            if value > 0:
+                return
+            comp = "greater than zero"
+        raise ValueError(prelude + f"'{param}' must be {comp}, not {value}.")
+
     def __post_init__(self) -> None:
         """Validates the channel's parameters."""
         for param, options in self._internal_param_valid_options.items():
@@ -142,74 +250,23 @@ class Channel(ABC):
                 value in options
             ), f"The channel {param} must be one of {options}, not {value}."
 
-        parameters = [
-            "max_amp",
-            "max_abs_detuning",
-            "clock_period",
-            "min_duration",
-            "max_duration",
-            "mod_bandwidth",
-            "min_avg_amp",
-            "custom_phase_jump_time",
-        ]
-        non_negative = [
-            "max_amp",
-            "max_abs_detuning",
-            "min_retarget_interval",
-            "fixed_retarget_t",
-            "min_avg_amp",
-            "custom_phase_jump_time",
-        ]
-        local_only = [
-            "min_retarget_interval",
-            "fixed_retarget_t",
-            "max_targets",
-        ]
-        optional = [
-            "max_amp",
-            "max_abs_detuning",
-            "max_duration",
-            "mod_bandwidth",
-            "max_targets",
-            "custom_phase_jump_time",
-        ]
-
+        checked = list(_ALWAYS_CHECKED)
         if self.addressing == "Global":
-            for p in local_only:
+            for p in _LOCAL_ONLY:
                 assert (
                     getattr(self, p) is None
                 ), f"'{p}' must be left as None in a Global channel."
         else:
             assert self.addressing == "Local"
-            parameters += local_only
+            checked += _LOCAL_ONLY
             if self.propagation_dir is not None:
                 raise NotImplementedError(
                     "'propagation_dir' must be left as None in Local"
                     " channels."
                 )
 
-        for param in parameters:
-            value = getattr(self, param)
-            if param in optional:
-                prelude = "When defined, "
-                valid = value is None
-            elif value is None:
-                raise TypeError(
-                    f"'{param}' can't be None in a '{self.addressing}' "
-                    "channel."
-                )
-            else:
-                prelude = ""
-                valid = False
-            if param in non_negative:
-                comp = "greater than or equal to zero"
-                valid = valid or value >= 0
-            else:
-                comp = "greater than zero"
-                valid = valid or value > 0
-            msg = prelude + f"'{param}' must be {comp}, not {value}."
-            if not valid:
-                raise ValueError(msg)
+        for param in checked:
+            self._check_bound(param)
 
         if (
             self.max_duration is not None
@@ -240,6 +297,30 @@ class Channel(ABC):
                 self, "propagation_dir", tuple(self.propagation_dir)
             )
 
+    # ------------------------------------------------------------------
+    # Basic properties
+    # ------------------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        """The name of the channel."""
+        return type(self).__name__
+
+    @property
+    @abstractmethod
+    def basis(self) -> str:
+        """The addressed basis name."""
+
+    @property
+    def eigenstates(self) -> list[States]:
+        r"""The eigenstates associated with the basis.
+
+        Labels ranked in decreasing order of their associated eigenenergy:
+        "u" (up), "d" (down), "r" (rydberg), "g" (ground), "h" (hyperfine),
+        "x" (error).
+        """
+        return EIGENSTATES[self.basis]
+
     @property
     def rise_time(self) -> int:
         """The amplitude rise time (in ns).
@@ -247,10 +328,9 @@ class Channel(ABC):
         The time taken to go from 10% to 90% output amplitude in response
         to a step change in the input.
         """
-        if self.mod_bandwidth:
-            return calculate_amplitude_rise_time(self.mod_bandwidth)
-        else:
+        if not self.mod_bandwidth:
             return 0
+        return calculate_amplitude_rise_time(self.mod_bandwidth)
 
     @property
     def phase_jump_time(self) -> int:
@@ -258,11 +338,15 @@ class Channel(ABC):
 
         Two times the rise time unless `custom_phase_jump_time` is set.
         """
-        return int(
-            self.rise_time * 2
-            if self.custom_phase_jump_time is None
-            else self.custom_phase_jump_time
-        )
+        if self.custom_phase_jump_time is not None:
+            return int(self.custom_phase_jump_time)
+        return int(self.rise_time * 2)
+
+    def _undefined_fields(self) -> list[str]:
+        maybe_missing = ["max_amp", "max_abs_detuning", "max_duration"]
+        if self.addressing == "Local":
+            maybe_missing.append("max_targets")
+        return [f_ for f_ in maybe_missing if getattr(self, f_) is None]
 
     def is_virtual(self) -> bool:
         """Whether the channel is virtual (i.e. partially defined)."""
@@ -272,77 +356,9 @@ class Channel(ABC):
         """Whether the channel supports EOM mode operation."""
         return hasattr(self, "eom_config") and self.eom_config is not None
 
-    def _undefined_fields(self) -> list[str]:
-        optional = [
-            "max_amp",
-            "max_abs_detuning",
-            "max_duration",
-        ]
-        if self.addressing == "Local":
-            optional.append("max_targets")
-        return [f_ for f_ in optional if getattr(self, f_) is None]
-
-    @classmethod
-    def Local(
-        cls: Type[ChannelType],
-        max_abs_detuning: Optional[float],
-        max_amp: Optional[float],
-        min_retarget_interval: int = 0,
-        fixed_retarget_t: int = 0,
-        max_targets: Optional[int] = None,
-        **kwargs: Any,
-    ) -> ChannelType:
-        """Initializes the channel with local addressing.
-
-        Args:
-            max_abs_detuning: Maximum possible detuning (in rad/µs), in
-                absolute value.
-            max_amp: Maximum pulse amplitude (in rad/µs).
-            min_retarget_interval: Minimum time required between two
-                target instructions (in ns).
-            fixed_retarget_t: Time taken to change the target (in ns).
-            max_targets: Maximum number of atoms the channel can target
-                simultaneously.
-        """
-        for cls_field in fields(cls):
-            if cls_field.name == "addressing":
-                break
-        if not cls_field.init and cls_field.default is not MISSING:
-            raise NotImplementedError(
-                f"{cls} cannot be initialized from `Local` method."
-            )
-        return cls(
-            "Local",
-            max_abs_detuning,
-            max_amp,
-            min_retarget_interval,
-            fixed_retarget_t,
-            max_targets,
-            **kwargs,
-        )
-
-    @classmethod
-    def Global(
-        cls: Type[ChannelType],
-        max_abs_detuning: Optional[float],
-        max_amp: Optional[float],
-        **kwargs: Any,
-    ) -> ChannelType:
-        """Initializes the channel with global addressing.
-
-        Args:
-            max_abs_detuning: Maximum possible detuning (in rad/µs), in
-                absolute value.
-            max_amp: Maximum pulse amplitude (in rad/µs).
-        """
-        for cls_field in fields(cls):
-            if cls_field.name == "addressing":
-                break
-        if not cls_field.init and cls_field.default is not MISSING:
-            raise NotImplementedError(
-                f"{cls} cannot be initialized from `Global` method."
-            )
-        return cls("Global", max_abs_detuning, max_amp, **kwargs)
+    # ------------------------------------------------------------------
+    # Instruction validation
+    # ------------------------------------------------------------------
 
     def validate_duration(self, duration: int, round_up: bool = True) -> int:
         """Validates and adapts the duration of an instruction.
@@ -373,8 +389,9 @@ class Channel(ABC):
                 "duration can be at most " + f"{self.max_duration} ns."
             )
 
-        if round_up and duration % self.clock_period != 0:
-            _duration += self.clock_period - _duration % self.clock_period
+        remainder = _duration % self.clock_period
+        if round_up and remainder != 0:
+            _duration += self.clock_period - remainder
             warnings.warn(
                 f"A duration of {duration} ns is not a multiple of "
                 f"the channel's clock period ({self.clock_period} "
@@ -402,12 +419,9 @@ class Channel(ABC):
                 "The pulse's amplitude goes over the maximum "
                 "value allowed for the chosen channel."
             )
+        det_abs = np.abs(pulse.detuning.samples.as_array(detach=True))
         if self.max_abs_detuning is not None and np.any(
-            np.round(
-                np.abs(pulse.detuning.samples.as_array(detach=True)),
-                decimals=6,
-            )
-            > self.max_abs_detuning
+            np.round(det_abs, decimals=6) > self.max_abs_detuning
         ):
             raise ValueError(
                 "The pulse's detuning values go out of the range "
@@ -420,10 +434,34 @@ class Channel(ABC):
                 f"channel's limit ({self.min_avg_amp})."
             )
 
+    # ------------------------------------------------------------------
+    # Output modulation
+    # ------------------------------------------------------------------
+
     @property
     def _modulation_padding(self) -> int:
         """Padding added to the input signals before modulation (samples)."""
         return self.rise_time
+
+    @staticmethod
+    def apply_modulation(
+        input_samples: ArrayLike, mod_bandwidth: float
+    ) -> pm.AbstractArray:
+        """Applies the modulation transfer function to the input samples.
+
+        This is strictly the application of the Gaussian low-pass transfer
+        function; the samples should be padded beforehand.
+
+        Args:
+            input_samples: The samples to modulate.
+            mod_bandwidth: The modulation bandwidth (in MHz), following
+                Pulser's non-standard definition (2x the -3dB bandwidth).
+        """
+        input_samples = pm.AbstractArray(input_samples)
+        fc = mod_bandwidth * 1e-3 / np.sqrt(2 * np.log(2))
+        freqs = pm.fftfreq(input_samples.size)
+        modulation = pm.exp(-(freqs**2) / fc**2)
+        return pm.ifft(pm.fft(input_samples) * modulation).real
 
     def modulate(
         self,
@@ -462,37 +500,14 @@ class Channel(ABC):
             mod_bandwidth = self.mod_bandwidth
             mod_padding = self._modulation_padding
 
-        if keep_ends:
-            samples = pm.pad(
-                input_samples, mod_padding + self.rise_time, mode="edge"
-            )
-        else:
-            samples = pm.pad(input_samples, mod_padding)
+        pad_width = mod_padding + (self.rise_time if keep_ends else 0)
+        pad_mode = "edge" if keep_ends else "constant"
+        samples = pm.pad(input_samples, pad_width, mode=pad_mode)
         mod_samples = self.apply_modulation(samples, mod_bandwidth)
         if keep_ends:
-            # Cut off the extra ends
+            # Trim the edge-extension back off
             return mod_samples[self.rise_time: -self.rise_time]
         return mod_samples
-
-    @staticmethod
-    def apply_modulation(
-        input_samples: ArrayLike, mod_bandwidth: float
-    ) -> pm.AbstractArray:
-        """Applies the modulation transfer function to the input samples.
-
-        This is strictly the application of the Gaussian low-pass transfer
-        function; the samples should be padded beforehand.
-
-        Args:
-            input_samples: The samples to modulate.
-            mod_bandwidth: The modulation bandwidth (in MHz), following
-                Pulser's non-standard definition (2x the -3dB bandwidth).
-        """
-        input_samples = pm.AbstractArray(input_samples)
-        fc = mod_bandwidth * 1e-3 / np.sqrt(2 * np.log(2))
-        freqs = pm.fftfreq(input_samples.size)
-        modulation = pm.exp(-(freqs**2) / fc**2)
-        return pm.ifft(pm.fft(input_samples) * modulation).real
 
     def calc_modulation_buffer(
         self,
@@ -527,66 +542,62 @@ class Channel(ABC):
                 )
             tr = self.rise_time
         samples = pm.pad(input_samples, tr)
-        diffs = (
+        within_tol = (
             abs(samples - mod_samples).as_array(detach=True)
             <= max_allowed_diff
         )
-        try:
-            # Last index in the start buffer below the max allowed diff
-            start = tr - np.argwhere(diffs[:tr])[-1][0] - 1
-        except IndexError:
-            start = tr
-        try:
-            # First index in the end buffer below the max allowed diff
-            end = np.argwhere(diffs[-tr:])[0][0]
-        except IndexError:
-            end = tr
-
+        head_ok = np.argwhere(within_tol[:tr])
+        # Last in-tolerance index of the start buffer sets 'start'
+        start = tr if head_ok.size == 0 else tr - head_ok[-1][0] - 1
+        tail_ok = np.argwhere(within_tol[-tr:])
+        # First in-tolerance index of the end buffer sets 'end'
+        end = tr if tail_ok.size == 0 else tail_ok[0][0]
         return start, end
 
     @property
     def _eom_buffer_time(self) -> int:
-        # rise_time goes from 10% to 90%; ~2*rise_time covers 0% to 100%
+        # rise_time spans 10%→90%; twice that ≈ the full 0%→100% swing
         assert self.supports_eom(), "Can't define the EOM buffer time."
-        return int(
-            cast(BaseEOM, self.eom_config).custom_buffer_time
-            or 2 * self.rise_time
-        )
+        custom = cast(BaseEOM, self.eom_config).custom_buffer_time
+        return int(custom or 2 * self.rise_time)
 
     @property
     def _eom_buffer_mod_bandwidth(self) -> float:
-        # Takes half of the buffer time as the rise time
-        amplitude_rise_time_ns = self._eom_buffer_time // 2
+        # Half the buffer time plays the role of the rise time
         return calculate_mod_bandwidth_from_amplitude_rise_time(
-            amplitude_rise_time_ns
+            self._eom_buffer_time // 2
         )
 
+    # ------------------------------------------------------------------
+    # Display & serialization
+    # ------------------------------------------------------------------
+
     def __str__(self) -> str:
-        config = (
-            f".{self.addressing}(Max Absolute Detuning: "
-            f"{self.max_abs_detuning}"
-            f"{' rad/µs' if self.max_abs_detuning else ''}, "
-            f"Max Amplitude: {self.max_amp}"
-            f"{' rad/µs' if self.max_amp else ''}"
-        )
+        parts = [
+            f"{self.name}.{self.addressing}(",
+            f"Max Absolute Detuning: {self.max_abs_detuning}",
+            " rad/µs" if self.max_abs_detuning else "",
+            f", Max Amplitude: {self.max_amp}",
+            " rad/µs" if self.max_amp else "",
+        ]
         if self.addressing == "Local":
-            config += (
-                f", Minimum retarget time: {self.min_retarget_interval} ns, "
-                f"Fixed retarget time: {self.fixed_retarget_t} ns"
+            parts.append(
+                f", Minimum retarget time: {self.min_retarget_interval} ns,"
+                f" Fixed retarget time: {self.fixed_retarget_t} ns"
             )
             if self.max_targets is not None:
-                config += f", Max targets: {self.max_targets}"
-        config += (
+                parts.append(f", Max targets: {self.max_targets}")
+        parts.append(
             f", Clock period: {self.clock_period} ns"
             f", Minimum pulse duration: {self.min_duration} ns"
         )
         if self.max_duration is not None:
-            config += f", Maximum pulse duration: {self.max_duration} ns"
+            parts.append(f", Maximum pulse duration: {self.max_duration} ns")
         if self.mod_bandwidth:
-            config += f", Modulation Bandwidth: {self.mod_bandwidth} MHz"
-        config += f", Supports EOM: {self.supports_eom()}"
-        config += f", Basis: '{self.basis}')"
-        return self.name + config
+            parts.append(f", Modulation Bandwidth: {self.mod_bandwidth} MHz")
+        parts.append(f", Supports EOM: {self.supports_eom()}")
+        parts.append(f", Basis: '{self.basis}')")
+        return "".join(parts)
 
     def default_id(self) -> str:
         """Generates the default ID for indexing this channel in a Device."""

@@ -1,4 +1,4 @@
-"""The Channel subclasses.
+"""The concrete Channel subclasses.
 
 Behavioral parity with reference
 ``pulser-core/pulser/channels/channels.py:26-66``.
@@ -14,11 +14,29 @@ from pulser_tpu.channels.eom import RydbergEOM
 
 
 @dataclass(init=True, frozen=True)
+class Microwave(Channel):
+    """Microwave addressing channel.
+
+    Drives the transition between two Rydberg states — the 'XY' basis.
+    See base class.
+    """
+
+    @property
+    def basis(self) -> Literal["XY"]:
+        """The addressed basis name."""
+        return "XY"
+
+    def default_id(self) -> str:
+        """Generates the default ID for indexing this channel in a Device."""
+        return f"mw_{self.addressing.lower()}"
+
+
+@dataclass(init=True, frozen=True)
 class Raman(Channel):
     """Raman beam channel.
 
-    Targets the transition between the hyperfine ground states, in which
-    the 'digital' basis is encoded. See base class.
+    Drives the transition between the hyperfine ground states — the
+    'digital' basis. See base class.
     """
 
     @property
@@ -31,8 +49,9 @@ class Raman(Channel):
 class Rydberg(Channel):
     """Rydberg beam channel.
 
-    Targets the transition between the ground and rydberg states, thus
-    encoding the 'ground-rydberg' basis. See base class.
+    Drives the transition between the ground and Rydberg states — the
+    'ground-rydberg' basis. Optionally carries a ``RydbergEOM``. See base
+    class.
     """
 
     eom_config: Optional[RydbergEOM] = None
@@ -51,21 +70,3 @@ class Rydberg(Channel):
     def basis(self) -> Literal["ground-rydberg"]:
         """The addressed basis name."""
         return "ground-rydberg"
-
-
-@dataclass(init=True, frozen=True)
-class Microwave(Channel):
-    """Microwave addressing channel.
-
-    Targets the transition between two rydberg states, thus encoding the
-    'XY' basis. See base class.
-    """
-
-    @property
-    def basis(self) -> Literal["XY"]:
-        """The addressed basis name."""
-        return "XY"
-
-    def default_id(self) -> str:
-        """Generates the default ID for indexing this channel in a Device."""
-        return f"mw_{self.addressing.lower()}"

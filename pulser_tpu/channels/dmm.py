@@ -20,6 +20,11 @@ from pulser_tpu.register.weight_maps import DetuningMap
 OPTIONAL_ABSTR_DMM_FIELDS = ["total_bottom_detuning", "min_avg_abs_detuning"]
 
 
+def _frozen(default: Any) -> Any:
+    """A dataclass field pinned to its default (hidden from init/repr)."""
+    return field(default=default, init=False, repr=False)
+
+
 @dataclass(init=True, frozen=True)
 class DMM(Channel):
     """Defines a Detuning Map Modulator (DMM) Channel.
@@ -52,27 +57,16 @@ class DMM(Channel):
     bottom_detuning: float | None = None
     total_bottom_detuning: float | None = None
     min_avg_abs_detuning: float = 0.0
-    addressing: Literal["Global"] = field(
-        default="Global", init=False, repr=False
-    )
-    max_abs_detuning: Optional[float] = field(
-        default=None, init=False, repr=False
-    )
-    max_amp: float = field(default=0, init=False, repr=False)
-    min_retarget_interval: Optional[int] = field(
-        default=None, init=False, repr=False
-    )
-    fixed_retarget_t: Optional[int] = field(
-        default=None, init=False, repr=False
-    )
-    max_targets: Optional[int] = field(default=None, init=False, repr=False)
-    propagation_dir: tuple[float, float, float] | None = field(
-        default=None, init=False, repr=False
-    )
-    min_avg_amp: float = field(default=0, init=False, repr=False)
-    custom_phase_jump_time: int | None = field(
-        default=None, init=False, repr=False
-    )
+    # Everything below is fixed by the nature of a DMM
+    addressing: Literal["Global"] = _frozen("Global")
+    max_abs_detuning: Optional[float] = _frozen(None)
+    max_amp: float = _frozen(0)
+    min_retarget_interval: Optional[int] = _frozen(None)
+    fixed_retarget_t: Optional[int] = _frozen(None)
+    max_targets: Optional[int] = _frozen(None)
+    propagation_dir: tuple[float, float, float] | None = _frozen(None)
+    min_avg_amp: float = _frozen(0)
+    custom_phase_jump_time: int | None = _frozen(None)
 
     def __post_init__(self) -> None:
         super().__post_init__()
@@ -117,16 +111,78 @@ class DMM(Channel):
         return "ground-rydberg"
 
     def _undefined_fields(self) -> list[str]:
-        optional = [
+        maybe_missing = (
             "bottom_detuning",
             "max_duration",
             "total_bottom_detuning",
-        ]
-        return [f_ for f_ in optional if getattr(self, f_) is None]
+        )
+        return [f_ for f_ in maybe_missing if getattr(self, f_) is None]
 
     def is_virtual(self) -> bool:
         """Whether the channel is virtual (i.e. partially defined)."""
         return bool(self._undefined_fields())
+
+    def _check_spot_floor(
+        self, min_det: float, weights: Any
+    ) -> None:
+        """Every weighted spot detuning must stay above bottom_detuning."""
+        if self.bottom_detuning is None:
+            return
+        max_weight = np.max(weights)
+        if max_weight * min_det >= self.bottom_detuning:
+            return
+        raise ValueError(
+            f"For a detuning map with a maximum weight of {max_weight},"
+            f" a DMM pulse with minimum detuning {min_det} "
+            "rad/µs goes below the local bottom "
+            f"detuning of the DMM ({self.bottom_detuning} rad/µs). "
+            "To respect this constraint, keep the detuning above "
+            f"{self.bottom_detuning / max_weight} rad/µs."
+        )
+
+    def _check_total_floor(
+        self, min_det: float, weights: Any
+    ) -> None:
+        """The summed detuning must stay above total_bottom_detuning."""
+        if self.total_bottom_detuning is None:
+            return
+        sum_weight = np.sum(weights)
+        if sum_weight * min_det >= self.total_bottom_detuning:
+            return
+        raise ValueError(
+            "For a detuning map with a total summed weight of "
+            f"{sum_weight}, the total applied detuning from a DMM pulse "
+            f"with minimum detuning {min_det} rad/µs goes"
+            " below the total bottom detuning "
+            f"of the DMM ({self.total_bottom_detuning} rad/µs). "
+            "To respect this constraint, keep the detuning above "
+            f"{self.total_bottom_detuning / sum_weight} rad/µs."
+        )
+
+    def _check_avg_threshold(
+        self, round_detuning: np.ndarray, weights: Any
+    ) -> None:
+        """The weighted average |detuning| must clear the DMM's minimum."""
+        weights_arr = np.array(weights)
+        non_zero_weight_inds = np.nonzero(weights_arr)
+        assert len(non_zero_weight_inds) == 1, "Weights array is not 1D"
+        if len(non_zero_weight_inds[0]) == 0:
+            # With all weights zero there's nothing to enforce
+            return
+        avg_abs_detuning = np.average(np.abs(round_detuning))
+        min_non_zero_weight = np.min(weights_arr[non_zero_weight_inds])
+        if (
+            0
+            < min_non_zero_weight * avg_abs_detuning
+            < self.min_avg_abs_detuning
+        ):
+            raise ValueError(
+                "For a detuning map with a minimum non-zero weight of "
+                f"{min_non_zero_weight}, a DMM pulse with an average "
+                f"absolute detuning of {avg_abs_detuning:.3g} rad/µs does"
+                " not respect the minimum threshold for the average absolute"
+                f" detuning of the DMM ({self.min_avg_abs_detuning} rad/µs)."
+            )
 
     def validate_pulse(
         self,
@@ -146,61 +202,12 @@ class DMM(Channel):
         round_detuning = pm.round(pulse.detuning.samples, 6).as_array(
             detach=True
         )
-        # Check that detuning is negative
         if np.any(round_detuning > 0):
             raise ValueError("The detuning in a DMM must not be positive.")
-        # Check that detuning on each atom is above bottom_detuning
         min_round_detuning = np.min(round_detuning)
-        max_weight = np.max(detuning_map.weights)
-        if (
-            self.bottom_detuning is not None
-            and max_weight * min_round_detuning < self.bottom_detuning
-        ):
-            raise ValueError(
-                f"For a detuning map with a maximum weight of {max_weight},"
-                f" a DMM pulse with minimum detuning {min_round_detuning} "
-                "rad/µs goes below the local bottom "
-                f"detuning of the DMM ({self.bottom_detuning} rad/µs). "
-                "To respect this constraint, keep the detuning above "
-                f"{self.bottom_detuning / max_weight} rad/µs."
-            )
-        # Check that distributed detuning is above total_bottom_detuning
-        sum_weight = np.sum(detuning_map.weights)
-        if (
-            self.total_bottom_detuning is not None
-            and sum_weight * min_round_detuning < self.total_bottom_detuning
-        ):
-            raise ValueError(
-                "For a detuning map with a total summed weight of "
-                f"{sum_weight}, the total applied detuning from a DMM pulse "
-                f"with minimum detuning {min_round_detuning} rad/µs goes"
-                " below the total bottom detuning "
-                f"of the DMM ({self.total_bottom_detuning} rad/µs). "
-                "To respect this constraint, keep the detuning above "
-                f"{self.total_bottom_detuning / sum_weight} rad/µs."
-            )
-
-        weights_arr = np.array(detuning_map.weights)
-        non_zero_weight_inds = np.nonzero(weights_arr)
-        assert len(non_zero_weight_inds) == 1, "Weights array is not 1D"
-        if len(non_zero_weight_inds[0]) == 0:
-            # All weights are zero, skip min_avg_abs_detuning validation
-            return
-
-        avg_abs_detuning = np.average(np.abs(round_detuning))
-        min_non_zero_weight = np.min(weights_arr[non_zero_weight_inds])
-        if (
-            0
-            < min_non_zero_weight * avg_abs_detuning
-            < self.min_avg_abs_detuning
-        ):
-            raise ValueError(
-                "For a detuning map with a minimum non-zero weight of "
-                f"{min_non_zero_weight}, a DMM pulse with an average "
-                f"absolute detuning of {avg_abs_detuning:.3g} rad/µs does"
-                " not respect the minimum threshold for the average absolute"
-                f" detuning of the DMM ({self.min_avg_abs_detuning} rad/µs)."
-            )
+        self._check_spot_floor(min_round_detuning, detuning_map.weights)
+        self._check_total_floor(min_round_detuning, detuning_map.weights)
+        self._check_avg_threshold(round_detuning, detuning_map.weights)
 
     def _to_abstract_repr(self, id: str) -> dict[str, Any]:
         all_fields = fields(self)
@@ -223,9 +230,7 @@ def _dmm_id_from_name(dmm_name: str) -> str:
 
 def _get_dmm_name(dmm_id: str, channels: list[str]) -> str:
     """Get the dmm_name to add a dmm_id to a list of channels."""
-    dmm_count = len(
-        [key for key in channels if _dmm_id_from_name(key) == dmm_id]
-    )
-    if dmm_count == 0:
+    matching = [k for k in channels if _dmm_id_from_name(k) == dmm_id]
+    if not matching:
         return dmm_id
-    return dmm_id + f"_{dmm_count}"
+    return f"{dmm_id}_{len(matching)}"

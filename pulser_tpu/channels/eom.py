@@ -28,6 +28,14 @@ OPTIONAL_ABSTR_EOM_FIELDS = (
     "red_shift_coeff",
 )
 
+# RydbergEOM parameters that must be strictly positive
+_STRICTLY_POSITIVE = (
+    "max_limiting_amp",
+    "intermediate_detuning",
+    "blue_shift_coeff",
+    "red_shift_coeff",
+)
+
 
 class RydbergBeam(Flag):
     """The beams that make up a Rydberg channel."""
@@ -42,8 +50,9 @@ class RydbergBeam(Flag):
         return cast(str, self.name)
 
 
-# Split between fields with and without defaults to keep dataclass
-# inheritance working (pre-KW_ONLY pattern, as in the reference).
+# The fields are split into defaultless/defaulted base dataclasses so
+# that inheritance composes without keyword-only fields (the reference
+# predates KW_ONLY and we keep its positional signature).
 
 
 @dataclass(frozen=True)
@@ -92,15 +101,13 @@ class BaseEOM(_BaseEOMDefaults, _BaseEOM):
 
     def _to_abstract_repr(self) -> dict[str, Any]:
         all_fields = fields(self)
-        params = {}
         defaults = get_dataclass_defaults(all_fields)
         assert set(OPTIONAL_ABSTR_EOM_FIELDS) <= defaults.keys()
+        skippable = set(OPTIONAL_ABSTR_EOM_FIELDS)
+        params = {}
         for f in all_fields:
             value = getattr(self, f.name)
-            if (
-                f.name in OPTIONAL_ABSTR_EOM_FIELDS
-                and value == defaults[f.name]
-            ):
+            if f.name in skippable and value == defaults[f.name]:
                 continue
             params[f.name] = value
         return params
@@ -146,26 +153,20 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
 
     def __post_init__(self) -> None:
         super().__post_init__()
-        for param in [
-            "max_limiting_amp",
-            "intermediate_detuning",
-            "blue_shift_coeff",
-            "red_shift_coeff",
-        ]:
+        for param in _STRICTLY_POSITIVE:
             value = getattr(self, param)
             if value <= 0.0:
                 raise ValueError(
                     f"'{param}' must be greater than zero, not {value}."
                 )
-        if not isinstance(self.controlled_beams, tuple):
-            if not isinstance(self.controlled_beams, list):
+        beams = self.controlled_beams
+        if not isinstance(beams, tuple):
+            if not isinstance(beams, list):
                 raise TypeError(
                     "The 'controlled_beams' must be provided as a tuple "
                     "or list."
                 )
-            object.__setattr__(
-                self, "controlled_beams", tuple(self.controlled_beams)
-            )
+            object.__setattr__(self, "controlled_beams", tuple(beams))
         if not self.controlled_beams:
             raise ValueError(
                 "There must be at least one beam in 'controlled_beams'."
@@ -179,14 +180,103 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
                     f" enumeration, not {self.limiting_beam}."
                 )
 
+    # -- Physics helpers -------------------------------------------------
+
+    def _rabi_freq_per_beam(
+        self, rabi_frequency: pm.AbstractArray
+    ) -> dict[RydbergBeam, pm.AbstractArray]:
+        """Splits an effective Rabi frequency into per-beam amplitudes.
+
+        Uses rabi_eff = (rabi_red * rabi_blue) / (2 * int_detuning); below
+        the limiting beam's ceiling the two beams are balanced so the
+        lightshift vanishes, above it the limiting beam saturates.
+        """
+        if self.limiting_beam == RydbergBeam.RED:
+            ratio = self.red_shift_coeff / self.blue_shift_coeff
+        else:
+            ratio = self.blue_shift_coeff / self.red_shift_coeff
+        shift_factor = np.sqrt(ratio)
+        limit_rabi_freq = (
+            shift_factor
+            * self.max_limiting_amp**2
+            / (2 * self.intermediate_detuning)
+        )
+        other_beam = ~self.limiting_beam
+        if rabi_frequency <= limit_rabi_freq:
+            # Zero-lightshift regime: balance the two beams
+            base_amp_squared = (
+                2 * rabi_frequency * self.intermediate_detuning
+            )
+            return {
+                self.limiting_beam: pm.sqrt(base_amp_squared / shift_factor),
+                other_beam: pm.sqrt(base_amp_squared * shift_factor),
+            }
+        # Saturated regime: the limiting beam is pinned at its maximum
+        # and the other beam makes up the difference
+        return {
+            self.limiting_beam: pm.AbstractArray(self.max_limiting_amp),
+            other_beam: 2
+            * self.intermediate_detuning
+            * rabi_frequency
+            / self.max_limiting_amp,
+        }
+
+    def _lightshift(
+        self, rabi_frequency: pm.AbstractArray, *beams_on: RydbergBeam
+    ) -> pm.AbstractArray:
+        # lightshift = (rabi_blue**2 - rabi_red**2) / 4 * int_detuning
+        rabi_freqs = self._rabi_freq_per_beam(rabi_frequency)
+        bias = {
+            RydbergBeam.RED: -self.red_shift_coeff,
+            RydbergBeam.BLUE: self.blue_shift_coeff,
+        }
+        # A beam that's off contributes rabi_freq = 0
+        return pm.AbstractArray(
+            sum(bias[beam] * rabi_freqs[beam] ** 2 for beam in beams_on)
+            / (4 * self.intermediate_detuning)
+        )
+
     @property
     def _switching_beams_combos(self) -> list[tuple[RydbergBeam, ...]]:
-        switching_beams: list[tuple[RydbergBeam, ...]] = [
+        combos: list[tuple[RydbergBeam, ...]] = [
             (beam,) for beam in self.controlled_beams
         ]
-        if len(self.controlled_beams) > 1 and self.multiple_beam_control:
-            switching_beams.append(tuple(RydbergBeam))
-        return switching_beams
+        if self.multiple_beam_control and len(self.controlled_beams) > 1:
+            combos.append(tuple(RydbergBeam))
+        return combos
+
+    # -- Public API -------------------------------------------------------
+
+    def detuning_off_options(
+        self,
+        rabi_frequency: float | pm.TensorLike,
+        detuning_on: float | pm.TensorLike,
+    ) -> pm.AbstractArray:
+        """The possible detuning values when the amplitude is off.
+
+        Args:
+            rabi_frequency: The Rabi frequency when executing a pulse,
+                in rad/µs.
+            detuning_on: The detuning when executing a pulse, in rad/µs.
+
+        Returns:
+            The possible detuning values when in between pulses.
+        """
+        rabi_frequency = pm.AbstractArray(rabi_frequency)
+        # detuning = offset + lightshift; the offset compensates the
+        # both-beams-on lightshift, which is non-zero whenever the two
+        # beams' Rabi frequencies differ.
+        offset = pm.AbstractArray(detuning_on) - self._lightshift(
+            rabi_frequency, *RydbergBeam
+        )
+        all_beams: set[RydbergBeam] = set(RydbergBeam)
+        # Beams left on (not being switched off) set the lightshift
+        lightshifts = [
+            self._lightshift(rabi_frequency, *(all_beams - set(beams_off)))
+            for beams_off in self._switching_beams_combos
+        ]
+        # Adding the offset yields the effective detuning of each option
+        return pm.flatten(pm.vstack(lightshifts)) + offset
 
     @overload
     def calculate_detuning_off(
@@ -229,88 +319,6 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
             off_options.as_array(detach=True) - optimal_detuning_off
         ).argmin()
         best_det_off = off_options[closest_option]
-        if not return_switching_beams:
-            return best_det_off
-        return best_det_off, self._switching_beams_combos[closest_option]
-
-    def detuning_off_options(
-        self,
-        rabi_frequency: float | pm.TensorLike,
-        detuning_on: float | pm.TensorLike,
-    ) -> pm.AbstractArray:
-        """The possible detuning values when the amplitude is off.
-
-        Args:
-            rabi_frequency: The Rabi frequency when executing a pulse,
-                in rad/µs.
-            detuning_on: The detuning when executing a pulse, in rad/µs.
-
-        Returns:
-            The possible detuning values when in between pulses.
-        """
-        rabi_frequency = pm.AbstractArray(rabi_frequency)
-        # detuning = offset + lightshift; the offset accounts for the
-        # lightshift when both beams are on, which is non-zero when the
-        # beams' Rabi frequencies differ.
-        offset = pm.AbstractArray(detuning_on) - self._lightshift(
-            rabi_frequency, *RydbergBeam
-        )
-        all_beams: set[RydbergBeam] = set(RydbergBeam)
-        lightshifts = []
-        for beams_off in self._switching_beams_combos:
-            # The beams that don't switch off contribute to the lightshift
-            beams_on: set[RydbergBeam] = all_beams - set(beams_off)
-            lightshifts.append(self._lightshift(rabi_frequency, *beams_on))
-
-        # Sum the offset to all lightshifts to get the effective detuning
-        return pm.flatten(pm.vstack(lightshifts)) + offset
-
-    def _lightshift(
-        self, rabi_frequency: pm.AbstractArray, *beams_on: RydbergBeam
-    ) -> pm.AbstractArray:
-        # lightshift = (rabi_blue**2 - rabi_red**2) / 4 * int_detuning
-        rabi_freqs = self._rabi_freq_per_beam(rabi_frequency)
-        bias = {
-            RydbergBeam.RED: -self.red_shift_coeff,
-            RydbergBeam.BLUE: self.blue_shift_coeff,
-        }
-        # beam off -> beam_rabi_freq = 0
-        return pm.AbstractArray(
-            sum(bias[beam] * rabi_freqs[beam] ** 2 for beam in beams_on)
-            / (4 * self.intermediate_detuning)
-        )
-
-    def _rabi_freq_per_beam(
-        self, rabi_frequency: pm.AbstractArray
-    ) -> dict[RydbergBeam, pm.AbstractArray]:
-        shift_factor = np.sqrt(
-            self.red_shift_coeff / self.blue_shift_coeff
-            if self.limiting_beam == RydbergBeam.RED
-            else self.blue_shift_coeff / self.red_shift_coeff
-        )
-        # rabi_freq = (rabi_red * rabi_blue) / (2 * int_detuning)
-        limit_rabi_freq = (
-            shift_factor
-            * self.max_limiting_amp**2
-            / (2 * self.intermediate_detuning)
-        )
-        # limit_rabi_freq is the maximum effective rabi frequency below
-        # which the lightshift can be zero
-        if rabi_frequency <= limit_rabi_freq:
-            base_amp_squared = (
-                2 * rabi_frequency * self.intermediate_detuning
-            )
-            return {
-                self.limiting_beam: pm.sqrt(base_amp_squared / shift_factor),
-                ~self.limiting_beam: pm.sqrt(base_amp_squared * shift_factor),
-            }
-
-        # The limiting beam is at max amplitude; the other has the amplitude
-        # needed to reach the desired effective rabi freq
-        return {
-            self.limiting_beam: pm.AbstractArray(self.max_limiting_amp),
-            ~self.limiting_beam: 2
-            * self.intermediate_detuning
-            * rabi_frequency
-            / self.max_limiting_amp,
-        }
+        if return_switching_beams:
+            return best_det_off, self._switching_beams_combos[closest_option]
+        return best_det_off
