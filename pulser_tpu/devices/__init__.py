@@ -1,8 +1,7 @@
-"""Classes for specification of neutral-atom devices.
+"""Neutral-atom device specifications.
 
-The :class:`Device` class sets the structure of a physical device, while
-:class:`VirtualDevice` is a more permissive device type which can only be
-used in emulators.
+:class:`Device` pins down a physical machine's constraints;
+:class:`VirtualDevice` relaxes them for emulator-only use.
 """
 
 from __future__ import annotations

@@ -77,41 +77,68 @@ OPTIONAL_IN_ABSTR_REPR = tuple(
 )
 PARAMS_WITH_ABSTR_REPR = ("channel_objects", "channel_ids", "dmm_objects")
 
+# Numeric device parameters checked for positivity in __post_init__.
+# 'min_atom_distance' alone admits zero.
+_BOUNDED_PARAMS = (
+    "min_atom_distance",
+    "max_atom_num",
+    "max_radial_distance",
+    "max_sequence_duration",
+    "max_runs",
+    "min_layout_traps",
+    "max_layout_traps",
+)
+
+
+def _require_type(param: str, type_: type, value: Any) -> None:
+    """Raises a uniform TypeError when ``value`` is not a ``type_``."""
+    if not isinstance(value, type_):
+        raise TypeError(
+            f"{param} must be of type '{type_.__name__}', "
+            f"not '{type(value).__name__}'."
+        )
+
+
+def _deep_tuple(obj: tuple | list) -> tuple:
+    """Recursively converts lists to tuples."""
+    if isinstance(obj, (tuple, list)):
+        return tuple(_deep_tuple(el) for el in obj)
+    return obj
+
 
 @dataclass(frozen=True, repr=False)
 class BaseDevice(ABC):
     r"""Base class of a neutral-atom device.
 
     Args:
-        name: The name of the device.
-        dimensions: Whether it supports 2D or 3D arrays.
-        max_atom_num: Maximum number of atoms supported in an array.
-        max_radial_distance: The furthest away an atom can be from the
-            center of the array (in μm).
-        min_atom_distance: The closest together two atoms can be (in μm).
-        requires_layout: Whether the register used in the sequence must be
-            created from a register layout (enforced in QPU execution).
-        min_layout_traps: The minimum number of traps a layout can have.
-        max_layout_traps: An optional maximum number of layout traps.
-        min_layout_filling: The smallest fraction of a layout that must be
-            filled with atoms.
-        max_layout_filling: The largest fraction of a layout that can be
-            filled with atoms.
-        optimal_layout_filling: An optional value for the fraction of a
-            layout that should be filled with atoms.
-        rydberg_level: The principal quantum number :math:`n` of the
-            Rydberg level used.
-        channel_objects: The Channel subclass instances specifying each
-            channel in the device.
-        channel_ids: Custom IDs for each channel object.
-        dmm_objects: The DMM subclass instances of the device, referenced
-            by "dmm_[index in dmm_objects]".
-        supports_slm_mask: Whether the device has an SLM mask.
-        max_sequence_duration: The maximum allowed sequence duration
-            (in ns).
-        max_runs: The maximum number of runs allowed on the device.
-        noise_model: An optional noise model characterizing the default
-            noise of the device.
+        name: Device name.
+        dimensions: 2 for planar arrays, 3 for volumetric ones.
+        max_atom_num: Cap on the atom count of a register.
+        max_radial_distance: How far from the array center an atom may
+            sit (in μm).
+        min_atom_distance: Smallest allowed spacing between two atoms
+            (in μm).
+        requires_layout: If set, sequences must use registers built from
+            a register layout (a QPU-execution constraint).
+        min_layout_traps: Lower bound on a layout's trap count.
+        max_layout_traps: Optional upper bound on a layout's trap count.
+        min_layout_filling: Lower bound on the filled fraction of a
+            layout.
+        max_layout_filling: Upper bound on the filled fraction of a
+            layout.
+        optimal_layout_filling: Optional recommended filled fraction for
+            a layout.
+        rydberg_level: Principal quantum number :math:`n` of the Rydberg
+            level in use.
+        channel_objects: The Channel instances available on the device.
+        channel_ids: Optional custom IDs, one per channel object.
+        dmm_objects: The device's DMM instances, addressed as
+            "dmm_[index in dmm_objects]".
+        supports_slm_mask: Whether an SLM mask is available.
+        max_sequence_duration: Cap on a sequence's duration (in ns).
+        max_runs: Cap on the number of runs per job.
+        noise_model: Optional noise model describing the device's
+            default noise.
     """
 
     name: str
@@ -139,71 +166,34 @@ class BaseDevice(ABC):
         default=None, repr=False, init=False
     )
 
-    def __post_init__(self) -> None:
-        def type_check(
-            param: str, type_: type, value_override: Any | None = None
-        ) -> None:
-            value = (
-                getattr(self, param)
-                if value_override is None
-                else value_override
-            )
-            if not isinstance(value, type_):
-                raise TypeError(
-                    f"{param} must be of type '{type_.__name__}', "
-                    f"not '{type(value).__name__}'."
-                )
+    # -- Validation (construction time) ---------------------------------
 
-        type_check("name", str)
-        expected_dimensions = cast(
-            "list[DIMENSIONS]", get_args(DIMENSIONS)
+    def _check_numeric_bound(self, param: str) -> None:
+        value = getattr(self, param)
+        may_be_none = (
+            param in self._optional_parameters
+            or param in ALWAYS_OPTIONAL_PARAMS
         )
-        if self.dimensions not in expected_dimensions:
-            raise DimensionChoiceError(
-                self, invalid=self.dimensions, expected=expected_dimensions
-            )
-        self._validate_rydberg_level(self.rydberg_level)
-
-        for param in (
-            "min_atom_distance",
-            "max_atom_num",
-            "max_radial_distance",
-            "max_sequence_duration",
-            "max_runs",
-            "min_layout_traps",
-            "max_layout_traps",
-        ):
-            value = getattr(self, param)
-            if (
-                param in self._optional_parameters
-                or param in ALWAYS_OPTIONAL_PARAMS
-            ):
-                prelude = "When defined, "
-                is_none = value is None
-            elif value is None:
+        if value is None:
+            if not may_be_none:
                 raise TypeError(
                     f"'{param}' can't be None in a"
                     f" '{type(self).__name__}' instance."
                 )
-            else:
-                prelude = ""
-                is_none = False
+            return
+        prelude = "When defined, " if may_be_none else ""
+        if param == "min_atom_distance":
+            if value >= 0:
+                return
+            comp = "greater than or equal to zero"
+        else:
+            _require_type(param, int, value)
+            if value > 0:
+                return
+            comp = "greater than zero"
+        raise ValueError(prelude + f"'{param}' must be {comp}, not {value}.")
 
-            if param == "min_atom_distance":
-                comp = "greater than or equal to zero"
-                valid = is_none or value >= 0
-            else:
-                if not is_none:
-                    type_check(param, int)
-                comp = "greater than zero"
-                valid = is_none or value > 0
-            msg = prelude + f"'{param}' must be {comp}, not {value}."
-            if not valid:
-                raise ValueError(msg)
-
-        type_check("supports_slm_mask", bool)
-        type_check("reusable_channels", bool)
-
+    def _check_layout_params(self) -> None:
         if not (0.0 < self.max_layout_filling <= 1.0):
             raise ValueError(
                 "The maximum layout filling fraction must be "
@@ -229,20 +219,15 @@ class BaseDevice(ABC):
                 invalid=self.optimal_layout_filling,
             )
 
-        if self.max_layout_traps is not None:
-            if self.max_layout_traps < self.min_layout_traps:
-                raise MaxNumberOfTrapsError(
-                    device=self,
-                )
-            if (
-                self.max_atom_num is not None
-                and (
-                    max_atoms_ := int(
-                        self.max_layout_filling * self.max_layout_traps
-                    )
-                )
-                < self.max_atom_num
-            ):
+        if self.max_layout_traps is None:
+            return
+        if self.max_layout_traps < self.min_layout_traps:
+            raise MaxNumberOfTrapsError(device=self)
+        if self.max_atom_num is not None:
+            max_atoms_ = int(
+                self.max_layout_filling * self.max_layout_traps
+            )
+            if max_atoms_ < self.max_atom_num:
                 raise PulserValueError(
                     "With the given maximum layout filling and maximum"
                     f" number of traps, a layout supports at most"
@@ -250,17 +235,17 @@ class BaseDevice(ABC):
                     f" number of atoms allowed ({self.max_atom_num})."
                 )
 
+    def _check_channels(self) -> None:
         for ch_obj in self.channel_objects:
-            type_check("All channels", Channel, value_override=ch_obj)
-
+            _require_type("All channels", Channel, ch_obj)
         for dmm_obj in self.dmm_objects:
-            type_check("All DMM channels", DMM, value_override=dmm_obj)
-
+            _require_type("All DMM channels", DMM, dmm_obj)
         if self.supports_slm_mask and not self.dmm_objects:
             raise PulserValueError(
                 "One DMM object should be defined to support SLM mask."
             )
 
+    def _resolve_channel_ids(self) -> None:
         if self.channel_ids is not None:
             if not (
                 isinstance(self.channel_ids, (tuple, list))
@@ -286,37 +271,51 @@ class BaseDevice(ABC):
                     " different than the names of DMM channels"
                     " 'dmm_0', 'dmm_1', ... ."
                 )
+            return
+        # Derive IDs from each channel's default, suffixing duplicates
+        ids_counter: Counter = Counter()
+        ids = []
+        for ch_obj in self.channel_objects:
+            id = ch_obj.default_id()
+            ids_counter.update([id])
+            if ids_counter[id] > 1:
+                id += f"_{ids_counter[id]}"
+            ids.append(id)
+        object.__setattr__(self, "channel_ids", tuple(ids))
 
-        else:
-            # Make the channel IDs from the default IDs
-            ids_counter: Counter = Counter()
-            ids = []
-            for ch_obj in self.channel_objects:
-                id = ch_obj.default_id()
-                ids_counter.update([id])
-                if ids_counter[id] > 1:
-                    id += f"_{ids_counter[id]}"
-                ids.append(id)
-            object.__setattr__(self, "channel_ids", tuple(ids))
+    def __post_init__(self) -> None:
+        _require_type("name", str, self.name)
+        expected_dimensions = cast("list[DIMENSIONS]", get_args(DIMENSIONS))
+        if self.dimensions not in expected_dimensions:
+            raise DimensionChoiceError(
+                self, invalid=self.dimensions, expected=expected_dimensions
+            )
+        self._validate_rydberg_level(self.rydberg_level)
+
+        for param in _BOUNDED_PARAMS:
+            self._check_numeric_bound(param)
+
+        _require_type(
+            "supports_slm_mask", bool, self.supports_slm_mask
+        )
+        _require_type("reusable_channels", bool, self.reusable_channels)
+
+        self._check_layout_params()
+        self._check_channels()
+        self._resolve_channel_ids()
 
         if self.noise_model is not None:
-            type_check("noise_model", NoiseModel)
+            _require_type("noise_model", NoiseModel, self.noise_model)
+        _require_type("short_description", str, self.short_description)
 
-        type_check("short_description", str)
-
-        def to_tuple(obj: tuple | list) -> tuple:
-            if isinstance(obj, (tuple, list)):
-                obj = tuple(to_tuple(el) for el in obj)
-            return obj
-
-        # Turns mutable lists into immutable tuples
+        # Freeze any mutable channel collections into tuples
         for param in self._params():
             if "channel" in param or param == "dmm_objects":
                 object.__setattr__(
-                    self, param, to_tuple(getattr(self, param))
+                    self, param, _deep_tuple(getattr(self, param))
                 )
 
-        # Override the docstring of an instance with the specs
+        # Each instance documents itself with its own spec sheet
         object.__setattr__(self, "__doc__", self._specs(for_docs=True))
 
     @property
@@ -324,16 +323,15 @@ class BaseDevice(ABC):
     def _optional_parameters(self) -> tuple[str, ...]:
         pass
 
-    @property
-    def default_noise_model(self) -> NoiseModel | None:
-        """Deprecated: use :attr:`noise_model` instead."""
-        warnings.warn(
-            "'default_noise_model' is deprecated, use 'noise_model'"
-            " instead.",
-            category=DeprecationWarning,
-            stacklevel=2,
-        )
-        return self.noise_model
+    def _validate_rydberg_level(self, ryd_lvl: int) -> None:
+        if not isinstance(ryd_lvl, int):
+            raise TypeError("Rydberg level has to be an int.")
+        if not 49 < ryd_lvl < 101:
+            raise RydbergLevelError(
+                device=self, min=50, max=100, invalid=ryd_lvl
+            )
+
+    # -- Channel / basis views -------------------------------------------
 
     @property
     def channels(self) -> dict[str, Channel]:
@@ -361,6 +359,19 @@ class BaseDevice(ABC):
         return get_states_from_bases(self.supported_bases)
 
     @property
+    def default_noise_model(self) -> NoiseModel | None:
+        """Deprecated: use :attr:`noise_model` instead."""
+        warnings.warn(
+            "'default_noise_model' is deprecated, use 'noise_model'"
+            " instead.",
+            category=DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.noise_model
+
+    # -- Interaction physics ----------------------------------------------
+
+    @property
     def interaction_coeff(self) -> float:
         r"""The Ising interaction coefficient for the chosen Rydberg level.
 
@@ -380,39 +391,20 @@ class BaseDevice(ABC):
             return self._custom_interaction_coeff_xy
         return float(c3_dict[self.rydberg_level])
 
-    def __repr__(self) -> str:
-        return self.name
-
     def rydberg_blockade_radius(self, rabi_frequency: float) -> float:
-        """The Rydberg blockade radius for a given Rabi frequency.
-
-        Args:
-            rabi_frequency: The Rabi frequency, in rad/µs.
-
-        Returns:
-            The rydberg blockade radius, in μm.
-        """
+        """Blockade radius (μm) at a given Rabi frequency (rad/µs)."""
         return cast(
             float, (self.interaction_coeff / rabi_frequency) ** (1 / 6)
         )
 
     def rabi_from_blockade(self, blockade_radius: float) -> float:
-        """The maximum Rabi frequency for a given blockade radius.
-
-        Args:
-            blockade_radius: The Rydberg blockade radius, in µm.
-
-        Returns:
-            The maximum rabi frequency value, in rad/µs.
-        """
+        """Largest Rabi frequency (rad/µs) for a blockade radius (µm)."""
         return self.interaction_coeff / blockade_radius**6
 
-    def validate_register(self, register: BaseRegister) -> None:
-        """Checks if 'register' is compatible with this device.
+    # -- Register / layout validation --------------------------------------
 
-        Args:
-            register: The Register to validate.
-        """
+    def validate_register(self, register: BaseRegister) -> None:
+        """Raises if 'register' is incompatible with this device."""
         if not isinstance(register, BaseRegister):
             raise TypeError(
                 "'register' must be a pulser.Register or "
@@ -437,18 +429,12 @@ class BaseDevice(ABC):
             self.validate_layout_filling(register)
 
     def validate_layout(self, layout: RegisterLayout) -> None:
-        """Checks if a register layout is compatible with this device.
-
-        Args:
-            layout: The RegisterLayout to validate.
-        """
+        """Raises if a register layout is incompatible with the device."""
         if not isinstance(layout, RegisterLayout):
             raise TypeError("'layout' must be a RegisterLayout instance.")
 
         if layout.dimensionality > self.dimensions:
-            raise DimensionTooHighError(
-                self, invalid=layout.dimensionality
-            )
+            raise DimensionTooHighError(self, invalid=layout.dimensionality)
 
         if layout.number_of_traps < self.min_layout_traps:
             raise TrapsNumberTooLowError(
@@ -472,27 +458,16 @@ class BaseDevice(ABC):
     def validate_layout_filling(
         self, register: BaseRegister | MappableRegister
     ) -> None:
-        """Checks if a register properly fills its layout.
-
-        Args:
-            register: The register to validate. Must be created from a
-                register layout.
-        """
+        """Raises if a layout-based register under- or over-fills it."""
         if register.layout is None:
             raise TypeError(
                 "'validate_layout_filling' can only be called for"
                 " registers with a register layout."
             )
         n_qubits = len(register.qubit_ids)
-        min_qubits = int(
-            np.ceil(
-                register.layout.number_of_traps * self.min_layout_filling
-            )
-        )
-        if (
-            register.layout.number_of_traps > self.min_layout_traps
-            and n_qubits < min_qubits
-        ):
+        n_traps = register.layout.number_of_traps
+        min_qubits = int(np.ceil(n_traps * self.min_layout_filling))
+        if n_traps > self.min_layout_traps and n_qubits < min_qubits:
             raise MinQubitNumberError(
                 device=self,
                 invalid=n_qubits,
@@ -500,15 +475,36 @@ class BaseDevice(ABC):
                 min_traps=self.min_layout_traps,
             )
 
-        max_qubits = int(
-            register.layout.number_of_traps * self.max_layout_filling
-        )
+        max_qubits = int(n_traps * self.max_layout_filling)
         if n_qubits > max_qubits:
             raise MaxQubitNumberError(
                 device=self,
                 invalid=n_qubits,
                 max=max_qubits,
             )
+
+    def _validate_coords(
+        self,
+        coords_dict: (
+            Mapping[QubitId, pm.AbstractArray] | Mapping[int, np.ndarray]
+        ),
+        kind: Literal["atoms", "traps"] = "atoms",
+    ) -> None:
+        ids = [str(id) for id in list(coords_dict.keys())]
+        coords = list(map(pm.AbstractArray, coords_dict.values()))
+        skip_count = (
+            "max_atom_num" in self._optional_parameters
+            and self.max_atom_num is None
+        )
+        if kind == "atoms" and not skip_count:
+            self._validate_atom_number(coords)
+        self._validate_atom_distance(ids, coords, kind)
+        skip_radius = (
+            "max_radial_distance" in self._optional_parameters
+            and self.max_radial_distance is None
+        )
+        if not skip_radius:
+            self._validate_radial_distance(ids, coords, kind)
 
     def _validate_atom_number(
         self, coords: list[pm.AbstractArray]
@@ -523,29 +519,31 @@ class BaseDevice(ABC):
         coords: list[pm.AbstractArray],
         kind: str,
     ) -> None:
-        def invalid_dists(dists: np.ndarray) -> np.ndarray:
-            cond1 = dists - self.min_atom_distance < -(
-                10 ** (-COORD_PRECISION)
-            )
-            # No identical traps even when min_atom_distance = 0
-            cond2 = dists < 10 ** (-COORD_PRECISION)
-            return cast(np.ndarray, np.logical_or(cond1, cond2))
+        if len(coords) <= 1:
+            return
 
-        if len(coords) > 1:
-            distances = pm.pdist(pm.vstack(coords))
-            if np.any(invalid_dists(distances.as_array(detach=True))):
-                sq_dists = squareform(distances.as_array(detach=True))
-                mask = np.triu(np.ones(len(coords), dtype=bool), k=1)
-                bad_pairs = np.argwhere(
-                    np.logical_and(invalid_dists(sq_dists), mask)
-                )
-                bad_qbt_pairs = [(ids[i], ids[j]) for i, j in bad_pairs]
-                raise DistanceError(
-                    device=self,
-                    kind=kind,
-                    precision_exp=COORD_PRECISION,
-                    invalid=bad_qbt_pairs,
-                )
+        eps = 10 ** (-COORD_PRECISION)
+
+        def invalid_dists(dists: np.ndarray) -> np.ndarray:
+            too_close = dists - self.min_atom_distance < -eps
+            # Coinciding traps are rejected even at min_atom_distance = 0
+            coincide = dists < eps
+            return cast(np.ndarray, np.logical_or(too_close, coincide))
+
+        distances = pm.pdist(pm.vstack(coords)).as_array(detach=True)
+        if not np.any(invalid_dists(distances)):
+            return
+        sq_dists = squareform(distances)
+        mask = np.triu(np.ones(len(coords), dtype=bool), k=1)
+        bad_pairs = np.argwhere(
+            np.logical_and(invalid_dists(sq_dists), mask)
+        )
+        raise DistanceError(
+            device=self,
+            kind=kind,
+            precision_exp=COORD_PRECISION,
+            invalid=[(ids[i], ids[j]) for i, j in bad_pairs],
+        )
 
     def _validate_radial_distance(
         self,
@@ -553,12 +551,10 @@ class BaseDevice(ABC):
         coords: list[pm.AbstractArray],
         kind: str,
     ) -> None:
-        too_far = (
-            np.linalg.norm(
-                pm.vstack(coords).as_array(detach=True), axis=1
-            )
-            > self.max_radial_distance
+        radii = np.linalg.norm(
+            pm.vstack(coords).as_array(detach=True), axis=1
         )
+        too_far = radii > self.max_radial_distance
         if np.any(too_far):
             assert self.max_radial_distance is not None
             raise RadiusError(
@@ -567,13 +563,7 @@ class BaseDevice(ABC):
                 invalid=[ids[int(i)] for i in np.where(too_far)[0]],
             )
 
-    def _validate_rydberg_level(self, ryd_lvl: int) -> None:
-        if not isinstance(ryd_lvl, int):
-            raise TypeError("Rydberg level has to be an int.")
-        if not 49 < ryd_lvl < 101:
-            raise RydbergLevelError(
-                device=self, min=50, max=100, invalid=ryd_lvl
-            )
+    # -- Serialization -----------------------------------------------------
 
     def _params(self, init_only: bool = False) -> dict[str, Any]:
         params = {
@@ -584,27 +574,6 @@ class BaseDevice(ABC):
         if self._custom_interaction_coeff_xy is not None:
             params["interaction_coeff_xy"] = self.interaction_coeff_xy
         return params
-
-    def _validate_coords(
-        self,
-        coords_dict: (
-            Mapping[QubitId, pm.AbstractArray] | Mapping[int, np.ndarray]
-        ),
-        kind: Literal["atoms", "traps"] = "atoms",
-    ) -> None:
-        ids = [str(id) for id in list(coords_dict.keys())]
-        coords = list(map(pm.AbstractArray, coords_dict.values()))
-        if kind == "atoms" and not (
-            "max_atom_num" in self._optional_parameters
-            and self.max_atom_num is None
-        ):
-            self._validate_atom_number(coords)
-        self._validate_atom_distance(ids, coords, kind)
-        if not (
-            "max_radial_distance" in self._optional_parameters
-            and self.max_radial_distance is None
-        ):
-            self._validate_radial_distance(ids, coords, kind)
 
     @abstractmethod
     def _to_dict(self) -> dict[str, Any]:
@@ -619,19 +588,20 @@ class BaseDevice(ABC):
                 params.pop(p, None)
         for p in PARAMS_WITH_ABSTR_REPR:
             params.pop(p, None)
-        ch_list = []
-        for ch_name, ch_obj in self.channels.items():
-            ch_list.append(ch_obj._to_abstract_repr(ch_name))
         params.update(
             {
                 "version": "1",
                 "pulser_version": pulser_tpu.__version__,
-                "channels": ch_list,
+                "channels": [
+                    ch_obj._to_abstract_repr(ch_name)
+                    for ch_name, ch_obj in self.channels.items()
+                ],
             }
         )
-        dmm_list = []
-        for dmm_name, dmm_obj in self.dmm_channels.items():
-            dmm_list.append(dmm_obj._to_abstract_repr(dmm_name))
+        dmm_list = [
+            dmm_obj._to_abstract_repr(dmm_name)
+            for dmm_name, dmm_obj in self.dmm_channels.items()
+        ]
         if dmm_list:
             params["dmm_objects"] = dmm_list
         if "noise_model" in params:
@@ -646,11 +616,16 @@ class BaseDevice(ABC):
         validate_abstract_repr(abstr_dev_str, "device")
         return abstr_dev_str
 
+    # -- Spec sheets ---------------------------------------------------------
+
+    def __repr__(self) -> str:
+        return self.name
+
     def print_specs(self) -> None:
         """Prints the device specifications."""
         title = f"{self.name} Specifications"
-        header = ["-" * len(title), title, "-" * len(title)]
-        print("\n".join(header))
+        rule = "-" * len(title)
+        print("\n".join([rule, title, rule]))
         print(self._specs())
 
     @property
@@ -663,15 +638,12 @@ class BaseDevice(ABC):
 
     def _param_check_none(self, param: Any) -> Callable[[str], str]:
         def empty_str_if_none(line: str) -> str:
-            if param is None:
-                return ""
-            else:
-                return line.format(param)
+            return "" if param is None else line.format(param)
 
         return empty_str_if_none
 
     def _register_lines(self) -> list[str]:
-        register_lines = [
+        lines = [
             "\nRegister parameters:",
             f" - Dimensions: {self.dimensions}D",
             self._param_check_none(self.max_atom_num)(
@@ -683,11 +655,10 @@ class BaseDevice(ABC):
             " - Minimum distance between neighbouring atoms: "
             + f"{self.min_atom_distance} μm",
         ]
-
-        return [line for line in register_lines if line != ""]
+        return [line for line in lines if line != ""]
 
     def _layout_lines(self) -> list[str]:
-        layout_lines = [
+        lines = [
             "\nLayout parameters:",
             f" - Requires layout: "
             f"{self._param_yes_no(self.requires_layout)}",
@@ -700,11 +671,10 @@ class BaseDevice(ABC):
             f" - Maximum layout filling fraction:"
             f" {self.max_layout_filling}",
         ]
-
-        return [line for line in layout_lines if line != ""]
+        return [line for line in lines if line != ""]
 
     def _device_lines(self) -> list[str]:
-        device_lines = [
+        lines = [
             "\nDevice parameters:",
             f" - Rydberg level: {self.rydberg_level}",
             self._param_check_none(self.interaction_coeff)(
@@ -728,78 +698,66 @@ class BaseDevice(ABC):
                 " - Default noise model: {}",
             ),
         ]
+        return [line for line in lines if line != ""]
 
-        return [line for line in device_lines if line != ""]
+    def _one_channel_doc_lines(self, name: str, ch: Channel) -> list[str]:
+        max_amp = "None"
+        if ch.max_abs_detuning is not None:
+            max_amp = f"{float(cast(float, ch.max_amp)):.4g} rad/µs"
+
+        max_abs_detuning = "None"
+        if ch.max_abs_detuning is not None:
+            max_abs_detuning = f"{float(ch.max_abs_detuning):.4g} rad/µs"
+
+        bottom_detuning = "None"
+        if isinstance(ch, DMM) and ch.bottom_detuning is not None:
+            bottom_detuning = f"{float(ch.bottom_detuning):.4g} rad/µs"
+
+        if isinstance(ch, DMM):
+            det_line = "\t" + r"- Bottom :math:`|\delta|`: " + bottom_detuning
+        else:
+            det_line = (
+                "\t" + r"- Maximum :math:`|\delta|`: " + max_abs_detuning
+            )
+
+        lines = [
+            f" - ID: '{name}'",
+            f"\t- Type: {ch.name} (*{ch.basis}* basis)",
+            f"\t- Addressing: {ch.addressing}",
+            ("\t" + r"- Maximum :math:`\Omega`: " + max_amp),
+            det_line,
+            f"\t- Minimum average amplitude:"
+            f" {ch.min_avg_amp} rad/µs",
+        ]
+        if ch.addressing == "Local":
+            lines += [
+                "\t- Minimum time between retargets: "
+                f"{ch.min_retarget_interval} ns",
+                f"\t- Fixed retarget time:"
+                f" {ch.fixed_retarget_t} ns",
+                f"\t- Maximum simultaneous targets:"
+                f" {ch.max_targets}",
+            ]
+        lines += [
+            f"\t- Clock period: {ch.clock_period} ns",
+            f"\t- Minimum instruction duration:"
+            f" {ch.min_duration} ns",
+        ]
+        return lines
 
     def _channel_lines(self, for_docs: bool = False) -> list[str]:
         ch_lines = ["\nChannels:"]
         for name, ch in {**self.channels, **self.dmm_channels}.items():
             if for_docs:
-                max_amp = "None"
-                if ch.max_abs_detuning is not None:
-                    max_amp = (
-                        f"{float(cast(float, ch.max_amp)):.4g} rad/µs"
-                    )
-
-                max_abs_detuning = "None"
-                if ch.max_abs_detuning is not None:
-                    max_abs_detuning = (
-                        f"{float(ch.max_abs_detuning):.4g} rad/µs"
-                    )
-
-                bottom_detuning = "None"
-                if isinstance(ch, DMM) and ch.bottom_detuning is not None:
-                    bottom_detuning = (
-                        f"{float(ch.bottom_detuning):.4g} rad/µs"
-                    )
-
-                ch_lines += [
-                    f" - ID: '{name}'",
-                    f"\t- Type: {ch.name} (*{ch.basis}* basis)",
-                    f"\t- Addressing: {ch.addressing}",
-                    ("\t" + r"- Maximum :math:`\Omega`: " + max_amp),
-                    (
-                        (
-                            "\t"
-                            + r"- Maximum :math:`|\delta|`: "
-                            + max_abs_detuning
-                        )
-                        if not isinstance(ch, DMM)
-                        else (
-                            "\t"
-                            + r"- Bottom :math:`|\delta|`: "
-                            + bottom_detuning
-                        )
-                    ),
-                    f"\t- Minimum average amplitude:"
-                    f" {ch.min_avg_amp} rad/µs",
-                ]
-                if ch.addressing == "Local":
-                    ch_lines += [
-                        "\t- Minimum time between retargets: "
-                        f"{ch.min_retarget_interval} ns",
-                        f"\t- Fixed retarget time:"
-                        f" {ch.fixed_retarget_t} ns",
-                        f"\t- Maximum simultaneous targets:"
-                        f" {ch.max_targets}",
-                    ]
-                ch_lines += [
-                    f"\t- Clock period: {ch.clock_period} ns",
-                    f"\t- Minimum instruction duration:"
-                    f" {ch.min_duration} ns",
-                ]
+                ch_lines += self._one_channel_doc_lines(name, ch)
             else:
                 ch_lines.append(f" - '{name}': {pprint.pformat(ch)}")
-
         return [line for line in ch_lines if line != ""]
 
     def _specs(self, for_docs: bool = False) -> str:
+        intro = [self.short_description] if self.short_description else []
         return "\n".join(
-            (
-                [self.short_description]
-                if self.short_description
-                else []
-            )
+            intro
             + self._register_lines()
             + self._layout_lines()
             + self._device_lines()
@@ -839,25 +797,25 @@ def _wrap_init_for_deprecated_args(
             kwargs["noise_model"] = default_noise_model
         kwargs.pop("default_noise_model", None)
         original_init(self, *args, **kwargs)
-        if interaction_coeff_xy is not None:
-            warnings.warn(
-                "The ability to set a custom 'interaction_coeff_xy' is "
-                "deprecated and will be removed in the future.",
-                category=DeprecationWarning,
-                stacklevel=2,
+        if interaction_coeff_xy is None:
+            return
+        warnings.warn(
+            "The ability to set a custom 'interaction_coeff_xy' is "
+            "deprecated and will be removed in the future.",
+            category=DeprecationWarning,
+            stacklevel=2,
+        )
+        try:
+            interaction_coeff_xy = float(interaction_coeff_xy)
+        except (TypeError, ValueError):
+            raise TypeError(
+                "When explicitly defined, "
+                "'interaction_coeff_xy' must be castable to a 'float',"
+                f" not '{type(interaction_coeff_xy)}'."
             )
-            try:
-                interaction_coeff_xy = float(interaction_coeff_xy)
-            except (TypeError, ValueError):
-                raise TypeError(
-                    "When explicitly defined, "
-                    "'interaction_coeff_xy' must be castable to a 'float',"
-                    f" not '{type(interaction_coeff_xy)}'."
-                )
-
-            object.__setattr__(
-                self, "_custom_interaction_coeff_xy", interaction_coeff_xy
-            )
+        object.__setattr__(
+            self, "_custom_interaction_coeff_xy", interaction_coeff_xy
+        )
 
     return wrapped_init
 
@@ -871,9 +829,9 @@ BaseDevice.__init__ = _wrap_init_for_deprecated_args(  # type: ignore
 class Device(BaseDevice):
     r"""Specifications of a physical neutral-atom device.
 
-    A Device instance is immutable and must have all of its parameters
-    defined. For more unconstrained usage in emulations, it can be
-    converted to a VirtualDevice through `Device.to_virtual()`.
+    Immutable, and every parameter must be defined. Convert to a
+    VirtualDevice via `Device.to_virtual()` when a less constrained
+    emulation target is needed.
     """
 
     max_atom_num: int
@@ -911,17 +869,11 @@ class Device(BaseDevice):
             str(layout): layout for layout in self.pre_calibrated_layouts
         }
 
-    def is_calibrated_layout(
-        self, register_layout: RegisterLayout
-    ) -> bool:
+    def is_calibrated_layout(self, register_layout: RegisterLayout) -> bool:
         """Checks whether a layout is within the calibrated layouts."""
         return any(
-            [
-                register_layout == layout
-                for layout in list(
-                    self.calibrated_register_layouts.values()
-                )
-            ]
+            register_layout == layout
+            for layout in self.calibrated_register_layouts.values()
         )
 
     def register_is_from_calibrated_layout(
@@ -942,13 +894,12 @@ class Device(BaseDevice):
     def to_virtual(self) -> VirtualDevice:
         """Converts the Device into a VirtualDevice."""
         params = self._params()
-        all_params_names = set(params)
         target_params_names = {
             f.name for f in fields(VirtualDevice) if f.init
         }
         # interaction_coeff_xy is no longer a field but might be custom
         target_params_names.add("interaction_coeff_xy")
-        for param in all_params_names - target_params_names:
+        for param in set(params) - target_params_names:
             del params[param]
         return VirtualDevice(**params)
 
@@ -997,7 +948,6 @@ class Device(BaseDevice):
             " - Accepts new layout: "
             + self._param_yes_no(self.accepts_new_layouts),
         )
-
         return layout_lines
 
 
@@ -1005,17 +955,16 @@ class Device(BaseDevice):
 class VirtualDevice(BaseDevice):
     r"""Specifications of a virtual neutral-atom device.
 
-    A VirtualDevice can only be used for emulation and allows some
-    parameters to be left undefined. It optionally allows the same channel
-    to be declared multiple times in the same Sequence (when
-    `reusable_channels=True`) and allows the Rydberg level to be changed.
+    Emulation-only device where some parameters may stay undefined.
+    Channels may be declared repeatedly in one Sequence when
+    `reusable_channels=True`, and the Rydberg level is mutable.
     """
 
     min_atom_distance: float = 0
     max_atom_num: int | None = None
     max_radial_distance: int | None = None
     supports_slm_mask: bool = True
-    # Needed to support SLM mask by default
+    # A default DMM keeps SLM-mask support available out of the box
     dmm_objects: tuple[DMM, ...] = (DMM(),)
     reusable_channels: bool = True
 
@@ -1027,11 +976,7 @@ class VirtualDevice(BaseDevice):
         return ("max_atom_num", "max_radial_distance")
 
     def change_rydberg_level(self, ryd_lvl: int) -> None:
-        r"""Changes the Rydberg level used in the Device.
-
-        Args:
-            ryd_lvl: the Rydberg level to use (between 50 and 100).
-        """
+        r"""Switches the device's Rydberg level (must be in 50..100)."""
         self._validate_rydberg_level(ryd_lvl)
         object.__setattr__(self, "rydberg_level", ryd_lvl)
 

@@ -12,14 +12,14 @@ PairInteraction.
 import json
 from pathlib import PurePath
 
-with open(
-    PurePath(__file__).parent / "C6_coeffs.json", "r", encoding="utf-8"
-) as f:
-    _json_dict = json.load(f)
-c6_dict = {int(key): value for key, value in _json_dict.items()}
+_HERE = PurePath(__file__).parent
 
-with open(
-    PurePath(__file__).parent / "C3_coeffs.json", "r", encoding="utf-8"
-) as f:
-    _json_dict = json.load(f)
-c3_dict = {int(key): value for key, value in _json_dict.items()}
+
+def _load_coeffs(filename: str) -> dict[int, float]:
+    with open(_HERE / filename, "r", encoding="utf-8") as f:
+        raw = json.load(f)
+    return {int(level): coeff for level, coeff in raw.items()}
+
+
+c6_dict = _load_coeffs("C6_coeffs.json")
+c3_dict = _load_coeffs("C3_coeffs.json")
