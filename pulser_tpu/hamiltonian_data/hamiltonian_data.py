@@ -82,18 +82,27 @@ SUPPORTED_NOISES: dict = {
     },
 }
 
+# Noise channels whose effect is captured by collapse operators alone
+# (they don't perturb the samples, except through state-prep errors)
+_COLLAPSE_ONLY_NOISES = {
+    "dephasing",
+    "relaxation",
+    "SPAM",
+    "depolarizing",
+    "eff_noise",
+    "leakage",
+}
+
 
 def has_shot_to_shot_except_spam(noise_model: NoiseModel) -> bool:
     """Whether the noise model has stochastic noise, excepting SPAM."""
-    return (
-        "doppler" in noise_model.noise_types
-        or (
-            "amplitude" in noise_model.noise_types
-            and noise_model.amp_sigma != 0.0
-        )
-        or "detuning" in noise_model.noise_types
-        or "register" in noise_model.noise_types
-        or "dmm_sigma" in noise_model.noise_types
+    if "doppler" in noise_model.noise_types:
+        return True
+    if "amplitude" in noise_model.noise_types and noise_model.amp_sigma:
+        return True
+    return bool(
+        {"detuning", "register", "dmm_sigma"}
+        & set(noise_model.noise_types)
     )
 
 
@@ -109,17 +118,13 @@ def _noisy_register(
     atoms = list(q_dict.keys())
     num_atoms = len(atoms)
     positions = list(q_dict.values())
-    pos = positions[0]
-    if len(pos) == 2:
+    if len(positions[0]) == 2:
         positions = [pm.concatenate((p, [0.0])) for p in positions]
     narr_xy = np.random.normal(0, register_sigma_xy, (num_atoms, 2))
     narr_z = np.random.normal(0, register_sigma_z, num_atoms)
     narr = np.column_stack((narr_xy, narr_z))
     return Register3D(
-        {
-            k: pos + noise
-            for (k, pos, noise) in zip(atoms, positions, narr)
-        }
+        {k: pos + noise for (k, pos, noise) in zip(atoms, positions, narr)}
     )
 
 
@@ -153,24 +158,16 @@ def _generate_detuning_fluctuations(
 def _distances(register: BaseRegister) -> pm.AbstractArray:
     r"""Distances between each pair of qubits (in :math:`\mu m`)."""
     positions = list(register.qubits.values())
-    if not positions[0].is_tensor:
-        return pm.AbstractArray(
-            np.round(
-                cast(
-                    np.ndarray,
-                    cdist(positions, positions, metric="euclidean"),
-                ),
-                COORD_PRECISION,
-            ),
-        )
-    else:
+    if positions[0].is_tensor:
         import jax.numpy as jnp
 
         ten = jnp.stack([x.as_tensor() for x in positions])
-        d = jnp.linalg.norm(
-            ten[:, None, :] - ten[None, :, :], axis=-1
-        )
+        d = jnp.linalg.norm(ten[:, None, :] - ten[None, :, :], axis=-1)
         return pm.AbstractArray(d)
+    dists = cast(
+        np.ndarray, cdist(positions, positions, metric="euclidean")
+    )
+    return pm.AbstractArray(np.round(dists, COORD_PRECISION))
 
 
 class HamiltonianData:
@@ -209,7 +206,33 @@ class HamiltonianData:
         self._device = device
         self.device.validate_register(register)
         self._register = register
-        # Check compatibility of samples and device:
+        self._check_samples_device_compat(samples)
+
+        self._samples = self._delocalize_samples(samples)
+
+        self._size = len(self.register.qubits)
+        self._qid_index = {
+            qid: i for i, qid in enumerate(self.register.qubits)
+        }
+
+        self._noise_model = noise_model
+        self._check_noise_model(noise_model)
+
+        # Sample-level noise only matters when something perturbs the
+        # drives or the initial preparation; pure collapse noise doesn't.
+        self.local_noises = True
+        if set(noise_model.noise_types) <= _COLLAPSE_ONLY_NOISES:
+            self.local_noises = (
+                "SPAM" in noise_model.noise_types
+                and noise_model.state_prep_error > 0
+            )
+        self.noise_trajectories = self._create_noise_trajectories(
+            1 if n_trajectories is None else n_trajectories
+        )
+
+    def _check_samples_device_compat(
+        self, samples: SequenceSamples
+    ) -> None:
         if samples._slm_mask.end > 0 and not self.device.supports_slm_mask:
             raise ValueError(
                 "Samples use SLM mask but device does not have one."
@@ -226,101 +249,36 @@ class HamiltonianData:
                 " should be defined in register."
             )
 
-        self._samples = self._delocalize_samples(samples)
-
-        self._size = len(self.register.qubits)
-        self._qid_index = {
-            qid: i for i, qid in enumerate(self.register.qubits)
-        }
-
-        self._noise_model = noise_model
-        self._check_noise_model(noise_model)
-        if n_trajectories is None:
-            n_trajectories = 1
-
-        self.local_noises = True
-        if set(self.noise_model.noise_types).issubset(
-            {
-                "dephasing",
-                "relaxation",
-                "SPAM",
-                "depolarizing",
-                "eff_noise",
-                "leakage",
-            }
-        ):
-            self.local_noises = (
-                "SPAM" in self.noise_model.noise_types
-                and self.noise_model.state_prep_error > 0
-            )
-        self.noise_trajectories = self._create_noise_trajectories(
-            n_trajectories
-        )
-
     def _delocalize_samples(
         self, samples: SequenceSamples
     ) -> SequenceSamples:
+        """Rewrites Global-channel slots to target every register qubit."""
+        all_qids = set(self.register.qubits.keys())
         samples_list = []
         for ch, ch_samples in samples.channel_samples.items():
             if samples._ch_objs[ch].addressing == "Local":
-                # Check that targets of Local Channels are in the register
-                if not set().union(
+                targeted = set().union(
                     *(slot.targets for slot in ch_samples.slots)
-                ) <= set(self.register.qubits.keys()):
+                )
+                if not targeted <= all_qids:
                     raise ValueError(
                         "The ids of qubits targeted in Local channels"
                         " should be defined in register."
                     )
                 samples_list.append(ch_samples)
-            else:
-                # Replace targets of Global channels by all register qubits
-                samples_list.append(
-                    replace(
-                        ch_samples,
-                        slots=[
-                            replace(
-                                slot,
-                                targets=set(
-                                    self.register.qubits.keys()
-                                ),
-                            )
-                            for slot in ch_samples.slots
-                        ],
-                    )
+                continue
+            samples_list.append(
+                replace(
+                    ch_samples,
+                    slots=[
+                        replace(slot, targets=set(all_qids))
+                        for slot in ch_samples.slots
+                    ],
                 )
+            )
         return replace(samples, samples_list=samples_list)
 
-    @property
-    def basis_data(self) -> BasisData:
-        """The BasisData defining this Hamiltonian."""
-        interaction: Literal["XY", "ising"] = (
-            "XY" if self.samples._in_xy else "ising"
-        )
-        basis_name = self._get_basis_name(self.noise_model.with_leakage)
-        eigenbasis = self._get_eigenbasis(self.noise_model.with_leakage)
-        return BasisData(
-            dim=len(eigenbasis),
-            basis_name=basis_name,
-            eigenbasis=eigenbasis,
-            interaction_type=interaction,
-        )
-
-    @property
-    def lindblad_data(self) -> LindbladData:
-        """The LindbladData defining this Hamiltonian."""
-        basis_data = self.basis_data
-        op_matrix_names = self._get_projectors(basis_data.eigenbasis)
-        local_collapse_ops, paulis = self._build_local_collapse_operators(
-            self.noise_model,
-            basis_data.basis_name,
-            basis_data.eigenbasis,
-            op_matrix_names,
-        )
-        return LindbladData(
-            op_matrix_names=op_matrix_names,
-            local_collapse_ops=local_collapse_ops,
-            depolarizing_pauli_2ds=paulis,
-        )
+    # -- Constructors -----------------------------------------------------
 
     @classmethod
     def from_sequence(
@@ -379,6 +337,8 @@ class HamiltonianData:
             n_trajectories,
         )
 
+    # -- Simple accessors ---------------------------------------------------
+
     @functools.cached_property
     def n_qudits(self) -> int:
         """Number of qudits in the Register."""
@@ -388,144 +348,6 @@ class HamiltonianData:
     def samples(self) -> SequenceSamples:
         """The samples without noise."""
         return self._samples
-
-    def _sample_with_trajectory(
-        self, traj: NoiseTrajectory
-    ) -> SequenceSamples:
-        noisy_samples_list: List[ChannelSamples] = []
-        for ch_name, ch_samples in self._samples.channel_samples.items():
-            if isinstance(ch_samples, DMMSamples):
-                factor = traj.dmm_det_fluctuation[ch_name]
-                spot_waist = self.noise_model.detuning_map_spot_waist
-                ch_samples = replace(
-                    ch_samples,
-                    det=ch_samples.det * factor,  # Intensity DC noise
-                    spot_waist=spot_waist,
-                )
-
-            noisy_samples_list.append(ch_samples)
-
-        noisy_seq_samples = replace(
-            self._samples, samples_list=noisy_samples_list
-        )
-
-        samples = noisy_seq_samples.to_nested_dict(
-            all_local=self.local_noises
-        )
-
-        def add_noise(
-            slot: _PulseTargetSlot,
-            samples_dict: Mapping[QubitId, dict[str, np.ndarray]],
-            is_global_pulse: bool,
-            amp_fluctuation: float,
-            det_fluctuation: np.ndarray,
-            propagation_dir: tuple | None,
-        ) -> None:
-            """Applies local noise effects to the nested samples."""
-            for qid in slot.targets:
-                if "doppler" in self.noise_model.noise_types:
-                    noise_det = traj.doppler_detune[qid]
-                    samples_dict[qid]["det"][slot.ti: slot.tf] += noise_det
-                # Gaussian beam loss in amplitude for global pulses only
-                if "amplitude" in self.noise_model.noise_types:
-                    amp_fraction = amp_fluctuation
-                    if (
-                        self.noise_model.laser_waist is not None
-                        and is_global_pulse
-                    ):
-                        # Default to an optical axis along y
-                        prop_dir = propagation_dir or (0.0, 1.0, 0.0)
-                        amp_fraction *= self._finite_waist_amp_fraction(
-                            tuple(traj.register.qubits[qid].as_array()),
-                            tuple(prop_dir),
-                            self.noise_model.laser_waist,
-                        )
-                    samples_dict[qid]["amp"][slot.ti: slot.tf] *= (
-                        amp_fraction
-                    )
-                if "detuning" in self.noise_model.noise_types:
-                    t_window = slice(slot.ti, slot.tf)
-                    samples_dict[qid]["det"][t_window] += det_fluctuation[
-                        t_window
-                    ]
-
-        if self.local_noises:
-            for ch, ch_samples in self._samples.channel_samples.items():
-                _ch_obj = self._samples._ch_objs[ch]
-                samples_dict = samples["Local"][_ch_obj.basis]
-                for slot in ch_samples.slots:
-                    det_fluctuation = _generate_detuning_fluctuations(
-                        self._noise_model,
-                        traj.det_fluctuations[ch],
-                        traj.det_phases[ch],
-                        np.arange(0, self.samples.max_duration, 1),
-                    )
-                    add_noise(
-                        slot,
-                        samples_dict,
-                        _ch_obj.addressing == "Global",
-                        amp_fluctuation=traj.amp_fluctuations[ch],
-                        det_fluctuation=det_fluctuation,
-                        propagation_dir=_ch_obj.propagation_dir,
-                    )
-
-            channels = []
-            samples_list = []
-            ch_objs = {}
-            # Zero everything for badly prepared atoms
-            for basis in samples["Local"]:
-                if basis == "XY":
-                    type: Channel = Microwave  # type: ignore
-                elif basis == "ground-rydberg":
-                    type: Channel = Rydberg  # type: ignore
-                else:
-                    type: Channel = Raman  # type: ignore
-                qids = samples["Local"][basis].keys()
-                basis_channels = list(f"{x}_{basis}" for x in qids)
-                channels += basis_channels
-                for qid, ch in zip(qids, basis_channels):
-                    vals = samples["Local"][basis][qid]
-                    if traj.bad_atoms[qid]:
-                        for qty in ("amp", "det", "phase"):
-                            vals[qty] *= 0.0
-                    samples_list.append(
-                        ChannelSamples(
-                            **{
-                                k: pm.AbstractArray(v)
-                                for k, v in vals.items()
-                            },
-                            slots=[
-                                _PulseTargetSlot(
-                                    ti=0,
-                                    tf=len(vals["amp"]),
-                                    targets={qid},
-                                )
-                            ],
-                        )
-                    )
-                    ch_objs[ch] = type.Local(
-                        max_abs_detuning=None, max_amp=None
-                    )
-
-            return SequenceSamples(
-                _basis_ref=self._samples._basis_ref,
-                _slm_mask=self._samples._slm_mask,
-                _magnetic_field=self._samples._magnetic_field,
-                _measurement=self._samples._measurement,
-                channels=channels,
-                samples_list=samples_list,
-                _ch_objs=ch_objs,
-            )
-        else:
-            return self._samples
-
-    @property
-    def noisy_samples(self) -> Iterator[SamplesWithReps]:
-        """The noiseless samples modified by the noise trajectories."""
-        for traj, reps in self.noise_trajectories:
-            yield SamplesWithReps(
-                traj, self._sample_with_trajectory(traj), reps
-            )
 
     @property
     def register(self) -> BaseRegister:
@@ -542,6 +364,184 @@ class HamiltonianData:
         """The current NoiseModel used."""
         return self._noise_model
 
+    @property
+    def basis_data(self) -> BasisData:
+        """The BasisData defining this Hamiltonian."""
+        interaction: Literal["XY", "ising"] = (
+            "XY" if self.samples._in_xy else "ising"
+        )
+        with_leakage = self.noise_model.with_leakage
+        eigenbasis = self._get_eigenbasis(with_leakage)
+        return BasisData(
+            dim=len(eigenbasis),
+            basis_name=self._get_basis_name(with_leakage),
+            eigenbasis=eigenbasis,
+            interaction_type=interaction,
+        )
+
+    @property
+    def lindblad_data(self) -> LindbladData:
+        """The LindbladData defining this Hamiltonian."""
+        basis_data = self.basis_data
+        op_matrix_names = self._get_projectors(basis_data.eigenbasis)
+        local_collapse_ops, paulis = self._build_local_collapse_operators(
+            self.noise_model,
+            basis_data.basis_name,
+            basis_data.eigenbasis,
+            op_matrix_names,
+        )
+        return LindbladData(
+            op_matrix_names=op_matrix_names,
+            local_collapse_ops=local_collapse_ops,
+            depolarizing_pauli_2ds=paulis,
+        )
+
+    # -- Noisy sample generation -------------------------------------------
+
+    def _apply_slot_noise(
+        self,
+        traj: NoiseTrajectory,
+        slot: _PulseTargetSlot,
+        samples_dict: Mapping[QubitId, dict[str, np.ndarray]],
+        is_global_pulse: bool,
+        amp_fluctuation: float,
+        det_fluctuation: np.ndarray,
+        propagation_dir: tuple | None,
+    ) -> None:
+        """Applies local noise effects to the nested samples, in place."""
+        noise_types = self.noise_model.noise_types
+        t_window = slice(slot.ti, slot.tf)
+        for qid in slot.targets:
+            if "doppler" in noise_types:
+                samples_dict[qid]["det"][t_window] += traj.doppler_detune[
+                    qid
+                ]
+            if "amplitude" in noise_types:
+                amp_fraction = amp_fluctuation
+                # Finite-waist Gaussian beam loss, global pulses only
+                if (
+                    self.noise_model.laser_waist is not None
+                    and is_global_pulse
+                ):
+                    # The optical axis defaults to y
+                    prop_dir = propagation_dir or (0.0, 1.0, 0.0)
+                    amp_fraction *= self._finite_waist_amp_fraction(
+                        tuple(traj.register.qubits[qid].as_array()),
+                        tuple(prop_dir),
+                        self.noise_model.laser_waist,
+                    )
+                samples_dict[qid]["amp"][t_window] *= amp_fraction
+            if "detuning" in noise_types:
+                samples_dict[qid]["det"][t_window] += det_fluctuation[
+                    t_window
+                ]
+
+    def _localized_noisy_samples(
+        self, traj: NoiseTrajectory, samples: dict
+    ) -> SequenceSamples:
+        """Builds per-qubit virtual channels, zeroing badly prepared atoms."""
+        basis_channel_type: dict[str, Channel] = {
+            "XY": Microwave,  # type: ignore
+            "ground-rydberg": Rydberg,  # type: ignore
+        }
+        channels = []
+        samples_list = []
+        ch_objs = {}
+        for basis in samples["Local"]:
+            type = basis_channel_type.get(basis, Raman)  # type: ignore
+            qids = samples["Local"][basis].keys()
+            basis_channels = list(f"{x}_{basis}" for x in qids)
+            channels += basis_channels
+            for qid, ch in zip(qids, basis_channels):
+                vals = samples["Local"][basis][qid]
+                if traj.bad_atoms[qid]:
+                    for qty in ("amp", "det", "phase"):
+                        vals[qty] *= 0.0
+                samples_list.append(
+                    ChannelSamples(
+                        **{
+                            k: pm.AbstractArray(v) for k, v in vals.items()
+                        },
+                        slots=[
+                            _PulseTargetSlot(
+                                ti=0,
+                                tf=len(vals["amp"]),
+                                targets={qid},
+                            )
+                        ],
+                    )
+                )
+                ch_objs[ch] = type.Local(
+                    max_abs_detuning=None, max_amp=None
+                )
+
+        return SequenceSamples(
+            _basis_ref=self._samples._basis_ref,
+            _slm_mask=self._samples._slm_mask,
+            _magnetic_field=self._samples._magnetic_field,
+            _measurement=self._samples._measurement,
+            channels=channels,
+            samples_list=samples_list,
+            _ch_objs=ch_objs,
+        )
+
+    def _sample_with_trajectory(
+        self, traj: NoiseTrajectory
+    ) -> SequenceSamples:
+        noisy_samples_list: List[ChannelSamples] = []
+        for ch_name, ch_samples in self._samples.channel_samples.items():
+            if isinstance(ch_samples, DMMSamples):
+                # DC intensity noise scales the DMM detuning
+                ch_samples = replace(
+                    ch_samples,
+                    det=ch_samples.det * traj.dmm_det_fluctuation[ch_name],
+                    spot_waist=self.noise_model.detuning_map_spot_waist,
+                )
+            noisy_samples_list.append(ch_samples)
+
+        noisy_seq_samples = replace(
+            self._samples, samples_list=noisy_samples_list
+        )
+
+        samples = noisy_seq_samples.to_nested_dict(
+            all_local=self.local_noises
+        )
+
+        if not self.local_noises:
+            return self._samples
+
+        for ch, ch_samples in self._samples.channel_samples.items():
+            _ch_obj = self._samples._ch_objs[ch]
+            samples_dict = samples["Local"][_ch_obj.basis]
+            for slot in ch_samples.slots:
+                det_fluctuation = _generate_detuning_fluctuations(
+                    self._noise_model,
+                    traj.det_fluctuations[ch],
+                    traj.det_phases[ch],
+                    np.arange(0, self.samples.max_duration, 1),
+                )
+                self._apply_slot_noise(
+                    traj,
+                    slot,
+                    samples_dict,
+                    _ch_obj.addressing == "Global",
+                    amp_fluctuation=traj.amp_fluctuations[ch],
+                    det_fluctuation=det_fluctuation,
+                    propagation_dir=_ch_obj.propagation_dir,
+                )
+
+        return self._localized_noisy_samples(traj, samples)
+
+    @property
+    def noisy_samples(self) -> Iterator[SamplesWithReps]:
+        """The noiseless samples modified by the noise trajectories."""
+        for traj, reps in self.noise_trajectories:
+            yield SamplesWithReps(
+                traj, self._sample_with_trajectory(traj), reps
+            )
+
+    # -- Interaction matrices -----------------------------------------------
+
     def _interaction_matrix(self, register: BaseRegister) -> np.ndarray:
         r"""C6/C3 Interactions between the qudits (in rad/µs).
 
@@ -550,25 +550,22 @@ class HamiltonianData:
             (2, N, N): the C3 interaction first, then C6. In Rydberg
             mode, shape (1, N, N) with the C6 interaction only.
         """
-        # SLM mask is not included (it's time-dependent)
+        # Time-dependent effects (the SLM mask) are deliberately absent
         is_xy = self.basis_data.interaction_type == "XY"
         d = _distances(register)
-        interactions = np.zeros((1,) + d.shape)
         d_arr = d.as_array(detach=True)
+        n = self.n_qudits
+        interactions = np.zeros((2 if is_xy else 1,) + d.shape)
+
         if is_xy:
-            interactions = np.concatenate(
-                [interactions, interactions]
-            )
             positions = list(register.qubits.values())
             assert self.samples._magnetic_field is not None
             assert self._device.interaction_coeff_xy is not None
-            mag_arr = np.asarray(
-                self.samples._magnetic_field, dtype=float
-            )
+            mag_arr = np.asarray(self.samples._magnetic_field, dtype=float)
             mag_norm = np.linalg.norm(mag_arr)
             assert mag_norm > 0, "There must be a magnetic field in XY."
-            for i in range(self.n_qudits):
-                for j in range(i + 1, self.n_qudits):
+            for i in range(n):
+                for j in range(i + 1, n):
                     diff = (
                         positions[i].as_array(detach=True)
                         - positions[j].as_array(detach=True)
@@ -584,30 +581,28 @@ class HamiltonianData:
                         / d_arr[i, j] ** 3
                     )
 
-        for i in range(self.n_qudits):
-            for j in range(i + 1, self.n_qudits):
-                interactions[[-1, -1], [i, j], [j, i]] = (
-                    self._device.interaction_coeff / d_arr[i, j] ** 6
-                )
-
+        iu, ju = np.triu_indices(n, k=1)
+        c6_vals = self._device.interaction_coeff / d_arr[iu, ju] ** 6
+        interactions[-1, iu, ju] = c6_vals
+        interactions[-1, ju, iu] = c6_vals
         return interactions
+
+    def _noisy_interaction_matrix(
+        self, register: BaseRegister, bad_atoms: dict
+    ) -> pm.AbstractArray:
+        r"""Interaction matrix with missing qudits masked out."""
+        gone = np.array([bool(value) for value in bad_atoms.values()])
+        mask2 = gone.reshape(1, -1) | gone.reshape(-1, 1)
+        mat = self._interaction_matrix(register).copy()
+        mat[:, mask2] = 0.0
+        return pm.AbstractArray(mat)
 
     @property
     def noisy_interaction_matrices(self) -> list[pm.AbstractArray]:
         """The noisy interaction matrix for each noise trajectory."""
         return [x[0].interaction_matrix for x in self.noise_trajectories]
 
-    def _noisy_interaction_matrix(
-        self, register: BaseRegister, bad_atoms: dict
-    ) -> pm.AbstractArray:
-        r"""Interaction matrix with missing qudits masked out."""
-        mask = [bool(value) for value in bad_atoms.values()]
-        imat = self._interaction_matrix(register)
-        arr = np.array(mask)
-        mask2 = arr.reshape(1, -1) | arr.reshape(-1, 1)
-        mat = imat.copy()
-        mat[:, mask2] = 0.0
-        return pm.AbstractArray(mat)
+    # -- Collapse operators ---------------------------------------------------
 
     def _build_local_collapse_operators(
         self,
@@ -625,7 +620,9 @@ class HamiltonianData:
         depolarizing_pauli_2ds: dict[
             str, list[tuple[int | complex, str]]
         ] = {}
-        if "dephasing" in noise_model.noise_types:
+        noise_types = noise_model.noise_types
+
+        if "dephasing" in noise_types:
             dephasing_rates = {
                 "d": noise_model.dephasing_rate,
                 "r": noise_model.dephasing_rate,
@@ -633,23 +630,23 @@ class HamiltonianData:
             }
             for state in eigenbasis:
                 if state in dephasing_rates:
-                    coeff = np.sqrt(2 * dephasing_rates[state])
                     op = f"sigma_{state}{state}"
                     assert op in op_matrix
-                    local_collapse_ops.append((coeff, op))
+                    local_collapse_ops.append(
+                        (np.sqrt(2 * dephasing_rates[state]), op)
+                    )
 
-        if "relaxation" in noise_model.noise_types:
-            coeff = np.sqrt(noise_model.relaxation_rate)
-            op = "sigma_gr"
-
-            if op not in op_matrix:
+        if "relaxation" in noise_types:
+            if "sigma_gr" not in op_matrix:
                 raise ValueError(
                     "'relaxation' noise requires addressing of the"
                     " 'ground-rydberg' basis."
                 )
-            local_collapse_ops.append((coeff, op))
+            local_collapse_ops.append(
+                (np.sqrt(noise_model.relaxation_rate), "sigma_gr")
+            )
 
-        if "depolarizing" in noise_model.noise_types:
+        if "depolarizing" in noise_types:
             if "all" in basis_name:
                 raise NotImplementedError(
                     "Cannot include depolarizing noise in all-basis."
@@ -672,14 +669,13 @@ class HamiltonianData:
             for pauli_label in depolarizing_pauli_2ds.keys():
                 local_collapse_ops.append((coeff, pauli_label))
 
-        if "eff_noise" in noise_model.noise_types:
+        if "eff_noise" in noise_types:
+            basis_dim = len(eigenbasis)
+            op_shape = (basis_dim, basis_dim)
             for id_, rate in enumerate(noise_model.eff_noise_rates):
                 operator = np.array(
                     noise_model.eff_noise_opers[id_], dtype=complex
                 )
-
-                basis_dim = len(eigenbasis)
-                op_shape = (basis_dim, basis_dim)
                 if operator.shape != op_shape:
                     raise ValueError(
                         "Incompatible shape for effective noise operator"
@@ -717,12 +713,146 @@ class HamiltonianData:
         pos_vec[: len(coords)] = np.array(coords, dtype=float)
         u_vec = np.array(propagation_dir, dtype=float)
         u_vec = u_vec / np.linalg.norm(u_vec)
-        # Closest point on the optical axis to pos_vec is at k*u_vec
+        # Project onto the optical axis; k*u_vec is the closest point
         k = np.dot(pos_vec, u_vec)
         dist = np.linalg.norm(pos_vec - k * u_vec)
-        # Assuming a very large Rayleigh length, the amplitude drop is
-        # dictated solely by the distance to the optical axis
+        # With a large Rayleigh length only the off-axis distance
+        # attenuates the amplitude
         return float(np.exp(-((dist / laser_waist) ** 2)))
+
+    # -- Trajectory sampling ----------------------------------------------
+
+    def _spam_only_trajectories(
+        self, ntrajs: int
+    ) -> List[TrajectoryWithReps]:
+        """SPAM is the only stochastic noise: dedupe repeated configs.
+
+        Draws ntrajs bad-atom bitstrings from the global RNG (matching
+        the reference draw order) and collapses identical configurations
+        into a single trajectory with a repetition count.
+        """
+        initial_configs = Counter(
+            "".join(
+                (
+                    np.random.uniform(size=len(self._qid_index))
+                    < self.noise_model.state_prep_error
+                )
+                .astype(int)
+                .astype(str)
+            )
+            for _ in range(ntrajs)
+        ).most_common()
+
+        doppler_detune = {qid: 0.0 for qid in self._qid_index}
+        amp_fluctuations: dict[str, float] = {}
+        det_fluctuations: dict[str, float] = {}
+        det_phases: dict[str, np.ndarray] = {}
+        dmm_det_fluctuation: dict[str, float] = {}
+        for ch in self._samples.channel_samples:
+            assert self.noise_model.amp_sigma == 0.0
+            amp_fluctuations[ch] = 1.0
+            det_fluctuations[ch] = 0.0
+            det_phases[ch] = np.array(0.0)
+            dmm_det_fluctuation[ch] = 1.0
+
+        trajectories = []
+        for bool_string, n in initial_configs:
+            bad_atoms = dict(
+                zip(self._qid_index, (x == "1" for x in bool_string))
+            )
+            trajectories.append(
+                TrajectoryWithReps(
+                    NoiseTrajectory(
+                        bad_atoms,
+                        doppler_detune,
+                        amp_fluctuations,
+                        det_fluctuations,
+                        det_phases,
+                        self._register,
+                        self._noisy_interaction_matrix(
+                            self._register, bad_atoms
+                        ),
+                        dmm_det_fluctuation,
+                    ),
+                    n,
+                )
+            )
+        return trajectories
+
+    def _draw_one_trajectory(self) -> NoiseTrajectory:
+        """Draws every random parameter of one trajectory.
+
+        The draw order (bad atoms, doppler, then per-channel amp/det/
+        phases/dmm, then register) matches the reference's global-RNG
+        consumption exactly.
+        """
+        noise_types = self.noise_model.noise_types
+        if (
+            "SPAM" in noise_types
+            and self.noise_model.state_prep_error > 0
+        ):
+            dist = (
+                np.random.uniform(size=len(self._qid_index))
+                < self.noise_model.state_prep_error
+            )
+            bad_atoms = dict(zip(self._qid_index, dist))
+        else:
+            bad_atoms = {qid: False for qid in self._qid_index}
+
+        if "doppler" in noise_types:
+            temp = self.noise_model.temperature * 1e-6
+            detune = np.random.normal(
+                0, doppler_sigma(temp), size=len(self._qid_index)
+            )
+            doppler_detune = dict(zip(self._qid_index, detune))
+        else:
+            doppler_detune = {qid: 0.0 for qid in self._qid_index}
+
+        amp_fluctuations: dict[str, float] = {}
+        det_fluctuations: dict[str, float] = {}
+        det_phases: dict[str, np.ndarray] = {}
+        dmm_det_fluctuation: dict[str, float] = {}
+        n_omegas = len(self._noise_model.detuning_hf_omegas)
+        for ch in self._samples.channel_samples:
+            amp_fluctuations[ch] = max(
+                0, np.random.normal(1.0, self.noise_model.amp_sigma)
+            )
+            det_fluctuations[ch] = (
+                np.random.normal(0.0, self.noise_model.detuning_sigma)
+                if self.noise_model.detuning_sigma
+                else 0.0
+            )
+            if n_omegas:
+                det_phases[ch] = np.random.uniform(
+                    0.0, 2 * np.pi, size=n_omegas - 1
+                )
+            else:
+                det_phases[ch] = np.array(0.0)
+
+            if self.noise_model.dmm_sigma and isinstance(
+                self._samples._ch_objs[ch], DMM
+            ):
+                dmm_det_fluctuation[ch] = max(
+                    0, np.random.normal(1.0, self.noise_model.dmm_sigma)
+                )
+            else:
+                dmm_det_fluctuation[ch] = 1.0
+
+        register: BaseRegister = self._register
+        if "register" in noise_types:
+            register = _noisy_register(
+                self.register.qubits, self._noise_model
+            )
+        return NoiseTrajectory(
+            bad_atoms,
+            doppler_detune,
+            amp_fluctuations,
+            det_fluctuations,
+            det_phases,
+            register,
+            self._noisy_interaction_matrix(register, bad_atoms),
+            dmm_det_fluctuation,
+        )
 
     def _create_noise_trajectories(
         self, ntrajs: int
@@ -733,158 +863,21 @@ class HamiltonianData:
         prepared. The numpy global-RNG draw order matches the reference
         so that seeded tests reproduce it exactly.
         """
-        noise_trajectories: list[TrajectoryWithReps] = []
-        amp_fluctuations: dict[str, float] = {}
-        det_fluctuations: dict[str, float] = {}
-        det_phases: dict[str, np.ndarray] = {}
-        dmm_det_fluctuation: dict[str, float] = {}
         if not has_shot_to_shot_except_spam(self.noise_model):
-            initial_configs = Counter(
-                "".join(
-                    (
-                        np.random.uniform(size=len(self._qid_index))
-                        < self.noise_model.state_prep_error
-                    )
-                    .astype(int)
-                    .astype(str)
-                )
-                for _ in range(ntrajs)
-            ).most_common()
+            return self._spam_only_trajectories(ntrajs)
+        return [
+            TrajectoryWithReps(self._draw_one_trajectory(), 1)
+            for _ in range(ntrajs)
+        ]
 
-            doppler_detune = {qid: 0.0 for qid in self._qid_index}
-            for ch in self._samples.channel_samples:
-                assert self.noise_model.amp_sigma == 0.0
-                amp_fluctuations[ch] = 1.0
-                det_fluctuations[ch] = 0.0
-                det_phases[ch] = np.array(0.0)
-                dmm_det_fluctuation[ch] = 1.0
-            for bool_string, n in initial_configs:
-                bad_atoms = dict(
-                    zip(
-                        self._qid_index,
-                        map(lambda x: x == "1", bool_string),
-                    )
-                )
-                noise_trajectories.append(
-                    TrajectoryWithReps(
-                        NoiseTrajectory(
-                            bad_atoms,
-                            doppler_detune,
-                            amp_fluctuations,
-                            det_fluctuations,
-                            det_phases,
-                            self._register,
-                            self._noisy_interaction_matrix(
-                                self._register, bad_atoms
-                            ),
-                            dmm_det_fluctuation,
-                        ),
-                        n,
-                    )
-                )
-        else:
-            for _ in range(ntrajs):
-                amp_fluctuations = {}
-                det_fluctuations = {}
-                det_phases = {}
-                register: BaseRegister = self._register
-                if (
-                    "SPAM" in self.noise_model.noise_types
-                    and self.noise_model.state_prep_error > 0
-                ):
-                    dist = (
-                        np.random.uniform(size=len(self._qid_index))
-                        < self.noise_model.state_prep_error
-                    )
-                    bad_atoms = dict(zip(self._qid_index, dist))
-                else:
-                    bad_atoms = {
-                        qid: False for qid in self._qid_index
-                    }
-                if "doppler" in self.noise_model.noise_types:
-                    temp = self.noise_model.temperature * 1e-6
-                    detune = np.random.normal(
-                        0,
-                        doppler_sigma(temp),
-                        size=len(self._qid_index),
-                    )
-                    doppler_detune = dict(
-                        zip(self._qid_index, detune)
-                    )
-                else:
-                    doppler_detune = {
-                        qid: 0.0 for qid in self._qid_index
-                    }
-
-                for ch in self._samples.channel_samples:
-                    amp_fluctuations[ch] = max(
-                        0,
-                        np.random.normal(
-                            1.0, self.noise_model.amp_sigma
-                        ),
-                    )
-                    det_fluctuations[ch] = (
-                        np.random.normal(
-                            0.0, self.noise_model.detuning_sigma
-                        )
-                        if self.noise_model.detuning_sigma
-                        else 0.0
-                    )
-                    if self._noise_model.detuning_hf_omegas:
-                        det_phases[ch] = np.random.uniform(
-                            0.0,
-                            2 * np.pi,
-                            size=len(
-                                self._noise_model.detuning_hf_omegas
-                            )
-                            - 1,
-                        )
-                    else:
-                        det_phases[ch] = np.array(0.0)
-
-                    if self.noise_model.dmm_sigma and isinstance(
-                        self._samples._ch_objs[ch], DMM
-                    ):
-                        dmm_det_fluctuation[ch] = max(
-                            0,
-                            np.random.normal(
-                                1.0, self.noise_model.dmm_sigma
-                            ),
-                        )
-                    else:
-                        dmm_det_fluctuation[ch] = 1.0
-
-                if "register" in self._noise_model.noise_types:
-                    register = _noisy_register(
-                        self.register.qubits, self._noise_model
-                    )
-                noise_trajectories.append(
-                    TrajectoryWithReps(
-                        NoiseTrajectory(
-                            bad_atoms,
-                            doppler_detune,
-                            amp_fluctuations,
-                            det_fluctuations,
-                            det_phases,
-                            register,
-                            self._noisy_interaction_matrix(
-                                register, bad_atoms
-                            ),
-                            dmm_det_fluctuation,
-                        ),
-                        1,
-                    )
-                )
-        return noise_trajectories
+    # -- Basis bookkeeping --------------------------------------------------
 
     def _get_basis_name(self, with_leakage: bool) -> str:
-        if len(self._samples.used_bases) == 0:
-            if self._samples._in_xy:
-                basis_name = "XY"
-            else:
-                basis_name = "ground-rydberg"
-        elif len(self._samples.used_bases) == 1:
-            basis_name = list(self._samples.used_bases)[0]
+        used = self._samples.used_bases
+        if len(used) == 1:
+            basis_name = list(used)[0]
+        elif len(used) == 0:
+            basis_name = "XY" if self._samples._in_xy else "ground-rydberg"
         else:
             basis_name = "all"  # All three rydberg states
         if with_leakage:
@@ -902,9 +895,8 @@ class HamiltonianData:
         eigenbasis: list[States],
     ) -> list[str]:
         """Determine projector operator names."""
-        op_matrix_names = ["I"]
-        for proj0 in eigenbasis:
-            for proj1 in eigenbasis:
-                proj_name = "sigma_" + proj0 + proj1
-                op_matrix_names.append(proj_name)
-        return op_matrix_names
+        return ["I"] + [
+            f"sigma_{proj0}{proj1}"
+            for proj0 in eigenbasis
+            for proj1 in eigenbasis
+        ]

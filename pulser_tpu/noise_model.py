@@ -115,6 +115,14 @@ OPTIONAL_IN_ABSTR_REPR = (
     "detuning_map_spot_waist",
 )
 
+# Noise types whose activation makes trajectory counts meaningful
+_TRAJ_SENSITIVE: set[NoiseTypes] = {
+    "doppler",
+    "detuning",
+    "register",
+    "dmm_sigma",
+}
+
 
 def _doppler_sigma(temperature: float) -> float:
     """Standard deviation of Doppler shifting due to thermal motion.
@@ -149,6 +157,161 @@ def _register_sigma_xy_z(
     return register_sigma_xy, register_sigma_z
 
 
+def _as_plain_tuple(obj: Any) -> Any:
+    """Recursively converts array-likes to nested plain tuples."""
+    if isinstance(obj, pm.AbstractArray):
+        obj = obj.as_array(detach=True)
+    try:
+        import jax
+
+        if isinstance(obj, jax.Array):
+            obj = np.asarray(obj)
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(obj, (tuple, list, np.ndarray)):
+        return tuple(_as_plain_tuple(el) for el in obj)
+    return obj
+
+
+# Declarative layout of the summary() text. Each section renders when
+# any of its table keys is present; "kv" rows print a template filled
+# with the formatted table entry, "lit" rows print verbatim, "hdr"
+# rows print only when one of the listed keys is present.
+_SUMMARY_LAYOUT: tuple = (
+    {
+        "tag": "register",
+        "rows": (
+            ("lit", "- Register Position Fluctuations**:", None),
+            (
+                "kv",
+                "  - XY-Plane Position Fluctuations: {}",
+                "register_sigma_xy",
+            ),
+            (
+                "kv",
+                "  - Z-Axis Position Fluctuations: {}",
+                "register_sigma_z",
+            ),
+        ),
+    },
+    {
+        "tag": "initial state",
+        "rows": (
+            (
+                "kv",
+                "- State Preparation Error Probability**: {}",
+                "state_prep_error",
+            ),
+        ),
+    },
+    {
+        "tag": "amplitude",
+        "rows": (
+            ("lit", "- Amplitude inhomogeneities:", None),
+            (
+                "kv",
+                "  - Finite-waist Gaussian damping \u03c3={}",
+                "laser_waist",
+            ),
+            (
+                "kv",
+                "  - Shot-to-shot Amplitude Fluctuations**: {}",
+                "amp_sigma",
+            ),
+        ),
+    },
+    {
+        "tag": "detuning",
+        "rows": (
+            ("lit", "- Detuning fluctuations**:", None),
+            (
+                "hdr",
+                "  - Shot-to-Shot Detuning fluctuations:",
+                ("detuning_sigma", "doppler_sigma"),
+            ),
+            (
+                "kv",
+                "       - Laser's Detuning fluctuations: {}",
+                "detuning_sigma",
+            ),
+            (
+                "kv",
+                "       - Doppler fluctuations: {}",
+                "doppler_sigma",
+            ),
+            (
+                "hdr",
+                "  - High-Frequency Detuning fluctuations. See PSD in "
+                "get_noise_table()['detuning_psd'].",
+                ("detuning_psd",),
+            ),
+        ),
+    },
+    {
+        "tag": "dmm_sigma",
+        "rows": (
+            ("lit", "- DMM detuning fluctuations**:", None),
+            (
+                "kv",
+                " - Shot-to-shot DMM detuning fluctuations: {}",
+                "dmm_sigma",
+            ),
+        ),
+    },
+    {
+        "tag": None,
+        "rows": (
+            ("lit", "- DMM crosstalk**:", None),
+            (
+                "kv",
+                " - Detuning Map spots' waist: {}",
+                "detuning_map_spot_waist",
+            ),
+        ),
+    },
+    {
+        "tag": None,
+        "traj": False,
+        "rows": (
+            ("lit", "- Dissipation parameters:", None),
+            ("kv", "   - T1: {}", "T1"),
+            ("kv", "   - T2* (r-g): {}", "T2* (r-g)"),
+            ("kv", "   - T2* (g-h): {}", "T2* (g-h)"),
+        ),
+    },
+    {
+        "tag": None,
+        "traj": False,
+        "rows": (
+            ("lit", "- Other Decoherence Processes:", None),
+            (
+                "kv",
+                "   - Depolarization at rate {}",
+                "depolarizing_rate",
+            ),
+            ("eff", None, "eff_noise"),
+        ),
+    },
+    {
+        "tag": None,
+        "traj": False,
+        "rows": (
+            ("lit", "- Measurement noises:", None),
+            (
+                "kv",
+                "   - False Positive Meas. Probability: {}",
+                "p_false_pos",
+            ),
+            (
+                "kv",
+                "   - False Negative Meas. Probability: {}",
+                "p_false_neg",
+            ),
+        ),
+    },
+)
+
+
 @dataclass(init=True, repr=False, frozen=True)
 class NoiseModel:
     r"""Specifies the noise model parameters for emulation.
@@ -159,47 +322,41 @@ class NoiseModel:
     non-default parameters.
 
     Args:
-        runs: How many times the Hamiltonian is reconstructed from random
+        runs: How many times the Hamiltonian is rebuilt from fresh random
             noise (deprecated; use 'EmulationConfig.n_trajectories').
-        samples_per_run: Number of samples per noisy Hamiltonian
-            (deprecated).
-        state_prep_error: The state preparation error probability.
-        p_false_pos: Probability of measuring a false positive.
-        p_false_neg: Probability of measuring a false negative.
-        temperature: Temperature, set in µK, of the atoms in the array.
-        laser_waist: Waist of the gaussian lasers, in µm, for global
-            pulses.
-        amp_sigma: Standard deviation of the run-to-run amplitude
-            fluctuation of a channel (normal distribution centered in 1).
-        detuning_sigma: Standard deviation of the shot-to-shot detuning
-            fluctuation of a channel (in rad/µs, additive, centered in 0).
-        trap_waist: The waist of each optical trap at the focal point
-            (in µm).
-        trap_depth: The potential energy well depth confining the atoms
+        samples_per_run: Samples taken per noisy Hamiltonian (deprecated).
+        state_prep_error: Probability of faulty state preparation.
+        p_false_pos: False-positive measurement probability.
+        p_false_neg: False-negative measurement probability.
+        temperature: Atom temperature in the array, in µK.
+        laser_waist: Gaussian-laser waist for global pulses, in µm.
+        amp_sigma: Run-to-run amplitude fluctuation of a channel, as the
+            std dev of a normal distribution centered at 1.
+        detuning_sigma: Shot-to-shot detuning fluctuation of a channel
+            (std dev in rad/µs, additive, centered at 0).
+        trap_waist: Optical trap waist at the focal point (in µm).
+        trap_depth: Depth of the potential well holding the atoms
             (in µK).
-        detuning_hf_psd: 1-sided PSD of the high-frequency detuning noise
-            (in rad/µs), paired with `detuning_hf_omegas`.
-        detuning_hf_omegas: Angular frequency support for the PSD
-            (in rad/µs).
-        relaxation_rate: The rate of relaxation from the Rydberg to the
-            ground state (in 1/µs). Corresponds to 1/T1.
-        dephasing_rate: The rate of a dephasing occurring (in 1/µs) in a
-            Rydberg state superposition. Corresponds to 1/T2*.
-        hyperfine_dephasing_rate: The rate of dephasing between hyperfine
-            ground states (in 1/µs).
-        depolarizing_rate: The rate (in 1/µs) of depolarizing errors.
-        eff_noise_rates: The rate for each effective noise operator
-            (in 1/µs).
-        eff_noise_opers: The operators for the effective noise model.
-        with_leakage: Whether to include an error state in the
-            computations.
-        disable_doppler: Whether to disable doppler noise even when the
-            temperature is defined (so 'register' noise can be activated
-            on its own).
-        dmm_sigma: Standard deviation of the shot-to-shot DMM detuning
-            fluctuation (multiplicative, centered at 1).
-        detuning_map_spot_waist: The waist of each spot in the DetuningMap
-            (in µm), required for 'register' noise combined with a DMM.
+        detuning_hf_psd: 1-sided PSD of high-frequency detuning noise
+            (rad/µs), paired with `detuning_hf_omegas`.
+        detuning_hf_omegas: Angular-frequency support of the PSD
+            (rad/µs).
+        relaxation_rate: Rydberg→ground relaxation rate (1/µs), i.e.
+            1/T1.
+        dephasing_rate: Dephasing rate of a Rydberg-state superposition
+            (1/µs), i.e. 1/T2*.
+        hyperfine_dephasing_rate: Dephasing rate between hyperfine ground
+            states (1/µs).
+        depolarizing_rate: Depolarizing-error rate (1/µs).
+        eff_noise_rates: One rate per effective noise operator (1/µs).
+        eff_noise_opers: The effective-noise operators themselves.
+        with_leakage: Add an error state to the computation.
+        disable_doppler: Suppress doppler noise even with a defined
+            temperature (lets 'register' noise run on its own).
+        dmm_sigma: Shot-to-shot DMM detuning fluctuation (std dev,
+            multiplicative, centered at 1).
+        detuning_map_spot_waist: Waist of each DetuningMap spot (µm);
+            needed when combining 'register' noise with a DMM.
     """
 
     noise_types: tuple[NoiseTypes, ...] = field(init=False)
@@ -227,38 +384,20 @@ class NoiseModel:
     dmm_sigma: float = 0.0
     detuning_map_spot_waist: float | None = None
 
-    def __post_init__(self) -> None:
-        """Initializes a noise model."""
-
-        def to_tuple(obj: Any) -> Any:
-            if isinstance(obj, pm.AbstractArray):
-                obj = obj.as_array(detach=True)
-            try:
-                import jax
-
-                if isinstance(obj, jax.Array):
-                    obj = np.asarray(obj)
-            except ImportError:  # pragma: no cover
-                pass
-            if isinstance(obj, (tuple, list, np.ndarray)):
-                obj = tuple(to_tuple(el) for el in obj)
-            return obj
-
+    def _collect_params(self) -> dict[str, Any]:
+        """Gathers init params, canonicalized to plain python values."""
         param_vals = {
-            f.name: getattr(self, f.name)
-            for f in fields(self)
-            if f.init
+            f.name: getattr(self, f.name) for f in fields(self) if f.init
         }
+        for tup_param in (
+            "eff_noise_rates",
+            "eff_noise_opers",
+            "detuning_hf_psd",
+            "detuning_hf_omegas",
+        ):
+            param_vals[tup_param] = _as_plain_tuple(param_vals[tup_param])
 
-        param_vals["eff_noise_rates"] = to_tuple(self.eff_noise_rates)
-        param_vals["eff_noise_opers"] = to_tuple(self.eff_noise_opers)
-
-        param_vals["detuning_hf_psd"] = to_tuple(self.detuning_hf_psd)
-        param_vals["detuning_hf_omegas"] = to_tuple(
-            self.detuning_hf_omegas
-        )
-
-        # Type check of provided positive and probability parameters
+        # Everything bounded must be a float
         for p_, val in param_vals.items():
             if p_ in _PROBABILITY_LIKE | _POSITIVE:
                 try:
@@ -268,6 +407,11 @@ class NoiseModel:
                         f"{p_} should be castable to float, not of type"
                         f" {type(val)}."
                     )
+        return param_vals
+
+    def __post_init__(self) -> None:
+        """Initializes a noise model."""
+        param_vals = self._collect_params()
 
         true_noise_types: set[NoiseTypes] = {
             _PARAM_TO_NOISE_TYPE[p_]
@@ -326,15 +470,22 @@ class NoiseModel:
         object.__setattr__(
             self, "noise_types", tuple(sorted(true_noise_types))
         )
+        self._store_and_warn_unused(param_vals, relevant_params)
+
+    def _store_and_warn_unused(
+        self, param_vals: dict[str, Any], relevant_params: set[str]
+    ) -> None:
+        """Writes back canonical values, warning about inert parameters."""
         non_zero_relevant_params = [
             p for p in relevant_params if param_vals[p]
         ]
         for param_, val_ in param_vals.items():
             object.__setattr__(self, param_, val_)
+            is_set = val_ if param_ != "samples_per_run" else val_ != 1
             if (
                 param_ != "disable_doppler"
                 and param_ not in relevant_params
-                and (val_ if param_ != "samples_per_run" else val_ != 1)
+                and is_set
             ):
                 warnings.warn(
                     f"{param_!r} is not used by any active noise type "
@@ -342,6 +493,8 @@ class NoiseModel:
                     f" parameters are {non_zero_relevant_params}.",
                     stacklevel=2,
                 )
+
+    # -- Static validation helpers -----------------------------------------
 
     @staticmethod
     def _check_register_noise_params(
@@ -370,16 +523,14 @@ class NoiseModel:
             relevant_params.update(_NOISE_TYPE_PARAMS[nt_])
             if nt_ == "register":
                 relevant_params.add("temperature")
-            if (
-                nt_ == "doppler"
-                or nt_ == "detuning"
+            needs_trajectories = (
+                nt_ in _TRAJ_SENSITIVE
                 or (nt_ == "amplitude" and amp_sigma != 0.0)
                 or (nt_ == "SPAM" and state_prep_error != 0.0)
-                or nt_ == "register"
-                or nt_ == "dmm_sigma"
-            ):
+            )
+            if needs_trajectories:
                 relevant_params.update(("runs", "samples_per_run"))
-        # Disregard laser_waist when not defined
+        # An undefined laser_waist never counts as relevant
         if laser_waist is None:
             relevant_params.discard("laser_waist")
         return relevant_params
@@ -467,7 +618,7 @@ class NoiseModel:
                 f"({len(eff_noise_rates)}) must be equal."
             )
         for rate in eff_noise_rates:
-            if not (isinstance(rate, float) or isinstance(rate, int)):
+            if not isinstance(rate, (float, int)):
                 raise TypeError(
                     "eff_noise_rates is a list of floats,"
                     f" it must not contain a {type(rate)}."
@@ -484,7 +635,7 @@ class NoiseModel:
         if np.any(np.array(eff_noise_rates) < 0):
             raise ValueError("The provided rates must be greater than 0.")
 
-        # Check the validity of operators
+        # Operators must be square 2-D complex arrays of the right size
         min_shape = 2 if not with_leakage else 3
         possible_shapes = [
             (min_shape, min_shape),
@@ -509,9 +660,9 @@ class NoiseModel:
 
     @staticmethod
     def _validate_parameters(param_vals: dict[str, Any]) -> None:
-        for param in param_vals:
+        for param, value in param_vals.items():
             is_valid = True
-            value = param_vals[param]
+            comp = ""
             if param in _POSITIVE:
                 is_valid = value >= 0
                 comp = "greater than or equal to zero"
@@ -537,6 +688,8 @@ class NoiseModel:
                     stacklevel=2,
                 )
 
+    # -- Serialization ------------------------------------------------------
+
     def _to_abstract_repr(self) -> dict[str, Any]:
         all_fields = {}
         for f in fields(self):
@@ -547,10 +700,10 @@ class NoiseModel:
             ):
                 continue
             all_fields[f.name] = value
-        # Fields that can be deduced from the noise_types are removed
+        # These are deducible from noise_types, so they're dropped
         all_fields.pop("disable_doppler")
         all_fields.pop("with_leakage")
-        # Effective noise as a list of (rate, operator)
+        # The wire format pairs rates with operators
         eff_noise_rates = all_fields.pop("eff_noise_rates")
         eff_noise_opers = all_fields.pop("eff_noise_opers")
         all_fields["eff_noise"] = list(
@@ -572,14 +725,12 @@ class NoiseModel:
             self.laser_waist,
         )
         relevant_params.add("noise_types")
-        params_list = []
-        for f in fields(self):
-            if (
-                f.name in relevant_params
-                and f.name != "runs"
-                and f.name != "samples_per_run"
-            ):
-                params_list.append(f"{f.name}={getattr(self, f.name)!r}")
+        relevant_params -= {"runs", "samples_per_run"}
+        params_list = [
+            f"{f.name}={getattr(self, f.name)!r}"
+            for f in fields(self)
+            if f.name in relevant_params
+        ]
         return f"{self.__class__.__name__}({', '.join(params_list)})"
 
     def to_abstract_repr(self) -> str:
@@ -607,6 +758,8 @@ class NoiseModel:
         )
 
         return deserialize_abstract_noise_model(obj_str)
+
+    # -- Human-readable summaries -------------------------------------------
 
     def get_noise_table(self) -> dict[str, tuple[Any, str]]:
         """Maps non-zero noise quantities with their value and units."""
@@ -662,162 +815,70 @@ class NoiseModel:
             )
         return table
 
+    @staticmethod
+    def _fmt(value: Any, unit: str) -> str:
+        return f"{value:g}" if unit == "" else f"{value:g} {unit}"
+
+    def _render_eff_noise_rows(
+        self, noise_table: dict[str, tuple[Any, str]]
+    ) -> list[str]:
+        rows = [
+            "   - Custom Lindblad operators (in 1/\u00b5s)"
+            + (
+                " including a leakage state:"
+                if noise_table["with_leakage"][0]
+                else ":"
+            )
+        ]
+        for rate, oper in noise_table["eff_noise"][0]:
+            oper_str = tuple(
+                tuple(float(f"{val:g}") for val in row) for row in oper
+            )
+            rows.append(f"       - {rate:g} * {oper_str}")
+        return rows
+
+    def _render_summary_section(
+        self, section: dict, noise_table: dict[str, tuple[Any, str]]
+    ) -> list[str]:
+        keyed = [
+            row[2]
+            for row in section["rows"]
+            if row[0] in ("kv", "eff") and row[2] in noise_table
+        ]
+        if not keyed:
+            return []
+        lines = []
+        for kind, template, key in section["rows"]:
+            if kind == "lit":
+                lines.append(template)
+            elif kind == "hdr":
+                if any(k in noise_table for k in key):
+                    lines.append(template)
+            elif kind == "eff":
+                if key in noise_table:
+                    lines += self._render_eff_noise_rows(noise_table)
+            elif key in noise_table:
+                lines.append(
+                    template.format(self._fmt(*noise_table[key]))
+                )
+        return lines
+
     def summary(self) -> str:
         """A readable summary of the noise's impact on the simulation."""
-
-        def _repr_value_unit(value: Any, unit: str) -> str:
-            if unit == "":
-                return f"{value:g}"
-            return f"{value:g} {unit}"
-
         noise_table = self.get_noise_table()
         summary_list = ["Noise summary:"]
-        add_to_traj_summary = []
-        # 1. Register
-        if "register_sigma_xy" in noise_table:
-            assert "register_sigma_z" in noise_table
+        traj_tags = []
+        for section in _SUMMARY_LAYOUT:
+            lines = self._render_summary_section(section, noise_table)
+            if not lines:
+                continue
+            summary_list += lines
+            if section["tag"] is not None:
+                traj_tags.append(section["tag"])
+        if traj_tags:
             summary_list += [
-                "- Register Position Fluctuations**:",
-                "  - XY-Plane Position Fluctuations: "
-                f"{_repr_value_unit(*noise_table['register_sigma_xy'])}",
-                "  - Z-Axis Position Fluctuations: "
-                f"{_repr_value_unit(*noise_table['register_sigma_z'])}",
-            ]
-            add_to_traj_summary.append("register")
-
-        # 2. State Preparation
-        if "state_prep_error" in noise_table:
-            summary_list.append(
-                "- State Preparation Error Probability**: "
-                f"{_repr_value_unit(*noise_table['state_prep_error'])}"
-            )
-            add_to_traj_summary.append("initial state")
-
-        # 3. Pulse Shaping
-        if "laser_waist" in noise_table or "amp_sigma" in noise_table:
-            summary_list.append("- Amplitude inhomogeneities:")
-            if "laser_waist" in noise_table:
-                summary_list += [
-                    "  - Finite-waist Gaussian damping σ="
-                    f"{_repr_value_unit(*noise_table['laser_waist'])}"
-                ]
-            if "amp_sigma" in noise_table:
-                summary_list += [
-                    "  - Shot-to-shot Amplitude Fluctuations**:"
-                    f" {_repr_value_unit(*noise_table['amp_sigma'])}"
-                ]
-
-            add_to_traj_summary.append("amplitude")
-        if (
-            "detuning_sigma" in noise_table
-            or "doppler_sigma" in noise_table
-            or "detuning_psd" in noise_table
-        ):
-            summary_list.append("- Detuning fluctuations**:")
-            if (
-                "detuning_sigma" in noise_table
-                or "doppler_sigma" in noise_table
-            ):
-                summary_list += ["  - Shot-to-Shot Detuning fluctuations:"]
-                if "detuning_sigma" in noise_table:
-                    summary_list += [
-                        "       - Laser's Detuning fluctuations: "
-                        f"{_repr_value_unit(*noise_table['detuning_sigma'])}"
-                    ]
-                if "doppler_sigma" in noise_table:
-                    summary_list += [
-                        "       - Doppler fluctuations: "
-                        f"{_repr_value_unit(*noise_table['doppler_sigma'])}"
-                    ]
-            if "detuning_psd" in noise_table:
-                summary_list += [
-                    "  - High-Frequency Detuning fluctuations. See PSD in "
-                    "get_noise_table()['detuning_psd']."
-                ]
-            add_to_traj_summary.append("detuning")
-
-        if "dmm_sigma" in noise_table:
-            summary_list.append("- DMM detuning fluctuations**:")
-            summary_list += [
-                " - Shot-to-shot DMM detuning fluctuations:"
-                f" {_repr_value_unit(*noise_table['dmm_sigma'])}"
-            ]
-            add_to_traj_summary.append("dmm_sigma")
-
-        if "detuning_map_spot_waist" in noise_table:
-            summary_list.append("- DMM crosstalk**:")
-            summary_list += [
-                " - Detuning Map spots' waist:"
-                f" {_repr_value_unit(*noise_table['detuning_map_spot_waist'])}"
-            ]
-
-        # 4. Noise channels
-        if (
-            "T1" in noise_table
-            or "T2* (r-g)" in noise_table
-            or "T2* (g-h)" in noise_table
-        ):
-            summary_list += ["- Dissipation parameters:"]
-            if "T1" in noise_table:
-                summary_list += [
-                    f"   - T1: {_repr_value_unit(*noise_table['T1'])}"
-                ]
-            if "T2* (r-g)" in noise_table:
-                summary_list += [
-                    "   - T2* (r-g): "
-                    f"{_repr_value_unit(*noise_table['T2* (r-g)'])}"
-                ]
-            if "T2* (g-h)" in noise_table:
-                summary_list += [
-                    "   - T2* (g-h): "
-                    f"{_repr_value_unit(*noise_table['T2* (g-h)'])}"
-                ]
-
-        if (
-            "eff_noise" in noise_table
-            or "depolarizing_rate" in noise_table
-        ):
-            summary_list += ["- Other Decoherence Processes:"]
-            if "depolarizing_rate" in noise_table:
-                summary_list += [
-                    "   - Depolarization at rate "
-                    f"{_repr_value_unit(*noise_table['depolarizing_rate'])}"
-                ]
-            if "eff_noise" in noise_table:
-                summary_list += [
-                    "   - Custom Lindblad operators (in 1/µs)"
-                    + (
-                        " including a leakage state:"
-                        if noise_table["with_leakage"][0]
-                        else ":"
-                    )
-                ]
-                for rate, oper in noise_table["eff_noise"][0]:
-                    oper_str = tuple(
-                        tuple(float(f"{val:g}") for val in lines)
-                        for lines in oper
-                    )
-                    summary_list += [f"       - {rate:g} * {oper_str}"]
-
-        # 5. Measurement noises
-        if "p_false_pos" in noise_table or "p_false_neg" in noise_table:
-            summary_list += ["- Measurement noises:"]
-            if "p_false_pos" in noise_table:
-                summary_list += [
-                    "   - False Positive Meas. Probability: "
-                    f"{_repr_value_unit(*noise_table['p_false_pos'])}"
-                ]
-            if "p_false_neg" in noise_table:
-                summary_list += [
-                    "   - False Negative Meas. Probability: "
-                    f"{_repr_value_unit(*noise_table['p_false_neg'])}"
-                ]
-        traj_summary = (
-            "**: Emulation will generate EmulationConfig.n_trajectories"
-            " trajectories with different "
-        )
-        if add_to_traj_summary != []:
-            summary_list += [
-                traj_summary + ", ".join(add_to_traj_summary)
+                "**: Emulation will generate"
+                " EmulationConfig.n_trajectories trajectories with"
+                " different " + ", ".join(traj_tags)
             ]
         return "\n".join(summary_list)
