@@ -71,29 +71,24 @@ PROTOCOLS = Literal["min-delay", "no-delay", "wait-for-all"]
 class Sequence(Generic[DeviceType]):
     """A sequence of operations on a device.
 
-    A sequence is composed by
+    Four ingredients make up a sequence: the device whose constraints it
+    obeys, the register of target qubits, the declared device channels,
+    and each channel's schedule of instructions.
 
-        - The device constraints it must respect
-        - The register of qubits on which to act
-        - The device's channels that are used
-        - The schedule of operations on each channel
-
-    A Sequence also supports variable parameters, obtained through
-    ``Sequence.declare_variable()``.  From the moment a variable is used,
-    a ``Sequence`` becomes **parametrized** and stops being built on the
-    fly, instead storing the sequence-building calls for later execution
-    via ``Sequence.build()``.
+    Variables created via ``Sequence.declare_variable()`` may be used in
+    place of concrete values; the first such use turns the ``Sequence``
+    **parametrized** — instructions are then recorded instead of applied,
+    to be replayed by ``Sequence.build()`` once values are known.
 
     Args:
-        register: The atom register on which to apply the pulses. If given
-            as a MappableRegister instance, the traps corresponding to
-            each qubit ID must be given when building the sequence.
-        device: A valid device in which to execute the Sequence.
+        register: The atom register the pulses act on. When it is a
+            MappableRegister, the qubit-to-trap assignment is supplied at
+            build time instead.
+        device: A valid device on which to execute the Sequence.
 
     Note:
-        The register and device do not support variable parameters. As
-        such, they are the same for all Sequences built from a
-        parametrized Sequence.
+        Neither the register nor the device may be variable; every build
+        of a parametrized Sequence shares them.
     """
 
     def __init__(
@@ -274,50 +269,40 @@ class Sequence(Generic[DeviceType]):
             **self.device.dmm_channels,
         }
         if not self._in_xy and not self._in_ising:
-            # If no channel has been declared nor any DMM configured, and
-            # if the device is physical, don't show the DMM used for the
-            # SLM Mask
+            # Before the mode is fixed, everything is available — except,
+            # on physical devices, a DMM already reserved for the SLM mask
             if (
                 self._slm_mask_dmm is not None
                 and not self.device.reusable_channels
             ):
-                return {
-                    id: ch
-                    for id, ch in all_channels.items()
-                    if id != self._slm_mask_dmm
-                }
+                all_channels.pop(self._slm_mask_dmm, None)
             return all_channels
-        else:
-            occupied_ch_ids = [
-                (
-                    self._schedule[ch_name].channel_id
-                    if ch_name in self._schedule
-                    else _dmm_id_from_name(ch_name)
+
+        occupied_ch_ids = [
+            (
+                self._schedule[ch_name].channel_id
+                if ch_name in self._schedule
+                else _dmm_id_from_name(ch_name)
+            )
+            for ch_name in self.declared_channels.keys()
+        ]
+
+        def _is_available(id: str, ch: Channel) -> bool:
+            # Reusable (virtual-device) channels never get used up
+            if id in occupied_ch_ids and not self.device.reusable_channels:
+                return False
+            if self._in_xy:
+                # DMMs stay offered in XY mode while no SLM mask exists
+                return ch.basis == "XY" or (
+                    isinstance(ch, DMM) and self._slm_mask_dmm is None
                 )
-                for ch_name in self.declared_channels.keys()
-            ]
-            return {
-                id: ch
-                for id, ch in all_channels.items()
-                if (
-                    # Virtual-device channels can be declared many times
-                    (
-                        id not in occupied_ch_ids
-                        or self.device.reusable_channels
-                    )
-                    and (
-                        # In XY mode, dmm channels remain available to
-                        # configure an SLM mask if none was defined
-                        ch.basis == "XY"
-                        or (
-                            isinstance(ch, DMM)
-                            and self._slm_mask_dmm is None
-                        )
-                        if self._in_xy
-                        else ch.basis != "XY"
-                    )
-                )
-            }
+            return ch.basis != "XY"
+
+        return {
+            id: ch
+            for id, ch in all_channels.items()
+            if _is_available(id, ch)
+        }
 
     def is_empty(self) -> bool:
         """States whether the sequence is empty."""
@@ -333,9 +318,9 @@ class Sequence(Generic[DeviceType]):
     def magnetic_field(self) -> np.ndarray:
         """The magnetic field acting on the array of atoms.
 
-        Defined on the reference frame of the atoms in the Register (with
-        the z-axis coming outside of the plane). Only defined in
-        "XY Mode", the default value being (0, 0, 30) G.
+        Expressed in the atoms' reference frame (z-axis normal to the
+        register plane). Exists only in "XY Mode"; defaults to
+        (0, 0, 30) G.
         """
         if not self._in_xy:
             raise AttributeError(
@@ -352,7 +337,7 @@ class Sequence(Generic[DeviceType]):
         """States whether a channel is currently in EOM mode.
 
         Args:
-            channel: The name of the declared channel to inspect.
+            channel: The declared channel to inspect.
 
         Returns:
             Whether the channel is in EOM mode.
@@ -387,7 +372,7 @@ class Sequence(Generic[DeviceType]):
         """Gets the sequence's measurement basis.
 
         Raises:
-            RuntimeError: When the sequence has not been measured.
+            RuntimeError: If no measurement was programmed.
         """
         if not self.is_measured():
             raise RuntimeError("The sequence has not been measured.")
@@ -406,10 +391,10 @@ class Sequence(Generic[DeviceType]):
         """The current duration of a channel or the whole sequence (ns).
 
         Args:
-            channel: A specific channel to return the duration of. If left
-                as None, the duration of the whole sequence is returned.
-            include_fall_time: Whether to include the extra time needed by
-                the last pulse to finish, if there is modulation.
+            channel: Restrict the measurement to one channel; None gives
+                the duration of the entire sequence.
+            include_fall_time: Also count the extra time the last pulse
+                needs to ring down under output modulation.
         """
         if channel is not None:
             self._validate_channel(channel)
@@ -431,10 +416,9 @@ class Sequence(Generic[DeviceType]):
         """Current phase reference of a specific qubit for a given basis.
 
         Args:
-            qubit: The id of the qubit whose phase shift is desired.
-            basis: The basis (i.e. electronic transition) the phase
-                reference is associated with. Must correspond to the basis
-                of a declared channel.
+            qubit: Which qubit's phase reference to return.
+            basis: The electronic transition the reference belongs to;
+                must match a declared channel's basis.
         """
         if qubit not in self._qids:
             raise ValueError(
@@ -455,14 +439,13 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         """Sets the magnetic field acting on the entire array.
 
-        Can only be defined before there are pulses added to the sequence.
-        Only works in "XY Mode"; if not already defined, calling this
-        function will enable "XY Mode".
+        Must happen before any pulse is added. XY-mode only — calling it
+        on a fresh sequence switches the sequence into "XY Mode".
 
         Args:
-            bx: The magnetic field in the x direction (in Gauss).
-            by: The magnetic field in the y direction (in Gauss).
-            bz: The magnetic field in the z direction (in Gauss).
+            bx: Field component along x (in Gauss).
+            by: Field component along y (in Gauss).
+            bz: Field component along z (in Gauss).
         """
         if not self._in_xy:
             if self._schedule:
@@ -531,18 +514,16 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         """Sets up an SLM mask by specifying the qubits it targets.
 
-        In XY mode, masked qubits don't interact with the incoming pulses
-        until the end of the first pulse of the global channel starting
-        the earliest in the schedule.
+        XY mode: masked qubits are shielded from incoming pulses until the
+        earliest-starting global pulse finishes.
 
-        In Ising, the SLM Mask is a DetuningMap where the detuning of each
-        masked qubit is 1.0, modulated by a pulse with a large negative
-        detuning.
+        Ising mode: the mask is realized as a DetuningMap with weight 1.0
+        on each masked qubit, driven by a strongly negative detuning.
 
         Args:
-            qubits: Collection of qubit IDs to mask during the first
-                global pulse of the sequence.
-            dmm_id: Id of the DMM channel to use in the device.
+            qubits: Qubit IDs to mask during the sequence's first global
+                pulse.
+            dmm_id: Which of the device's DMM channels to use.
         """
         if not self.device.supports_slm_mask:
             raise ValueError(
@@ -593,17 +574,16 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         """Declares a new DMM channel to the Sequence.
 
-        Associates a DetuningMap to a DMM channel of the Device.
+        Binds a DetuningMap to one of the Device's DMM channels.
 
         Note:
-            Regular devices only allow a DMM to be declared once, but
-            ``MockDevice`` DMMs can be repeatedly declared if needed.
+            A physical device's DMM can only be declared once;
+            ``MockDevice`` DMMs may be re-declared freely.
 
         Args:
-            detuning_map: A DetuningMap defining the amount of detuning
-                each atom receives.
-            dmm_id: How the channel is identified in the device. If not
-                given, takes the first available DMM in the device.
+            detuning_map: The per-atom detuning weights to apply.
+            dmm_id: The device-side ID of the DMM channel; the first
+                available one when omitted.
         """
         if dmm_id is None:
             for ch_id, ch_obj in self.available_channels.items():
@@ -671,13 +651,12 @@ class Sequence(Generic[DeviceType]):
     ) -> Sequence:
         """Replicate the sequence with a different register.
 
-        The new sequence is reconstructed with the provided register by
-        replaying all the instructions used to build the original
-        sequence. Operations referencing specific qubit IDs expect to find
-        the same qubit IDs in the new register.
+        Replays every instruction of this sequence on a fresh sequence
+        carrying the provided register. Instructions that name qubit IDs
+        require those IDs to exist in the new register too.
 
         Args:
-            new_register: The new register to give the sequence.
+            new_register: The register for the replicated sequence.
 
         Returns:
             The sequence with the new register.
@@ -713,15 +692,14 @@ class Sequence(Generic[DeviceType]):
     ) -> Sequence:
         """Replicate the sequence with a different device.
 
-        This method replicates the sequence with as few changes to the
-        original contents as possible. If the `strict` option is chosen,
-        the device switch will fail whenever it cannot guarantee that the
-        new sequence's contents are left unchanged.
+        Ports the sequence while disturbing its contents as little as
+        possible; under `strict`, the switch errors out whenever content
+        preservation cannot be guaranteed.
 
         Args:
-            new_device: The target device instance.
-            strict: Enforce a strict match between devices and channels to
-                guarantee the pulse sequence is left unchanged.
+            new_device: The device to port to.
+            strict: Demand an exact device/channel match so the pulse
+                sequence is provably unchanged.
 
         Returns:
             The sequence on the new device.
@@ -755,25 +733,23 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         """Declares a new channel in the Sequence.
 
-        The first declared channel implicitly defines the sequence's mode
-        of operation (i.e. the underlying Hamiltonian). In particular, if
-        the first declared channel is of type ``Microwave``, the sequence
-        will work in "XY Mode" and only allow channels addressing the 'XY'
-        basis, and vice versa.
+        The first channel declared fixes the sequence's operating mode
+        (its Hamiltonian): declaring a ``Microwave`` channel first puts
+        the sequence in "XY Mode" where only 'XY'-basis channels are
+        allowed, and any other channel type forbids 'XY' ones.
 
         Note:
-            Regular devices only allow a channel to be declared once, but
-            channels in ``VirtualDevice`` with ``reusable_channels=True``
-            can be repeatedly declared if needed.
+            On physical devices each channel is declared at most once;
+            ``VirtualDevice`` channels with ``reusable_channels=True``
+            can be re-declared.
 
         Args:
-            name: Unique name for the channel in the sequence.
-            channel_id: How the channel is identified in the device.
-                Consult ``Sequence.available_channels``.
-            initial_target: For 'Local' addressing channels only. Declares
-                the initial target of the channel. If left as None, the
-                initial target will have to be set manually as the first
-                addition to this channel.
+            name: A name for the channel, unique within the sequence.
+            channel_id: The device-side channel ID (see
+                ``Sequence.available_channels``).
+            initial_target: Only for 'Local' channels: the target to
+                start with. When None, a target instruction must be the
+                channel's first addition.
         """
         if name.startswith("dmm_"):
             raise ValueError(
@@ -879,18 +855,16 @@ class Sequence(Generic[DeviceType]):
     ) -> Union[Variable, VariableItem]:
         """Declare a new variable within this Sequence.
 
-        The declared variables can be used to create parametrized versions
-        of ``Waveform`` and ``Pulse`` objects, which in turn can be added
-        to the ``Sequence``.
+        Variables parametrize ``Waveform`` and ``Pulse`` objects, which
+        can then be added to the ``Sequence`` before their values are
+        known.
 
         Args:
-            name: The name for the variable. Must be unique within a
-                Sequence.
-            size: The number of entries stored in the variable. If
-                defined, returns an array of variables with the given
-                size. If left as ``None``, returns a single variable.
-            dtype: The type of the data that will be assigned to the
-                variable. Must be ``float`` or ``int``.
+            name: The variable's name, unique within the Sequence.
+            size: Number of entries the variable holds. A defined size
+                yields an array variable; ``None`` yields a scalar one.
+            dtype: ``float`` or ``int`` — the type of the values the
+                variable will receive.
 
         Returns:
             The declared Variable instance.
@@ -924,25 +898,23 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         """Puts a channel in EOM mode operation.
 
-        A channel in EOM mode can only execute square pulses with a given
-        amplitude (`amp_on`) and detuning (`detuning_on`), chosen when the
-        EOM mode is enabled.  The detuning with no pulse playing
-        (`detuning_off`) is restricted to a set of values that depends on
-        `amp_on` and `detuning_on`.
+        Under EOM mode the channel plays only square pulses, all at the
+        amplitude (`amp_on`) and detuning (`detuning_on`) fixed here. In
+        between pulses the detuning sits at `detuning_off`, picked from a
+        discrete option set determined by `amp_on` and `detuning_on`.
 
         Note:
-            Enabling the EOM mode will automatically enforce a buffer
-            unless the channel is empty. The detuning goes to the
-            `detuning_off` value during this buffer.
+            Unless the channel is empty, turning EOM mode on inserts a
+            buffer during which the detuning is at `detuning_off`.
 
         Args:
-            channel: The name of the channel to put in EOM mode.
-            amp_on: The amplitude of the EOM pulses (in rad/µs).
-            detuning_on: The detuning of the EOM pulses (in rad/µs).
-            optimal_detuning_off: The optimal detuning (in rad/µs) when
-                no pulse is played. The closest existing option is chosen.
-            correct_phase_drift: Performs a phase shift to correct for the
-                phase drift incurred while turning on the EOM mode.
+            channel: The channel to switch into EOM mode.
+            amp_on: Amplitude of the EOM pulses (rad/µs).
+            detuning_on: Detuning of the EOM pulses (rad/µs).
+            optimal_detuning_off: Preferred idle detuning (rad/µs); the
+                nearest available option is selected.
+            correct_phase_drift: Apply a phase shift compensating the
+                drift accumulated while enabling EOM mode.
         """
         if self.is_in_eom_mode(channel):
             raise RuntimeError(
@@ -990,29 +962,15 @@ class Sequence(Generic[DeviceType]):
                     basis=channel_obj.basis,
                 )
 
-        # Manually store the call to "enable_eom_mode" so that the updated
-        # 'optimal_detuning_off' is stored
-        call_container = (
-            self._to_build_calls
-            if self.is_parametrized()
-            else self._calls
-        )
-        call_container.append(
-            _Call(
-                "enable_eom_mode",
-                (),
-                dict(
-                    channel=channel,
-                    amp_on=amp_on,
-                    detuning_on=detuning_on,
-                    optimal_detuning_off=(
-                        detuning_off
-                        if isinstance(detuning_off, Parametrized)
-                        else float(detuning_off)
-                    ),
-                    correct_phase_drift=correct_phase_drift,
-                ),
-            )
+        # Stored by hand so that the resolved 'optimal_detuning_off'
+        # replaces the requested one
+        self._store_eom_settings_call(
+            "enable_eom_mode",
+            channel,
+            amp_on,
+            detuning_on,
+            detuning_off,
+            correct_phase_drift,
         )
 
     @seq_decorators.store
@@ -1023,13 +981,13 @@ class Sequence(Generic[DeviceType]):
         """Takes a channel out of EOM mode operation.
 
         Note:
-            Disabling the EOM mode automatically enforces a buffer time.
+            A buffer time is automatically inserted on disable.
 
         Args:
-            channel: The name of the channel to take out of EOM mode.
-            correct_phase_drift: Performs a phase shift to correct for the
-                phase drift that occurred since the last pulse (or the
-                start of the EOM mode, if no pulse was added).
+            channel: The channel to switch out of EOM mode.
+            correct_phase_drift: Apply a phase shift compensating the
+                drift since the last pulse (or since EOM mode started,
+                when no pulse was played).
         """
         if not self.is_in_eom_mode(channel):
             raise RuntimeError(
@@ -1067,17 +1025,16 @@ class Sequence(Generic[DeviceType]):
         """Modifies the setpoint of an ongoing EOM mode operation.
 
         Note:
-            Modifying the EOM setpoint automatically enforces a buffer
-            during which the detuning goes to the `detuning_off` value.
+            Changing the setpoint inserts a buffer during which the
+            detuning sits at the `detuning_off` value.
 
         Args:
-            channel: The name of the channel currently in EOM mode.
-            amp_on: The new amplitude of the EOM pulses (in rad/µs).
-            detuning_on: The new detuning of the EOM pulses (in rad/µs).
-            optimal_detuning_off: The new optimal detuning (in rad/µs)
-                when no pulse is played.
-            correct_phase_drift: Performs a phase shift to correct for the
-                phase drift incurred while modifying the EOM setpoint.
+            channel: The channel currently operating in EOM mode.
+            amp_on: New EOM pulse amplitude (rad/µs).
+            detuning_on: New EOM pulse detuning (rad/µs).
+            optimal_detuning_off: New preferred idle detuning (rad/µs).
+            correct_phase_drift: Apply a phase shift compensating the
+                drift accumulated during the setpoint change.
         """
         if not self.is_in_eom_mode(channel):
             raise RuntimeError(
@@ -1126,29 +1083,15 @@ class Sequence(Generic[DeviceType]):
                     basis=channel_obj.basis,
                 )
 
-        # Manually store the call so the updated 'optimal_detuning_off'
-        # is stored
-        call_container = (
-            self._to_build_calls
-            if self.is_parametrized()
-            else self._calls
-        )
-        call_container.append(
-            _Call(
-                "modify_eom_setpoint",
-                (),
-                dict(
-                    channel=channel,
-                    amp_on=amp_on,
-                    detuning_on=detuning_on,
-                    optimal_detuning_off=(
-                        detuning_off
-                        if isinstance(detuning_off, Parametrized)
-                        else float(detuning_off)
-                    ),
-                    correct_phase_drift=correct_phase_drift,
-                ),
-            )
+        # Stored by hand so that the resolved 'optimal_detuning_off'
+        # replaces the requested one
+        self._store_eom_settings_call(
+            "modify_eom_setpoint",
+            channel,
+            amp_on,
+            detuning_on,
+            detuning_off,
+            correct_phase_drift,
         )
 
     @seq_decorators.store
@@ -1166,21 +1109,20 @@ class Sequence(Generic[DeviceType]):
         """Adds a square pulse to a channel in EOM mode.
 
         Note:
-            When the phase between pulses is changed, the necessary buffer
-            time for a phase jump is still enforced (unless
-            ``protocol='no-delay'``).
+            A phase change between consecutive pulses still incurs the
+            phase-jump buffer time, except with ``protocol='no-delay'``.
 
         Args:
-            channel: The name of the channel to add the pulse to.
-            duration: The duration of the pulse (in ns).
-            phase: The pulse phase (in radians).
-            post_phase_shift: An optional phase shift (in rad) applied
-                immediately after the end of the pulse.
-            protocol: Stipulates how to deal with eventual conflicts with
-                other channels (see `Sequence.add()`).
-            correct_phase_drift: Adjusts the phase to correct for the
-                phase drift that occurred since the last pulse (or the
-                start of the EOM mode, if adding the first pulse).
+            channel: The channel receiving the pulse.
+            duration: Pulse duration (ns).
+            phase: Pulse phase (radians).
+            post_phase_shift: Optional phase shift (rad) right after the
+                pulse ends.
+            protocol: Conflict handling versus other channels (see
+                `Sequence.add()`).
+            correct_phase_drift: Fold into the phase a correction for the
+                drift since the previous pulse (or since EOM mode began,
+                for the first one).
         """
         if not self.is_in_eom_mode(channel):
             raise RuntimeError(
@@ -1238,22 +1180,20 @@ class Sequence(Generic[DeviceType]):
         """Adds a pulse to a channel.
 
         Args:
-            pulse: The pulse object to add to the channel.
-            channel: The channel's name provided when declared.
-            protocol: Stipulates how to deal with eventual conflicts with
-                other channels:
+            pulse: The pulse to schedule.
+            channel: The channel name chosen at declaration.
+            protocol: How conflicts with other channels are resolved:
 
-                - ``'min-delay'``: introduces the smallest possible delay
-                  that avoids all existing conflicts.
-                - ``'no-delay'``: adds the pulse regardless of conflicts.
-                - ``'wait-for-all'``: idles the channel until the end of
-                  the other channels' latest pulse.
+                - ``'min-delay'``: the smallest delay avoiding every
+                  existing conflict.
+                - ``'no-delay'``: schedule immediately, conflicts or not.
+                - ``'wait-for-all'``: idle until every other channel's
+                  latest pulse has ended.
 
         Note:
-            When the phase of the pulse to add differs from the previous
-            pulse on the channel, a delay may be added automatically to
-            respect the channel's `phase_jump_time` (override with
-            ``'no-delay'``).
+            A pulse whose phase differs from its predecessor's may get an
+            automatic delay honouring the channel's `phase_jump_time`
+            (suppressed by ``'no-delay'``).
         """
         self._validate_channel(
             channel,
@@ -1279,8 +1219,8 @@ class Sequence(Generic[DeviceType]):
         """Adds a waveform to the detuning of a DMM.
 
         Args:
-            waveform: The waveform to add to the detuning of the DMM.
-            dmm_name: The name of the DMM channel to modulate.
+            waveform: The detuning waveform to play on the DMM.
+            dmm_name: The DMM channel to modulate.
             protocol: Conflict-resolution protocol (defaults "no-delay").
         """
         self._validate_channel(dmm_name, block_if_slm=True)
@@ -1303,11 +1243,9 @@ class Sequence(Generic[DeviceType]):
         """Changes the target qubit of a 'Local' channel.
 
         Args:
-            qubits: The new target for this channel. Must correspond to a
-                qubit ID or a collection of qubit IDs, when multi-qubit
-                addressing is possible.
-            channel: The channel's name provided when declared. Must be a
-                channel with 'Local' addressing.
+            qubits: The channel's new target — one qubit ID, or several
+                when the channel supports multi-qubit addressing.
+            channel: The (necessarily 'Local') channel's declared name.
         """
         self._target(qubits, channel)
 
@@ -1320,12 +1258,11 @@ class Sequence(Generic[DeviceType]):
         """Changes the target qubit of a 'Local' channel, by index.
 
         Args:
-            qubits: The new target for this channel, as qubit index(es).
-            channel: The channel's name provided when declared. Must be a
-                channel with 'Local' addressing.
+            qubits: The new target, as register index(es).
+            channel: The (necessarily 'Local') channel's declared name.
 
         Note:
-            Cannot be used on non-parametrized sequences using a mappable
+            Unavailable on non-parametrized sequences over a mappable
             register.
         """
         self._target(qubits, channel, _index=True)
@@ -1340,11 +1277,10 @@ class Sequence(Generic[DeviceType]):
         """Idles a given channel for a specific duration.
 
         Args:
-            duration: Time to delay (in ns).
-            channel: The channel's name provided when declared.
-            at_rest: Whether to wait until the previous pulse on the
-                channel has finished (including output modulation) before
-                starting the delay.
+            duration: Delay length (ns).
+            channel: The channel's declared name.
+            at_rest: Start the delay only once the channel's previous
+                pulse (output modulation included) has finished.
         """
         self._delay(duration, channel, at_rest)
 
@@ -1357,12 +1293,12 @@ class Sequence(Generic[DeviceType]):
         """The delay that would be added before this pulse.
 
         Args:
-            pulse: The pulse object to add to the channel.
-            channel: The channel's name provided when declared.
+            pulse: The pulse hypothetically being added.
+            channel: The channel name chosen at declaration.
             protocol: Conflict-resolution protocol.
 
         Returns:
-            The delay that would be added before the pulse.
+            The delay that would precede the pulse.
         """
         self._validate_channel(
             channel,
@@ -1376,48 +1312,28 @@ class Sequence(Generic[DeviceType]):
             )
         if self.is_in_eom_mode(channel):
             eom_settings = self._schedule[channel].eom_blocks[-1]
-            if np.any(
-                pulse.amplitude.samples != eom_settings.rabi_freq
+            for qty, samples, setpoint in (
+                ("amplitude", pulse.amplitude.samples,
+                 eom_settings.rabi_freq),
+                ("detuning", pulse.detuning.samples,
+                 eom_settings.detuning_on),
             ):
-                warnings.warn(
-                    f"Channel {channel} is in EOM mode, the amplitude of"
-                    " the pulse will be constant and equal to "
-                    f"{eom_settings.rabi_freq}.",
-                    UserWarning,
-                )
-            if np.any(
-                pulse.detuning.samples != eom_settings.detuning_on
-            ):
-                warnings.warn(
-                    f"Channel {channel} is in EOM mode, the detuning of"
-                    " the pulse will be constant and equal to "
-                    f"{eom_settings.detuning_on}.",
-                    UserWarning,
-                )
+                if np.any(samples != setpoint):
+                    warnings.warn(
+                        f"Channel {channel} is in EOM mode, the {qty} of"
+                        " the pulse will be constant and equal to "
+                        f"{setpoint}.",
+                        UserWarning,
+                    )
         channel_obj = self._schedule[channel].channel_obj
         last = self._last(channel)
         basis = channel_obj.basis
 
-        ph_refs = {
-            self._basis_ref[basis][q].phase.last_phase
-            for q in last.targets
-        }
-        if isinstance(channel_obj, DMM):
-            phase_ref = None
-        elif len(ph_refs) != 1:
-            raise ValueError(
-                "Cannot do a multiple-target pulse on qubits with"
-                " different phase references for the same basis."
-            )
-        else:
-            phase_ref = ph_refs.pop()
-
+        phase_ref = self._resolve_phase_ref(
+            channel_obj, basis, last.targets
+        )
         pulse = self._validate_and_adjust_pulse(pulse, channel, phase_ref)
-
-        phase_barriers = [
-            self._basis_ref[basis][q].phase.last_time
-            for q in last.targets
-        ]
+        phase_barriers = self._phase_barriers(basis, last.targets)
         next_time_slot = self._schedule.make_next_pulse_slot(
             pulse,
             channel,
@@ -1431,17 +1347,16 @@ class Sequence(Generic[DeviceType]):
     def truncate(self, duration: int | Parametrized) -> None:
         """Truncates the sequence's contents to (at most) a duration.
 
-        The given duration must be valid for every channel involved; the
-        resulting sequence's duration might not exactly match the
-        requested duration (clock-period rounding, omitted short slots,
-        omitted target/EOM instructions).
+        Every involved channel must accept the given duration; the final
+        sequence duration may still differ from it (clock-period
+        rounding, dropped short slots, dropped target/EOM instructions).
 
         Warning:
-            A truncated Pulse is assumed to be incomplete so its
-            `post_phase_shift` value is always set to zero.
+            A pulse cut short is treated as incomplete, so its
+            `post_phase_shift` is zeroed.
 
         Args:
-            duration: The duration (in ns) to truncate to.
+            duration: Target duration (ns).
         """
         if not isinstance(duration, Parametrized):
             for ch_obj in self.declared_channels.values():
@@ -1465,12 +1380,11 @@ class Sequence(Generic[DeviceType]):
         """Measures in a valid basis.
 
         Note:
-            Allowed measurement bases depend on the mode of operation:
-            XY mode only measures in 'XY'; outside of XY mode 'XY' is not
-            allowed.
+            The operating mode constrains the measurement basis: in XY
+            mode only 'XY' may be measured, and never outside it.
 
         Args:
-            basis: Valid basis for measurement (consult
+            basis: The measurement basis (one of
                 ``device.supported_bases``).
         """
         available = (
@@ -1505,14 +1419,13 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         r"""Shifts the phase of a qubit's reference by 'phi' on a basis.
 
-        This is equivalent to an :math:`R_z(\phi)` gate.
+        Equivalent to an :math:`R_z(\phi)` gate.
 
         Args:
-            phi: The intended phase shift (in rad).
-            specific_targets: The ids of the qubits to apply the phase
-                shift to. If none are given, it applies to all qubits.
-            basis: The basis (i.e. electronic transition) to associate the
-                phase shift to.
+            phi: The phase shift (rad).
+            specific_targets: Qubit ids receiving the shift; all qubits
+                when empty.
+            basis: The electronic transition the shift is tied to.
         """
         self._phase_shift(phi, *specific_targets, basis=basis)
 
@@ -1526,13 +1439,13 @@ class Sequence(Generic[DeviceType]):
         r"""Shifts the phase of a qubit's reference by 'phi', by index.
 
         Args:
-            phi: The intended phase shift (in rad).
-            specific_targets: The indices of the qubits to apply the phase
-                shift to. If none are given, it applies to all qubits.
-            basis: The basis to associate the phase shift to.
+            phi: The phase shift (rad).
+            specific_targets: Register indices receiving the shift; all
+                qubits when empty.
+            basis: The basis the shift is tied to.
 
         Note:
-            Cannot be used on non-parametrized sequences using a mappable
+            Unavailable on non-parametrized sequences over a mappable
             register.
         """
         self._phase_shift(phi, *specific_targets, basis=basis, _index=True)
@@ -1542,13 +1455,13 @@ class Sequence(Generic[DeviceType]):
     def align(self, *channels: str, at_rest: bool = True) -> None:
         """Aligns multiple channels in time.
 
-        Introduces delays that align the provided channels with the one
-        that finished the latest.
+        Pads every listed channel with a delay so all of them end when
+        the latest-finishing one does.
 
         Args:
-            channels: The names of the channels to align.
-            at_rest: Whether to consider the output modulation of a
-                channel's contents when determining that it has finished.
+            channels: Names of the channels to align.
+            at_rest: Count a channel's output-modulation tail when
+                deciding when it finishes.
         """
         ch_set = set(channels)
         # channels have to be a subset of the declared channels
@@ -1592,11 +1505,11 @@ class Sequence(Generic[DeviceType]):
         """Builds a sequence from the programmed instructions.
 
         Args:
-            qubits: A mapping between qubit IDs and trap IDs used to
-                define the register. Must only be provided when the
-                sequence is initialized with a MappableRegister.
-            vars: The values for all the variables declared in this
-                Sequence instance, indexed by name.
+            qubits: Qubit-ID-to-trap-ID assignment fixing the register;
+                required exactly when the sequence was created with a
+                MappableRegister.
+            vars: A value for every variable declared on this Sequence,
+                keyed by name.
 
         Returns:
             The Sequence built with the given variable values.
@@ -1607,7 +1520,6 @@ class Sequence(Generic[DeviceType]):
                     "'qubits' must be specified when the sequence is"
                     " created with a MappableRegister."
                 )
-
         elif qubits is not None:
             raise ValueError(
                 "'qubits' must not be specified when the sequence already"
@@ -1616,18 +1528,17 @@ class Sequence(Generic[DeviceType]):
 
         self._cross_check_vars(vars)
 
-        # Shallow copy with stored parametrized objects (if any)
+        # Shallow copy keeps any stored parametrized objects alive while
+        # the parametrization state is wiped, avoiding recursion
         seq = copy.copy(self)
-
-        # Eliminates the source of recursiveness errors
         seq._reset_parametrized()
 
-        # Recreate the base sequence (what remains)
-        temp_seq = type(seq)(register=seq._register, device=seq._device)
+        # Replay the eagerly-executed calls onto a fresh base sequence
         assert not seq._to_build_calls
-        for call in seq._calls[1:]:
-            getattr(temp_seq, call.name)(*call.args, **call.kwargs)
-        seq = temp_seq
+        base_calls = seq._calls[1:]
+        seq = type(seq)(register=seq._register, device=seq._device)
+        for call in base_calls:
+            getattr(seq, call.name)(*call.args, **call.kwargs)
 
         if not (self.is_parametrized() or self.is_register_mappable()):
             warnings.warn(
@@ -1646,16 +1557,14 @@ class Sequence(Generic[DeviceType]):
             ).build_register(qubits)
             self._set_register(seq, reg)
 
+        def _resolve(x: Any) -> Any:
+            return x.build() if isinstance(x, Parametrized) else x
+
         for call in self._to_build_calls:
-            args_ = [
-                arg.build() if isinstance(arg, Parametrized) else arg
-                for arg in call.args
-            ]
-            kwargs_ = {
-                key: val.build() if isinstance(val, Parametrized) else val
-                for key, val in call.kwargs.items()
-            }
-            getattr(seq, call.name)(*args_, **kwargs_)
+            getattr(seq, call.name)(
+                *[_resolve(arg) for arg in call.args],
+                **{k: _resolve(v) for k, v in call.kwargs.items()},
+            )
 
         return seq
 
@@ -1675,14 +1584,13 @@ class Sequence(Generic[DeviceType]):
         """Serializes the Sequence into an abstract JSON object.
 
         Keyword Args:
-            seq_name: A name for the sequence.
-            json_dumps_options: A mapping between optional parameters of
-                ``json.dumps()`` and their values (cannot include "cls").
-            skip_validation: Whether to skip the validation against the
-                JSON schema.
-            defaults: Default values for all declared variables, by name.
-                When using a MappableRegister, the qubit-to-trap mapping
-                must also be provided under the `qubits` keyword.
+            seq_name: A label for the serialized sequence.
+            json_dumps_options: Extra ``json.dumps()`` options as a
+                mapping ("cls" excluded).
+            skip_validation: Bypass the JSON-schema validation step.
+            defaults: Per-variable default values, keyed by name. With a
+                MappableRegister, also pass the qubit-to-trap mapping as
+                the `qubits` keyword.
 
         Returns:
             The sequence encoded as an abstract JSON object.
@@ -1738,8 +1646,8 @@ class Sequence(Generic[DeviceType]):
         """Deserializes a sequence from an abstract JSON object.
 
         Args:
-            obj_str: the JSON string representing the sequence encoded in
-                the abstract JSON format.
+            obj_str: The abstract-format JSON string encoding the
+                sequence.
         """
         if not isinstance(obj_str, str):
             raise TypeError(
@@ -1772,25 +1680,24 @@ class Sequence(Generic[DeviceType]):
         """Draws the sequence in its current state.
 
         Args:
-            mode: 'input' draws only the programmed curves, 'output' the
-                expected curves after modulation, 'input+output' both.
-            as_phase_modulated: Displays the equivalent phase modulation
-                instead of the detuning and phase offsets.
-            draw_phase_area: Whether phase and area values are shown as
-                text on the plot.
-            draw_interp_pts: Draws the interpolation points of
-                InterpolatedWaveforms.
-            draw_phase_shifts: Whether phase shift and reference info is
-                added to the plot.
-            draw_register: Whether to draw the register before the pulse
-                sequence (with an indication of SLM-masked qubits).
-            draw_phase_curve: Draws the changes in phase in its own curve.
-            draw_detuning_maps: Whether to draw the detuning maps.
-            draw_qubit_amp: Draws the amplitude seen by the qubits.
-            draw_qubit_det: Draws the detuning seen by the qubits.
-            fig_name: The name on which to save the figure(s), if any.
-            kwargs_savefig: Keyword arguments for savefig.
-            show: Whether to call `plt.show()` before returning.
+            mode: 'input' plots the programmed curves, 'output' the
+                post-modulation expectation, 'input+output' overlays
+                both.
+            as_phase_modulated: Plot the equivalent phase modulation
+                rather than detuning and phase offsets.
+            draw_phase_area: Annotate phase and area values on the plot.
+            draw_interp_pts: Mark InterpolatedWaveform interpolation
+                points.
+            draw_phase_shifts: Annotate phase shifts and references.
+            draw_register: Render the register ahead of the pulse plot
+                (SLM-masked qubits highlighted).
+            draw_phase_curve: Give phase changes their own curve.
+            draw_detuning_maps: Render the detuning maps.
+            draw_qubit_amp: Plot the per-qubit amplitude.
+            draw_qubit_det: Plot the per-qubit detuning.
+            fig_name: File name to save the figure(s) under, if any.
+            kwargs_savefig: Extra keyword arguments for savefig.
+            show: Call `plt.show()` before returning.
         """
         import matplotlib.pyplot as plt
 
@@ -1865,32 +1772,27 @@ class Sequence(Generic[DeviceType]):
     def _modulate_slm_mask_dmm(
         self, duration: int, max_amp: float
     ) -> None:
-        if self._slm_mask_dmm is not None:
-            bottom_detuning = cast(
-                DMM, self.declared_channels[self._slm_mask_dmm]
-            ).bottom_detuning
-            total_bottom_detuning = cast(
-                DMM, self.declared_channels[self._slm_mask_dmm]
-            ).total_bottom_detuning
-            min_det = -10 * max_amp
-            if bottom_detuning and min_det < bottom_detuning:
-                min_det = bottom_detuning
-            if (
-                total_bottom_detuning
-                and min_det * len(set(self._slm_mask_targets))
-                < total_bottom_detuning
-            ):
-                min_det = total_bottom_detuning / len(
-                    set(self._slm_mask_targets)
-                )
-            cast(
-                _DMMSchedule, self._schedule[self._slm_mask_dmm]
-            )._waiting_for_first_pulse = False
-            self._add(
-                Pulse.ConstantPulse(duration, 0, min_det, 0),
-                self._slm_mask_dmm,
-                "no-delay",
-            )
+        if self._slm_mask_dmm is None:
+            return
+        dmm_obj = cast(DMM, self.declared_channels[self._slm_mask_dmm])
+        n_masked = len(set(self._slm_mask_targets))
+        # Aim for -10x the max amplitude, clipped to the DMM's floors
+        min_det = -10 * max_amp
+        if dmm_obj.bottom_detuning and min_det < dmm_obj.bottom_detuning:
+            min_det = dmm_obj.bottom_detuning
+        if (
+            dmm_obj.total_bottom_detuning
+            and min_det * n_masked < dmm_obj.total_bottom_detuning
+        ):
+            min_det = dmm_obj.total_bottom_detuning / n_masked
+        cast(
+            _DMMSchedule, self._schedule[self._slm_mask_dmm]
+        )._waiting_for_first_pulse = False
+        self._add(
+            Pulse.ConstantPulse(duration, 0, min_det, 0),
+            self._slm_mask_dmm,
+            "no-delay",
+        )
 
     def _add(
         self,
@@ -1910,26 +1812,11 @@ class Sequence(Generic[DeviceType]):
         last = self._last(channel)
         basis = channel_obj.basis
 
-        ph_refs = {
-            self._basis_ref[basis][q].phase.last_phase
-            for q in last.targets
-        }
-        if isinstance(channel_obj, DMM):
-            phase_ref = None
-        elif len(ph_refs) != 1:
-            raise ValueError(
-                "Cannot do a multiple-target pulse on qubits with"
-                " different phase references for the same basis."
-            )
-        else:
-            phase_ref = ph_refs.pop()
-
+        phase_ref = self._resolve_phase_ref(
+            channel_obj, basis, last.targets
+        )
         pulse = self._validate_and_adjust_pulse(pulse, channel, phase_ref)
-
-        phase_barriers = [
-            self._basis_ref[basis][q].phase.last_time
-            for q in last.targets
-        ]
+        phase_barriers = self._phase_barriers(basis, last.targets)
 
         self._schedule.add_pulse(
             pulse,
@@ -2033,39 +1920,35 @@ class Sequence(Generic[DeviceType]):
         *qubits: Union[QubitId, int, Parametrized],
         _index: bool = False,
     ) -> set[QubitId]:
-        if _index:
-            if self.is_parametrized():
-                nb_of_indices = len(self._register.qubit_ids)
-                allowed_indices = range(nb_of_indices)
-                for i in qubits:
-                    if i not in allowed_indices and not isinstance(
-                        i, Parametrized
-                    ):
-                        raise ValueError(
-                            f"All non-variable targets must be indices"
-                            f" valid for the register, between 0 and "
-                            f"{nb_of_indices - 1}. Wrong index: {i!r}."
-                        )
-                return set()
-            else:
-                try:
-                    return {
-                        self._register.qubit_ids[
-                            int(index)  # type: ignore[arg-type]
-                        ]
-                        for index in qubits
-                    }
-                except IndexError:
-                    raise IndexError(
-                        "Indices must exist for the register."
-                    )
-        ids = set(cast(Tuple[QubitId, ...], qubits))
-        if not ids <= self._qids:
+        if not _index:
+            ids = set(cast(Tuple[QubitId, ...], qubits))
+            if not ids <= self._qids:
+                raise ValueError(
+                    "All given ids have to be qubit ids declared"
+                    " in this sequence's register."
+                )
+            return ids
+
+        qubit_ids = self._register.qubit_ids
+        if not self.is_parametrized():
+            try:
+                return {
+                    qubit_ids[int(index)]  # type: ignore[arg-type]
+                    for index in qubits
+                }
+            except IndexError:
+                raise IndexError("Indices must exist for the register.")
+        # Parametrized: only validate the concrete indices, resolve later
+        nb_of_indices = len(qubit_ids)
+        for i in qubits:
+            if isinstance(i, Parametrized) or i in range(nb_of_indices):
+                continue
             raise ValueError(
-                "All given ids have to be qubit ids declared"
-                " in this sequence's register."
+                f"All non-variable targets must be indices"
+                f" valid for the register, between 0 and "
+                f"{nb_of_indices - 1}. Wrong index: {i!r}."
             )
-        return ids
+        return set()
 
     @seq_decorators.conditionally_block()
     def _delay(
@@ -2114,6 +1997,33 @@ class Sequence(Generic[DeviceType]):
             phi = float(cast(float, phi))
             for qubit in target_ids:
                 self._basis_ref[basis][qubit].increment_phase(phi)
+
+    def _resolve_phase_ref(
+        self,
+        channel_obj: Channel,
+        basis: str,
+        targets: Collection[QubitId],
+    ) -> float | None:
+        """The common phase reference of the targets (None on a DMM)."""
+        if isinstance(channel_obj, DMM):
+            return None
+        ph_refs = {
+            self._basis_ref[basis][q].phase.last_phase for q in targets
+        }
+        if len(ph_refs) != 1:
+            raise ValueError(
+                "Cannot do a multiple-target pulse on qubits with"
+                " different phase references for the same basis."
+            )
+        return cast(float, ph_refs.pop())
+
+    def _phase_barriers(
+        self, basis: str, targets: Collection[QubitId]
+    ) -> list[int]:
+        """When each target's phase reference last changed."""
+        return [
+            self._basis_ref[basis][q].phase.last_time for q in targets
+        ]
 
     def _get_last_eom_pulse_phase_drift(
         self, channel: str
@@ -2193,48 +2103,21 @@ class Sequence(Generic[DeviceType]):
         channel: str,
         phase_ref: float | None = None,
     ) -> Pulse:
-        # Get the channel object and its detuning map if it's a DMM
-        channel_obj: Channel
-        # Detuning map is None if channel is not DMM
-        detuning_map: DetuningMap | None = None
-        if channel in self._schedule:
-            channel_obj = self._schedule[channel].channel_obj
-            if isinstance(channel_obj, DMM):
-                detuning_map = cast(
-                    _DMMSchedule, self._schedule[channel]
-                ).detuning_map
-                # Ignore the phase reference for DMM
-                assert phase_ref is None
-        else:
-            # The Sequence is parametrized and channel is a dmm_name
-            dmm_id = _dmm_id_from_name(channel)
-            channel_obj = self.device.dmm_channels[dmm_id]
-            # Go over the calls to find the associated detuning map
-            declared_dmms: list[str] = []
-            for call in self._calls[1:] + self._to_build_calls:
-                if (
-                    call.name == "config_detuning_map"
-                    or call.name == "config_slm_mask"
-                ):
-                    call_id, call_det_map = (
-                        self._get_dmm_id_detuning_map(call)
-                    )
-                    call_name = _get_dmm_name(call_id, declared_dmms)
-                    declared_dmms.append(call_name)
-                    if call_name == channel:
-                        detuning_map = call_det_map
-                        break
-            assert detuning_map is not None
+        channel_obj, detuning_map = self._channel_obj_and_det_map(channel)
         if detuning_map is None:
             channel_obj.validate_pulse(pulse)
         else:
+            # DMM pulses carry no phase reference
+            assert phase_ref is None
             cast(DMM, channel_obj).validate_pulse(pulse, detuning_map)
         _duration = channel_obj.validate_duration(pulse.duration)
         new_phase = pulse.phase + (phase_ref if phase_ref else 0)
+        new_amp = pulse.amplitude
+        new_det = pulse.detuning
         if _duration != pulse.duration:
             try:
-                new_amp = pulse.amplitude.with_new_duration(_duration)
-                new_det = pulse.detuning.with_new_duration(_duration)
+                new_amp = new_amp.with_new_duration(_duration)
+                new_det = new_det.with_new_duration(_duration)
             except NotImplementedError:
                 raise TypeError(
                     "Failed to automatically adjust one of the pulse's"
@@ -2242,11 +2125,38 @@ class Sequence(Generic[DeviceType]):
                     " Choose a duration that is a multiple of "
                     f"{channel_obj.clock_period} ns."
                 )
-        else:
-            new_amp = pulse.amplitude
-            new_det = pulse.detuning
-
         return Pulse(new_amp, new_det, new_phase, pulse.post_phase_shift)
+
+    def _channel_obj_and_det_map(
+        self, channel: str
+    ) -> tuple[Channel, DetuningMap | None]:
+        """The channel object plus, for DMMs, its detuning map."""
+        if channel in self._schedule:
+            channel_obj = self._schedule[channel].channel_obj
+            if not isinstance(channel_obj, DMM):
+                return channel_obj, None
+            return (
+                channel_obj,
+                cast(_DMMSchedule, self._schedule[channel]).detuning_map,
+            )
+        # Parametrized sequence with 'channel' a dmm_name: the detuning
+        # map is recovered by replaying the DMM-configuring calls
+        dmm_id = _dmm_id_from_name(channel)
+        channel_obj = self.device.dmm_channels[dmm_id]
+        declared_dmms: list[str] = []
+        detuning_map: DetuningMap | None = None
+        for call in self._calls[1:] + self._to_build_calls:
+            if call.name in ("config_detuning_map", "config_slm_mask"):
+                call_id, call_det_map = self._get_dmm_id_detuning_map(
+                    call
+                )
+                call_name = _get_dmm_name(call_id, declared_dmms)
+                declared_dmms.append(call_name)
+                if call_name == channel:
+                    detuning_map = call_det_map
+                    break
+        assert detuning_map is not None
+        return channel_obj, detuning_map
 
     def _validate_add_protocol(self, protocol: str) -> None:
         valid_protocols = get_args(PROTOCOLS)
@@ -2255,6 +2165,39 @@ class Sequence(Generic[DeviceType]):
                 f"Invalid protocol '{protocol}', only accepts protocols: "
                 + ", ".join(valid_protocols)
             )
+
+    def _store_eom_settings_call(
+        self,
+        method_name: str,
+        channel: str,
+        amp_on: Union[float, pm.TensorLike, Parametrized],
+        detuning_on: Union[float, pm.TensorLike, Parametrized],
+        detuning_off: float | pm.AbstractArray | Parametrized,
+        correct_phase_drift: bool,
+    ) -> None:
+        """Records an EOM settings call with the resolved detuning_off."""
+        call_container = (
+            self._to_build_calls
+            if self.is_parametrized()
+            else self._calls
+        )
+        call_container.append(
+            _Call(
+                method_name,
+                (),
+                dict(
+                    channel=channel,
+                    amp_on=amp_on,
+                    detuning_on=detuning_on,
+                    optimal_detuning_off=(
+                        detuning_off
+                        if isinstance(detuning_off, Parametrized)
+                        else float(detuning_off)
+                    ),
+                    correct_phase_drift=correct_phase_drift,
+                ),
+            )
+        )
 
     def _process_eom_parameters(
         self,
@@ -2317,18 +2260,16 @@ class Sequence(Generic[DeviceType]):
         qids = set(reg.qubit_ids)
         used_qubits = set()
         for ch, ch_schedule in self._schedule.items():
-            # Correct the targets of global channels
-            if ch_schedule.channel_obj.addressing == "Global":
-                for i, slot in enumerate(self._schedule[ch]):
-                    stored_values = slot._asdict()
-                    stored_values["targets"] = qids
-                    seq._schedule[ch].slots[i] = _TimeSlot(
-                        **stored_values
-                    )
-            else:
-                # Make sure all explicit targets are in the register
+            if ch_schedule.channel_obj.addressing != "Global":
+                # Every explicitly targeted qubit needs a trap
                 for slot in self._schedule[ch]:
                     used_qubits.update(slot.targets)
+                continue
+            # Global slots now target the full concrete register
+            for i, slot in enumerate(self._schedule[ch]):
+                seq._schedule[ch].slots[i] = _TimeSlot(
+                    **{**slot._asdict(), "targets": qids}
+                )
 
         if not used_qubits <= qids:
             raise ValueError(
