@@ -230,5 +230,7 @@ def test_switch_device_no_match_raises():
     seq = tpu.Sequence(reg, tpu.MockDevice)
     seq.declare_channel("ram", "raman_local", initial_target="q0")
     seq.add(tpu.Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "ram")
-    with pytest.raises(TypeError, match="No match for channel"):
+    with pytest.warns(
+        UserWarning, match="different Rydberg level"
+    ), pytest.raises(TypeError, match="No match for channel"):
         seq.with_new_device(tpu.devices.AnalogDevice)
