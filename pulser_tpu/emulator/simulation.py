@@ -52,6 +52,7 @@ from pulser_tpu.emulator.simresults import (
     NoisyResults,
     SimulationResults,
 )
+from pulser_tpu.parallel import default_mesh
 from pulser_tpu.ops.solver import (
     build_plan,
     mcsolve_rk4,
@@ -740,6 +741,7 @@ class TpuEmulator:
                 xy_static=hamiltonian.xy_mat,
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
+                mesh=default_mesh(),
             )
             states = [
                 Qobj(s, dims=legal_dims_op) for s in states_arr
@@ -1038,6 +1040,8 @@ class TpuEmulator:
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]
+        # Trajectories shard across all attached chips over ICI when
+        # more than one device is available (SURVEY §2.3(a)).
         states_batch = sesolve_rk4_batched(
             np.asarray(psi0, dtype=cdtype),
             plans,
@@ -1047,6 +1051,7 @@ class TpuEmulator:
             n,
             self._make_ip_occ(first),
             dtype=cdtype,
+            mesh=default_mesh(),
         )
         legal_dims_ket = [[d] * n, [1] * n]
         for hwr, states_t in zip(hams, states_batch):

@@ -1137,6 +1137,7 @@ def mcsolve_rk4(
     xy_static: np.ndarray | None = None,
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
+    mesh: Any = None,
 ) -> np.ndarray:
     """Quantum-jump Monte-Carlo (MCWF) solve, trajectory-averaged.
 
@@ -1156,6 +1157,9 @@ def mcsolve_rk4(
             applied on every qudit.
         ntraj: The number of Monte-Carlo trajectories.
         seed: Seed for the on-device RNG.
+        mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"): shards
+            the quantum-jump trajectories across its devices, with one
+            ``psum`` completing the density-matrix average over ICI.
         (other args as in :func:`sesolve_rk4`)
 
     Returns:
@@ -1215,6 +1219,14 @@ def mcsolve_rk4(
     # matrix sums accumulate on host.
     n_steps_tot = int(np.count_nonzero(plan.seg_dts))
     chunk = max(1, min(ntraj, 65536 // max(1, n_steps_tot)))
+    n_dev = (
+        int(np.prod(list(mesh.shape.values())))
+        if mesh is not None
+        else 1
+    )
+    if n_dev > 1:
+        # Round the chunk up so each device gets an equal share
+        chunk = -(-chunk // n_dev) * n_dev
     n_chunks = -(-ntraj // chunk)
     # Full chunks everywhere: the effective trajectory count is
     # n_chunks*chunk >= ntraj (extra trajectories only tighten the
@@ -1222,7 +1234,18 @@ def mcsolve_rk4(
     rho_re_acc: np.ndarray | None = None
     rho_im_acc: np.ndarray | None = None
     for ci in range(n_chunks):
-        rho_re, rho_im = _mcsolve_scan(
+        keys = jax.random.split(
+            jax.random.PRNGKey(
+                jnp.asarray(seed + ci, dtype=jnp.uint32)
+            ),
+            chunk,
+        )
+        scan_fn = (
+            functools.partial(_mcsolve_scan_sharded, mesh)
+            if n_dev > 1
+            else _mcsolve_scan
+        )
+        rho_re, rho_im = scan_fn(
             psi2_0,
             amp_re,
             amp_im,
@@ -1235,13 +1258,12 @@ def mcsolve_rk4(
             c_im_arr,
             g_re_stack,
             g_im_stack,
-            jnp.asarray(seed + ci, dtype=jnp.uint32),
+            keys,
             pairs=pairs,
             d=d,
             n=n,
             xy_indices=xy_indices,
             has_int_w=has_int_w,
-            ntraj=chunk,
             n_cops=n_cops,
         )
         rr = np.asarray(rho_re) / n_chunks
@@ -1257,19 +1279,7 @@ def mcsolve_rk4(
     return (rho_re_np + 1j * rho_im_np).astype(cdtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "pairs",
-        "d",
-        "n",
-        "xy_indices",
-        "has_int_w",
-        "ntraj",
-        "n_cops",
-    ),
-)
-def _mcsolve_scan(
+def _mcwf_traj_states(
     psi2_0: jax.Array,
     amp_re: jax.Array,
     amp_im: jax.Array,
@@ -1282,17 +1292,22 @@ def _mcsolve_scan(
     c_im_arr: jax.Array,
     g_re_stack: jax.Array,
     g_im_stack: jax.Array,
-    seed: jax.Array,
+    keys: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
     n: int,
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
-    ntraj: int,
     n_cops: int,
-) -> tuple[jax.Array, jax.Array]:
-    """The compiled MCWF trajectory batch (cached across calls)."""
+) -> jax.Array:
+    """Traces the vmapped MCWF trajectory batch.
+
+    Returns ``(ntraj, n_seg, 2, dim)`` normalized per-trajectory
+    states at the segment boundaries. Not jitted itself — it is traced
+    inside :func:`_mcsolve_scan` (single device) or inside a
+    ``shard_map`` (see :func:`_mcsolve_scan_sharded`).
+    """
     rdtype = psi2_0.dtype
     dim = psi2_0.shape[-1]
     groups = group_sizes(d, n)
@@ -1423,15 +1438,22 @@ def _mcsolve_scan(
         )
         return ys  # (n_seg, 2, dim)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), ntraj)
     # (ntraj, n_eval, 2, dim)
-    states = jax.vmap(one_traj)(keys)
+    return jax.vmap(one_traj)(keys)
 
-    # Average |ψ><ψ| over trajectories on-device:
-    # Re(ρ) = Σ (x xᵀ + y yᵀ) / N ; Im(ρ) = Σ (y xᵀ − x yᵀ) / N
+
+def _avg_density(
+    states: jax.Array, denom: int
+) -> tuple[jax.Array, jax.Array]:
+    """Averages ``|ψ><ψ|`` over the trajectory axis on-device.
+
+    Re(ρ) = Σ (x xᵀ + y yᵀ) / denom ; Im(ρ) = Σ (y xᵀ − x yᵀ) / denom.
+    ``denom`` may exceed the local trajectory count when the sum is
+    completed by a cross-chip ``psum``.
+    """
     x = states[:, :, 0, :]
     y = states[:, :, 1, :]
-    scale = jnp.asarray(1.0 / ntraj, dtype=rdtype)
+    scale = jnp.asarray(1.0 / denom, dtype=states.dtype)
     rho_re = (
         jnp.einsum("tea,teb->eab", x, x, precision="highest")
         + jnp.einsum("tea,teb->eab", y, y, precision="highest")
@@ -1443,6 +1465,180 @@ def _mcsolve_scan(
     return rho_re, rho_im
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "xy_indices",
+        "has_int_w",
+        "n_cops",
+    ),
+)
+def _mcsolve_scan(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    int_w: jax.Array,
+    diag_static: jax.Array,
+    xy_s: jax.Array | None,
+    c_re_arr: jax.Array,
+    c_im_arr: jax.Array,
+    g_re_stack: jax.Array,
+    g_im_stack: jax.Array,
+    keys: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_indices: tuple[int, int] | None,
+    has_int_w: bool,
+    n_cops: int,
+) -> tuple[jax.Array, jax.Array]:
+    """The compiled MCWF trajectory batch (cached across calls)."""
+    states = _mcwf_traj_states(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        int_w,
+        diag_static,
+        xy_s,
+        c_re_arr,
+        c_im_arr,
+        g_re_stack,
+        g_im_stack,
+        keys,
+        pairs=pairs,
+        d=d,
+        n=n,
+        xy_indices=xy_indices,
+        has_int_w=has_int_w,
+        n_cops=n_cops,
+    )
+    return _avg_density(states, states.shape[0])
+
+
+def _mcsolve_scan_sharded(
+    mesh: Any,
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    int_w: jax.Array,
+    diag_static: jax.Array,
+    xy_s: jax.Array | None,
+    c_re_arr: jax.Array,
+    c_im_arr: jax.Array,
+    g_re_stack: jax.Array,
+    g_im_stack: jax.Array,
+    keys: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    xy_indices: tuple[int, int] | None,
+    has_int_w: bool,
+    n_cops: int,
+    axis_name: str = "traj",
+) -> tuple[jax.Array, jax.Array]:
+    """MCWF trajectory batch sharded over a device mesh.
+
+    The per-trajectory RNG keys split over the mesh's ``axis_name``;
+    each chip integrates its shard's quantum-jump trajectories and
+    forms a partial density-matrix sum, completed by a single ``psum``
+    over ICI — the ``Results.aggregate`` reduction as a collective
+    (reference ``backend/results.py:332-488``). Trajectory results are
+    key-deterministic, so sharded and serial runs agree to reduction
+    rounding.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ntraj = keys.shape[0]
+    n_dev = mesh.shape[axis_name]
+    assert ntraj % n_dev == 0, (
+        f"trajectory count ({ntraj}) must divide evenly over the"
+        f" '{axis_name}' mesh axis ({n_dev})"
+    )
+    has_xy = xy_s is not None
+
+    def local_work(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        int_w,
+        diag_static,
+        xy_s_in,
+        c_re_arr,
+        c_im_arr,
+        g_re_stack,
+        g_im_stack,
+        keys_sh,
+    ):
+        states = _mcwf_traj_states(
+            psi2_0,
+            amp_re,
+            amp_im,
+            det,
+            dts,
+            int_w,
+            diag_static,
+            xy_s_in if has_xy else None,
+            c_re_arr,
+            c_im_arr,
+            g_re_stack,
+            g_im_stack,
+            keys_sh,
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=xy_indices,
+            has_int_w=has_int_w,
+            n_cops=n_cops,
+        )
+        rho_re, rho_im = _avg_density(states, ntraj)
+        return (
+            jax.lax.psum(rho_re, axis_name),
+            jax.lax.psum(rho_im, axis_name),
+        )
+
+    xy_arg = (
+        xy_s
+        if has_xy
+        else jnp.zeros((1, 1, 1), dtype=psi2_0.dtype)
+    )
+    sharded = shard_map(
+        local_work,
+        mesh=mesh,
+        in_specs=(P(),) * 12 + (P(axis_name),),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det,
+        dts,
+        int_w,
+        diag_static,
+        xy_arg,
+        c_re_arr,
+        c_im_arr,
+        g_re_stack,
+        g_im_stack,
+        keys,
+    )
+
+
 def sesolve_rk4_batched(
     psi0: np.ndarray,
     plans: list[EvolutionPlan],
@@ -1452,6 +1648,7 @@ def sesolve_rk4_batched(
     n: int,
     ip_occ: np.ndarray,
     dtype: Any = None,
+    mesh: Any = None,
 ) -> np.ndarray:
     """Batched interaction-picture sesolve over noise trajectories.
 
@@ -1472,6 +1669,10 @@ def sesolve_rk4_batched(
         pairs, d, n: Static Hamiltonian structure.
         ip_occ: ``(n_bases, n, dim)`` detuning-projector occupancies.
         dtype: Complex dtype of the evolution.
+        mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"). When
+            given, the trajectory batch shards across its devices over
+            ICI via ``shard_map`` (padded to a multiple of the mesh
+            size; padding is sliced off the output).
 
     Returns:
         ``(T, n_eval, dim)`` complex states at the evaluation times.
@@ -1486,15 +1687,29 @@ def sesolve_rk4_batched(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
     two_pi = 2 * np.pi
+    n_traj = len(plans)
     amp_np = np.stack([p.seg_stage("amp") for p in plans])
+    det_cum_np = np.stack(
+        [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+    )
+    eval_cum_np = np.stack(
+        [(-p.eval_det_cum) % two_pi for p in plans]
+    )
+    diags_np = np.asarray(static_diags).real
+
+    if mesh is not None and n_traj > 1:
+        from pulser_tpu.parallel.trajectories import pad_to_multiple
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        (amp_np, det_cum_np, eval_cum_np, diags_np), _ = (
+            pad_to_multiple(
+                (amp_np, det_cum_np, eval_cum_np, diags_np), n_dev
+            )
+        )
+
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det_cum_mod = jnp.asarray(
-        np.stack(
-            [(-p.seg_stage("det_cum")) % two_pi for p in plans]
-        ),
-        dtype=rdtype,
-    )
+    det_cum_mod = jnp.asarray(det_cum_np, dtype=rdtype)
     t_stage = jnp.asarray(
         plans[0].seg_stage("t_stage"), dtype=rdtype
     )
@@ -1502,35 +1717,55 @@ def sesolve_rk4_batched(
     eval_t = jnp.asarray(
         plans[0].eval_times - plans[0].grid[0], dtype=rdtype
     )
-    eval_cum_mod = jnp.asarray(
-        np.stack(
-            [(-p.eval_det_cum) % two_pi for p in plans]
-        ),
-        dtype=rdtype,
-    )
-    diags = jnp.asarray(np.asarray(static_diags).real, dtype=rdtype)
+    eval_cum_mod = jnp.asarray(eval_cum_np, dtype=rdtype)
+    diags = jnp.asarray(diags_np, dtype=rdtype)
     occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
 
-    batched = jax.vmap(
-        lambda ar, ai, cm, dg, ec: _sesolve_scan_ip(
+    if mesh is not None and n_traj > 1:
+        from pulser_tpu.parallel.trajectories import (
+            sesolve_ip_states_sharded,
+        )
+
+        out = sesolve_ip_states_sharded(
+            mesh,
             psi2_0,
-            ar,
-            ai,
-            cm,
+            amp_re,
+            amp_im,
+            det_cum_mod,
             t_stage,
             dts,
             eval_t,
-            ec,
-            dg,
+            eval_cum_mod,
+            diags,
             occ,
             pairs=pairs,
             d=d,
             n=n,
         )
-    )
-    out = batched(amp_re, amp_im, det_cum_mod, diags, eval_cum_mod)
+    else:
+        batched = jax.vmap(
+            lambda ar, ai, cm, dg, ec: _sesolve_scan_ip(
+                psi2_0,
+                ar,
+                ai,
+                cm,
+                t_stage,
+                dts,
+                eval_t,
+                ec,
+                dg,
+                occ,
+                pairs=pairs,
+                d=d,
+                n=n,
+            )
+        )
+        out = batched(
+            amp_re, amp_im, det_cum_mod, diags, eval_cum_mod
+        )
     # (T, n_seg, 2, dim) -> complex numpy at the requested eval times
-    out_np = np.asarray(out)[:, plans[0].eval_map]
+    # (padded trajectories, if any, are sliced off)
+    out_np = np.asarray(out)[:n_traj][:, plans[0].eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
 
 

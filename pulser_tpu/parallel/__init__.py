@@ -1,5 +1,15 @@
 """Multi-chip parallelism: trajectory sharding over device meshes."""
 
-from pulser_tpu.parallel.trajectories import run_trajectories_sharded
+from pulser_tpu.parallel.trajectories import (
+    default_mesh,
+    pad_to_multiple,
+    run_trajectories_sharded,
+    sesolve_ip_states_sharded,
+)
 
-__all__ = ["run_trajectories_sharded"]
+__all__ = [
+    "default_mesh",
+    "pad_to_multiple",
+    "run_trajectories_sharded",
+    "sesolve_ip_states_sharded",
+]

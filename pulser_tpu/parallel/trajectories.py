@@ -26,6 +26,125 @@ from jax.experimental.shard_map import shard_map
 from pulser_tpu.ops.apply import _hpsi, neg_i
 
 
+def default_mesh(
+    axis_name: str = "traj", min_devices: int = 2
+) -> Mesh | None:
+    """A 1D mesh over all local devices, or None when not beneficial.
+
+    This is the emulator's default data-parallel layout: noise
+    trajectories shard over every attached chip via ICI.  Returns None
+    on single-device hosts and when ``PULSER_TPU_DISABLE_SHARDING`` is
+    set (used by tests to compare sharded vs serial execution).
+    """
+    import os
+
+    if os.environ.get("PULSER_TPU_DISABLE_SHARDING"):
+        return None
+    try:
+        devices = jax.devices()
+    except Exception:  # pragma: no cover
+        return None
+    if len(devices) < min_devices:
+        return None
+    return Mesh(np.array(devices), axis_names=(axis_name,))
+
+
+def pad_to_multiple(
+    arrays: tuple[np.ndarray, ...], multiple: int
+) -> tuple[tuple[np.ndarray, ...], int]:
+    """Pads each array's leading (trajectory) axis up to a multiple.
+
+    Padding repeats the last entry; callers slice the outputs back to
+    the true trajectory count. Returns the padded arrays and the pad
+    amount.
+    """
+    n_traj = arrays[0].shape[0]
+    pad = (-n_traj) % multiple
+    if pad == 0:
+        return arrays, 0
+    padded = tuple(
+        np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        for a in arrays
+    )
+    return padded, pad
+
+
+def sesolve_ip_states_sharded(
+    mesh: Mesh,
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_cum_mod: jax.Array,
+    t_stage: jax.Array,
+    dts: jax.Array,
+    eval_t: jax.Array,
+    eval_cum_mod: jax.Array,
+    diags: jax.Array,
+    occ: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    axis_name: str = "traj",
+) -> jax.Array:
+    """Trajectory-sharded batched interaction-picture sesolve.
+
+    The per-trajectory stage arrays (leading axis) split over the
+    mesh's ``axis_name``; each chip vmaps the jitted IP scan over its
+    local shard. The evolution is embarrassingly parallel — states come
+    back sharded over the same axis with **zero collectives** in the
+    hot loop; the gather to host happens once at the end.
+
+    Args:
+        mesh: 1D device mesh over ``axis_name``.
+        psi2_0, t_stage, dts, eval_t, occ: Replicated (shared) inputs.
+        amp_re, amp_im, det_cum_mod, eval_cum_mod, diags: Per-trajectory
+            inputs, leading axis divisible by the mesh size.
+        pairs, d, n: Static Hamiltonian structure.
+
+    Returns:
+        ``(n_traj, n_seg, 2, dim)`` lab-frame states at the eval times.
+    """
+    from pulser_tpu.ops.solver import _sesolve_scan_ip
+
+    n_traj = amp_re.shape[0]
+    n_dev = mesh.shape[axis_name]
+    assert n_traj % n_dev == 0, (
+        f"trajectory count ({n_traj}) must divide evenly over the"
+        f" '{axis_name}' mesh axis ({n_dev})"
+    )
+
+    def local_work(ar, ai, cm, ec, dg):
+        return jax.vmap(
+            lambda ar1, ai1, cm1, ec1, dg1: _sesolve_scan_ip(
+                psi2_0,
+                ar1,
+                ai1,
+                cm1,
+                t_stage,
+                dts,
+                eval_t,
+                ec1,
+                dg1,
+                occ,
+                pairs=pairs,
+                d=d,
+                n=n,
+            )
+        )(ar, ai, cm, ec, dg)
+
+    sharded = shard_map(
+        local_work,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 5,
+        out_specs=P(axis_name),
+        check_rep=False,
+    )
+    return jax.jit(sharded)(
+        amp_re, amp_im, det_cum_mod, eval_cum_mod, diags
+    )
+
+
 def _sesolve_scan_batched(
     psi2_0: jax.Array,
     amp_re_stages: jax.Array,

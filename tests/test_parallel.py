@@ -1,0 +1,253 @@
+"""Multi-device mesh tests: sharded execution must equal serial.
+
+conftest.py forces an 8-virtual-device CPU platform, so every test in
+this file exercises the real ``shard_map``/``psum`` multi-chip code
+paths that run over ICI on TPU pods.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+import pulser_tpu as tpu
+from pulser_tpu.emulator import TpuEmulator
+from pulser_tpu.ops.solver import (
+    build_plan,
+    mcsolve_rk4,
+    sesolve_rk4_batched,
+)
+from pulser_tpu.parallel import default_mesh, run_trajectories_sharded
+
+PAIRS = ((1, 0, 0),)  # ground-rydberg sigma_gr / sigma_rr
+
+
+def test_conftest_provides_virtual_mesh():
+    assert len(jax.devices()) == 8
+    mesh = default_mesh()
+    assert mesh is not None
+    assert mesh.shape["traj"] == 8
+
+
+def test_default_mesh_disabled_by_env(monkeypatch):
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    assert default_mesh() is None
+
+
+def _make_plans(n_traj, n, n_knots=21, t_end=0.4, seed=0):
+    """Random per-trajectory plans sharing one grid (like noise)."""
+    rng = np.random.default_rng(seed)
+    knots = np.linspace(0.0, t_end, n_knots)
+    eval_times = np.array([0.0, t_end / 2, t_end])
+    plans, diags = [], []
+    for _ in range(n_traj):
+        phase = np.exp(
+            1j * rng.uniform(0, 2 * np.pi, size=(1, n, 1))
+        )
+        amp = rng.uniform(1, 6, size=(1, n, n_knots)) * phase
+        det = rng.normal(0, 3, size=(1, n, n_knots))
+        plans.append(
+            build_plan(
+                knots,
+                {"amp": amp, "det": det},
+                eval_times,
+                max_step=1e-3,
+            )
+        )
+        diags.append(rng.uniform(0, 20, size=2**n))
+    return plans, np.stack(diags)
+
+
+def _ip_occ(n, d=2, k=0):
+    """Detuning-projector occupancies, as the emulator builds them."""
+    dim = d**n
+    idx = np.arange(dim)
+    occ = np.zeros((1, n, dim))
+    for q in range(n):
+        occ[0, q] = ((idx // (d ** (n - 1 - q))) % d == k).astype(
+            float
+        )
+    return occ
+
+
+def test_sesolve_batched_sharded_matches_serial():
+    """Trajectory-sharded batched sesolve == single-device vmap.
+
+    Uses 6 trajectories on an 8-device mesh to also exercise the
+    padding path (6 is not divisible by 8).
+    """
+    n = 4
+    plans, diags = _make_plans(6, n)
+    psi0 = np.zeros(2**n, complex)
+    psi0[-1] = 1.0
+    occ = _ip_occ(n)
+    serial = sesolve_rk4_batched(
+        psi0, plans, diags, PAIRS, 2, n, occ, dtype=np.complex128
+    )
+    sharded = sesolve_rk4_batched(
+        psi0,
+        plans,
+        diags,
+        PAIRS,
+        2,
+        n,
+        occ,
+        dtype=np.complex128,
+        mesh=default_mesh(),
+    )
+    assert sharded.shape == serial.shape == (6, 3, 2**n)
+    np.testing.assert_allclose(sharded, serial, atol=1e-12)
+    # Sanity: the evolution is unitary
+    norms = np.linalg.norm(sharded[:, -1], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+
+def test_mcsolve_sharded_matches_serial():
+    """Quantum-jump trajectories sharded over the mesh == serial.
+
+    Trajectory results are RNG-key-deterministic, so the only
+    difference is the psum reduction order (~1e-15 in f64).
+    """
+    n = 3
+    plans, diags = _make_plans(1, n, seed=4)
+    psi0 = np.zeros(2**n, complex)
+    psi0[-1] = 1.0
+    c_op = np.sqrt(0.4) * np.array([[0, 0], [1, 0]], complex)
+    kwargs = dict(ntraj=16, seed=11, dtype=np.complex128)
+    rho_serial = mcsolve_rk4(
+        psi0, plans[0], diags[0], PAIRS, 2, n, [c_op], **kwargs
+    )
+    rho_sharded = mcsolve_rk4(
+        psi0,
+        plans[0],
+        diags[0],
+        PAIRS,
+        2,
+        n,
+        [c_op],
+        mesh=default_mesh(),
+        **kwargs,
+    )
+    np.testing.assert_allclose(rho_sharded, rho_serial, atol=1e-10)
+    # Physicality: unit trace, Hermitian
+    for rho in rho_sharded:
+        np.testing.assert_allclose(np.trace(rho).real, 1.0, atol=1e-9)
+        np.testing.assert_allclose(rho, rho.conj().T, atol=1e-12)
+
+
+def _noisy_sequence(mod_device):
+    reg = tpu.Register.square(2, spacing=7.0, prefix="q")
+    seq = tpu.Sequence(reg, mod_device)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(400, 2 * np.pi, 1.0, 0.0), "ryd")
+    return seq
+
+
+def test_emulator_noisy_sesolve_sharded_matches_serial(
+    mod_device, monkeypatch
+):
+    """End-to-end noisy emulation: sharded == serial NoisyResults.
+
+    The host-side RNG draws (trajectory generation, bitstring
+    sampling) are identical under a fixed seed, and the sesolve path
+    has no cross-trajectory reduction, so expectations and histograms
+    must agree exactly.
+    """
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, laser_waist=120.0, runs=12, samples_per_run=2
+    )
+    obs = np.diag([1, 0] * 8).astype(complex)
+
+    np.random.seed(31)
+    sim = TpuEmulator.from_sequence(
+        _noisy_sequence(mod_device), noise_model=nm
+    )
+    assert sim._can_batch_trajectories()
+    res_sharded = sim.run()
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    np.random.seed(31)
+    sim2 = TpuEmulator.from_sequence(
+        _noisy_sequence(mod_device), noise_model=nm
+    )
+    res_serial = sim2.run()
+
+    e_sharded = np.asarray(res_sharded.expect([obs])[0], float)
+    e_serial = np.asarray(res_serial.expect([obs])[0], float)
+    np.testing.assert_allclose(e_sharded, e_serial, atol=1e-12)
+    # Full histogram equality at every evaluation time
+    for r_sh, r_se in zip(res_sharded.results, res_serial.results):
+        assert r_sh == r_se
+
+
+def test_emulator_mcsolve_sharded_matches_serial(
+    mod_device, monkeypatch
+):
+    """Stochastic noise + collapse ops → mcsolve; sharded == serial.
+
+    DEFAULT solver selection picks the quantum-jump solver when
+    stochastic noise is combined with Lindblad terms (mirroring the
+    reference's auto-selection, simulation.py:705-721); the sharded
+    density-matrix psum must agree with the serial average.
+    """
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05,
+        laser_waist=120.0,
+        dephasing_rate=0.3,
+        runs=2,
+        samples_per_run=2,
+    )
+    obs = np.diag([1, 0] * 8).astype(complex)
+
+    np.random.seed(47)
+    sim = TpuEmulator.from_sequence(
+        _noisy_sequence(mod_device), noise_model=nm
+    )
+    res_sharded = sim.run()
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    np.random.seed(47)
+    sim2 = TpuEmulator.from_sequence(
+        _noisy_sequence(mod_device), noise_model=nm
+    )
+    res_serial = sim2.run()
+
+    e_sharded = np.asarray(res_sharded.expect([obs])[0], float)
+    e_serial = np.asarray(res_serial.expect([obs])[0], float)
+    np.testing.assert_allclose(e_sharded, e_serial, atol=1e-7)
+
+
+def test_run_trajectories_sharded_histogram():
+    """The histogram psum over the mesh sums to the trajectory count
+    and matches an unsharded brute-force computation."""
+    mesh = default_mesh()
+    n = 4
+    dim = 2**n
+    n_steps = 40
+    n_traj = 16
+    rng = np.random.default_rng(9)
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    base = 0.5 * 2 * np.pi * np.ones((n_steps, 3, 1, n))
+    fluct = 1.0 + 0.05 * rng.normal(size=(n_traj, 1, 1, 1, 1))
+    amp_stages = (base[None] * fluct).astype(complex)
+    det_stages = np.zeros((n_traj, n_steps, 3, 1, n))
+    dts = np.full(n_steps, 1e-3)
+    diag = rng.uniform(0, 30, size=dim)
+
+    hist = np.asarray(
+        run_trajectories_sharded(
+            mesh,
+            psi0,
+            amp_stages,
+            det_stages,
+            dts,
+            diag,
+            PAIRS,
+            2,
+            n,
+        )
+    )
+    assert abs(hist.sum() - n_traj) < 1e-6
+    assert hist.shape == (dim,)
+    assert (hist >= 0).all()
