@@ -772,6 +772,17 @@ class TpuEmulator:
             ip_occ = None
             if hamiltonian.xy_mat is None and hamiltonian.int_w is None:
                 ip_occ = self._make_ip_occ(hamiltonian)
+            # Beyond the single-chip HBM threshold, the 2^N axis
+            # itself shards over the mesh (SURVEY §5).
+            state_mesh = None
+            if ip_occ is not None and d == 2:
+                from pulser_tpu.parallel.state_sharding import (
+                    default_state_mesh,
+                    state_shard_min_qubits,
+                )
+
+                if n >= state_shard_min_qubits():
+                    state_mesh = default_state_mesh(n)
             states_arr = sesolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,
@@ -783,6 +794,7 @@ class TpuEmulator:
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
                 ip_occ=ip_occ,
+                state_mesh=state_mesh,
             )
             states = [
                 Qobj(s, dims=legal_dims_ket) for s in states_arr

@@ -351,6 +351,7 @@ def sesolve_rk4(
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
     ip_occ: np.ndarray | None = None,
+    state_mesh: Any = None,
 ) -> np.ndarray:
     """Solves ``dψ/dt = -i H(t) ψ`` over the plan's grid.
 
@@ -413,6 +414,22 @@ def sesolve_rk4(
     use_ip = (
         ip_occ is not None and xy_s is None and not has_int_w
     )
+    # Statevector too big for one chip: shard the 2^N axis over the
+    # mesh (interaction-picture path only; see parallel.state_sharding)
+    if use_ip and d == 2 and state_mesh is not None:
+        from pulser_tpu.parallel.state_sharding import (
+            sesolve_ip_statevector_sharded,
+        )
+
+        return sesolve_ip_statevector_sharded(
+            psi0_np,
+            plan,
+            static_diag,
+            pairs,
+            n,
+            state_mesh,
+            dtype=cdtype,
+        )
     # The fused Pallas kernel covers the flagship configuration:
     # qubits (d=2), a single drive basis, interaction picture, state
     # large enough to tile the TPU's lanes and small enough for VMEM

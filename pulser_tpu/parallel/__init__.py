@@ -1,5 +1,9 @@
 """Multi-chip parallelism: trajectory sharding over device meshes."""
 
+from pulser_tpu.parallel.state_sharding import (
+    STATE_SHARD_MIN_QUBITS,
+    sesolve_ip_statevector_sharded,
+)
 from pulser_tpu.parallel.trajectories import (
     default_mesh,
     pad_to_multiple,
@@ -8,7 +12,9 @@ from pulser_tpu.parallel.trajectories import (
 )
 
 __all__ = [
+    "STATE_SHARD_MIN_QUBITS",
     "default_mesh",
+    "sesolve_ip_statevector_sharded",
     "pad_to_multiple",
     "run_trajectories_sharded",
     "sesolve_ip_states_sharded",

@@ -251,3 +251,112 @@ def test_run_trajectories_sharded_histogram():
     assert abs(hist.sum() - n_traj) < 1e-6
     assert hist.shape == (dim,)
     assert (hist >= 0).all()
+
+
+def test_statevector_sharded_matches_single_device():
+    """12-qubit distributed statevector == single-device IP solve.
+
+    The 2^12 axis shards over the 8-device mesh (3 sharded qubits);
+    drives on sharded qubits move partner blocks with ppermute.
+    """
+    from jax.sharding import Mesh
+    from pulser_tpu.ops.solver import sesolve_rk4
+    from pulser_tpu.parallel import sesolve_ip_statevector_sharded
+
+    n = 12
+    rng = np.random.default_rng(2)
+    n_knots = 11
+    t_end = 0.25
+    knots = np.linspace(0.0, t_end, n_knots)
+    eval_times = np.array([0.0, t_end / 2, t_end])
+    amp = rng.uniform(2, 8, size=(1, n, n_knots)) * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, size=(1, n, 1))
+    )
+    det = rng.normal(0, 4, size=(1, n, n_knots))
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, eval_times, max_step=1e-3
+    )
+    diag = rng.uniform(0, 25, size=2**n)
+    psi0 = np.zeros(2**n, complex)
+    psi0[-1] = 1.0
+
+    occ = _ip_occ(n)
+    ref = sesolve_rk4(
+        psi0,
+        plan,
+        diag,
+        PAIRS,
+        2,
+        n,
+        dtype=np.complex128,
+        ip_occ=occ,
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    shd = sesolve_ip_statevector_sharded(
+        psi0, plan, diag, PAIRS, n, mesh, dtype=np.complex128
+    )
+    assert shd.shape == ref.shape == (3, 2**n)
+    np.testing.assert_allclose(shd, ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(shd[-1]), 1.0, atol=1e-8
+    )
+
+
+def test_statevector_sharded_rejects_bad_mesh():
+    from jax.sharding import Mesh
+    from pulser_tpu.parallel import sesolve_ip_statevector_sharded
+    import pytest
+
+    plans, diags = _make_plans(1, 2)
+    psi0 = np.zeros(4, complex)
+    psi0[-1] = 1.0
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    with pytest.raises(ValueError, match="cannot shard"):
+        sesolve_ip_statevector_sharded(
+            psi0, plans[0], diags[0], PAIRS, 2, mesh
+        )
+
+
+def test_emulator_uses_statevector_sharding(monkeypatch):
+    """With the threshold lowered, the emulator's coherent solve runs
+    through the distributed-statevector path and matches the
+    single-chip result."""
+    from pulser_tpu.parallel import state_sharding
+
+    reg = tpu.Register.square(2, spacing=6.0, prefix="q")
+
+    def mk():
+        seq = tpu.Sequence(reg, tpu.devices.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(300, 2 * np.pi, 2.0, 0.3), "ryd"
+        )
+        return seq
+
+    calls = []
+    orig = state_sharding.sesolve_ip_statevector_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        state_sharding, "sesolve_ip_statevector_sharded", spy
+    )
+    monkeypatch.setenv("PULSER_TPU_STATE_SHARD_MIN_QUBITS", "4")
+    psi_sharded = (
+        TpuEmulator.from_sequence(mk())
+        .run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    assert calls, "statevector-sharded path was not taken"
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    psi_single = (
+        TpuEmulator.from_sequence(mk())
+        .run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    np.testing.assert_allclose(psi_sharded, psi_single, atol=1e-9)
