@@ -1,19 +1,25 @@
-"""Headline benchmark: 16-atom AFM adiabatic sweep sesolve wall-clock.
+"""Headline benchmarks (BASELINE.md rows 1 and 2).
 
-Runs the BASELINE.json flagship config (4x4 Rydberg array, adiabatic
-amplitude ramp + detuning sweep) through the TPU-native emulator and
-compares against a CPU reference integrator (scipy DOP853 over the same
-structured matvec — a stand-in for the reference's QuTiP/zvode CPU
-solve, which is not installed in this image).
+1. 16-atom AFM adiabatic sweep ``sesolve`` wall-clock (median of 3).
+2. 10-atom noisy Lindblad Monte-Carlo run: trajectories/sec over 100
+   noise trajectories (SPAM + doppler + amplitude + dephasing).
 
-Prints exactly one JSON line on stdout:
-    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+Both are compared against a CPU reference integrator (scipy DOP853
+over the same structured operators — a stand-in for the reference's
+QuTiP/CPU solve, which is not installed in this image) at QuTiP's
+default tolerances (rtol=1e-6, atol=1e-8).
+
+Prints exactly one JSON line on stdout carrying the flagship metric,
+with the second metric under ``extra_metrics``:
+    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N,
+     "extra_metrics": [{"metric": ..., ...}]}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,14 +65,52 @@ def build_afm_sequence():
     return seq
 
 
-def cpu_reference_seconds(ham, eval_times, psi0) -> float:
-    """CPU reference: scipy DOP853 over the structured matvec.
+def build_noisy_10atom():
+    """10-atom noisy Lindblad config (BASELINE.json config #5).
 
-    Stands in for QuTiP's sesolve (scipy ODE + sparse matvec on CPU)
-    with comparable default tolerances (rtol=1e-6, atol=1e-8).
+    SPAM + doppler + amplitude (waist & shot-to-shot) + dephasing,
+    100 Monte-Carlo noise realizations.
     """
-    from scipy.integrate import solve_ivp
+    import pulser_tpu as tpu
 
+    reg = tpu.Register.rectangle(2, 5, spacing=7.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om = 2 * np.pi * 1.5
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(400, 0.0, om), -2 * np.pi * 4, 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantAmplitude(
+            om, tpu.RampWaveform(1200, -2 * np.pi * 4, 2 * np.pi * 2), 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(400, om, 0.0), 2 * np.pi * 2, 0.0
+        ),
+        "ryd",
+    )
+    noise = tpu.NoiseModel(
+        state_prep_error=0.005,
+        p_false_pos=0.01,
+        p_false_neg=0.02,
+        temperature=50.0,
+        amp_sigma=0.02,
+        laser_waist=175.0,
+        dephasing_rate=0.05,
+        runs=100,
+        samples_per_run=10,
+    )
+    return seq, noise
+
+
+def _structured_hpsi(ham):
+    """Pure-numpy structured H(t) application closures for ``ham``."""
     d = ham.dim
     n = ham.n_qudits
     diag = ham.int_diag
@@ -88,11 +132,12 @@ def cpu_reference_seconds(ham, eval_times, psi0) -> float:
             det_c[..., idx] * (1 - frac) + det_c[..., idx + 1] * frac,
         )
 
-    def hpsi_np(t, psi):
+    def h_apply(t, mat):
+        """H(t) @ mat for mat of shape (dim, ...) along the row axis."""
         amp, det = coeffs_at(t)
-        out = diag * psi
-        resh_shape = [d] * n
-        psit = psi.reshape(resh_shape)
+        out = diag.reshape((-1,) + (1,) * (mat.ndim - 1)) * mat
+        resh = [d] * n + list(mat.shape[1:])
+        matt = mat.reshape(resh)
         for bi, (i, j, k) in enumerate(pairs):
             for q in range(n):
                 m = np.zeros((d, d), complex)
@@ -100,13 +145,25 @@ def cpu_reference_seconds(ham, eval_times, psi0) -> float:
                 m[j, i] = np.conj(amp[bi, q])
                 m[k, k] = -det[bi, q]
                 out += np.moveaxis(
-                    np.tensordot(m, psit, axes=([1], [q])), 0, q
-                ).reshape(-1)
-        return -1j * out
+                    np.tensordot(m, matt, axes=([1], [q])), 0, q
+                ).reshape(mat.shape)
+        return out
+
+    return h_apply
+
+
+def cpu_sesolve_seconds(ham, eval_times, psi0) -> float:
+    """CPU reference sesolve: scipy DOP853 over the structured matvec."""
+    from scipy.integrate import solve_ivp
+
+    h_apply = _structured_hpsi(ham)
+
+    def rhs(t, psi):
+        return -1j * h_apply(t, psi)
 
     t0 = time.perf_counter()
     solve_ivp(
-        hpsi_np,
+        rhs,
         (0.0, eval_times[-1]),
         psi0,
         t_eval=eval_times,
@@ -117,13 +174,170 @@ def cpu_reference_seconds(ham, eval_times, psi0) -> float:
     return time.perf_counter() - t0
 
 
+def cpu_mesolve_traj_seconds(sim) -> float:
+    """CPU reference: one noisy Lindblad trajectory with scipy DOP853.
+
+    Uses the structured form of the master equation
+    drho = -i[H, rho] + sum_k L rho L+ - (1/2){L+L, rho}; the collapse
+    operators here (dephasing) are diagonal, so the dissipator is a
+    precomputed elementwise mask — the same optimization QuTiP's
+    sparse solver benefits from.
+    """
+    from scipy.integrate import solve_ivp
+
+    ham_wr = next(iter(sim._hamiltonians))
+    ham = ham_wr.hamiltonian
+    dim = ham.dim**ham.n_qudits
+    h_apply = _structured_hpsi(ham)
+
+    # Dissipator mask from the (diagonal) collapse operators
+    mask = np.zeros((dim, dim), complex)
+    for c_op in ham._collapse_ops:
+        c = np.asarray(c_op.full())
+        ldiag = np.diag(c)
+        if not np.allclose(c, np.diag(ldiag)):
+            raise NotImplementedError("non-diagonal collapse op")
+        l2 = np.abs(ldiag) ** 2
+        mask += np.outer(ldiag, np.conj(ldiag)) - 0.5 * (
+            l2[:, None] + l2[None, :]
+        )
+
+    psi0 = sim.initial_state.full()[:, 0]
+    rho0 = np.outer(psi0, np.conj(psi0))
+    tf = float(sim.evaluation_times[-1]) * sim._tot_duration * 1e-3
+
+    def rhs(t, y):
+        rho = y.reshape(dim, dim)
+        h_rho = h_apply(t, rho)
+        # rho @ H = (H @ rho^dagger)^dagger for Hermitian H
+        drho = -1j * (h_rho - h_apply(t, rho.conj().T).conj().T)
+        drho += mask * rho
+        return drho.reshape(-1)
+
+    t0 = time.perf_counter()
+    solve_ivp(
+        rhs,
+        (0.0, tf),
+        rho0.reshape(-1),
+        t_eval=[tf],
+        rtol=1e-6,
+        atol=1e-8,
+        method="DOP853",
+    )
+    return time.perf_counter() - t0
+
+
+def _load_cache(path, key):
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        if key in data:
+            return data, data[key]
+    return {}, None
+
+
+def bench_afm16(TpuEmulator, cache_path):
+    seq = build_afm_sequence()
+    eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
+    log(
+        f"AFM sweep: {len(seq.register.qubit_ids)} atoms, "
+        f"{seq.get_duration()} ns, dim {sim.dim**16}"
+    )
+
+    t0 = time.perf_counter()
+    res = sim.run()
+    warm = time.perf_counter() - t0
+    log(f"warmup (incl. compile): {warm:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = sim.run()
+        times.append(time.perf_counter() - t0)
+    tpu_time = statistics.median(times)
+    log(f"solve times: {[f'{t:.3f}' for t in times]} (median reported)")
+
+    final = res.get_final_state(ignore_global_phase=False).full()[:, 0]
+    norm = float(np.linalg.norm(final))
+    log(f"final-state norm: {norm:.8f}")
+    assert abs(norm - 1) < 1e-3, "solver produced an unnormalized state"
+
+    cache, cpu_time = _load_cache(cache_path, "afm16_v1")
+    if cpu_time is not None:
+        log(f"using cached CPU reference: {cpu_time:.2f}s")
+    else:
+        log("running CPU reference (scipy DOP853)...")
+        ham = sim._current_hamiltonian
+        psi0 = sim.initial_state.full()[:, 0]
+        cpu_time = cpu_sesolve_seconds(ham, eval_times, psi0)
+        log(f"CPU reference: {cpu_time:.2f}s")
+        cache["afm16_v1"] = cpu_time
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+
+    return {
+        "metric": "16-atom AFM sweep sesolve wall-clock",
+        "value": round(tpu_time, 4),
+        "unit": "s",
+        "vs_baseline": round(cpu_time / tpu_time, 2),
+    }
+
+
+def bench_noisy10(TpuEmulator, cache_path):
+    seq, noise = build_noisy_10atom()
+    np.random.seed(1234)
+    sim = TpuEmulator.from_sequence(
+        seq, noise_model=noise, evaluation_times="Minimal"
+    )
+    n_traj = noise.runs
+    log(f"noisy Lindblad: 10 atoms, {n_traj} trajectories")
+
+    t0 = time.perf_counter()
+    sim.run()
+    warm = time.perf_counter() - t0
+    log(f"noisy warmup (incl. compile): {warm:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = sim.run()
+        times.append(time.perf_counter() - t0)
+    tpu_time = statistics.median(times)
+    traj_per_sec = n_traj / tpu_time
+    log(
+        f"noisy solve times: {[f'{t:.3f}' for t in times]}"
+        f" (median) -> {traj_per_sec:.2f} traj/s"
+    )
+    assert abs(sum(res.results[-1].values()) - 1) < 1e-9
+
+    cache, cpu_traj = _load_cache(cache_path, "noisy10_v1")
+    if cpu_traj is not None:
+        log(f"using cached CPU reference: {cpu_traj:.2f}s/traj")
+    else:
+        log("running CPU reference (1 Lindblad trajectory, DOP853)...")
+        cpu_traj = cpu_mesolve_traj_seconds(sim)
+        log(f"CPU reference: {cpu_traj:.2f}s per trajectory")
+        cache["noisy10_v1"] = cpu_traj
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+
+    cpu_traj_per_sec = 1.0 / cpu_traj
+    return {
+        "metric": "10-atom noisy mesolve trajectories/sec",
+        "value": round(traj_per_sec, 2),
+        "unit": "traj/s",
+        "vs_baseline": round(traj_per_sec / cpu_traj_per_sec, 2),
+    }
+
+
 def main() -> None:
     # The axon plugin overrides JAX_PLATFORMS; run on whatever the
     # driver provides (TPU when available).
     import jax
 
-    # Persistent XLA compilation cache: the 16-atom scan takes ~3.5 min
-    # to compile; cached compiles load in seconds on subsequent runs.
+    # Persistent XLA compilation cache: cold compiles of the big scans
+    # are minutes; cached compiles load in seconds on subsequent runs.
     jax.config.update(
         "jax_compilation_cache_dir", "/root/.cache/jax_pulser_tpu"
     )
@@ -133,69 +347,22 @@ def main() -> None:
     from pulser_tpu.emulator import TpuEmulator
 
     log(f"devices: {jax.devices()}")
-
-    seq = build_afm_sequence()
-    eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
-    sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
-    log(
-        f"AFM sweep: {len(seq.register.qubit_ids)} atoms, "
-        f"{seq.get_duration()} ns, dim {sim.dim**16}"
-    )
-
-    # Warmup (compile)
-    t0 = time.perf_counter()
-    res = sim.run()
-    warm = time.perf_counter() - t0
-    log(f"warmup (incl. compile): {warm:.2f}s")
-
-    # Steady-state timing
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = sim.run()
-        times.append(time.perf_counter() - t0)
-    tpu_time = min(times)
-    log(f"solve times: {[f'{t:.3f}' for t in times]}")
-
-    final = res.get_final_state(ignore_global_phase=False).full()[:, 0]
-    norm = float(np.linalg.norm(final))
-    log(f"final-state norm: {norm:.8f}")
-    assert abs(norm - 1) < 1e-3, "solver produced an unnormalized state"
-
-    # CPU reference (cached: it takes minutes and doesn't change)
-    cache = os.path.join(
+    cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cpu_baseline.json",
     )
-    cpu_time = None
-    if os.path.exists(cache):
-        with open(cache) as f:
-            data = json.load(f)
-        if data.get("config") == "afm16_v1":
-            cpu_time = data["seconds"]
-            log(f"using cached CPU reference: {cpu_time:.2f}s")
-    if cpu_time is None:
-        log("running CPU reference (scipy DOP853)...")
-        ham = sim._current_hamiltonian
-        psi0 = sim.initial_state.full()[:, 0]
-        cpu_time = cpu_reference_seconds(ham, eval_times, psi0)
-        log(f"CPU reference: {cpu_time:.2f}s")
-        with open(cache, "w") as f:
-            json.dump(
-                {"config": "afm16_v1", "seconds": cpu_time}, f
-            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "16-atom AFM sweep sesolve wall-clock",
-                "value": round(tpu_time, 4),
-                "unit": "s",
-                "vs_baseline": round(cpu_time / tpu_time, 2),
-            }
-        )
-    )
+    afm = bench_afm16(TpuEmulator, cache_path)
+    noisy = bench_noisy10(TpuEmulator, cache_path)
+
+    out = dict(afm)
+    out["extra_metrics"] = [noisy]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     main()
+
+
+# Backwards-compatible alias used by older scripts/tests.
+cpu_reference_seconds = cpu_sesolve_seconds

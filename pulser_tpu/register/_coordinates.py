@@ -1,14 +1,16 @@
-"""A unique, sorted collection of coordinates.
+"""Canonical coordinate collections: ordering and content hashing.
 
-Behavioral parity with reference
-``pulser-core/pulser/register/_coordinates.py:19`` (sorting convention,
-rounding precision, sha256 idempotent hash).
+Matches the conventions of the reference
+``pulser-core/pulser/register/_coordinates.py:19``: points are rounded
+to ``COORD_PRECISION`` decimals, ordered by x then y (then z), and
+hashed with sha256 over the dimensionality byte(s) + sorted bytes so
+that equal point sets hash identically regardless of input order.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 from functools import cached_property
 from typing import cast
@@ -17,16 +19,24 @@ import numpy as np
 
 import pulser_tpu.math as pm
 
+# Positions are significant to 1e-6 um; anything smaller is noise.
 COORD_PRECISION = 6
+
+
+def canonical_order(points: np.ndarray) -> np.ndarray:
+    """The permutation sorting points by x, breaking ties by y then z."""
+    # np.lexsort keys run minor-to-major, so feed the axes reversed.
+    return np.lexsort(tuple(points.T[::-1]))
 
 
 @dataclass(eq=False, frozen=True)
 class CoordsCollection:
-    """Defines a unique collection of coordinates.
+    """A set of coordinates with a canonical order and stable hash.
 
-    The coordinates are always sorted under the same convention: ascending
-    order along x, then along y, then along z (if applicable). Respecting
-    this order, the traps are then numbered starting from 0.
+    Points are kept exactly as given in ``_coords`` (possibly
+    differentiable); the canonical view rounds them and sorts them
+    in ascending (x, y[, z]) order — trap numbering follows that order,
+    starting at 0.
 
     Args:
         _coords: The coordinates.
@@ -34,45 +44,46 @@ class CoordsCollection:
 
     _coords: pm.AbstractArray | list
 
-    @property
-    def dimensionality(self) -> int:
-        """The dimensionality of the coordinates (2 or 3)."""
-        return self._sorted_coords.shape[1]
+    @cached_property
+    def _coords_arr(self) -> pm.AbstractArray:
+        """All points stacked into one (n, dims) array, input order."""
+        return pm.vstack(cast(Sequence, self._coords)).astype(float)
+
+    @cached_property
+    def _canonical_order(self) -> np.ndarray:
+        rounded = pm.round(self._coords_arr, decimals=COORD_PRECISION)
+        return canonical_order(rounded.as_array(detach=True))
+
+    @cached_property
+    def _sorted_coords(self) -> pm.AbstractArray:
+        """Rounded points in canonical order (differentiable view)."""
+        rounded = pm.round(self._coords_arr, decimals=COORD_PRECISION)
+        return rounded[self._canonical_order]
 
     @property
     def sorted_coords(self) -> np.ndarray:
         """The sorted coordinates."""
-        # Copies to prevent direct access to self._sorted_coords
+        # A fresh copy so callers can't mutate the cached array.
         return self._sorted_coords.as_array(detach=True).copy()
 
-    @cached_property
-    def _coords_arr(self) -> pm.AbstractArray:
-        return pm.vstack(cast(Sequence, self._coords)).astype(float)
-
-    @cached_property
-    def _rounded_coords(self) -> pm.AbstractArray:
-        return pm.round(self._coords_arr, decimals=COORD_PRECISION)
-
-    @cached_property  # Acts as an attribute in a frozen dataclass
-    def _sorted_coords(self) -> pm.AbstractArray:
-        sorting = self._calc_sorting_order()
-        return self._rounded_coords[sorting]
-
-    def _calc_sorting_order(self) -> np.ndarray:
-        """Calculates the unique order that sorts the coordinates."""
-        # Sorting the coordinates 1st left to right, 2nd bottom to top
-        dims = self._rounded_coords.shape[1]
-        arr = self._rounded_coords.as_array(detach=True)
-        sorter = [arr[:, i] for i in range(dims - 1, -1, -1)]
-        sorting = np.lexsort(tuple(sorter))
-        return cast(np.ndarray, sorting)
-
     @property
-    def _hash_object(self) -> hashlib._Hash:
-        # Include dimensionality because the array is flattened with tobytes
-        hash_ = hashlib.sha256(bytes(self.dimensionality))
-        hash_.update(self.sorted_coords.tobytes())
-        return hash_
+    def dimensionality(self) -> int:
+        """The dimensionality of the coordinates (2 or 3)."""
+        return int(self._sorted_coords.shape[1])
+
+    def _hash_components(self) -> Iterator[bytes]:
+        """The byte chunks fed, in order, to the content hash.
+
+        Subclasses extend this to mix extra content (e.g. weights)
+        into their identity.
+        """
+        # bytes(n) is n zero bytes: the dimensionality is encoded in
+        # the chunk *length* (flattening with tobytes loses the shape).
+        yield bytes(self.dimensionality)
+        yield self.sorted_coords.tobytes()
 
     def _safe_hash(self) -> bytes:
-        return self._hash_object.digest()
+        digest = hashlib.sha256()
+        for chunk in self._hash_components():
+            digest.update(chunk)
+        return digest.digest()

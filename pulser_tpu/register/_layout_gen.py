@@ -1,14 +1,24 @@
-"""Automatic layout generation for registers.
+"""Automatic trap-layout generation around an existing register.
 
 Behavioral parity with reference
-``pulser-core/pulser/register/_layout_gen.py:20`` (greedy mesh trap
-selection respecting min distance, radial bound and filling fractions).
+``pulser-core/pulser/register/_layout_gen.py:20``: a candidate mesh
+covering the allowed disk is thinned greedily, always picking the
+remaining point closest to an atom, until the filling targets hold.
 """
 
 from __future__ import annotations
 
 import numpy as np
 from scipy.spatial.distance import cdist
+
+
+def _disk_mesh(radius: float, resolution: float) -> np.ndarray:
+    """Candidate points: a square mesh clipped to the allowed disk."""
+    axis = np.linspace(0, 2 * radius, num=int(2 * radius / resolution))
+    axis -= radius
+    n = len(axis)
+    pts = np.column_stack((np.tile(axis, n), np.repeat(axis, n)))
+    return pts[(pts**2).sum(axis=1) <= radius**2]
 
 
 def generate_trap_coordinates(
@@ -47,54 +57,36 @@ def generate_trap_coordinates(
     assert optimal_layout_filling <= max_layout_filling
     assert max_traps is None or min_traps <= max_traps
 
-    # Generate all coordinates where a trap can be placed
-    lx = 2 * max_radial_dist
-    side = (
-        np.linspace(0, lx, num=int(lx / mesh_resolution)) - max_radial_dist
-    )
-    x, y = np.meshgrid(side, side)
-    in_circle = x**2 + y**2 <= max_radial_dist**2
-    coords = np.c_[x[in_circle].ravel(), y[in_circle].ravel()]
+    candidates = _disk_mesh(max_radial_dist, mesh_resolution)
+    traps: list[np.ndarray] = list(atom_coords)
+    n_atoms = len(traps)
 
-    # The atoms in the register are the "seeds"
-    seeds: list[np.ndarray] = list(atom_coords)
-    n_seeds = len(seeds)
-
-    # Record indices and distances between coords and seeds
-    c_indx = np.arange(len(coords))
-    all_dists = cdist(coords, seeds)
-
-    # Accounts for when the needed number is less than min_traps
-    min_traps = max(
-        np.ceil(n_seeds / max_layout_filling).astype(int), min_traps
-    )
-
-    # max() in case min_traps is larger than the optimal number
-    target_traps = max(
-        np.round(n_seeds / optimal_layout_filling).astype(int),
-        min_traps,
+    # How many traps we must have / would ideally have:
+    need = max(np.ceil(n_atoms / max_layout_filling).astype(int), min_traps)
+    want = max(
+        np.round(n_atoms / optimal_layout_filling).astype(int), need
     )
     if max_traps:
-        target_traps = min(target_traps, max_traps)
+        want = min(want, max_traps)
 
-    # The region where traps can still be added
-    region_left = np.all(all_dists > min_trap_dist, axis=1)
-    # The traps start out as just the seeds
-    traps = seeds.copy()
-    for _ in range(target_traps - n_seeds):
-        if not np.any(region_left):
+    # Distance from every candidate to its nearest atom drives the
+    # greedy choice; a running mask tracks which candidates are still
+    # far enough from every placed trap.
+    dists_to_atoms = cdist(candidates, traps)
+    open_sites = np.all(dists_to_atoms > min_trap_dist, axis=1)
+    closest_atom = np.min(dists_to_atoms, axis=1)
+
+    for _ in range(want - n_atoms):
+        if not open_sites.any():
             break
-        # The point in the valid region that is closest to a seed
-        selected = c_indx[region_left][
-            np.argmin(np.min(all_dists[region_left][:, :n_seeds], axis=1))
-        ]
-        traps.append(coords[selected])
-        all_dists = np.append(
-            all_dists, cdist(coords, [traps[-1]]), axis=1
-        )
-        region_left *= all_dists[:, -1] > min_trap_dist
-    if len(traps) < min_traps:
+        ranking = np.where(open_sites, closest_atom, np.inf)
+        pick = int(np.argmin(ranking))
+        traps.append(candidates[pick])
+        to_new_trap = cdist(candidates, [candidates[pick]])[:, 0]
+        open_sites &= to_new_trap > min_trap_dist
+
+    if len(traps) < need:
         raise RuntimeError(
-            f"Failed to find a site for {min_traps - len(traps)} traps."
+            f"Failed to find a site for {need - len(traps)} traps."
         )
     return traps

@@ -1,132 +1,110 @@
-"""Lattice point generators.
+"""Point generators for the built-in lattice patterns.
 
-Behavioral parity with reference
-``pulser-core/pulser/register/_patterns.py:21-53``.
+Produces the same point sets (and generation order) as the reference
+``pulser-core/pulser/register/_patterns.py:21-53``, built here on the
+complex plane: a hexagonal ring is six vertex rays walked side by side.
 """
 
 from __future__ import annotations
 
-from typing import cast
-
 import numpy as np
+
+# Unit hexagon vertices on the complex plane, left vertex first,
+# counter-clockwise, with the first vertex repeated to close the loop.
+_CREST = np.sqrt(3) / 2.0
+_VERTS = np.array(
+    [
+        -1.0 + 0.0j,
+        -0.5 + _CREST * 1j,
+        0.5 + _CREST * 1j,
+        1.0 + 0.0j,
+        0.5 - _CREST * 1j,
+        -0.5 - _CREST * 1j,
+        -1.0 + 0.0j,
+    ]
+)
 
 
 def square_rect(rows: int, columns: int) -> np.ndarray:
-    """A square lattice pattern in a rectangular shape.
+    """A square lattice filling a rectangle, centered on the origin.
 
     Args:
         rows: Number of rows.
         columns: Number of columns.
 
     Returns:
-        The coordinates of the points in the pattern.
+        The (rows * columns, 2) point coordinates, row-major order.
     """
-    points = np.mgrid[:columns, :rows].transpose().reshape(-1, 2)
-    # Centering
-    points = points - np.ceil([columns / 2, rows / 2]) + 1
-    return cast(np.ndarray, points)
+    xs = np.tile(np.arange(columns, dtype=float), rows)
+    ys = np.repeat(np.arange(rows, dtype=float), columns)
+    center = np.ceil([columns / 2, rows / 2]) - 1
+    return np.column_stack((xs, ys)) - center
 
 
 def triangular_rect(rows: int, columns: int) -> np.ndarray:
-    """A triangular lattice pattern in a rectangular shape.
+    """A triangular lattice filling a rectangle.
+
+    Odd rows are shifted right by half a site; row pitch is the
+    triangle height.
 
     Args:
         rows: Number of rows.
         columns: Number of columns.
 
     Returns:
-        The coordinates of the points in the pattern.
+        The (rows * columns, 2) point coordinates.
     """
-    points = square_rect(rows, columns)
-    points[:, 0] += 0.5 * np.mod(points[:, 1], 2)
-    points[:, 1] *= np.sqrt(3) / 2
-    return points
+    pts = square_rect(rows, columns)
+    shift = 0.5 * (pts[:, 1] % 2)
+    return np.column_stack((pts[:, 0] + shift, pts[:, 1] * _CREST))
+
+
+def _ring(layer: int, side_counts: list[int]) -> list[complex]:
+    """One hexagonal ring at distance ``layer``.
+
+    Each side ``s`` starts just after vertex ``layer * _VERTS[s]`` and
+    places ``side_counts[s]`` points stepping towards the next vertex.
+    """
+    pts: list[complex] = []
+    for s in range(6):
+        anchor = layer * _VERTS[s]
+        step = _VERTS[s + 1] - _VERTS[s]
+        pts.extend(anchor + a * step for a in range(1, side_counts[s] + 1))
+    return pts
 
 
 def triangular_hex(n_points: int) -> np.ndarray:
-    """A triangular lattice pattern in a hexagonal shape.
+    """A triangular lattice filling a hexagon around a central point.
 
-    Atoms are arranged in layers of hexagons around a central atom, with
-    extra atoms placed to enforce C3 and C6 rotational symmetries as often
-    as possible.
+    Complete rings are laid out from the inside out; a final partial
+    ring distributes leftovers so that C3 symmetry (then C6) is kept as
+    often as possible.
 
     Args:
         n_points: The number of points in the pattern.
 
     Returns:
-        The coordinates of the points in the pattern.
+        The (n_points, 2) point coordinates, center first.
     """
-    # y coordinate of the top vertex of a triangle
-    crest_y = np.sqrt(3) / 2.0
-
     if n_points < 7:
-        hex_coords = np.array(
-            [
-                (0.0, 0.0),
-                (-0.5, crest_y),
-                (0.5, crest_y),
-                (1.0, 0.0),
-                (0.5, -crest_y),
-                (-0.5, -crest_y),
-            ]
-        )
-        return hex_coords[:n_points]
+        # Not even one full ring: center plus up to 5 ring-1 points.
+        seed = np.concatenate(([0.0 + 0.0j], _VERTS[1:6]))[:n_points]
+        return np.column_stack((seed.real, seed.imag))
 
-    layers = int((-3.0 + np.sqrt(9 + 12 * (n_points - 1))) / 6.0)
-    points_left = n_points - 1 - (layers**2 + layers) * 3
+    # Largest L with 1 + 3L(L+1) <= n_points
+    full_layers = int((np.sqrt(12 * n_points - 3) - 3) // 6)
+    pts: list[complex] = [0.0 + 0.0j]
+    for layer in range(1, full_layers + 1):
+        pts += _ring(layer, [layer] * 6)
 
-    # Coordinates of vertices
-    start_x = [-1.0, -0.5, 0.5, 1.0, 0.5, -0.5]
-    start_y = [0.0, crest_y, crest_y, 0, -crest_y, -crest_y]
+    leftover = n_points - len(pts)
+    if leftover > 0:
+        base, odd = divmod(leftover, 6)
+        # Sides ranked by symmetry priority: opposite pairs first
+        # (top-left/bottom-right, ...) so C3 holds, then C6.
+        priority = (0, 3, 1, 4, 2, 5)
+        counts = [base + (1 if odd > priority[s] else 0) for s in range(6)]
+        pts += _ring(full_layers + 1, counts)
 
-    # Steps to place atoms, starting from a vertex
-    delta_x = [0.5, 1.0, 0.5, -0.5, -1.0, -0.5]
-    delta_y = [crest_y, 0.0, -crest_y, -crest_y, 0.0, crest_y]
-
-    coords = np.array(
-        [
-            (
-                start_x[side] * layer + atom * delta_x[side],
-                start_y[side] * layer + atom * delta_y[side],
-            )
-            for layer in range(1, layers + 1)
-            for side in range(6)
-            for atom in range(1, layer + 1)
-        ],
-        dtype=float,
-    )
-
-    if points_left > 0:
-        layer = layers + 1
-        min_atoms_per_side = points_left // 6
-        # Extra atoms after balancing all sides
-        points_left %= 6
-
-        # Order for placing left atoms:
-        # Top-Left, Top-Right, Bottom (C3 symmetry)...
-        # ...Top, Bottom-Right, Bottom-Left (C6 symmetry)
-        sides_order = [0, 3, 1, 4, 2, 5]
-
-        coords2 = np.array(
-            [
-                (
-                    start_x[side] * layer + atom * delta_x[side],
-                    start_y[side] * layer + atom * delta_y[side],
-                )
-                for side in range(6)
-                for atom in range(
-                    1,
-                    (
-                        min_atoms_per_side + 2
-                        if points_left > sides_order[side]
-                        else min_atoms_per_side + 1
-                    ),
-                )
-            ],
-            dtype=float,
-        )
-
-        coords = np.concatenate((coords, coords2))
-
-    coords = np.concatenate((np.zeros((1, 2)), coords))
-    return coords
+    zs = np.asarray(pts)
+    return np.column_stack((zs.real, zs.imag))

@@ -1,4 +1,4 @@
-"""The abstract register class.
+"""The abstract base of all registers (qubit-id -> position mappings).
 
 Behavioral parity with reference
 ``pulser-core/pulser/register/base_register.py:58-332``.
@@ -38,9 +38,17 @@ if TYPE_CHECKING:
 T = TypeVar("T", bound="BaseRegister")
 QubitId = str
 
+_NON_STR_ID_WARNING = (
+    "Usage of `int`s or any non-`str`types as `QubitId`s"
+    " will be deprecated. Define your `QubitId`s as `str`s,"
+    " prefer setting `prefix='q'` when using classmethods,"
+    " as that will become the new default once `int` qubit"
+    " IDs become invalid."
+)
+
 
 class _LayoutInfo(NamedTuple):
-    """Auxiliary class to store the register layout information."""
+    """Records which layout (and traps) a register was carved from."""
 
     layout: RegisterLayout
     trap_ids: tuple[int, ...]
@@ -69,32 +77,27 @@ class BaseRegister(ABC, CoordsCollection):
             [pm.AbstractArray(v, dtype=float) for v in qubits.values()]
         )
         self._ids: tuple[QubitId, ...] = tuple(qubits.keys())
-        if any(not isinstance(id, str) for id in self._ids):
+        if not all(isinstance(id, str) for id in self._ids):
             with warnings.catch_warnings():
                 warnings.filterwarnings("once")
                 warnings.warn(
-                    "Usage of `int`s or any non-`str`types as `QubitId`s"
-                    " will be deprecated. Define your `QubitId`s as `str`s,"
-                    " prefer setting `prefix='q'` when using classmethods,"
-                    " as that will become the new default once `int` qubit"
-                    " IDs become invalid.",
-                    DeprecationWarning,
-                    stacklevel=2,
+                    _NON_STR_ID_WARNING, DeprecationWarning, stacklevel=2
                 )
         self._layout_info: Optional[_LayoutInfo] = None
         self._init_kwargs(**kwargs)
 
     def _init_kwargs(self, **kwargs: Any) -> None:
-        if kwargs:
-            if kwargs.keys() != {"layout", "trap_ids"}:
-                raise ValueError(
-                    "If specifying 'kwargs', they must only be 'layout' and"
-                    " 'trap_ids'."
-                )
-            layout: RegisterLayout = kwargs["layout"]
-            trap_ids: tuple[int, ...] = tuple(kwargs["trap_ids"])
-            self._validate_layout(layout, trap_ids)
-            self._layout_info = _LayoutInfo(layout, trap_ids)
+        if not kwargs:
+            return
+        if kwargs.keys() != {"layout", "trap_ids"}:
+            raise ValueError(
+                "If specifying 'kwargs', they must only be 'layout' and"
+                " 'trap_ids'."
+            )
+        layout: RegisterLayout = kwargs["layout"]
+        trap_ids: tuple[int, ...] = tuple(kwargs["trap_ids"])
+        self._validate_layout(layout, trap_ids)
+        self._layout_info = _LayoutInfo(layout, trap_ids)
 
     @property
     def qubits(self) -> dict[QubitId, pm.AbstractArray]:
@@ -112,14 +115,14 @@ class BaseRegister(ABC, CoordsCollection):
         return self._layout_info.layout if self._layout_info else None
 
     def find_indices(self, id_list: abcSequence[QubitId]) -> list[int]:
-        """Computes indices of qubits, following the register's order.
+        """Positions of the given qubit IDs in this register's order.
 
         Args:
-            id_list: IDs of the qubits to find.
+            id_list: The qubit IDs to locate.
 
         Returns:
-            Indices of the qubits to denote, only valid for the given
-            mapping.
+            One index per requested ID; only meaningful for this
+            register's ID ordering.
         """
         if not set(id_list) <= set(self.qubit_ids):
             raise ValueError(
@@ -127,6 +130,31 @@ class BaseRegister(ABC, CoordsCollection):
                 " register's qubits."
             )
         return [self.qubit_ids.index(id_) for id_ in id_list]
+
+    @staticmethod
+    def _label_positions(
+        coords: pm.AbstractArray,
+        prefix: Optional[str],
+        labels: Optional[abcSequence[QubitId]],
+    ) -> dict[Any, pm.AbstractArray]:
+        """Assigns qubit ids to a stack of positions."""
+        if prefix is not None:
+            if labels is not None:
+                raise NotImplementedError(
+                    "It is impossible to specify a prefix and "
+                    "a set of labels at the same time"
+                )
+            return {
+                str(prefix) + str(i): pos for i, pos in enumerate(coords)
+            }
+        if labels is not None:
+            if len(coords) != len(labels):
+                raise ValueError(
+                    f"Label length ({len(labels)}) does not"
+                    f"match number of coordinates ({len(coords)})"
+                )
+            return dict(zip(cast(Iterable, labels), coords))
+        return dict(cast(Iterable, enumerate(coords)))
 
     @classmethod
     def from_coordinates(
@@ -137,49 +165,27 @@ class BaseRegister(ABC, CoordsCollection):
         labels: Optional[abcSequence[QubitId]] = None,
         **kwargs: Any,
     ) -> T:
-        """Creates the register from an array of coordinates.
+        """Builds a register by listing positions instead of a dict.
 
         Args:
-            coords: The coordinates of each qubit to include in the
-                register.
-            center: Whether or not to center the entire array around the
-                origin.
-            prefix: The prefix for the qubit ids. If defined, each qubit
-                id starts with the prefix, followed by an int from 0 to N-1.
-            labels: The list of qubit ids, if defined.
+            coords: One position per qubit.
+            center: If True, shifts all positions so their mean sits at
+                the origin.
+            prefix: When given, qubit i is named ``f"{prefix}{i}"``.
+            labels: Explicit qubit IDs (exclusive with ``prefix``).
 
         Returns:
             A register with qubits placed on the given coordinates.
         """
-        coords_ = pm.vstack(cast(abcSequence, coords)).astype(float)
+        positions = pm.vstack(cast(abcSequence, coords)).astype(float)
         if center:
-            coords_ = coords_ - pm.mean(coords_, axis=0)
-        qubits: dict[str, pm.AbstractArray]
-        if prefix is not None:
-            pre = str(prefix)
-            qubits = {pre + str(i): pos for i, pos in enumerate(coords_)}
-            if labels is not None:
-                raise NotImplementedError(
-                    "It is impossible to specify a prefix and "
-                    "a set of labels at the same time"
-                )
-
-        elif labels is not None:
-            if len(coords_) != len(labels):
-                raise ValueError(
-                    f"Label length ({len(labels)}) does not"
-                    f"match number of coordinates ({len(coords_)})"
-                )
-            qubits = dict(zip(cast(Iterable, labels), coords_))
-        else:
-            qubits = dict(cast(Iterable, enumerate(coords_)))
-        return cls(qubits, **kwargs)
+            positions = positions - pm.mean(positions, axis=0)
+        return cls(cls._label_positions(positions, prefix, labels), **kwargs)
 
     def _validate_layout(
         self, register_layout: RegisterLayout, trap_ids: tuple[int, ...]
     ) -> None:
         """Validates the RegisterLayout that originated this register."""
-        trap_coords = register_layout.coords
         if register_layout.dimensionality != self.dimensionality:
             raise ValueError(
                 "The RegisterLayout dimensionality is not the same as this "
@@ -187,50 +193,41 @@ class BaseRegister(ABC, CoordsCollection):
             )
         if len(set(trap_ids)) != len(trap_ids):
             raise ValueError("Every 'trap_id' must be a unique integer.")
-
         if len(trap_ids) != len(self._ids):
             raise ValueError(
                 "The amount of 'trap_ids' must be equal to the number of"
                 " atoms in the register."
             )
-
-        for reg_coord, trap_id in zip(
-            self._coords_arr.as_array(detach=True), trap_ids
-        ):
-            if np.any(reg_coord != trap_coords[trap_id]):
-                raise ValueError(
-                    "The chosen traps from the RegisterLayout don't match"
-                    " this register's coordinates."
-                )
+        own_coords = self._coords_arr.as_array(detach=True)
+        picked = register_layout.coords[list(trap_ids)]
+        if own_coords.shape != picked.shape or np.any(own_coords != picked):
+            raise ValueError(
+                "The chosen traps from the RegisterLayout don't match"
+                " this register's coordinates."
+            )
 
     def define_detuning_map(
         self,
         detuning_weights: Mapping[QubitId, float],
         slug: str | None = None,
     ) -> DetuningMap:
-        """Defines a DetuningMap for some qubits of the register.
+        """Builds a DetuningMap over a subset of this register's qubits.
 
         Args:
-            detuning_weights: A mapping between the IDs of the targeted
-                qubits and detuning weights (between 0 and 1).
+            detuning_weights: Weight in [0, 1] per targeted qubit ID.
             slug: An optional identifier for the detuning map.
 
         Returns:
-            A DetuningMap associating detuning weights to the trap
-            coordinates of the targeted qubits.
+            A DetuningMap putting each weight on the matching qubit's
+            position.
         """
         if not set(detuning_weights.keys()) <= set(self.qubit_ids):
             raise ValueError(
                 "The qubit ids linked to detuning weights have to be"
                 " defined in the register."
             )
-        return DetuningMap(
-            pm.vstack(
-                [self.qubits[qubit_id] for qubit_id in detuning_weights]
-            ),
-            list(detuning_weights.values()),
-            slug,
-        )
+        spots = pm.vstack([self.qubits[qid] for qid in detuning_weights])
+        return DetuningMap(spots, list(detuning_weights.values()), slug)
 
     @abstractmethod
     def _to_dict(self) -> dict[str, Any]:
@@ -241,30 +238,29 @@ class BaseRegister(ABC, CoordsCollection):
             _name=self.__class__.__name__,
             _module=self.__class__.__module__,
         )
-
-        kwargs = (
-            {} if self._layout_info is None else self._layout_info._asdict()
+        layout_kwargs = (
+            self._layout_info._asdict() if self._layout_info else {}
         )
-
         return obj_to_dict(
             self,
             cls_dict,
-            [qubit_coords.tolist() for qubit_coords in self._coords_arr],
+            [pos.tolist() for pos in self._coords_arr],
             False,
             None,
             self._ids,
-            **kwargs,
+            **layout_kwargs,
             _submodule=self.__class__.__name__,
             _name="from_coordinates",
         )
 
     def __eq__(self, other: Any) -> bool:
-        if type(other) is not type(self):
-            return False
-
-        return self._ids == other._ids and np.allclose(
-            self._coords_arr.as_array(detach=True),
-            other._coords_arr.as_array(detach=True),
+        return (
+            type(other) is type(self)
+            and self._ids == other._ids
+            and np.allclose(
+                self._coords_arr.as_array(detach=True),
+                other._coords_arr.as_array(detach=True),
+            )
         )
 
     def __repr__(self) -> str:
@@ -280,9 +276,9 @@ class BaseRegister(ABC, CoordsCollection):
 
     def to_abstract_repr(self) -> str:
         """Serializes the register into an abstract JSON object."""
-        abstr_reg: dict[str, Any] = dict(register=self._to_abstract_repr())
+        payload: dict[str, Any] = dict(register=self._to_abstract_repr())
         if self.layout is not None:
-            abstr_reg["layout"] = self.layout
-        abstr_reg_str = json.dumps(abstr_reg, cls=AbstractReprEncoder)
-        validate_abstract_repr(abstr_reg_str, "register")
-        return abstr_reg_str
+            payload["layout"] = self.layout
+        as_str = json.dumps(payload, cls=AbstractReprEncoder)
+        validate_abstract_repr(as_str, "register")
+        return as_str

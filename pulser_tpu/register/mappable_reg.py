@@ -1,4 +1,4 @@
-"""A temporary register, to be associated with a layout at build time.
+"""Registers whose atoms get placed on traps only at build time.
 
 Behavioral parity with reference
 ``pulser-core/pulser/register/mappable_reg.py:29``.
@@ -31,13 +31,13 @@ class MappableRegister:
         self, register_layout: RegisterLayout, *qubit_ids: QubitId
     ):
         """Initializes the mappable register."""
-        self._layout = register_layout
-        if len(qubit_ids) > self._layout.number_of_traps:
+        if len(qubit_ids) > register_layout.number_of_traps:
             raise ValueError(
                 "The number of required qubits is greater than the number"
                 f" of traps in this layout"
-                f" ({self._layout.number_of_traps})."
+                f" ({register_layout.number_of_traps})."
             )
+        self._layout = register_layout
         self._qubit_ids = qubit_ids
 
     @property
@@ -51,45 +51,44 @@ class MappableRegister:
         return self._layout
 
     def build_register(self, qubits: Mapping[QubitId, int]) -> BaseRegister:
-        """Builds an actual register.
+        """Pins the declared qubits onto layout traps.
 
         Args:
-            qubits: A map between the qubit IDs to use and the layout traps
-                where the qubits will be placed. Qubit IDs declared in the
-                MappableRegister but not defined here will simply be left
-                out of the final register.
+            qubits: Which trap (by ID) each used qubit ID lands on.
+                Pre-declared IDs missing from this map are dropped from
+                the final register.
 
         Returns:
-            The resulting register.
+            The concrete register.
         """
-        chosen_ids = tuple(qubits.keys())
-        if not set(chosen_ids) <= set(self._qubit_ids):
+        used = set(qubits.keys())
+        if not used <= set(self._qubit_ids):
             raise ValueError(
                 "All qubits must be labeled with pre-declared qubit IDs."
             )
-        elif set(chosen_ids) != set(self.qubit_ids[: len(chosen_ids)]):
+        # Only a prefix of the pre-declared IDs may be used.
+        if used != set(self.qubit_ids[: len(used)]):
             raise ValueError(
                 f"To declare {len(qubits.keys())} qubits, 'qubits' should "
                 f"contain the first {len(qubits.keys())} elements of the "
                 "'qubit_ids'."
             )
-        register_ordered_qubits = {
-            id: qubits[id] for id in self._qubit_ids if id in chosen_ids
-        }
+        # Preserve pre-declared ordering, not the mapping's.
+        in_order = [qid for qid in self._qubit_ids if qid in used]
         return self._layout.define_register(
-            *tuple(register_ordered_qubits.values()),
-            qubit_ids=tuple(register_ordered_qubits.keys()),
+            *tuple(qubits[qid] for qid in in_order),
+            qubit_ids=tuple(in_order),
         )
 
     def find_indices(self, id_list: abcSequence[QubitId]) -> list[int]:
-        """Computes indices of qubits (following pre-declared order).
+        """Positions of the given IDs in the pre-declared ordering.
 
         Args:
-            id_list: IDs of the qubits to denote.
+            id_list: The qubit IDs to locate.
 
         Returns:
-            Indices of the qubits to denote, only valid for the given
-            mapping.
+            One index per requested ID, valid for this declaration
+            order.
         """
         if not set(id_list) <= set(self._qubit_ids):
             raise ValueError(
@@ -103,16 +102,14 @@ class MappableRegister:
         detuning_weights: Mapping[int, float],
         slug: str | None = None,
     ) -> DetuningMap:
-        """Defines a DetuningMap for some trap ids of the register layout.
+        """Builds a DetuningMap on this register's layout traps.
 
         Args:
-            detuning_weights: A mapping between the IDs of the targeted
-                traps and detuning weights (between 0 and 1).
+            detuning_weights: Weight in [0, 1] per targeted trap ID.
             slug: An optional identifier for the detuning map.
 
         Returns:
-            A DetuningMap associating detuning weights to the trap
-            coordinates of the targeted traps.
+            A DetuningMap putting each weight on the matching trap.
         """
         return self._layout.define_detuning_map(detuning_weights, slug)
 

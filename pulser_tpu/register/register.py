@@ -1,7 +1,9 @@
 """The configuration of an array of neutral atoms in 2D.
 
 Behavioral parity with reference
-``pulser-core/pulser/register/register.py:43-581``.
+``pulser-core/pulser/register/register.py:43-581``. The lattice
+constructors all funnel through one pattern-scaling helper; their
+argument validation is table-driven.
 """
 
 from __future__ import annotations
@@ -27,12 +29,35 @@ if TYPE_CHECKING:
     from pulser_tpu.devices._device_datacls import BaseDevice, Device
 
 
+def _count_at_least_one(value: int, name: str, noun: str) -> None:
+    """Rejects non-positive lattice extents with a uniform message."""
+    if value < 1:
+        raise ValueError(
+            f"The number of {noun} (`{name}` = {value})"
+            " must be greater than or equal to 1."
+        )
+
+
+def _positive_spacing(
+    spacing: Union[float, pm.TensorLike], label: bool = True
+) -> pm.AbstractArray:
+    """Checks a lattice spacing is > 0 and wraps it for scaling."""
+    wrapped = pm.AbstractArray(spacing)
+    if wrapped <= 0.0:
+        raise ValueError(
+            f"Spacing between atoms (`spacing` = {spacing})"
+            " must be greater than 0."
+            if label
+            else "Spacing between atoms must be greater than 0."
+        )
+    return wrapped
+
+
 class Register(BaseRegister, RegDrawer):
-    """A 2D quantum register containing a set of qubits.
+    """A set of named qubits at fixed planar positions.
 
     Args:
-        qubits: Dictionary with the qubit names as keys and their position
-            coordinates (in μm) as values.
+        qubits: Maps each qubit's name to its (x, y) position, in μm.
     """
 
     def __init__(
@@ -42,13 +67,26 @@ class Register(BaseRegister, RegDrawer):
     ):
         """Initializes a custom Register."""
         super().__init__(qubits, **kwargs)
-        if (
-            any(c.shape != (self.dimensionality,) for c in self._coords_arr)
-            or self.dimensionality != 2
-        ):
+        coords_2d = self.dimensionality == 2 and all(
+            c.shape == (2,) for c in self._coords_arr
+        )
+        if not coords_2d:
             raise ValueError(
                 "All coordinates must be specified as vectors of size 2."
             )
+
+    @classmethod
+    def _scaled_pattern(
+        cls,
+        points: np.ndarray,
+        scale: pm.AbstractArray,
+        prefix: Optional[str],
+        center: bool,
+    ) -> Register:
+        """Builds a register from unit-lattice points and a scale."""
+        return cls.from_coordinates(
+            pm.AbstractArray(points) * scale, center=center, prefix=prefix
+        )
 
     @classmethod
     def square(
@@ -57,19 +95,14 @@ class Register(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Creates the register with the qubits in a square array.
+        """A side x side square array of qubits.
 
         Args:
-            side: Side of the square in number of qubits.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            side: How many qubits long the square's edge is.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if side < 1:
-            raise ValueError(
-                f"The number of atoms per side (`side` = {side})"
-                " must be greater than or equal to 1."
-            )
-
+        _count_at_least_one(side, "side", "atoms per side")
         return cls.rectangle(side, side, spacing=spacing, prefix=prefix)
 
     @classmethod
@@ -80,13 +113,13 @@ class Register(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Creates a rectangular array of qubits on a square lattice.
+        """A rows x columns array of qubits with one common pitch.
 
         Args:
-            rows: Number of rows.
-            columns: Number of columns.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows.
+            columns: How many columns.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
         return cls.rectangular_lattice(
             rows, columns, spacing, spacing, prefix
@@ -101,38 +134,23 @@ class Register(BaseRegister, RegDrawer):
         col_spacing: Union[float, pm.TensorLike] = 2.0,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Creates a rectangular array of qubits on a rectangular lattice.
+        """A rows x columns array with independent row/column pitches.
 
         Args:
-            rows: Number of rows.
-            columns: Number of columns.
-            row_spacing: The distance between rows in μm.
-            col_spacing: The distance between columns in μm.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows.
+            columns: How many columns.
+            row_spacing: Vertical pitch, in μm.
+            col_spacing: Horizontal pitch, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if rows < 1:
-            raise ValueError(
-                f"The number of rows (`rows` = {rows})"
-                " must be greater than or equal to 1."
-            )
-
-        if columns < 1:
-            raise ValueError(
-                f"The number of columns (`columns` = {columns})"
-                " must be greater than or equal to 1."
-            )
-
-        row_spacing_ = pm.AbstractArray(row_spacing)
-        col_spacing_ = pm.AbstractArray(col_spacing)
-
-        if row_spacing_ <= 0.0 or col_spacing_ <= 0.0:
-            raise ValueError("Spacing between atoms must be greater than 0.")
-
-        coords = pm.AbstractArray(patterns.square_rect(rows, columns))
-        coords[:, 0] = coords[:, 0] * col_spacing_
-        coords[:, 1] = coords[:, 1] * row_spacing_
-
-        return cls.from_coordinates(coords, center=True, prefix=prefix)
+        _count_at_least_one(rows, "rows", "rows")
+        _count_at_least_one(columns, "columns", "columns")
+        dy = _positive_spacing(row_spacing, label=False)
+        dx = _positive_spacing(col_spacing, label=False)
+        points = pm.AbstractArray(patterns.square_rect(rows, columns))
+        points[:, 0] = points[:, 0] * dx
+        points[:, 1] = points[:, 1] * dy
+        return cls.from_coordinates(points, center=True, prefix=prefix)
 
     @classmethod
     def triangular_lattice(
@@ -142,44 +160,27 @@ class Register(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Creates the register with the qubits in a triangular lattice.
+        """Qubits on a triangular lattice, cut to a rectangle.
 
-        A triangular lattice with horizontal rows (triangles pointing up
-        and down).
+        Rows run horizontally; alternating rows are offset by half a
+        site so triangles point up and down.
 
         Args:
-            rows: Number of rows.
-            atoms_per_row: Number of atoms per row.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows.
+            atoms_per_row: How many qubits in each row.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if rows < 1:
-            raise ValueError(
-                f"The number of rows (`rows` = {rows})"
-                " must be greater than or equal to 1."
-            )
-
-        if atoms_per_row < 1:
-            raise ValueError(
-                "The number of atoms per row"
-                f" (`atoms_per_row` = {atoms_per_row})"
-                " must be greater than or equal to 1."
-            )
-
-        spacing_ = pm.AbstractArray(spacing)
-        if spacing_ <= 0.0:
-            raise ValueError(
-                f"Spacing between atoms (`spacing` = {spacing})"
-                " must be greater than 0."
-            )
-
-        coords = (
-            pm.AbstractArray(
-                patterns.triangular_rect(rows, atoms_per_row)
-            )
-            * spacing_
+        _count_at_least_one(rows, "rows", "rows")
+        _count_at_least_one(
+            atoms_per_row, "atoms_per_row", "atoms per row"
         )
-        return cls.from_coordinates(coords, center=True, prefix=prefix)
+        return cls._scaled_pattern(
+            patterns.triangular_rect(rows, atoms_per_row),
+            _positive_spacing(spacing),
+            prefix,
+            center=True,
+        )
 
     @classmethod
     def hexagon(
@@ -188,32 +189,21 @@ class Register(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Creates the register with the qubits in a hexagonal layout.
+        """Qubits on a triangular lattice filling a hexagon.
 
         Args:
-            layers: Number of layers around a central atom.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            layers: Complete rings placed around the central qubit.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if layers < 1:
-            raise ValueError(
-                f"The number of layers (`layers` = {layers})"
-                " must be greater than or equal to 1."
-            )
-
-        spacing_ = pm.AbstractArray(spacing)
-        if spacing_ <= 0.0:
-            raise ValueError(
-                f"Spacing between atoms (`spacing` = {spacing})"
-                " must be greater than 0."
-            )
-
-        n_atoms = 1 + 3 * (layers**2 + layers)
-        coords = (
-            pm.AbstractArray(patterns.triangular_hex(n_atoms)) * spacing_
+        _count_at_least_one(layers, "layers", "layers")
+        n_atoms = 1 + 3 * layers * (layers + 1)
+        return cls._scaled_pattern(
+            patterns.triangular_hex(n_atoms),
+            _positive_spacing(spacing),
+            prefix,
+            center=False,
         )
-
-        return cls.from_coordinates(coords, center=False, prefix=prefix)
 
     @classmethod
     def max_connectivity(
@@ -223,30 +213,24 @@ class Register(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike, None] = None,
         prefix: Optional[str] = None,
     ) -> Register:
-        """Initializes the register with maximum connectivity for a device.
+        """The densest packing a device allows for a qubit count.
 
-        The basic pattern is the triangle: atoms are arranged as layers of
-        hexagons around a central atom, with C3/C6 rotational symmetries
-        enforced as often as possible.
+        Hexagonal rings of a triangular lattice grow around one central
+        qubit, keeping C3 (then C6) rotational symmetry whenever the
+        count allows it.
 
         Args:
-            n_qubits: Number of qubits.
-            device: The device whose constraints must be obeyed.
-            spacing: The distance between neighbouring qubits in μm. If
-                omitted, the minimal distance for the device is used.
-            prefix: The prefix for the qubit ids.
+            n_qubits: How many qubits to place.
+            device: Its constraints bound the geometry.
+            spacing: Nearest-neighbour distance, in μm; defaults to the
+                device's minimal atom distance.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
         if not isinstance(
             device, pulser_tpu.devices._device_datacls.BaseDevice
         ):
             raise TypeError("'device' must be of type 'BaseDevice'.")
-
-        if n_qubits < 1:
-            raise ValueError(
-                f"The number of qubits (`n_qubits` = {n_qubits})"
-                " must be greater than or equal to 1."
-            )
-
+        _count_at_least_one(n_qubits, "n_qubits", "qubits")
         if (
             device.max_atom_num is not None
             and n_qubits > device.max_atom_num
@@ -259,27 +243,24 @@ class Register(BaseRegister, RegDrawer):
             )
 
         if spacing is None:
-            spacing_ = pm.AbstractArray(device.min_atom_distance)
-        elif (
-            spacing_ := pm.AbstractArray(spacing)
-        ) < device.min_atom_distance:
-            raise ValueError(
-                f"Spacing between atoms (`spacing = `{spacing})"
-                " must be greater than or equal to the minimal"
-                " distance supported by this device"
-                f" ({device.min_atom_distance})."
-            )
-        if spacing_ <= 0.0:
+            pitch = pm.AbstractArray(device.min_atom_distance)
+        else:
+            pitch = pm.AbstractArray(spacing)
+            if pitch < device.min_atom_distance:
+                raise ValueError(
+                    f"Spacing between atoms (`spacing = `{spacing})"
+                    " must be greater than or equal to the minimal"
+                    " distance supported by this device"
+                    f" ({device.min_atom_distance})."
+                )
+        if pitch <= 0.0:
             raise NotImplementedError(
                 "Maximum connectivity layouts are not well defined for a "
                 "device with 'min_atom_distance=0.0'."
             )
-
-        coords = (
-            pm.AbstractArray(patterns.triangular_hex(n_qubits)) * spacing_
+        return cls._scaled_pattern(
+            patterns.triangular_hex(n_qubits), pitch, prefix, center=False
         )
-
-        return cls.from_coordinates(coords, center=False, prefix=prefix)
 
     def with_automatic_layout(
         self,
@@ -312,17 +293,15 @@ class Register(BaseRegister, RegDrawer):
                 "registers with differentiable coordinates."
             )
 
+        # A minimum filling fraction caps how many traps the layout may
+        # have, but never below the device's minimum trap count.
         max_traps = device.max_layout_traps
         if device.min_layout_filling > 0.0:
-            # Imposes a max number of traps for a given minimum filling
-            max_allowed_traps = int(
+            filling_cap = int(
                 len(self.qubit_ids) / device.min_layout_filling
             )
-            if max_allowed_traps > device.min_layout_traps:
-                max_traps = min(
-                    max_traps or max_allowed_traps,
-                    max_allowed_traps,
-                )
+            if filling_cap > device.min_layout_traps:
+                max_traps = min(max_traps or filling_cap, filling_cap)
 
         trap_coords = generate_trap_coordinates(
             self.sorted_coords,
@@ -345,28 +324,22 @@ class Register(BaseRegister, RegDrawer):
         )
 
     def rotated(self, degrees: float) -> Register:
-        """Makes a new register, rotated counter-clockwise around origin.
+        """A copy of this register, turned about the origin.
 
         Args:
-            degrees: The angle of rotation in degrees.
+            degrees: Counter-clockwise rotation angle, in degrees.
         """
-        theta = np.deg2rad(degrees)
-        rot = pm.vstack(
-            [
-                [np.cos(theta), -np.sin(theta)],
-                [np.sin(theta), np.cos(theta)],
-            ]
-        )
         if self.layout is not None:
             warnings.warn(
                 "The rotated register won't have an associated "
                 "'RegisterLayout'.",
                 stacklevel=2,
             )
-
-        return Register(
-            dict(zip(self.qubit_ids, [rot @ v for v in self._coords_arr]))
-        )
+        theta = np.deg2rad(degrees)
+        cos_t, sin_t = np.cos(theta), np.sin(theta)
+        rot = pm.vstack([[cos_t, -sin_t], [sin_t, cos_t]])
+        turned = (rot @ v for v in self._coords_arr)
+        return Register(dict(zip(self.qubit_ids, turned)))
 
     def _get_empty_traps_reg(self) -> BaseRegister:
         """A Register containing the layout's empty traps."""
@@ -375,19 +348,18 @@ class Register(BaseRegister, RegDrawer):
                 "The register must have an associated RegisterLayout "
                 "to draw the empty sites."
             )
-        layout = self.layout
-        layout_ids = list(layout.traps_dict.keys())
-        filled_traps_ids = layout.get_traps_from_coordinates(
-            *tuple(self.qubits.values())
+        occupied = set(
+            self.layout.get_traps_from_coordinates(
+                *tuple(self.qubits.values())
+            )
         )
-        empty_traps_ids = [
+        vacant = [
             trap_id
-            for trap_id in layout_ids
-            if trap_id not in filled_traps_ids
+            for trap_id in self.layout.traps_dict
+            if trap_id not in occupied
         ]
         return self.layout.define_register(
-            *empty_traps_ids,
-            qubit_ids=[str(trap_id) for trap_id in empty_traps_ids],
+            *vacant, qubit_ids=[str(trap_id) for trap_id in vacant]
         )
 
     def draw(
@@ -429,36 +401,30 @@ class Register(BaseRegister, RegDrawer):
             draw_half_radius=draw_half_radius,
         )
 
-        if draw_empty_sites:
-            empty_traps_reg = self._get_empty_traps_reg()
-            assert self.layout is not None
-
         pos = self._coords_arr.as_array(detach=True)
+        vacant_reg = (
+            self._get_empty_traps_reg() if draw_empty_sites else None
+        )
         if custom_ax is None:
+            # Frame the full layout when empty sites are drawn too.
+            frame = (
+                self.layout.sorted_coords
+                if vacant_reg is not None and self.layout is not None
+                else pos
+            )
             custom_ax = cast(
                 "Axes",
                 self._initialize_fig_axes(
-                    (
-                        self.layout.sorted_coords
-                        if (draw_empty_sites and self.layout is not None)
-                        else pos
-                    ),
+                    frame,
                     blockade_radius=blockade_radius,
                     draw_half_radius=draw_half_radius,
                 )[1],
             )
 
-        draw_kwargs = dict(
-            ax=custom_ax,
-            blockade_radius=blockade_radius,
-            draw_graph=draw_graph,
-            draw_half_radius=draw_half_radius,
-        )
-
-        if draw_empty_sites:
+        if vacant_reg is not None:
             super()._draw_2D(
-                ids=empty_traps_reg.qubit_ids,
-                pos=empty_traps_reg._coords_arr.as_array(detach=True),
+                ids=vacant_reg.qubit_ids,
+                pos=vacant_reg._coords_arr.as_array(detach=True),
                 with_labels=False,
                 label_name="empty",
                 are_traps=True,
@@ -470,12 +436,14 @@ class Register(BaseRegister, RegDrawer):
             pos=pos,
             qubit_colors=qubit_colors,
             with_labels=with_labels,
-            **draw_kwargs,  # type: ignore
+            ax=custom_ax,
+            blockade_radius=blockade_radius,
+            draw_graph=draw_graph,
+            draw_half_radius=draw_half_radius,
         )
 
         if fig_name is not None:
             plt.savefig(fig_name, **kwargs_savefig)
-
         if show:
             plt.show()
 

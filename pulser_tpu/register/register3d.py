@@ -7,27 +7,28 @@ Behavioral parity with reference
 from __future__ import annotations
 
 from collections.abc import Mapping
-from typing import TYPE_CHECKING, Any, Optional, Union
+from typing import Any, Optional, Union
 
 import numpy as np
 from numpy.typing import ArrayLike
 
 import pulser_tpu.math as pm
 from pulser_tpu.json.utils import stringify_qubit_ids
+from pulser_tpu.register._patterns import square_rect
 from pulser_tpu.register._reg_drawer import RegDrawer
 from pulser_tpu.register.base_register import BaseRegister, QubitId
-from pulser_tpu.register.register import Register
-
-if TYPE_CHECKING:
-    pass
+from pulser_tpu.register.register import (
+    Register,
+    _count_at_least_one,
+    _positive_spacing,
+)
 
 
 class Register3D(BaseRegister, RegDrawer):
-    """A 3D quantum register containing a set of qubits.
+    """A set of named qubits at fixed positions in space.
 
     Args:
-        qubits: Dictionary with the qubit names as keys and their position
-            coordinates (in μm) as values.
+        qubits: Maps each qubit's name to its (x, y, z) position, in μm.
     """
 
     def __init__(
@@ -37,10 +38,10 @@ class Register3D(BaseRegister, RegDrawer):
     ):
         """Initializes a custom Register."""
         super().__init__(qubits, **kwargs)
-        if (
-            any(c.shape != (self.dimensionality,) for c in self._coords_arr)
-            or self.dimensionality != 3
-        ):
+        coords_3d = self.dimensionality == 3 and all(
+            c.shape == (3,) for c in self._coords_arr
+        )
+        if not coords_3d:
             raise ValueError(
                 "All coordinates must be specified as vectors of size 3."
             )
@@ -52,19 +53,14 @@ class Register3D(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register3D:
-        """Initializes the register with the qubits in a cubic array.
+        """A side x side x side cubic array of qubits.
 
         Args:
-            side: Side of the cube in number of qubits.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            side: How many qubits long the cube's edge is.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if side < 1:
-            raise ValueError(
-                f"The number of atoms per side (`side` = {side})"
-                " must be greater than or equal to 1."
-            )
-
+        _count_at_least_one(side, "side", "atoms per side")
         return cls.cuboid(side, side, side, spacing=spacing, prefix=prefix)
 
     @classmethod
@@ -76,90 +72,63 @@ class Register3D(BaseRegister, RegDrawer):
         spacing: Union[float, pm.TensorLike] = 4.0,
         prefix: Optional[str] = None,
     ) -> Register3D:
-        """Initializes the register with the qubits in a cuboid array.
+        """A rows x columns x layers cuboid array of qubits.
 
         Args:
-            rows: Number of rows.
-            columns: Number of columns.
-            layers: Number of layers.
-            spacing: The distance between neighbouring qubits in μm.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows.
+            columns: How many columns.
+            layers: How many planes stacked along z.
+            spacing: Nearest-neighbour distance, in μm.
+            prefix: Qubit ids become ``f"{prefix}{i}"`` when given.
         """
-        if rows < 1:
-            raise ValueError(
-                f"The number of rows (`rows` = {rows})"
-                " must be greater than or equal to 1."
-            )
+        _count_at_least_one(rows, "rows", "rows")
+        _count_at_least_one(columns, "columns", "columns")
+        _count_at_least_one(layers, "layers", "layers")
+        pitch = _positive_spacing(spacing)
 
-        if columns < 1:
-            raise ValueError(
-                f"The number of columns (`columns` = {columns})"
-                " must be greater than or equal to 1."
+        # Stack `layers` uncentered square-lattice planes along z.
+        plane = square_rect(rows, columns)
+        plane -= plane.min(axis=0)  # undo the pattern's centering
+        n_plane = len(plane)
+        points = np.column_stack(
+            (
+                np.tile(plane, (layers, 1)),
+                np.repeat(np.arange(layers, dtype=float), n_plane),
             )
-
-        if layers < 1:
-            raise ValueError(
-                f"The number of layers (`layers` = {layers})"
-                " must be greater than or equal to 1."
-            )
-
-        spacing_ = pm.AbstractArray(spacing)
-        if spacing_ <= 0.0:
-            raise ValueError(
-                f"Spacing between atoms (`spacing` = {spacing})"
-                " must be greater than 0."
-            )
-
-        coords = (
-            pm.AbstractArray(
-                [
-                    (x, y, z)
-                    for z in range(layers)
-                    for y in range(rows)
-                    for x in range(columns)
-                ],
-                dtype=float,
-            )
-            * spacing_
+        )
+        return cls.from_coordinates(
+            pm.AbstractArray(points) * pitch, center=True, prefix=prefix
         )
 
-        return cls.from_coordinates(coords, center=True, prefix=prefix)
-
     def to_2D(self, tol_width: float = 0.0) -> Register:
-        """Converts a Register3D into a Register (if possible).
+        """Projects coplanar atoms down to a 2D register.
 
         Args:
-            tol_width: The allowed transverse width of the register to be
-                projected.
+            tol_width: How much out-of-plane spread (µm) to tolerate.
 
         Returns:
-            A 2D register with the coordinates of the atoms in a plane, if
-            they are coplanar.
+            The atoms re-expressed in their best-fit plane, as a 2D
+            register.
 
         Raises:
             ValueError: If the atoms are not coplanar.
         """
         coords = self._coords_arr.as_array(detach=True)
-        barycenter = coords.sum(axis=0) / coords.shape[0]
-        _, _, vh = np.linalg.svd(coords - barycenter)
-        e_z = vh[2, :]
-        perp_extent = [e_z.dot(r) for r in coords]
-        width = np.ptp(perp_extent)
-        # A set of vectors is coplanar iff one of the singular values is 0
+        centered = coords - coords.mean(axis=0)
+        # The plane's frame: SVD right-singular vectors, normal last.
+        _, _, basis = np.linalg.svd(centered)
+        width = np.ptp(coords @ basis[2])
         if width > tol_width:
             raise ValueError(
                 f"Atoms are not coplanar (`width` = {width:#.2f} µm)"
             )
-        else:
-            e_x = vh[0, :]
-            e_y = vh[1, :]
-            coords_2D = pm.vstack(
-                [
-                    pm.hstack([pm.dot(e_x, r), pm.dot(e_y, r)])
-                    for r in self._coords_arr
-                ]
-            )
-            return Register.from_coordinates(coords_2D, labels=self._ids)
+        in_plane = pm.vstack(
+            [
+                pm.hstack([pm.dot(basis[0], r), pm.dot(basis[1], r)])
+                for r in self._coords_arr
+            ]
+        )
+        return Register.from_coordinates(in_plane, labels=self._ids)
 
     def draw(
         self,
@@ -195,11 +164,8 @@ class Register3D(BaseRegister, RegDrawer):
             draw_graph=draw_graph,
             draw_half_radius=draw_half_radius,
         )
-
-        pos = self._coords_arr.as_array(detach=True)
-
         self._draw_3D(
-            pos,
+            self._coords_arr.as_array(detach=True),
             self._ids,
             projection=projection,
             with_labels=with_labels,
@@ -208,7 +174,6 @@ class Register3D(BaseRegister, RegDrawer):
             draw_half_radius=draw_half_radius,
             qubit_colors=qubit_colors,
         )
-
         if fig_name is not None:
             plt.savefig(fig_name, **kwargs_savefig)
         plt.show()

@@ -1,4 +1,4 @@
-"""A generic register layout, from which registers can be created.
+"""Register layouts: the trap geometries registers are carved out of.
 
 Behavioral parity with reference
 ``pulser-core/pulser/register/register_layout.py:41-298``.
@@ -6,9 +6,8 @@ Behavioral parity with reference
 
 from __future__ import annotations
 
-import hashlib
 import json
-from collections.abc import Mapping
+from collections.abc import Iterator, Mapping
 from collections.abc import Sequence as abcSequence
 from dataclasses import dataclass
 from typing import Any, Optional, cast
@@ -51,6 +50,29 @@ class RegisterLayout(Traps, RegDrawer):
         """A shorthand for 'sorted_coords'."""
         return self.sorted_coords
 
+    def _pick_qubit_ids(
+        self,
+        trap_ids: tuple[int, ...],
+        qubit_ids: Optional[abcSequence[QubitId]],
+    ) -> abcSequence[QubitId]:
+        """Validates a trap selection and resolves its qubit IDs."""
+        if len(set(trap_ids)) != len(trap_ids):
+            raise ValueError("Every 'trap_id' must be a unique integer.")
+        if not set(trap_ids).issubset(self.traps_dict):
+            raise ValueError(
+                "All 'trap_ids' must correspond to the ID of a trap."
+            )
+        if not qubit_ids:
+            return [f"q{i}" for i in range(len(trap_ids))]
+        if len(set(qubit_ids)) != len(qubit_ids):
+            raise ValueError("'qubit_ids' must be a sequence of unique IDs.")
+        if len(qubit_ids) != len(trap_ids):
+            raise ValueError(
+                "'qubit_ids' must have the same size as the number of "
+                f"provided 'trap_ids' ({len(trap_ids)})."
+            )
+        return qubit_ids
+
     def define_register(
         self,
         *trap_ids: int,
@@ -67,69 +89,35 @@ class RegisterLayout(Traps, RegDrawer):
         Returns:
             The respective register instance.
         """
-        trap_ids_set = set(trap_ids)
-
-        if len(trap_ids_set) != len(trap_ids):
-            raise ValueError("Every 'trap_id' must be a unique integer.")
-
-        if not trap_ids_set.issubset(self.traps_dict):
-            raise ValueError(
-                "All 'trap_ids' must correspond to the ID of a trap."
+        ids = self._pick_qubit_ids(trap_ids, qubit_ids)
+        qubits = dict(zip(ids, self.sorted_coords[list(trap_ids)]))
+        if self.dimensionality == 3:
+            return pulser_tpu.Register3D(
+                qubits, layout=self, trap_ids=trap_ids
             )
-
-        if qubit_ids:
-            if len(set(qubit_ids)) != len(qubit_ids):
-                raise ValueError(
-                    "'qubit_ids' must be a sequence of unique IDs."
-                )
-            if len(qubit_ids) != len(trap_ids):
-                raise ValueError(
-                    "'qubit_ids' must have the same size as the number of "
-                    f"provided 'trap_ids' ({len(trap_ids)})."
-                )
-
-        ids = (
-            qubit_ids
-            if qubit_ids
-            else [f"q{i}" for i in range(len(trap_ids))]
-        )
-        coords = self.sorted_coords[list(trap_ids)]
-        qubits = dict(zip(ids, coords))
-
-        reg_class = (
-            pulser_tpu.Register3D
-            if self.dimensionality == 3
-            else pulser_tpu.Register
-        )
-        reg = reg_class(qubits, layout=self, trap_ids=trap_ids)
-        return reg
+        return pulser_tpu.Register(qubits, layout=self, trap_ids=trap_ids)
 
     def define_detuning_map(
         self,
         detuning_weights: Mapping[int, float],
         slug: str | None = None,
     ) -> DetuningMap:
-        """Defines a DetuningMap for some trap ids of the register layout.
+        """Builds a DetuningMap on a subset of this layout's traps.
 
         Args:
-            detuning_weights: A mapping between the IDs of the targeted
-                traps and detuning weights (between 0 and 1).
+            detuning_weights: Weight in [0, 1] per targeted trap ID.
             slug: An optional identifier for the detuning map.
 
         Returns:
-            A DetuningMap associating detuning weights to the trap
-            coordinates of the targeted traps.
+            A DetuningMap putting each weight on the matching trap.
         """
         if not set(detuning_weights.keys()) <= set(self.traps_dict):
             raise ValueError(
                 "The trap ids of detuning weights have to be integers"
                 f" in [0, {self.number_of_traps - 1}]."
             )
-        return DetuningMap(
-            [self.traps_dict[trap_id] for trap_id in detuning_weights],
-            list(detuning_weights.values()),
-            slug,
-        )
+        targeted = [self.traps_dict[t] for t in detuning_weights]
+        return DetuningMap(targeted, list(detuning_weights.values()), slug)
 
     def draw(
         self,
@@ -157,43 +145,36 @@ class RegisterLayout(Traps, RegDrawer):
         """
         import matplotlib.pyplot as plt
 
-        coords = self.coords
-        self._draw_checks(
-            self.number_of_traps,
+        radius_opts = dict(
             blockade_radius=blockade_radius,
-            draw_graph=draw_graph,
             draw_half_radius=draw_half_radius,
         )
-        ids = [str(i) for i in range(self.number_of_traps)]
-        if self.dimensionality == 2:
-            fig, ax = self._initialize_fig_axes(
-                coords,
-                blockade_radius=blockade_radius,
-                draw_half_radius=draw_half_radius,
-            )
-            self._draw_2D(
-                ax,
-                coords,
-                ids,
-                blockade_radius=blockade_radius,
-                draw_graph=draw_graph,
-                draw_half_radius=draw_half_radius,
-                are_traps=True,
-            )
-        elif self.dimensionality == 3:
+        self._draw_checks(
+            self.number_of_traps, draw_graph=draw_graph, **radius_opts
+        )
+        trap_labels = [str(i) for i in range(self.number_of_traps)]
+        if self.dimensionality == 3:
             self._draw_3D(
-                coords,
-                ids,
+                self.coords,
+                trap_labels,
                 projection=projection,
                 with_labels=True,
-                blockade_radius=blockade_radius,
                 draw_graph=draw_graph,
-                draw_half_radius=draw_half_radius,
                 are_traps=True,
+                **radius_opts,
+            )
+        else:
+            _, ax = self._initialize_fig_axes(self.coords, **radius_opts)
+            self._draw_2D(
+                ax,
+                self.coords,
+                trap_labels,
+                draw_graph=draw_graph,
+                are_traps=True,
+                **radius_opts,
             )
         if fig_name is not None:
             plt.savefig(fig_name, **kwargs_savefig)
-
         if show:
             plt.show()
 
@@ -215,15 +196,14 @@ class RegisterLayout(Traps, RegDrawer):
             A substitute for a regular register that can be used to
             initialize a Sequence.
         """
-        qubit_ids = [f"{prefix}{i}" for i in range(n_qubits)]
-        return MappableRegister(self, *qubit_ids)
+        reserved = [f"{prefix}{i}" for i in range(n_qubits)]
+        return MappableRegister(self, *reserved)
 
-    @property
-    def _hash_object(self) -> hashlib._Hash:
-        return super()._hash_object
+    def _hash_components(self) -> Iterator[bytes]:
+        yield from super()._hash_components()
 
     def __eq__(self, other: Any) -> bool:
-        return super().__eq__(other) and isinstance(other, RegisterLayout)
+        return isinstance(other, RegisterLayout) and super().__eq__(other)
 
     def __repr__(self) -> str:
         return f"RegisterLayout_{self._safe_hash().hex()}"
@@ -242,16 +222,16 @@ class RegisterLayout(Traps, RegDrawer):
         )
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        d: dict = {"coordinates": self.coords.tolist()}
+        out: dict = {"coordinates": cast(list, self.coords.tolist())}
         if self.slug is not None:
-            d["slug"] = self.slug
-        return d
+            out["slug"] = self.slug
+        return out
 
     def to_abstract_repr(self) -> str:
         """Serializes the layout into an abstract JSON object."""
-        abstr_layout_str = json.dumps(self, cls=AbstractReprEncoder)
-        validate_abstract_repr(abstr_layout_str, "layout")
-        return abstr_layout_str
+        as_str = json.dumps(self, cls=AbstractReprEncoder)
+        validate_abstract_repr(as_str, "layout")
+        return as_str
 
     @staticmethod
     def from_abstract_repr(obj_str: str) -> RegisterLayout:

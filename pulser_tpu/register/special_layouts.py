@@ -1,12 +1,16 @@
-"""Special register layouts defined for convenience.
+"""Convenience register layouts for the common lattices.
 
 Behavioral parity with reference
-``pulser-core/pulser/register/special_layouts.py:29-145``.
+``pulser-core/pulser/register/special_layouts.py:29-145``. All the
+register-carving methods share one helper that maps lattice points to
+traps and numbers the qubits with a prefix.
 """
 
 from __future__ import annotations
 
 from typing import TYPE_CHECKING, Any, cast
+
+import numpy as np
 
 import pulser_tpu
 import pulser_tpu.register._patterns as patterns
@@ -17,14 +21,33 @@ if TYPE_CHECKING:
     from pulser_tpu.register import Register
 
 
+def _carve_register(
+    layout: RegisterLayout, points: np.ndarray, prefix: str
+) -> Register:
+    """Defines a register on the traps matching the given points."""
+    trap_ids = layout.get_traps_from_coordinates(*points)
+    names = [f"{prefix}{i}" for i in range(len(trap_ids))]
+    return cast(
+        "pulser_tpu.Register",
+        layout.define_register(*trap_ids, qubit_ids=names),
+    )
+
+
+def _grid_points(
+    rows: int, columns: int, col_spacing: float, row_spacing: float
+) -> np.ndarray:
+    """A centered rectangular grid with the given pitches."""
+    return patterns.square_rect(rows, columns) * (col_spacing, row_spacing)
+
+
 class RectangularLatticeLayout(RegisterLayout):
-    """RegisterLayout with a rectangular lattice in a rectangular shape.
+    """A rectangular grid of traps with independent x/y pitches.
 
     Args:
-        rows: The number of rows of traps.
-        columns: The number of columns of traps.
-        col_spacing: Horizontal distance between neighbouring traps (µm).
-        row_spacing: Vertical distance between neighbouring traps (µm).
+        rows: How many trap rows.
+        columns: How many trap columns.
+        col_spacing: Horizontal pitch between traps (µm).
+        row_spacing: Vertical pitch between traps (µm).
     """
 
     def __init__(
@@ -39,27 +62,28 @@ class RectangularLatticeLayout(RegisterLayout):
         self._columns = int(columns)
         self._col_spacing = float(col_spacing)
         self._row_spacing = float(row_spacing)
-        slug = (
-            f"RectangularLatticeLayout({self._rows}x{self._columns}, "
-            f"{self._col_spacing}x{self._row_spacing}µm)"
-        )
-        self._traps = patterns.square_rect(self._rows, self._columns)
-        self._traps[:, 0] = self._traps[:, 0] * self._col_spacing
-        self._traps[:, 1] = self._traps[:, 1] * self._row_spacing
         super().__init__(
-            trap_coordinates=self._traps,
-            slug=slug,
+            trap_coordinates=_grid_points(
+                self._rows,
+                self._columns,
+                self._col_spacing,
+                self._row_spacing,
+            ),
+            slug=(
+                f"RectangularLatticeLayout({self._rows}x{self._columns}, "
+                f"{self._col_spacing}x{self._row_spacing}µm)"
+            ),
         )
 
     def square_register(self, side: int, prefix: str = "q") -> Register:
-        """Defines a register with a square shape.
+        """Carves a square register out of this layout.
 
         Args:
-            side: The length of the square's side, in number of atoms.
-            prefix: The prefix for the qubit ids.
+            side: Atoms per edge of the square.
+            prefix: Qubit ids become ``f"{prefix}{i}"``.
 
         Returns:
-            The register instance created from this layout.
+            The register, backed by this layout.
         """
         return self.rectangular_register(side, side, prefix=prefix)
 
@@ -69,29 +93,27 @@ class RectangularLatticeLayout(RegisterLayout):
         columns: int,
         prefix: str = "q",
     ) -> Register:
-        """Defines a register with a rectangular shape.
+        """Carves a rows x columns register out of this layout.
 
         Args:
-            rows: The number of rows in the register.
-            columns: The number of columns in the register.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows of atoms.
+            columns: How many columns of atoms.
+            prefix: Qubit ids become ``f"{prefix}{i}"``.
 
         Returns:
-            The register instance created from this layout.
+            The register, backed by this layout.
         """
         if rows > self._rows or columns > self._columns:
             raise ValueError(
                 f"A '{rows}x{columns}' array doesn't fit a "
                 f"{self._rows}x{self._columns} RectangularLatticeLayout."
             )
-        points = patterns.square_rect(rows, columns)
-        points[:, 0] = points[:, 0] * self._col_spacing
-        points[:, 1] = points[:, 1] * self._row_spacing
-        trap_ids = self.get_traps_from_coordinates(*points)
-        qubit_ids = [f"{prefix}{i}" for i in range(len(trap_ids))]
-        return cast(
-            "pulser_tpu.Register",
-            self.define_register(*trap_ids, qubit_ids=qubit_ids),
+        return _carve_register(
+            self,
+            _grid_points(
+                rows, columns, self._col_spacing, self._row_spacing
+            ),
+            prefix,
         )
 
     def _to_dict(self) -> dict[str, Any]:
@@ -105,63 +127,60 @@ class RectangularLatticeLayout(RegisterLayout):
 
 
 class SquareLatticeLayout(RectangularLatticeLayout):
-    """A RegisterLayout with a square lattice in a rectangular shape.
+    """A rectangular grid of traps with one common pitch.
 
     Args:
-        rows: The number of rows of traps.
-        columns: The number of columns of traps.
-        spacing: The distance between neighbouring traps (in µm).
+        rows: How many trap rows.
+        columns: How many trap columns.
+        spacing: The pitch between neighbouring traps (µm).
     """
 
     def __init__(self, rows: int, columns: int, spacing: float):
         """Initializes a SquareLatticeLayout."""
-        self._rows = int(rows)
-        self._columns = int(columns)
         self._spacing = float(spacing)
-        self._col_spacing = self._spacing
-        self._row_spacing = self._spacing
-        super().__init__(
-            self._rows, self._columns, self._spacing, self._spacing
-        )
-        slug = (
+        super().__init__(rows, columns, self._spacing, self._spacing)
+        # Replace the rectangular slug with the square-specific one.
+        object.__setattr__(
+            self,
+            "slug",
             f"SquareLatticeLayout({self._rows}x{self._columns}, "
-            f"{self._spacing}µm)"
+            f"{self._spacing}µm)",
         )
-        object.__setattr__(self, "slug", slug)
 
     def _to_dict(self) -> dict[str, Any]:
         return obj_to_dict(self, self._rows, self._columns, self._spacing)
 
 
 class TriangularLatticeLayout(RegisterLayout):
-    """A RegisterLayout with a triangular lattice in a hexagonal shape.
+    """Traps on a triangular lattice filling a hexagonal area.
 
     Args:
-        n_traps: The number of traps in the layout.
-        spacing: The distance between neighbouring traps (in µm).
+        n_traps: How many traps the layout holds.
+        spacing: The pitch between neighbouring traps (µm).
     """
 
     def __init__(self, n_traps: int, spacing: float):
         """Initializes a TriangularLatticeLayout."""
         self._spacing = float(spacing)
-        slug = (
-            f"TriangularLatticeLayout({int(n_traps)}, {self._spacing}µm)"
-        )
         super().__init__(
-            patterns.triangular_hex(int(n_traps)) * self._spacing, slug=slug
+            patterns.triangular_hex(int(n_traps)) * self._spacing,
+            slug=(
+                f"TriangularLatticeLayout({int(n_traps)},"
+                f" {self._spacing}µm)"
+            ),
         )
 
     def hexagonal_register(
         self, n_atoms: int, prefix: str = "q"
     ) -> Register:
-        """Defines a register with a hexagonal shape.
+        """Carves a hexagon-shaped register out of this layout.
 
         Args:
-            n_atoms: The number of atoms in the register.
-            prefix: The prefix for the qubit ids.
+            n_atoms: How many atoms the register holds.
+            prefix: Qubit ids become ``f"{prefix}{i}"``.
 
         Returns:
-            The register instance created from this layout.
+            The register, backed by this layout.
         """
         if n_atoms > self.number_of_traps:
             raise ValueError(
@@ -169,26 +188,22 @@ class TriangularLatticeLayout(RegisterLayout):
                 " there are traps in this TriangularLatticeLayout"
                 f" ({self.number_of_traps})."
             )
-        points = patterns.triangular_hex(n_atoms) * self._spacing
-        trap_ids = self.get_traps_from_coordinates(*points)
-        qubit_ids = [f"{prefix}{i}" for i in range(len(trap_ids))]
-        return cast(
-            "pulser_tpu.Register",
-            self.define_register(*trap_ids, qubit_ids=qubit_ids),
+        return _carve_register(
+            self, patterns.triangular_hex(n_atoms) * self._spacing, prefix
         )
 
     def rectangular_register(
         self, rows: int, atoms_per_row: int, prefix: str = "q"
     ) -> Register:
-        """Defines a register with a rectangular shape.
+        """Carves a rectangle out of this triangular lattice.
 
         Args:
-            rows: The number of rows in the register.
-            atoms_per_row: The number of atoms in each row.
-            prefix: The prefix for the qubit ids.
+            rows: How many rows of atoms.
+            atoms_per_row: Atoms per row.
+            prefix: Qubit ids become ``f"{prefix}{i}"``.
 
         Returns:
-            The register instance created from this layout.
+            The register, backed by this layout.
         """
         if rows * atoms_per_row > self.number_of_traps:
             raise ValueError(
@@ -196,14 +211,10 @@ class TriangularLatticeLayout(RegisterLayout):
                 "triangular lattice has more atoms than there are traps in"
                 f" this TriangularLatticeLayout ({self.number_of_traps})."
             )
-        points = (
-            patterns.triangular_rect(rows, atoms_per_row) * self._spacing
-        )
-        trap_ids = self.get_traps_from_coordinates(*points)
-        qubit_ids = [f"{prefix}{i}" for i in range(len(trap_ids))]
-        return cast(
-            "pulser_tpu.Register",
-            self.define_register(*trap_ids, qubit_ids=qubit_ids),
+        return _carve_register(
+            self,
+            patterns.triangular_rect(rows, atoms_per_row) * self._spacing,
+            prefix,
         )
 
     def _to_dict(self) -> dict[str, Any]:

@@ -1,13 +1,14 @@
-"""A set of traps defined by their coordinates.
+"""Trap sets: validated, canonically numbered coordinate collections.
 
 Behavioral parity with reference
-``pulser-core/pulser/register/traps.py:31``.
+``pulser-core/pulser/register/traps.py:31`` (trap numbering follows the
+canonical coordinate order; identity is the content hash).
 """
 
 from __future__ import annotations
 
-import hashlib
 from abc import ABC, abstractmethod
+from collections.abc import Iterator
 from dataclasses import dataclass
 from functools import cached_property
 from typing import Any
@@ -19,6 +20,30 @@ import pulser_tpu.math as pm
 from pulser_tpu.register._coordinates import COORD_PRECISION, CoordsCollection
 
 __all__ = ["Traps", "COORD_PRECISION"]
+
+
+def _checked_trap_coords(trap_coordinates: ArrayLike) -> None:
+    """Validates raw trap coordinates (shape, dimension, uniqueness)."""
+    bad_input = ValueError(
+        "'trap_coordinates' must be an array or list of coordinates."
+    )
+    try:
+        arr = pm.AbstractArray(trap_coordinates, dtype=float).as_array(
+            detach=True
+        )
+    except ValueError as e:
+        raise bad_input from e
+    if arr.ndim != 2:
+        raise bad_input
+    n_traps, dims = arr.shape
+    if dims not in (2, 3):
+        raise ValueError(
+            f"Each coordinate must be of size 2 or 3, not {dims}."
+        )
+    if len(np.unique(arr, axis=0)) != n_traps:
+        raise ValueError(
+            "All trap coordinates of a register layout must be unique."
+        )
 
 
 @dataclass(init=False, eq=False, frozen=True)
@@ -37,30 +62,7 @@ class Traps(ABC, CoordsCollection):
 
     def __init__(self, trap_coordinates: ArrayLike, slug: str | None = None):
         """Initializes a set of traps."""
-        array_type_error_msg = ValueError(
-            "'trap_coordinates' must be an array or list of coordinates."
-        )
-
-        try:
-            coords_arr = pm.AbstractArray(
-                trap_coordinates, dtype=float
-            ).as_array(detach=True)
-        except ValueError as e:
-            raise array_type_error_msg from e
-
-        shape = np.shape(coords_arr)
-        if len(shape) != 2:
-            raise array_type_error_msg
-
-        if shape[1] not in (2, 3):
-            raise ValueError(
-                f"Each coordinate must be of size 2 or 3, not {shape[1]}."
-            )
-
-        if len(np.unique(coords_arr, axis=0)) != shape[0]:
-            raise ValueError(
-                "All trap coordinates of a register layout must be unique."
-            )
+        _checked_trap_coords(trap_coordinates)
         object.__setattr__(self, "_coords", trap_coordinates)
         object.__setattr__(self, "slug", slug)
 
@@ -71,12 +73,15 @@ class Traps(ABC, CoordsCollection):
 
     @cached_property  # Acts as an attribute in a frozen dataclass
     def _coords_to_traps(self) -> dict[tuple[float, ...], int]:
-        return {tuple(coord): id for id, coord in self.traps_dict.items()}
+        return {
+            tuple(coord): trap_id
+            for trap_id, coord in enumerate(self.sorted_coords)
+        }
 
     @property
     def number_of_traps(self) -> int:
         """The number of traps in the layout."""
-        return len(self._sorted_coords)
+        return len(self._canonical_order)
 
     def get_traps_from_coordinates(
         self, *coordinates: ArrayLike
@@ -89,33 +94,34 @@ class Traps(ABC, CoordsCollection):
         Returns:
             The list of trap IDs corresponding to the coordinates.
         """
-        traps = []
-        rounded_coords = np.round(
+        lookup = self._coords_to_traps
+        keys = np.round(
             np.array(coordinates, dtype=float), decimals=COORD_PRECISION
         )
-        for coord, rounded in zip(coordinates, rounded_coords):
-            key = tuple(rounded)
-            if key not in self._coords_to_traps:
+        ids = []
+        for given, key in zip(coordinates, keys):
+            try:
+                ids.append(lookup[tuple(key)])
+            except KeyError:
                 raise ValueError(
-                    f"The coordinate '{coord!s}' is not a part of the "
+                    f"The coordinate '{given!s}' is not a part of the "
                     "RegisterLayout."
-                )
-            traps.append(self._coords_to_traps[key])
-        return traps
+                ) from None
+        return ids
 
-    @property
     @abstractmethod
-    def _hash_object(self) -> hashlib._Hash:
-        return super()._hash_object
+    def _hash_components(self) -> Iterator[bytes]:
+        # Subclasses must consciously define their hashed content.
+        yield from super()._hash_components()
 
     def static_hash(self) -> str:
         """Returns the idempotent hash as a hexstring (no '0x' prefix)."""
         return self._safe_hash().hex()
 
     def __eq__(self, other: Any) -> bool:
-        if not isinstance(other, Traps):
-            return False
-        return self._safe_hash() == other._safe_hash()
+        return isinstance(other, Traps) and (
+            self._safe_hash() == other._safe_hash()
+        )
 
     def __str__(self) -> str:
         return self.slug or self.__repr__()

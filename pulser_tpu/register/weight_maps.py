@@ -1,15 +1,16 @@
-"""Weight maps on top of traps.
+"""Maps of per-trap weights (e.g. detuning maps for DMM channels).
 
 Behavioral parity with reference
-``pulser-core/pulser/register/weight_maps.py:46-232`` (exact-spot or
-Gaussian-crosstalk qubit weight matching).
+``pulser-core/pulser/register/weight_maps.py:46-232``: qubits pick up
+weight from spots either exactly (within coordinate precision) or via a
+Gaussian crosstalk kernel exp(-d^2 / 2 w^2) when a spot waist is given.
 """
 
 from __future__ import annotations
 
-import hashlib
 import typing
 import warnings
+from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Any, Mapping, Optional, TypeVar, cast
 
@@ -32,6 +33,23 @@ WEIGHT_PRECISION = 6
 WeightMapType = TypeVar("WeightMapType", bound="WeightMap")
 
 
+def _checked_weights(
+    weights: typing.Sequence[float], n_traps: int
+) -> tuple[float, ...]:
+    """Validates a weight list against its trap count."""
+    if n_traps != len(weights):
+        raise ValueError("Number of traps and weights don't match.")
+    arr = np.array(weights)
+    if arr.min(initial=0) < 0 or arr.max(initial=0) > 1:
+        raise ValueError("All weights must be between 0 and 1.")
+    if not arr.any():
+        warnings.warn(
+            "A WeightMap should have at least one non-zero weight.",
+            stacklevel=4,
+        )
+    return tuple(weights)
+
+
 @dataclass(init=False, repr=False, eq=False, frozen=True)
 class WeightMap(Traps, RegDrawer):
     """Defines a generic map of weights on traps.
@@ -52,19 +70,11 @@ class WeightMap(Traps, RegDrawer):
     ) -> None:
         """Initializes a new weight map."""
         super().__init__(trap_coordinates, slug)
-        if len(cast(list, trap_coordinates)) != len(weights):
-            raise ValueError("Number of traps and weights don't match.")
-        if not (
-            np.all(np.array(weights) >= 0)
-            and np.all(np.array(weights) <= 1)
-        ):
-            raise ValueError("All weights must be between 0 and 1.")
-        if np.count_nonzero(weights) == 0:
-            warnings.warn(
-                "A WeightMap should have at least one non-zero weight.",
-                stacklevel=3,
-            )
-        object.__setattr__(self, "weights", tuple(weights))
+        object.__setattr__(
+            self,
+            "weights",
+            _checked_weights(weights, len(cast(list, trap_coordinates))),
+        )
 
     @property
     def trap_coordinates(self) -> np.ndarray:
@@ -72,14 +82,10 @@ class WeightMap(Traps, RegDrawer):
         return self._coords_arr.as_array(detach=True)
 
     @property
-    def _rounded_weights(self) -> np.ndarray:
-        return np.round(self.weights, decimals=WEIGHT_PRECISION)
-
-    @property
     def sorted_weights(self) -> np.ndarray:
-        """The weights sorted to match the sorted trap coordinates."""
-        sorting = self._calc_sorting_order()
-        return cast(np.ndarray, self._rounded_weights[sorting])
+        """The weights, reordered to follow the sorted trap coordinates."""
+        rounded = np.round(self.weights, decimals=WEIGHT_PRECISION)
+        return cast(np.ndarray, rounded[self._canonical_order])
 
     def get_qubit_weight_map(
         self,
@@ -88,27 +94,23 @@ class WeightMap(Traps, RegDrawer):
     ) -> dict[QubitId, float]:
         """Creates a map between qubit IDs and the weight on their sites.
 
-        Qubits are matched to spots either exactly (within coordinate
-        precision) or through a Gaussian crosstalk kernel
-        exp(-d²/2w²) when ``spot_waist`` is given.
+        Each qubit's weight is the sum of spot weights seen through the
+        spot response: a Gaussian of waist ``spot_waist`` when given,
+        otherwise an exact-position indicator (coordinate precision).
         """
-        coords_arr = self.sorted_coords
-        weights_arr = self.sorted_weights
-        q_pos_arr = (
+        positions = (
             pm.vstack(list(qubits.values()))
             .astype(float)
             .as_array(detach=True)
         )
-        dists = cdist(q_pos_arr, coords_arr)
-
+        dists = cdist(positions, self.sorted_coords)
         if spot_waist:
-            spots_shape = np.exp(-(dists**2) / (2 * spot_waist**2))
+            response = np.exp(-(dists**2) / (2 * spot_waist**2))
         else:
-            # Every point within COORD_PRECISION in x and y
-            spots_shape = dists < np.sqrt(2) * (10 ** (-COORD_PRECISION))
-
-        total_weights = spots_shape @ weights_arr
-        return dict(zip(qubits.keys(), total_weights))
+            # Exact match: within COORD_PRECISION in both x and y.
+            response = dists < np.sqrt(2) * (10**-COORD_PRECISION)
+        picked_up = response @ self.sorted_weights
+        return dict(zip(qubits.keys(), picked_up))
 
     def with_pos_offset(
         self: WeightMapType, x_offset: float, y_offset: float
@@ -119,10 +121,10 @@ class WeightMap(Traps, RegDrawer):
             x_offset: The shift along x, in µm.
             y_offset: The shift along y, in µm.
         """
-        new_coords = np.array(self.trap_coordinates)
-        new_coords[:, :2] += np.array([x_offset, y_offset])
+        shifted = np.array(self.trap_coordinates)
+        shifted[:, :2] += (x_offset, y_offset)
         return type(self)(
-            trap_coordinates=new_coords, weights=self.weights, slug=self.slug
+            trap_coordinates=shifted, weights=self.weights, slug=self.slug
         )
 
     def draw(
@@ -145,38 +147,30 @@ class WeightMap(Traps, RegDrawer):
         import matplotlib.pyplot as plt
 
         pos = self.trap_coordinates
-        custom_ax = custom_ax or cast(
-            "Axes", self._initialize_fig_axes(pos)[1]
-        )
+        if custom_ax is None:
+            custom_ax = cast("Axes", self._initialize_fig_axes(pos)[1])
 
-        labels_ = (
-            labels
-            if labels is not None
-            else [str(i) for i in range(len(pos))]
+        shown_labels = (
+            [str(i) for i in range(len(pos))] if labels is None else labels
         )
-
         super()._draw_2D(
             custom_ax,
             pos,
-            labels_,
+            shown_labels,
             with_labels=labels is not None,
             are_traps=True,
-            dmm_qubits=dict(zip(labels_, self.weights)),
+            dmm_qubits=dict(zip(shown_labels, self.weights)),
         )
-
         if fig_name is not None:
             plt.savefig(fig_name, **kwargs_savefig)
-
         if show:
             plt.show()
 
-    @property
-    def _hash_object(self) -> hashlib._Hash:
-        hash_ = super()._hash_object
-        # Include the weights and the type in the hash
-        hash_.update(self.sorted_weights.tobytes())
-        hash_.update(type(self).__name__.encode())
-        return hash_
+    def _hash_components(self) -> Iterator[bytes]:
+        yield from super()._hash_components()
+        # The weights and the concrete type are part of the identity.
+        yield self.sorted_weights.tobytes()
+        yield type(self).__name__.encode()
 
     def __repr__(self) -> str:
         return f"{type(self).__name__}_{self._safe_hash().hex()}"
@@ -190,18 +184,14 @@ class WeightMap(Traps, RegDrawer):
         )
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        d: dict[str, Any] = dict(
-            traps=[
-                {"weight": weight, "x": x, "y": y}
-                for weight, (x, y) in zip(
-                    self.sorted_weights,
-                    self.sorted_coords,
-                )
-            ]
-        )
+        spots = [
+            {"weight": w, "x": x, "y": y}
+            for w, (x, y) in zip(self.sorted_weights, self.sorted_coords)
+        ]
+        out: dict[str, Any] = dict(traps=spots)
         if self.slug is not None:
-            d["slug"] = self.slug
-        return d
+            out["slug"] = self.slug
+        return out
 
 
 @dataclass(init=False, repr=False, eq=False, frozen=True)
