@@ -1,7 +1,10 @@
-"""The abstract base classes for callbacks and observables.
+"""Callbacks and observables: the emulator's metrics pipeline.
 
 API parity with reference
-``pulser-core/pulser/backend/observable.py:40-242``.
+``pulser-core/pulser/backend/observable.py:40-242``. A ``Callback``
+fires at every solver step; an ``Observable`` additionally computes a
+value at its evaluation times and records it into ``Results`` under its
+tag, with a declared cross-trajectory aggregation method.
 """
 
 from __future__ import annotations
@@ -25,12 +28,8 @@ if TYPE_CHECKING:
 TIME_TOLERANCE = 1e-12
 
 
-def _fuzzy_unique_sorted(sorted: np.ndarray, tolerance: float) -> bool:
-    return not np.any(np.abs(sorted[:-1] - sorted[1:]) < tolerance)
-
-
 class Callback(ABC):
-    """A general Callback that is called during the emulation."""
+    """A hook invoked at every emulation step."""
 
     def __init__(self) -> None:
         """Initializes a Callback."""
@@ -50,16 +49,14 @@ class Callback(ABC):
         hamiltonian: Operator,
         result: Results,
     ) -> None:
-        """A call to the callback at a specific time.
-
-        Called after each time step performed by the emulator.
+        """Invoked by the emulator after every time step.
 
         Args:
-            config: The config object passed to the backend.
-            t: The relative time as a float between 0 and 1.
-            state: The current state.
-            hamiltonian: The Hamiltonian at this time.
-            result: The Results object to store the result in.
+            config: The backend's configuration.
+            t: Relative time in [0, 1].
+            state: The state after this step.
+            hamiltonian: The Hamiltonian at ``t``.
+            result: Where a callback may record values.
         """
 
 
@@ -74,17 +71,16 @@ class AggregationMethod(IntEnum):
 
 
 class Observable(Callback):
-    """The Observable abstract base class.
+    """A quantity recorded into Results at chosen times.
 
     Args:
-        evaluation_times: The times at which to add a result to Results.
-            If left as `None`, uses the ``default_evaluation_times`` of
-            the backend's ``EmulationConfig``.
-        tag_suffix: An optional suffix to append to the tag. Needed if
-            multiple instances of the same observable are given to the
-            same EmulationConfig.
-        default_aggregation_method: How to combine the values of this
-            observable from multiple results.
+        evaluation_times: Relative times (in [0, 1]) at which to record;
+            falls back to the config's ``default_evaluation_times`` when
+            None.
+        tag_suffix: Disambiguates the tag when one config carries
+            several instances of the same observable type.
+        default_aggregation_method: How values from several trajectories
+            merge during ``Results.aggregate``.
     """
 
     evaluation_times: NDArray[np.floating[Any]] | None
@@ -99,22 +95,72 @@ class Observable(Callback):
         """Initializes the observable."""
         super().__init__()
         self.evaluation_times = (
-            self._validate_eval_times(evaluation_times)
-            if evaluation_times is not None
-            else None
+            None
+            if evaluation_times is None
+            else self._validate_eval_times(evaluation_times)
         )
         self._tag_suffix = tag_suffix
         self._default_aggregation_method = default_aggregation_method
 
     @property
     def default_aggregation_method(self) -> AggregationMethod:
-        """How the values from multiple results are combined."""
+        """The cross-trajectory merge rule for this observable."""
         return self._default_aggregation_method
 
     @property
     @abstractmethod
     def _base_tag(self) -> str:
         pass
+
+    @property
+    def tag(self) -> str:
+        """The key under which values land in the Results object."""
+        suffix = "" if self._tag_suffix is None else f"_{self._tag_suffix}"
+        return self._base_tag + suffix
+
+    def _is_due(self, config: EmulationConfig, t: float, tol: float) -> bool:
+        """Whether `t` matches this observable's evaluation times."""
+        if self.evaluation_times is not None:
+            return bool(
+                config.is_time_in_evaluation_times(
+                    t, self.evaluation_times, tol=tol
+                )
+            )
+        return bool(config.is_evaluation_time(t, tol=tol))
+
+    def __call__(
+        self,
+        config: EmulationConfig,
+        t: float,
+        state: State,
+        hamiltonian: Operator,
+        result: Results,
+    ) -> None:
+        """Records ``apply()``'s value when ``t`` is an evaluation time."""
+        # Half a time step when the duration is known, else loose.
+        tol = (
+            (0.5 / result.total_duration)
+            if result.total_duration
+            else 1e-6
+        )
+        if self._is_due(config, t, tol):
+            result._store(
+                observable=self,
+                time=t,
+                value=self.apply(
+                    config=config, state=state, hamiltonian=hamiltonian
+                ),
+            )
+
+    @abstractmethod
+    def apply(
+        self,
+        *,
+        config: EmulationConfig,
+        state: State,
+        hamiltonian: Operator,
+    ) -> Any:
+        """Computes this observable's value for one time step."""
 
     def _to_abstract_repr(self) -> dict[str, Any]:
         return {
@@ -127,55 +173,6 @@ class Observable(Callback):
             "uuid": str(self._uuid),
         }
 
-    @property
-    def tag(self) -> str:
-        """Label for the observable, used to index the Results object."""
-        if self._tag_suffix is None:
-            return self._base_tag
-        return f"{self._base_tag}_{self._tag_suffix}"
-
-    def __call__(
-        self,
-        config: EmulationConfig,
-        t: float,
-        state: State,
-        hamiltonian: Operator,
-        result: Results,
-    ) -> None:
-        """A call to the observable at a specific time.
-
-        Calls `apply()` to compute a result and stores it in Results if
-        t is in self.evaluation_times.
-        """
-        time_tol = (
-            (0.5 / result.total_duration)
-            if result.total_duration
-            else 1e-6
-        )
-        if (
-            self.evaluation_times is not None
-            and config.is_time_in_evaluation_times(
-                t, self.evaluation_times, tol=time_tol
-            )
-        ) or (
-            self.evaluation_times is None
-            and config.is_evaluation_time(t, tol=time_tol)
-        ):
-            value_to_store = self.apply(
-                config=config, state=state, hamiltonian=hamiltonian
-            )
-            result._store(observable=self, time=t, value=value_to_store)
-
-    @abstractmethod
-    def apply(
-        self,
-        *,
-        config: EmulationConfig,
-        state: State,
-        hamiltonian: Operator,
-    ) -> Any:
-        """Calculates the observable to store in the Results."""
-
     def __repr__(self) -> str:
         return f"{self.tag}:{self.uuid}"
 
@@ -183,23 +180,21 @@ class Observable(Callback):
     def _validate_eval_times(
         evaluation_times: ArrayLike | Sequence[float],
     ) -> NDArray[np.floating[Any]]:
-        eval_times_arr = np.array(evaluation_times, dtype=float)
-        if np.any((eval_times_arr < 0.0) | (eval_times_arr > 1.0)):
+        times = np.array(evaluation_times, dtype=float)
+        if times.min(initial=0) < 0.0 or times.max(initial=0) > 1.0:
             raise ValueError(
                 "All evaluation times must be between 0. and 1. "
                 f"Instead, got {evaluation_times!r}."
             )
-        unique_eval_times = _fuzzy_unique_sorted(
-            eval_times_arr, TIME_TOLERANCE
-        )
-        if not unique_eval_times:
+        gaps = np.diff(times)
+        if np.any(np.abs(gaps) < TIME_TOLERANCE):
             raise ValueError(
                 f"Evaluation times must be unique up to {TIME_TOLERANCE}"
                 f" but {evaluation_times!r} has repeated values."
             )
-        if not np.all(eval_times_arr[:-1] < eval_times_arr[1:]):
+        if np.any(gaps <= 0):
             raise ValueError(
                 "Evaluation times must be in ascending order."
                 f"Instead, got {evaluation_times!r}."
             )
-        return eval_times_arr
+        return times

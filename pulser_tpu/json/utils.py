@@ -1,4 +1,4 @@
-"""Utility functions for JSON serializations.
+"""Shared helpers for the JSON serialization layers.
 
 API parity with reference ``pulser-core/pulser/json/utils.py``.
 """
@@ -19,14 +19,14 @@ if TYPE_CHECKING:
 
 
 def get_dataclass_defaults(fields: tuple[Field, ...]) -> dict[str, Any]:
-    """Gets the defaults for the fields that have them."""
-    defaults = {}
+    """Collects each dataclass field's default, where one exists."""
+    out: dict[str, Any] = {}
     for field in fields:
         if field.default is not MISSING:
-            defaults[field.name] = field.default
+            out[field.name] = field.default
         elif field.default_factory is not MISSING:
-            defaults[field.name] = field.default_factory()
-    return defaults
+            out[field.name] = field.default_factory()
+    return out
 
 
 def obj_to_dict(
@@ -38,68 +38,75 @@ def obj_to_dict(
     _submodule: Optional[str] = None,
     **kwargs: Any,
 ) -> dict[str, Any]:
-    """Encodes an object in a dictionary for (legacy) serialization.
+    """The legacy-JSON record for reconstructing an object.
 
     Args:
-        obj: The object to encode in the dictionary.
+        obj: The object being recorded.
 
     Other Parameters:
-        _build: Whether the object is to be built on deserialization.
-        _module: Custom name for the module containing the object.
-        _name: Custom name of the object.
-        _submodule: Name of a submodule (e.g. the class holding a
-            classmethod). Only used when defined.
-        args: If the object is to be built, the arguments to give on creation.
-        kwargs: If the object is to be built, the keyword arguments to give
-            on creation.
+        _build: False when the record is a bare reference that should
+            not be instantiated on decode.
+        _module: Overrides the recorded module path.
+        _name: Overrides the recorded object name.
+        _submodule: A class holding the recorded classmethod, when one
+            applies.
+        args: Constructor positional arguments, for buildable records.
+        kwargs: Constructor keyword arguments, for buildable records.
 
     Returns:
         The dictionary encoding the object.
     """
-    d = {
+    cls = obj.__class__
+    record: dict[str, Any] = {
         "_build": _build,
-        "__module__": _module if _module else obj.__class__.__module__,
-        "__name__": _name if _name else obj.__class__.__name__,
+        "__module__": _module or cls.__module__,
+        "__name__": _name or cls.__name__,
     }
     if _build:
-        d["__args__"] = args
-        d["__kwargs__"] = kwargs
+        record["__args__"] = args
+        record["__kwargs__"] = kwargs
     if _submodule:
-        d["__submodule__"] = _submodule
+        record["__submodule__"] = _submodule
 
     from pulser_tpu.json.supported import validate_serialization
 
-    validate_serialization(d)
-    return d
+    validate_serialization(record)
+    return record
+
+
+class _NumpyAwareEncoder(json.JSONEncoder):
+    """Falls back to tolist() for numpy arrays."""
+
+    def default(self, o: Any) -> Any:
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return json.JSONEncoder.default(self, o)
 
 
 def make_json_compatible(obj: Any) -> Any:
-    """Makes an object compatible with JSON serialization."""
-
-    class NumpyEncoder(json.JSONEncoder):
-        def default(self, o: Any) -> Any:
-            if isinstance(o, np.ndarray):
-                return o.tolist()
-            return json.JSONEncoder.default(self, o)
-
-    return json.loads(json.dumps(obj, cls=NumpyEncoder))
+    """Round-trips an object through JSON to plain python types."""
+    return json.loads(json.dumps(obj, cls=_NumpyAwareEncoder))
 
 
 def stringify_qubit_ids(qubit_ids: Sequence[QubitId]) -> list[str]:
-    """Converts all qubit IDs into strings and looks for conflicts."""
-    not_str = [id for id in qubit_ids if not isinstance(id, str)]
+    """Casts qubit IDs to str, refusing casts that collide."""
     names = [str(id) for id in qubit_ids]
-    if not_str:
+    non_str_ids = [id for id in qubit_ids if not isinstance(id, str)]
+    if non_str_ids:
         warnings.warn(
             "Register serialization to an abstract representation "
             "irreversibly converts all qubit ID's to strings.",
             stacklevel=2,
         )
         if len(set(names)) < len(names):
-            collisions = [id for id in not_str if str(id) in qubit_ids]
+            clashes = [
+                (id, str(id))
+                for id in non_str_ids
+                if str(id) in qubit_ids
+            ]
             raise AbstractReprError(
                 "Name collisions encountered when converting qubit IDs to "
-                f"strings for IDs: {[(id, str(id)) for id in collisions]}"
+                f"strings for IDs: {clashes}"
             )
     return names
 
@@ -116,5 +123,5 @@ ObjectType = Literal[
 
 
 def get_filename(object_type: ObjectType) -> str:
-    """Return the schema filename for a given object type."""
+    """The JSON-schema filename validating the given object type."""
     return f"{object_type}-schema.json"

@@ -1,7 +1,10 @@
-"""The Variable and VariableItem classes.
+"""Named, typed variables for deferred sequence building.
 
 API parity with reference
-``pulser-core/pulser/parametrized/variable.py:32-183``.
+``pulser-core/pulser/parametrized/variable.py:32-183``. A ``Variable``
+holds no value until ``Sequence.build`` assigns one; ``_count`` bumps
+on every (re)assignment so cached ``ParamObj`` results can detect
+staleness.
 """
 
 from __future__ import annotations
@@ -21,12 +24,12 @@ from pulser_tpu.parametrized.paramobj import OpSupport
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class Variable(Parametrized, OpSupport):
-    """A variable for parametrized sequence building.
+    """A placeholder value, bound only when the sequence is built.
 
     Args:
-        name: Unique name for the variable.
-        dtype: Type of the variable's content. Supports `float` and `int`.
-        size: The number of values stored. Defaults to a single value.
+        name: The variable's unique name.
+        dtype: What the contents are cast to — `float` or `int`.
+        size: How many values it holds (a scalar when 1, the default).
     """
 
     name: str
@@ -40,26 +43,27 @@ class Variable(Parametrized, OpSupport):
             raise TypeError(f"Invalid data type '{self.dtype}' for Variable.")
         if not isinstance(self.size, int):
             raise TypeError("Given variable 'size' is not of type 'int'.")
-        elif self.size < 1:
+        if self.size < 1:
             raise ValueError("Variables must be of size 1 or larger.")
-
-        self._count: int
         object.__setattr__(self, "_count", -1)
         self._clear()
 
     @property
     def variables(self) -> dict[str, Variable]:
-        """Returns a dictionary with the only variable involved (itself)."""
+        """Itself, keyed by name (a Variable is its own dependency)."""
         return {self.name: self}
 
-    def _clear(self) -> None:
-        object.__setattr__(self, "value", None)
+    def _set_state(self, value: pm.AbstractArray | None) -> None:
+        """Stores a new value and bumps the assignment counter."""
+        object.__setattr__(self, "value", value)
         object.__setattr__(self, "_count", self._count + 1)
 
+    def _clear(self) -> None:
+        self._count: int
+        self._set_state(None)
+
     def _assign(self, value: Union[ArrayLike, float, int]) -> None:
-        val = self._validate_value(value)
-        object.__setattr__(self, "value", val)
-        object.__setattr__(self, "_count", self._count + 1)
+        self._set_state(self._validate_value(value))
 
     def _validate_value(
         self, value: Union[ArrayLike, float, int]
@@ -73,16 +77,16 @@ class Variable(Parametrized, OpSupport):
         return val
 
     def build(self) -> pm.AbstractArray:
-        """Returns the variable's current value."""
+        """The currently assigned value; fails when unbound."""
         self.value: pm.AbstractArray | None
         if self.value is None:
             raise ValueError(f"No value assigned to variable '{self.name}'.")
         return cast(pm.AbstractArray, self.value)
 
     def _to_dict(self) -> dict[str, Any]:
-        d = obj_to_dict(self, _build=False)
-        d.update(dataclasses.asdict(self))
-        return d
+        out = obj_to_dict(self, _build=False)
+        out.update(dataclasses.asdict(self))
+        return out
 
     def _to_abstract_repr(self) -> dict[str, str]:
         return {"variable": self.name}
@@ -90,38 +94,39 @@ class Variable(Parametrized, OpSupport):
     def __str__(self) -> str:
         return self.name
 
-    def _in_bounds(self, ind: int) -> bool:
-        return -self.size <= ind < self.size
+    def _checked_key(
+        self, key: Union[int, slice, abc.Sequence[int]]
+    ) -> Union[int, slice, list[int]]:
+        """Type- and bounds-checks an indexing key."""
+        if isinstance(key, slice):
+            return key
+        if isinstance(key, int):
+            flat: Union[int, list[int]] = key
+            to_check = [key]
+        elif isinstance(key, abc.Sequence):
+            flat = list(key)
+            to_check = flat
+        else:
+            raise TypeError(
+                f"Invalid key type {type(key)} for '{self.name}'."
+            )
+        for entry in to_check:
+            if not isinstance(entry, int):
+                raise TypeError(
+                    f"Invalid index type {type(entry)} for variable "
+                    f"'{self.name}'."
+                )
+            if not -self.size <= entry < self.size:
+                raise IndexError(
+                    f"Index {entry} out of bounds for variable"
+                    f" '{self.name}' with size {self.size}."
+                )
+        return flat
 
     def __getitem__(
         self, key: Union[int, slice, abc.Sequence[int]]
     ) -> VariableItem:
-        if not isinstance(key, (int, slice, abc.Sequence)):
-            raise TypeError(
-                f"Invalid key type {type(key)} for '{self.name}'."
-            )
-        bad_ind = None
-        if isinstance(key, int):
-            if not self._in_bounds(key):
-                bad_ind = key
-        elif isinstance(key, abc.Sequence):
-            for ind_ in key:
-                if not isinstance(ind_, int):
-                    raise TypeError(
-                        f"Invalid index type {type(ind_)} for variable "
-                        f"'{self.name}'."
-                    )
-                if not self._in_bounds(ind_):
-                    bad_ind = ind_
-                    break
-            else:
-                key = list(key)
-        if bad_ind is not None:
-            raise IndexError(
-                f"Index {bad_ind} out of bounds for variable '{self.name}' "
-                f"with size {self.size}."
-            )
-        return VariableItem(self, key)
+        return VariableItem(self, self._checked_key(key))
 
     def __len__(self) -> int:
         return self.size
@@ -133,18 +138,18 @@ class Variable(Parametrized, OpSupport):
 
 @dataclasses.dataclass(frozen=True)
 class VariableItem(Parametrized, OpSupport):
-    """Stores access to items of a variable with multiple values."""
+    """Deferred indexing into a multi-valued Variable."""
 
     var: Variable
     key: Union[int, slice, abc.Sequence[int]]
 
     @property
     def variables(self) -> dict[str, Variable]:
-        """All the variables involved with this object."""
+        """The parent variable, keyed by name."""
         return self.var.variables
 
     def build(self) -> pm.AbstractArray:
-        """Return the variable's item(s) values."""
+        """The selected entries of the parent variable's value."""
         return self.var.build()[self.key]
 
     def _to_dict(self) -> dict[str, Any]:
@@ -153,23 +158,19 @@ class VariableItem(Parametrized, OpSupport):
         )
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        indices: Union[int, list[int]]
         if isinstance(self.key, abc.Sequence):
-            indices = list(self.key)
+            picked: Union[int, list[int]] = list(self.key)
         else:
-            indices = list(range(self.var.size))[self.key]
-        return {"expression": "index", "lhs": self.var, "rhs": indices}
+            picked = list(range(self.var.size))[self.key]
+        return {"expression": "index", "lhs": self.var, "rhs": picked}
 
     def __str__(self) -> str:
         if isinstance(self.key, slice):
-            items = [
-                "" if x is None else str(x)
-                for x in [self.key.start, self.key.stop, self.key.step]
-            ]
-            key_str = ":".join(items)
+            parts = (self.key.start, self.key.stop, self.key.step)
+            shown = ":".join("" if p is None else str(p) for p in parts)
         else:
-            key_str = str(self.key)
-        return f"{str(self.var)}[{key_str}]"
+            shown = str(self.key)
+        return f"{str(self.var)}[{shown}]"
 
     def __len__(self) -> int:
         if isinstance(self.key, int):

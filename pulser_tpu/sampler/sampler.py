@@ -1,4 +1,4 @@
-"""The main function for sequence sampling.
+"""Lowering a built Sequence into dense per-channel time series.
 
 Behavioral parity with reference
 ``pulser-core/pulser/sampler/sampler.py:15``.
@@ -6,14 +6,46 @@ Behavioral parity with reference
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Any, Optional
+from typing import TYPE_CHECKING, Optional
 
-from pulser_tpu.sampler.samples import SequenceSamples, _SlmMask
+from pulser_tpu.sampler.samples import (
+    ChannelSamples,
+    SequenceSamples,
+    _SlmMask,
+)
 
 if TYPE_CHECKING:
     from pulser_tpu import Sequence
 
 IGNORE_DETUNED_DELAY_PHASE = True
+
+
+def _lower_channel(
+    seq: Sequence,
+    ch_schedule,
+    modulation: bool,
+    extended_duration: Optional[int],
+) -> ChannelSamples:
+    """Samples one channel schedule, with optional padding/modulation."""
+    kwargs = dict(ignore_detuned_delay_phase=IGNORE_DETUNED_DELAY_PHASE)
+    if hasattr(ch_schedule, "detuning_map"):
+        # DMM samples need the qubit positions to resolve weights.
+        if seq.is_register_mappable():
+            raise NotImplementedError(
+                "Sequences with a DMM channel can't be sampled while "
+                "their register is mappable."
+            )
+        kwargs["qubits"] = seq.register.qubits
+    out = ch_schedule.get_samples(**kwargs)
+    if extended_duration:
+        out = out.extend_duration(extended_duration)
+    if modulation:
+        out = out.modulate(
+            ch_schedule.channel_obj,
+            max_duration=extended_duration
+            or ch_schedule.get_duration(include_fall_time=True),
+        )
+    return out
 
 
 def sample(
@@ -34,44 +66,25 @@ def sample(
             "Parametrized sequences can't be sampled."
         )
 
-    samples_list = []
-    for ch_schedule in seq._schedule.values():
-        kwargs: dict[str, Any] = dict(
-            ignore_detuned_delay_phase=IGNORE_DETUNED_DELAY_PHASE
-        )
-        if hasattr(ch_schedule, "detuning_map"):
-            if seq.is_register_mappable():
-                raise NotImplementedError(
-                    "Sequences with a DMM channel can't be sampled while "
-                    "their register is mappable."
-                )
-            kwargs["qubits"] = seq.register.qubits
-        samples = ch_schedule.get_samples(**kwargs)
-        if extended_duration:
-            samples = samples.extend_duration(extended_duration)
-        if modulation:
-            samples = samples.modulate(
-                ch_schedule.channel_obj,
-                max_duration=extended_duration
-                or ch_schedule.get_duration(include_fall_time=True),
-            )
-        samples_list.append(samples)
+    per_channel = [
+        _lower_channel(seq, sched, modulation, extended_duration)
+        for sched in seq._schedule.values()
+    ]
 
-    optionals: dict = dict()
+    extras: dict = dict()
     if seq._slm_mask_targets and seq._slm_mask_time:
-        optionals["_slm_mask"] = _SlmMask(
-            seq._slm_mask_targets,
-            seq._slm_mask_time[1],
+        extras["_slm_mask"] = _SlmMask(
+            seq._slm_mask_targets, seq._slm_mask_time[1]
         )
     if seq._in_xy:
-        optionals["_magnetic_field"] = seq.magnetic_field
+        extras["_magnetic_field"] = seq.magnetic_field
     if hasattr(seq, "_measurement"):
-        optionals["_measurement"] = seq._measurement
+        extras["_measurement"] = seq._measurement
 
     return SequenceSamples(
         list(seq.declared_channels.keys()),
-        samples_list,
+        per_channel,
         seq.declared_channels,
         seq._basis_ref,
-        **optionals,
+        **extras,
     )

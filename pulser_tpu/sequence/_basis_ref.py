@@ -1,7 +1,9 @@
-"""Tracking of the phase reference and usage of a qubit over time.
+"""Per-qubit phase references and usage tracking.
 
 Behavioral parity with reference
-``pulser-core/pulser/sequence/_basis_ref.py:22-99``.
+``pulser-core/pulser/sequence/_basis_ref.py:22-99``: each qubit carries
+a piecewise-constant phase reference (virtual-Z bookkeeping) plus the
+last time it was addressed.
 """
 
 from __future__ import annotations
@@ -10,43 +12,57 @@ from typing import Generator, Union
 
 import numpy as np
 
+_TWO_PI = 2 * np.pi
+
+
+def _wrap(phi: float) -> float:
+    """Folds a phase into [0, 2π)."""
+    return phi % _TWO_PI
+
 
 class _QubitRef:
+    """A qubit's phase reference and last-used time."""
+
     def __init__(self) -> None:
         self.phase = _PhaseTracker(0)
-        self._last_used_history = [0]
+        self._usage_times: set[int] = {0}
 
     @property
     def last_used(self) -> int:
-        return max(self._last_used_history)
+        return max(self._usage_times)
 
     def increment_phase(self, phi: float) -> None:
         self.phase[self.last_used] = self.phase.last_phase + phi
 
     def update_last_used(self, new_t: int) -> None:
-        self._last_used_history.append(new_t)
+        self._usage_times.add(new_t)
 
     def truncate(self, t: int) -> None:
         self.phase.truncate(t)
-        self._last_used_history = [
-            t_ for t_ in self._last_used_history if t_ <= t
-        ]
+        self._usage_times = {t_ for t_ in self._usage_times if t_ <= t}
 
 
 class _PhaseTracker:
-    """Tracks a piecewise-constant phase reference over time."""
+    """A piecewise-constant phase reference over (integer) time.
+
+    Stored as time-ordered (time, phase) breakpoints; the phase between
+    breakpoints is the value at the previous one.
+    """
 
     def __init__(self, initial_phase: float):
-        self._times: list[int] = [0]
-        self._phases: list[float] = [self._format(initial_phase)]
+        self._steps: list[tuple[int, float]] = [(0, _wrap(initial_phase))]
+
+    @property
+    def _times(self) -> list[int]:
+        return [t for t, _ in self._steps]
 
     @property
     def last_time(self) -> int:
-        return self._times[-1]
+        return self._steps[-1][0]
 
     @property
     def last_phase(self) -> float:
-        return self._phases[-1]
+        return self._steps[-1][1]
 
     def changes(
         self,
@@ -55,37 +71,25 @@ class _PhaseTracker:
         time_scale: float = 1.0,
     ) -> Generator[tuple[float, float], None, None]:
         """Phase changes within ]ti, tf]."""
-        start, end = np.searchsorted(
+        lo, hi = np.searchsorted(
             self._times, (ti * time_scale, tf * time_scale), side="right"
         )
-        for i in range(start, end):
-            change = self._phases[i] - self._phases[i - 1]
-            yield (self._times[i] / time_scale, change)
+        for i in range(lo, hi):
+            jump = self._steps[i][1] - self._steps[i - 1][1]
+            yield (self._steps[i][0] / time_scale, jump)
 
     def truncate(self, threshold: int) -> None:
-        new_times = []
-        new_phases = []
-        for t, ph in zip(self._times, self._phases):
-            if t > threshold:
-                continue
-            new_times.append(t)
-            new_phases.append(ph)
-        self._times = new_times
-        self._phases = new_phases
-
-    def _format(self, phi: float) -> float:
-        return phi % (2 * np.pi)
+        self._steps = [(t, p) for t, p in self._steps if t <= threshold]
 
     def __setitem__(self, t: int, phi: float) -> None:
-        phase = self._format(phi)
-        if t in self._times:
-            ind = self._times.index(t)
-            self._phases[ind] = phase
+        entry = (t, _wrap(phi))
+        times = self._times
+        if t in times:
+            self._steps[times.index(t)] = entry
         else:
-            ind = int(np.searchsorted(self._times, t, side="right"))
-            self._times.insert(ind, t)
-            self._phases.insert(ind, phase)
+            at = int(np.searchsorted(times, t, side="right"))
+            self._steps.insert(at, entry)
 
     def __getitem__(self, t: int) -> float:
-        ind = int(np.searchsorted(self._times, t, side="right")) - 1
-        return self._phases[ind]
+        at = int(np.searchsorted(self._times, t, side="right")) - 1
+        return self._steps[at][1]
