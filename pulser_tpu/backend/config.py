@@ -1,7 +1,9 @@
 """The backend configuration classes.
 
 API parity with reference
-``pulser-core/pulser/backend/config.py:57-578``.
+``pulser-core/pulser/backend/config.py:57-578``. Validation is split
+into focused helpers; the config itself is an immutable bag of options
+exposed through ``__getattr__``.
 """
 
 from __future__ import annotations
@@ -70,18 +72,17 @@ class BackendConfig:
     ) -> None:
         """Initializes the backend config."""
         cls_name = self.__class__.__name__
-        if self._enforce_expected_kwargs and (
-            invalid_kwargs := (
-                set(backend_options)
-                - (self._expected_kwargs() | {"backend_options"})
+        if self._enforce_expected_kwargs:
+            unknown = set(backend_options) - (
+                self._expected_kwargs() | {"backend_options"}
             )
-        ):
-            raise ValueError(
-                f"{cls_name!r} received unexpected keyword arguments: "
-                f"{invalid_kwargs}; only the following keyword "
-                f"arguments are expected: {self._expected_kwargs()}. "
-            )
-        # Store a deep copy to prevent issues with mutable arguments
+            if unknown:
+                raise ValueError(
+                    f"{cls_name!r} received unexpected keyword arguments: "
+                    f"{unknown}; only the following keyword "
+                    f"arguments are expected: {self._expected_kwargs()}. "
+                )
+        # A deep copy detaches the stored options from caller mutations.
         super().__setattr__(
             "_backend_options", copy.deepcopy(backend_options)
         )
@@ -137,11 +138,124 @@ class BackendConfig:
         super().__setattr__("__dict__", d)
 
     def __repr__(self) -> str:
-        params_str = ",\n    ".join(
+        lines = ",\n    ".join(
             f"{key}={value!r}"
             for key, value in self._backend_options.items()
         )
-        return f"{self.__class__.__name__}(\n    {params_str},\n)"
+        return f"{self.__class__.__name__}(\n    {lines},\n)"
+
+
+def _checked_callbacks(
+    callbacks: Sequence[Callback], observables: Sequence[Observable]
+) -> None:
+    """Type-checks callbacks/observables and rejects tag collisions."""
+    for i, cb in enumerate(callbacks):
+        if isinstance(cb, Observable):
+            raise TypeError(
+                "All entries in 'callbacks' must not be instances of"
+                " Observable, since those go in 'observables'. "
+                f"Instead, got {cb!r} at index {i}."
+            )
+        if not isinstance(cb, Callback):
+            raise TypeError(
+                "All entries in 'callbacks' must be instances of "
+                "Callback. Instead, got instance of type "
+                f"{type(cb)} at index {i}: {cb!r}."
+            )
+    for i, obs in enumerate(observables):
+        if not isinstance(obs, Observable):
+            raise TypeError(
+                "All entries in 'observables' must be instances of "
+                "Observable. Instead, got instance of type "
+                f"{type(obs)} at index {i}: {obs!r}."
+            )
+    tag_counts = Counter(obs.tag for obs in observables)
+    clashes = [tag for tag, count in tag_counts.items() if count > 1]
+    if clashes:
+        raise ValueError(
+            "Some of the provided 'observables' share identical tags."
+            " Use 'tag_suffix' when instantiating multiple instances"
+            " of the same observable so they can be distinguished. "
+            f"Repeated tags found: {clashes}"
+        )
+
+
+def _checked_interaction_matrix(
+    interaction_matrix: ArrayLike, initial_state: State | None
+) -> pm.AbstractArray:
+    """Validates and normalizes the interaction-matrix override.
+
+    Accepts (N, N), (1, N, N) or — in XY mode — (2, N, N), always
+    returning the 3D form. Matrices must be symmetric; any diagonal
+    values are ignored (with a warning).
+    """
+    matrix = pm.AbstractArray(interaction_matrix)
+    shape = matrix.shape
+    square_2d = len(shape) == 2 and shape[0] == shape[1]
+    stacked_3d = (
+        len(shape) == 3 and shape[0] <= 2 and shape[1] == shape[2]
+    )
+    if not square_2d and not stacked_3d:
+        raise ValueError(
+            "'interaction_matrix' must be of shape "
+            "(N,N) or (1,N,N), or (2,N,N) for XY. Instead, "
+            f"an array of shape {shape} was given."
+        )
+    if (
+        initial_state is not None
+        and shape[-1] != initial_state.n_qudits
+    ):
+        raise ValueError(
+            f"The received interaction matrix of shape {shape}"
+            " is incompatible with the received initial state of "
+            f"{initial_state.n_qudits} qudits."
+        )
+    if square_2d:
+        matrix = matrix.reshape((-1,) + shape)
+    plain = matrix.as_array(detach=True)
+    if not np.allclose(plain, np.transpose(plain, (0, 2, 1))):
+        raise ValueError(
+            "The received interaction matrix is not symmetric."
+        )
+    if np.any(np.stack([np.diag(x) for x in plain]) != 0):
+        warnings.warn(
+            "The received interaction matrix has non-zero values"
+            " in its diagonal; keep in mind that these values are"
+            " ignored.",
+            stacklevel=3,
+        )
+    return matrix
+
+
+def _resolve_n_trajectories(
+    n_trajectories: int | None,
+    noise_model: NoiseModel,
+    prefer_device_noise_model: bool,
+) -> int:
+    """Reconciles the trajectory count with the noise model's 'runs'."""
+    if (
+        n_trajectories is not None
+        and noise_model.runs is not None
+        and n_trajectories != noise_model.runs
+    ):
+        raise ValueError(
+            "`EmulationConfig.n_trajectories` and `NoiseModel.runs` "
+            "can't be simultaneously defined. Please favour using"
+            " only `EmulationConfig.n_trajectories`."
+        )
+    if n_trajectories is None:
+        if prefer_device_noise_model:
+            n_trajectories = DEFAULT_N_TRAJECTORIES
+        elif noise_model.runs is not None:
+            n_trajectories = noise_model.runs
+        else:
+            n_trajectories = 1
+    if n_trajectories < 1 or n_trajectories != int(n_trajectories):
+        raise ValueError(
+            "`n_trajectories` must be a strictly positive integer, "
+            f"not {n_trajectories}."
+        )
+    return int(n_trajectories)
 
 
 class EmulationConfig(BackendConfig, Generic[StateType]):
@@ -210,7 +324,6 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
         **backend_options: Any,
     ) -> None:
         """Initializes the EmulationConfig."""
-        obs_tags = []
         if not observables and not callbacks:
             warnings.warn(
                 f"{self.__class__.__name__!r} was initialized without any"
@@ -218,47 +331,17 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
                 " be empty.",
                 stacklevel=2,
             )
-        for i, cb in enumerate(callbacks):
-            if isinstance(cb, Observable):
-                raise TypeError(
-                    "All entries in 'callbacks' must not be instances of"
-                    " Observable, since those go in 'observables'. "
-                    f"Instead, got {cb!r} at index {i}."
-                )
-            if not isinstance(cb, Callback):
-                raise TypeError(
-                    "All entries in 'callbacks' must be instances of "
-                    "Callback. Instead, got instance of type "
-                    f"{type(cb)} at index {i}: {cb!r}."
-                )
-        for i, obs in enumerate(observables):
-            if not isinstance(obs, Observable):
-                raise TypeError(
-                    "All entries in 'observables' must be instances of "
-                    "Observable. Instead, got instance of type "
-                    f"{type(obs)} at index {i}: {obs!r}."
-                )
-            obs_tags.append(obs.tag)
-        repeated_tags = [
-            k for k, v in Counter(obs_tags).items() if v > 1
-        ]
-        if repeated_tags:
-            raise ValueError(
-                "Some of the provided 'observables' share identical tags."
-                " Use 'tag_suffix' when instantiating multiple instances"
-                " of the same observable so they can be distinguished. "
-                f"Repeated tags found: {repeated_tags}"
-            )
+        _checked_callbacks(callbacks, observables)
 
         if not (
             isinstance(default_evaluation_times, str)
             and default_evaluation_times == "Full"
         ):
-            eval_times_arr = Observable._validate_eval_times(
-                list(map(float, default_evaluation_times))
-            )
             default_evaluation_times = cast(
-                Sequence[float], eval_times_arr
+                Sequence[float],
+                Observable._validate_eval_times(
+                    list(map(float, default_evaluation_times))
+                ),
             )
 
         if initial_state is not None and not isinstance(
@@ -271,49 +354,9 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
             )
 
         if interaction_matrix is not None:
-            interaction_matrix = pm.AbstractArray(interaction_matrix)
-            _shape = interaction_matrix.shape
-            if not (
-                len(_shape) == 2 and _shape[0] == _shape[1]
-            ) and not (
-                len(_shape) == 3
-                and _shape[0] <= 2
-                and _shape[1] == _shape[2]
-            ):
-                raise ValueError(
-                    "'interaction_matrix' must be of shape "
-                    "(N,N) or (1,N,N), or (2,N,N) for XY. Instead, "
-                    f"an array of shape {_shape} was given."
-                )
-            if (
-                initial_state is not None
-                and _shape[-1] != initial_state.n_qudits
-            ):
-                raise ValueError(
-                    f"The received interaction matrix of shape {_shape}"
-                    " is incompatible with the received initial state of "
-                    f"{initial_state.n_qudits} qudits."
-                )
-            if len(_shape) == 2:
-                interaction_matrix = interaction_matrix.reshape(
-                    (-1,) + _shape
-                )
-            matrix_arr = interaction_matrix.as_array(detach=True)
-            if not np.allclose(
-                matrix_arr, np.transpose(matrix_arr, (0, 2, 1))
-            ):
-                raise ValueError(
-                    "The received interaction matrix is not symmetric."
-                )
-            if np.any(
-                np.stack([np.diag(x) for x in matrix_arr]) != 0
-            ):
-                warnings.warn(
-                    "The received interaction matrix has non-zero values"
-                    " in its diagonal; keep in mind that these values are"
-                    " ignored.",
-                    stacklevel=2,
-                )
+            interaction_matrix = _checked_interaction_matrix(
+                interaction_matrix, initial_state
+            )
 
         if noise_model is None:
             noise_model = NoiseModel()
@@ -323,32 +366,9 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
                 f" instance, not {type(noise_model)}."
             )
 
-        if (
-            n_trajectories is not None
-            and noise_model.runs is not None
-            and n_trajectories != noise_model.runs
-        ):
-            raise ValueError(
-                "`EmulationConfig.n_trajectories` and `NoiseModel.runs` "
-                "can't be simultaneously defined. Please favour using"
-                " only `EmulationConfig.n_trajectories`."
-            )
-
-        if n_trajectories is None:
-            if prefer_device_noise_model:
-                n_trajectories = DEFAULT_N_TRAJECTORIES
-            else:
-                n_trajectories = (
-                    noise_model.runs
-                    if noise_model.runs is not None
-                    else 1
-                )
-
-        if n_trajectories < 1 or n_trajectories != int(n_trajectories):
-            raise ValueError(
-                "`n_trajectories` must be a strictly positive integer, "
-                f"not {n_trajectories}."
-            )
+        n_trajectories = _resolve_n_trajectories(
+            n_trajectories, noise_model, prefer_device_noise_model
+        )
 
         super().__init__(
             callbacks=tuple(callbacks),
@@ -359,7 +379,7 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
             interaction_matrix=interaction_matrix,
             prefer_device_noise_model=bool(prefer_device_noise_model),
             noise_model=noise_model,
-            n_trajectories=int(n_trajectories),
+            n_trajectories=n_trajectories,
             default_num_shots=int(default_num_shots),
             **backend_options,
         )
@@ -389,25 +409,20 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
 
     def is_evaluation_time(self, t: float, tol: float = 1e-6) -> bool:
         """Assesses whether a relative time is an evaluation time."""
-        return (
-            self.default_evaluation_times == "Full" and 0.0 <= t <= 1.0
-        ) or (
-            self.is_time_in_evaluation_times(
-                t, self.default_evaluation_times, tol=tol
-            )
-        )
+        eval_times = self.default_evaluation_times
+        if isinstance(eval_times, str) and eval_times == "Full":
+            return 0.0 <= t <= 1.0
+        return self.is_time_in_evaluation_times(t, eval_times, tol=tol)
 
     @staticmethod
     def is_time_in_evaluation_times(
         t: float, evaluation_times: ArrayLike, tol: float = 1e-6
     ) -> bool:
         """Checks if a time is within a collection of evaluation times."""
-        return 0.0 <= t <= 1.0 and bool(
-            np.any(
-                np.abs(np.array(evaluation_times, dtype=float) - t)
-                <= tol
-            )
-        )
+        if not 0.0 <= t <= 1.0:
+            return False
+        gaps = np.abs(np.array(evaluation_times, dtype=float) - t)
+        return bool(np.any(gaps <= tol))
 
     def _to_abstract_repr(self) -> dict[str, Any]:
         return self._backend_options
@@ -441,6 +456,36 @@ class EmulationConfig(BackendConfig, Generic[StateType]):
 
 
 # Legacy class
+
+
+def _legacy_eval_times_check(
+    evaluation_times: float | Sequence[float] | EVAL_TIMES_LITERAL,
+) -> None:
+    """Validates the legacy (EmulatorConfig) evaluation-times forms."""
+    if isinstance(evaluation_times, str):
+        if evaluation_times not in get_args(EVAL_TIMES_LITERAL):
+            raise ValueError(
+                "If provided as a string, 'evaluation_times' must be"
+                " one of the following options:"
+                f" {get_args(EVAL_TIMES_LITERAL)}"
+            )
+    elif isinstance(evaluation_times, float):
+        if not (0 < evaluation_times <= 1.0):
+            raise ValueError(
+                "If provided as a float, 'evaluation_times' must be"
+                " greater than 0 and less than or equal to 1."
+            )
+    elif isinstance(evaluation_times, (list, tuple, np.ndarray)):
+        if np.min(evaluation_times, initial=0) < 0:
+            raise ValueError(
+                "If provided as a sequence of values, "
+                "'evaluation_times' must not contain negative values."
+            )
+    else:
+        raise TypeError(
+            f"'{type(evaluation_times)}' is not a valid"
+            " type for 'evaluation_times'."
+        )
 
 
 @dataclass(frozen=True)
@@ -482,35 +527,7 @@ class EmulatorConfig(BackendConfig):
                 f"{self.sampling_rate}) must be greater than 0 and "
                 "less than or equal to 1."
             )
-
-        if isinstance(self.evaluation_times, str):
-            if self.evaluation_times not in get_args(
-                EVAL_TIMES_LITERAL
-            ):
-                raise ValueError(
-                    "If provided as a string, 'evaluation_times' must be"
-                    " one of the following options:"
-                    f" {get_args(EVAL_TIMES_LITERAL)}"
-                )
-        elif isinstance(self.evaluation_times, float):
-            if not (0 < self.evaluation_times <= 1.0):
-                raise ValueError(
-                    "If provided as a float, 'evaluation_times' must be"
-                    " greater than 0 and less than or equal to 1."
-                )
-        elif isinstance(
-            self.evaluation_times, (list, tuple, np.ndarray)
-        ):
-            if np.min(self.evaluation_times, initial=0) < 0:
-                raise ValueError(
-                    "If provided as a sequence of values, "
-                    "'evaluation_times' must not contain negative values."
-                )
-        else:
-            raise TypeError(
-                f"'{type(self.evaluation_times)}' is not a valid"
-                " type for 'evaluation_times'."
-            )
+        _legacy_eval_times_check(self.evaluation_times)
 
         if isinstance(self.initial_state, str):
             if self.initial_state != "all-ground":

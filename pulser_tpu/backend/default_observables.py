@@ -1,7 +1,9 @@
-"""The default observables.
+"""The stock observables shipped with the backend API.
 
 API parity with reference
-``pulser-core/pulser/backend/default_observables.py:33-579``.
+``pulser-core/pulser/backend/default_observables.py:33-579``. Every
+observable here derives from one plumbing base that fixes its tag and
+its default cross-trajectory aggregation method.
 """
 
 from __future__ import annotations
@@ -11,7 +13,7 @@ import functools
 import warnings
 from collections import Counter
 from collections.abc import Sequence
-from typing import TYPE_CHECKING, Any, Type
+from typing import TYPE_CHECKING, Any, ClassVar, Type
 
 from pulser_tpu.backend.observable import AggregationMethod, Observable
 from pulser_tpu.backend.operator import Operator, OperatorType
@@ -22,28 +24,66 @@ if TYPE_CHECKING:
     from pulser_tpu.backend.config import EmulationConfig
 
 
-class StateResult(Observable):
-    """Stores the quantum state at the evaluation times."""
+@functools.cache
+def _number_operator(
+    qudit_ids: frozenset[int],
+    n_qudits: int,
+    eigenstates: Sequence[Eigenstate],
+    one_state: Eigenstate,
+    op_type: Type[OperatorType],
+) -> OperatorType:
+    """|one><one| projectors on the given qudits, as a backend operator."""
+    projector = {one_state * 2: 1.0}
+    return op_type.from_operator_repr(
+        eigenstates=eigenstates,
+        n_qudits=n_qudits,
+        operations=[(1.0, [(projector, qudit_ids)])],
+    )
+
+
+def _identity_like(hamiltonian: Operator, state: State) -> Operator:
+    """The identity operator, in the same backend type as `hamiltonian`."""
+    return hamiltonian.from_operator_repr(
+        eigenstates=state.eigenstates,
+        n_qudits=state.n_qudits,
+        operations=[(1.0, [])],
+    )
+
+
+class _DefaultObservable(Observable):
+    """Common plumbing: a fixed base tag + per-class aggregation default."""
+
+    _TAG: ClassVar[str]
+    _AGGREGATION: ClassVar[AggregationMethod]
 
     def __init__(
         self,
         *,
         evaluation_times: Sequence[float] | None = None,
         tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.SKIP_WARN
-        ),
+        default_aggregation_method: AggregationMethod | None = None,
     ):
         """Initializes the observable."""
         super().__init__(
             evaluation_times=evaluation_times,
             tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
+            default_aggregation_method=(
+                self._AGGREGATION
+                if default_aggregation_method is None
+                else default_aggregation_method
+            ),
         )
 
     @property
     def _base_tag(self) -> str:
-        return "state"
+        return self._TAG
+
+
+class StateResult(_DefaultObservable):
+    """Stores the quantum state at the evaluation times."""
+
+    _TAG = "state"
+    _AGGREGATION = AggregationMethod.SKIP_WARN
 
     def _to_abstract_repr(self) -> dict[str, Any]:
         raise AbstractReprError(
@@ -54,11 +94,11 @@ class StateResult(Observable):
         )
 
     def apply(self, *, state: StateType, **kwargs: Any) -> StateType:
-        """Calculates the observable to store in the Results."""
+        """A deep copy of the current state."""
         return copy.deepcopy(state)
 
 
-class BitStrings(Observable):
+class BitStrings(_DefaultObservable):
     """Stores bitstrings sampled from the state at the evaluation times.
 
     Error rates are taken from the NoiseModel passed to the backend via
@@ -74,6 +114,9 @@ class BitStrings(Observable):
             observable from multiple results.
     """
 
+    _TAG = "bitstrings"
+    _AGGREGATION = AggregationMethod.BAG_UNION
+
     def __init__(
         self,
         *,
@@ -81,9 +124,7 @@ class BitStrings(Observable):
         num_shots: int | None = None,
         one_state: Eigenstate | None = None,
         tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.BAG_UNION
-        ),
+        default_aggregation_method: AggregationMethod | None = None,
     ):
         """Initializes the observable."""
         super().__init__(
@@ -93,10 +134,6 @@ class BitStrings(Observable):
         )
         self.num_shots = num_shots
         self.one_state = one_state
-
-    @property
-    def _base_tag(self) -> str:
-        return "bitstrings"
 
     @property
     def num_shots(self) -> int | None:
@@ -123,10 +160,10 @@ class BitStrings(Observable):
         self._num_shots = num_shots
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        repr = super()._to_abstract_repr()
-        repr["num_shots"] = self._num_shots
-        repr["one_state"] = self.one_state
-        return repr
+        out = super()._to_abstract_repr()
+        out["num_shots"] = self._num_shots
+        out["one_state"] = self.one_state
+        return out
 
     def apply(
         self,
@@ -135,20 +172,21 @@ class BitStrings(Observable):
         state: State,
         **kwargs: Any,
     ) -> Counter[str]:
-        """Calculates the observable to store in the Results."""
+        """Samples the state with the config's SPAM error rates."""
+        shots = (
+            config.default_num_shots
+            if self._num_shots is None
+            else self._num_shots
+        )
         return state.sample(
-            num_shots=(
-                self._num_shots
-                if self._num_shots is not None
-                else config.default_num_shots
-            ),
+            num_shots=shots,
             one_state=self.one_state,
             p_false_pos=config.noise_model.p_false_pos,
             p_false_neg=config.noise_model.p_false_neg,
         )
 
 
-class Fidelity(Observable):
+class Fidelity(_DefaultObservable):
     """Stores the fidelity with a pure state at the evaluation times.
 
     For pure states this corresponds to ``|<ψ|φ(t)>|^2`` for the given
@@ -163,15 +201,16 @@ class Fidelity(Observable):
             results.
     """
 
+    _TAG = "fidelity"
+    _AGGREGATION = AggregationMethod.MEAN
+
     def __init__(
         self,
         state: State,
         *,
         evaluation_times: Sequence[float] | None = None,
         tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
+        default_aggregation_method: AggregationMethod | None = None,
     ):
         """Initializes the observable."""
         super().__init__(
@@ -186,21 +225,17 @@ class Fidelity(Observable):
             )
         self.state = state
 
-    @property
-    def _base_tag(self) -> str:
-        return "fidelity"
-
     def _to_abstract_repr(self) -> dict[str, Any]:
-        repr = super()._to_abstract_repr()
-        repr["state"] = self.state
-        return repr
+        out = super()._to_abstract_repr()
+        out["state"] = self.state
+        return out
 
     def apply(self, *, state: State, **kwargs: Any) -> Any:
-        """Calculates the observable to store in the Results."""
+        """The overlap of the reference state with the current one."""
         return self.state.overlap(state)
 
 
-class Expectation(Observable):
+class Expectation(_DefaultObservable):
     """Stores the expectation of an operator on the current state.
 
     Args:
@@ -212,15 +247,16 @@ class Expectation(Observable):
             results.
     """
 
+    _TAG = "expectation"
+    _AGGREGATION = AggregationMethod.MEAN
+
     def __init__(
         self,
         operator: Operator,
         *,
         evaluation_times: Sequence[float] | None = None,
         tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
+        default_aggregation_method: AggregationMethod | None = None,
     ):
         """Initializes the observable."""
         super().__init__(
@@ -235,21 +271,58 @@ class Expectation(Observable):
             )
         self.operator = operator
 
-    @property
-    def _base_tag(self) -> str:
-        return "expectation"
-
     def _to_abstract_repr(self) -> dict[str, Any]:
-        repr = super()._to_abstract_repr()
-        repr["operator"] = self.operator
-        return repr
+        out = super()._to_abstract_repr()
+        out["operator"] = self.operator
+        return out
 
     def apply(self, *, state: State, **kwargs: Any) -> Any:
-        """Calculates the observable to store in the Results."""
+        """The operator's expectation value on the current state."""
         return self.operator.expect(state)
 
 
-class CorrelationMatrix(Observable):
+class _OneStateObservable(_DefaultObservable):
+    """Plumbing for observables parameterized by a 'one' eigenstate."""
+
+    _AGGREGATION = AggregationMethod.MEAN
+
+    def __init__(
+        self,
+        *,
+        evaluation_times: Sequence[float] | None = None,
+        one_state: Eigenstate | None = None,
+        tag_suffix: str | None = None,
+        default_aggregation_method: AggregationMethod | None = None,
+    ):
+        """Initializes the observable."""
+        super().__init__(
+            evaluation_times=evaluation_times,
+            tag_suffix=tag_suffix,
+            default_aggregation_method=default_aggregation_method,
+        )
+        self.one_state = one_state
+
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        out = super()._to_abstract_repr()
+        out["one_state"] = self.one_state
+        return out
+
+    def _projector_expectation(
+        self,
+        qudit_ids: frozenset[int],
+        state: State,
+        hamiltonian: Operator,
+    ) -> Any:
+        return _number_operator(
+            qudit_ids,
+            state.n_qudits,
+            state.eigenstates,
+            self.one_state or state.infer_one_state(),
+            type(hamiltonian),
+        ).expect(state)
+
+
+class CorrelationMatrix(_OneStateObservable):
     """Stores the correlation matrix for the current state.
 
     Calculated as ``[[<φ(t)|n_i n_j|φ(t)> for j] for i]`` where
@@ -263,74 +336,27 @@ class CorrelationMatrix(Observable):
             results.
     """
 
-    def __init__(
-        self,
-        *,
-        evaluation_times: Sequence[float] | None = None,
-        one_state: Eigenstate | None = None,
-        tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
-    ):
-        """Initializes the observable."""
-        super().__init__(
-            evaluation_times=evaluation_times,
-            tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
-        )
-        self.one_state = one_state
-
-    @property
-    def _base_tag(self) -> str:
-        return "correlation_matrix"
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        repr = super()._to_abstract_repr()
-        repr["one_state"] = self.one_state
-        return repr
-
-    @staticmethod
-    @functools.cache
-    def _get_number_operator(
-        qudit_ids: frozenset[int],
-        n_qudits: int,
-        eigenstates: Sequence[Eigenstate],
-        one_state: Eigenstate,
-        op_type: Type[OperatorType],
-    ) -> OperatorType:
-        n_op = {one_state * 2: 1.0}
-        return op_type.from_operator_repr(
-            eigenstates=eigenstates,
-            n_qudits=n_qudits,
-            operations=[(1.0, [(n_op, qudit_ids)])],
-        )
+    _TAG = "correlation_matrix"
 
     def apply(
         self, *, state: State, hamiltonian: Operator, **kwargs: Any
     ) -> list[list]:
-        """Calculates the observable to store in the Results."""
+        """All pairwise <n_i n_j> expectations, as a nested list."""
 
         @functools.cache
-        def calc_expectation(qudit_ids: frozenset[int]) -> Any:
-            return self._get_number_operator(
-                qudit_ids,
-                state.n_qudits,
-                state.eigenstates,
-                self.one_state or state.infer_one_state(),
-                type(hamiltonian),
-            ).expect(state)
+        def pair_value(qudit_ids: frozenset[int]) -> Any:
+            return self._projector_expectation(
+                qudit_ids, state, hamiltonian
+            )
 
+        n = state.n_qudits
         return [
-            [
-                calc_expectation(frozenset((i, j)))
-                for j in range(state.n_qudits)
-            ]
-            for i in range(state.n_qudits)
+            [pair_value(frozenset((i, j))) for j in range(n)]
+            for i in range(n)
         ]
 
 
-class Occupation(Observable):
+class Occupation(_OneStateObservable):
     """Stores the occupation number of an eigenstate on each qudit.
 
     For every qudit i, calculates ``<φ(t)|n_i|φ(t)>``, where
@@ -344,157 +370,63 @@ class Occupation(Observable):
             results.
     """
 
-    def __init__(
-        self,
-        *,
-        evaluation_times: Sequence[float] | None = None,
-        one_state: Eigenstate | None = None,
-        tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
-    ):
-        """Initializes the observable."""
-        super().__init__(
-            evaluation_times=evaluation_times,
-            tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
-        )
-        self.one_state = one_state
-
-    @property
-    def _base_tag(self) -> str:
-        return "occupation"
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        repr = super()._to_abstract_repr()
-        repr["one_state"] = self.one_state
-        return repr
+    _TAG = "occupation"
 
     def apply(
         self, *, state: State, hamiltonian: Operator, **kwargs: Any
     ) -> list:
-        """Calculates the observable to store in the Results."""
+        """Per-qudit <n_i> expectations."""
         return [
-            CorrelationMatrix._get_number_operator(
-                frozenset((i,)),
-                state.n_qudits,
-                state.eigenstates,
-                self.one_state or state.infer_one_state(),
-                type(hamiltonian),
-            ).expect(state)
+            self._projector_expectation(frozenset((i,)), state, hamiltonian)
             for i in range(state.n_qudits)
         ]
 
 
-class Energy(Observable):
+class Energy(_DefaultObservable):
     """Stores the energy of the system at the evaluation times.
 
     Calculated as the expectation value of the Hamiltonian,
     i.e. ``<φ(t)|H(t)|φ(t)>``.
     """
 
-    def __init__(
-        self,
-        *,
-        evaluation_times: Sequence[float] | None = None,
-        tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
-    ):
-        """Initializes the observable."""
-        super().__init__(
-            evaluation_times=evaluation_times,
-            tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
-        )
-
-    @property
-    def _base_tag(self) -> str:
-        return "energy"
+    _TAG = "energy"
+    _AGGREGATION = AggregationMethod.MEAN
 
     def apply(
         self, *, state: State, hamiltonian: Operator, **kwargs: Any
     ) -> Any:
-        """Calculates the observable to store in the Results."""
+        """<H(t)> on the current state."""
         return hamiltonian.expect(state)
 
 
-class EnergyVariance(Observable):
+class EnergyVariance(_DefaultObservable):
     r"""Stores the variance of the Hamiltonian at the evaluation times.
 
     Calculated as ``<φ(t)|H(t)^2|φ(t)> - <φ(t)|H(t)|φ(t)>^2``.
     """
 
-    def __init__(
-        self,
-        *,
-        evaluation_times: Sequence[float] | None = None,
-        tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.SKIP_WARN
-        ),
-    ):
-        """Initializes the observable."""
-        super().__init__(
-            evaluation_times=evaluation_times,
-            tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
-        )
-
-    @property
-    def _base_tag(self) -> str:
-        return "energy_variance"
+    _TAG = "energy_variance"
+    _AGGREGATION = AggregationMethod.SKIP_WARN
 
     def apply(
         self, *, state: State, hamiltonian: Operator, **kwargs: Any
     ) -> Any:
-        """Calculates the observable to store in the Results."""
-        # Works for state vectors and density matrices and avoids
-        # squaring the hamiltonian
+        """<H^2> - <H>^2, without ever squaring the Hamiltonian."""
+        # Tr[I (H state)] = <H^2> for kets and density matrices alike.
         h_state = hamiltonian.apply_to(state)
-        identity = hamiltonian.from_operator_repr(
-            eigenstates=state.eigenstates,
-            n_qudits=state.n_qudits,
-            operations=[(1.0, [])],
-        )
-        return (
-            identity.expect(h_state) - hamiltonian.expect(state) ** 2
-        )
+        identity = _identity_like(hamiltonian, state)
+        return identity.expect(h_state) - hamiltonian.expect(state) ** 2
 
 
-class EnergySecondMoment(Observable):
+class EnergySecondMoment(_DefaultObservable):
     """Stores the expectation value of ``H(t)^2`` at evaluation times."""
 
-    def __init__(
-        self,
-        *,
-        evaluation_times: Sequence[float] | None = None,
-        tag_suffix: str | None = None,
-        default_aggregation_method: AggregationMethod = (
-            AggregationMethod.MEAN
-        ),
-    ):
-        """Initializes the observable."""
-        super().__init__(
-            evaluation_times=evaluation_times,
-            tag_suffix=tag_suffix,
-            default_aggregation_method=default_aggregation_method,
-        )
-
-    @property
-    def _base_tag(self) -> str:
-        return "energy_second_moment"
+    _TAG = "energy_second_moment"
+    _AGGREGATION = AggregationMethod.MEAN
 
     def apply(
         self, *, state: State, hamiltonian: Operator, **kwargs: Any
     ) -> Any:
-        """Calculates the observable to store in the Results."""
+        """<H^2> via one Hamiltonian application."""
         h_state = hamiltonian.apply_to(state)
-        identity = hamiltonian.from_operator_repr(
-            eigenstates=state.eigenstates,
-            n_qudits=state.n_qudits,
-            operations=[(1.0, [])],
-        )
-        return identity.expect(h_state)
+        return _identity_like(hamiltonian, state).expect(h_state)

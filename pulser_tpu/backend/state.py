@@ -18,8 +18,6 @@ from typing import (
     Union,
 )
 
-import numpy as np
-
 from pulser_tpu.channels.base_channel import States
 from pulser_tpu.exceptions.serialization import AbstractReprError
 
@@ -29,12 +27,17 @@ ArgScalarType = TypeVar("ArgScalarType")
 ReturnScalarType = TypeVar("ReturnScalarType", bound=SupportsFloat)
 StateType = TypeVar("StateType", bound="State")
 
+# Which eigenstate reads out as "1", per two-level basis.
+_ONE_STATE_OF_BASIS: dict[frozenset[str], str] = {
+    frozenset("01"): "1",
+    frozenset("rg"): "r",
+    frozenset("gh"): "h",
+    frozenset("ud"): "d",
+}
+
 
 class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
-    """Base class enforcing an API for quantum states.
-
-    Each backend implements its own type of state and the methods below.
-    """
+    """What every backend's quantum-state type must implement."""
 
     _eigenstates: Sequence[Eigenstate]
     _amplitudes: Mapping[str, complex] | None
@@ -52,11 +55,10 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
 
     @property
     def eigenstates(self) -> tuple[Eigenstate, ...]:
-        """The eigenstates that form a qudit's eigenbasis.
+        """The single-qudit basis labels, in numerical order.
 
-        The order of the states matches the order in the numerical
-        representation: with eigenstates ("a", "b", ...), "a" is
-        associated to eigenvector (1, 0, ...) and so on.
+        With eigenstates ("a", "b", ...), "a" maps to the unit vector
+        (1, 0, ...), "b" to (0, 1, ...), and so on.
         """
         return tuple(self._eigenstates)
 
@@ -66,34 +68,36 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
         return len(self.eigenstates)
 
     def get_basis_state_from_index(self, index: int) -> str:
-        """Generates a basis-state combination from its state-vector index.
+        """The basis-state label sitting at a state-vector index.
 
         Args:
-            index: The position of the state in a state vector.
+            index: A position in the flattened state vector.
 
         Returns:
-            The basis state combination for the desired index.
+            The corresponding string of per-qudit eigenstate labels.
         """
         if index < 0:
             raise ValueError(
                 f"'index' must be a non-negative integer;"
                 f" got {index} instead."
             )
-        return "".join(
-            self.eigenstates[int(dig)]
-            for dig in np.base_repr(index, base=self.qudit_dim).zfill(
-                self.n_qudits
-            )
-        )
+        # The index read out in base `qudit_dim`, least-significant
+        # digit = last qudit, left-padded with the zeroth eigenstate.
+        digits: list[int] = []
+        left = index
+        while left:
+            left, digit = divmod(left, self.qudit_dim)
+            digits.append(digit)
+        digits += [0] * (self.n_qudits - len(digits))
+        return "".join(self.eigenstates[d] for d in reversed(digits))
 
     @abstractmethod
     def overlap(
         self: StateType, other: StateType, /
     ) -> ReturnScalarType:
-        """The overlap between this state and another of the same type.
+        """``Tr[AB]`` with another state of the same type.
 
-        Generally ``Tr[AB]`` for mixed states ``A`` and ``B``, which is
-        ``|<a|b>|^2`` for pure states.
+        Reduces to ``|<a|b>|^2`` when both states are pure.
         """
 
     @abstractmethod
@@ -105,16 +109,16 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
         p_false_pos: float = 0.0,
         p_false_neg: float = 0.0,
     ) -> Counter[str]:
-        """Sample bitstrings from the state, with error rates.
+        """Measured bitstrings, with optional SPAM readout errors.
 
         Args:
-            num_shots: How many bitstrings to sample.
-            one_state: The eigenstate that measures to 1.
-            p_false_pos: The rate at which a 0 is read as a 1.
-            p_false_neg: The rate at which a 1 is read as a 0.
+            num_shots: The number of measurements.
+            one_state: Which eigenstate reads out as 1.
+            p_false_pos: Probability of flipping a measured 0 to 1.
+            p_false_neg: Probability of flipping a measured 1 to 0.
 
         Returns:
-            The measured bitstrings, by count.
+            A Counter over the measured bitstrings.
         """
 
     @classmethod
@@ -124,24 +128,24 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
         eigenstates: Sequence[Eigenstate],
         amplitudes: Mapping[str, ArgScalarType],
     ) -> StateType:
-        """Construct the state from its basis states' amplitudes.
+        """Builds the state out of per-basis-state amplitudes.
 
         Args:
-            eigenstates: The basis states (e.g., ('r', 'g')).
-            amplitudes: A mapping between basis state combinations and
-                complex amplitudes.
+            eigenstates: The single-qudit basis, e.g. ('r', 'g').
+            amplitudes: Complex amplitude per basis-state label (e.g.
+                {"rgr": 0.5, "grg": 0.5}).
 
         Returns:
-            The state constructed from the amplitudes.
+            The assembled state.
         """
         cls._validate_eigenstates(eigenstates)
         n_qudits = cls._validate_amplitudes(amplitudes, eigenstates)
-        obj, _amplitudes = cls._from_state_amplitudes(
+        obj, kept_amplitudes = cls._from_state_amplitudes(
             eigenstates=eigenstates,
             n_qudits=n_qudits,
             amplitudes=amplitudes,
         )
-        obj._amplitudes = _amplitudes
+        obj._amplitudes = kept_amplitudes
         return obj
 
     @classmethod
@@ -157,19 +161,14 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
 
     def infer_one_state(self) -> Eigenstate:
         """Infers the state measured as 1 from the eigenstates."""
-        eigenstates = set(self.eigenstates) - {"x"}
-        if eigenstates == {"0", "1"}:
-            return "1"
-        if eigenstates == {"r", "g"}:
-            return "r"
-        if eigenstates == {"g", "h"}:
-            return "h"
-        if eigenstates == {"u", "d"}:
-            return "d"
-        raise RuntimeError(
-            "Failed to infer the 'one state' from the "
-            f"eigenstates: {self.eigenstates}"
-        )
+        basis = frozenset(self.eigenstates) - {"x"}
+        try:
+            return _ONE_STATE_OF_BASIS[basis]  # type: ignore[index]
+        except KeyError:
+            raise RuntimeError(
+                "Failed to infer the 'one state' from the "
+                f"eigenstates: {self.eigenstates}"
+            ) from None
 
     @staticmethod
     def _validate_eigenstates(
@@ -180,14 +179,14 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
                 "'eigenstates' must be a 'collections.Sequence' "
                 f"(list or tuple), not {type(eigenstates).__name__}."
             )
-        if any(
-            not isinstance(s, str) or len(s) != 1 for s in eigenstates
+        if not all(
+            isinstance(s, str) and len(s) == 1 for s in eigenstates
         ):
             raise ValueError(
                 "All eigenstates must be represented by single"
                 " characters."
             )
-        if len(eigenstates) != len(set(eigenstates)):
+        if len(set(eigenstates)) != len(eigenstates):
             raise ValueError(
                 "'eigenstates' can't contain repeated entries."
             )
@@ -202,12 +201,13 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
         Returns:
             The number of qudits in the state.
         """
-        basis_states = list(amplitudes)
-        n_qudits = len(basis_states[0])
-        if not all(
-            len(bs) == n_qudits and set(bs) <= set(eigenstates)
-            for bs in basis_states
-        ):
+        keys = list(amplitudes)
+        n_qudits = len(keys[0])
+        alphabet = set(eigenstates)
+        consistent = all(
+            len(bs) == n_qudits and set(bs) <= alphabet for bs in keys
+        )
+        if not consistent:
             raise ValueError(
                 "All basis states must be combinations of eigenstates"
                 f" with the same length. Expected combinations of"
@@ -215,35 +215,42 @@ class State(ABC, Generic[ArgScalarType, ReturnScalarType]):
             )
         return n_qudits
 
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        cls_name = self.__class__.__name__
+    def _serial_payload(self) -> dict[str, Any]:
+        """The wire form, requiring amplitude-based construction."""
         if self._amplitudes is None:
+            cls_name = self.__class__.__name__
             raise AbstractReprError(
                 f"Failed to serialize state of type {cls_name!r} because"
                 f" it was not created via"
                 f" '{cls_name}.from_state_amplitudes()'."
-            )
-        stashed_state = self.from_state_amplitudes(
-            eigenstates=self._eigenstates,
-            amplitudes=self._amplitudes,  # type: ignore[arg-type]
-        )
-
-        if abs(float(self.overlap(stashed_state)) - 1.0) > 1e-12:
-            raise AbstractReprError(
-                f"Failed to serialize state of type {cls_name!r} because"
-                " it was modified in place after its creation."
             )
         return {
             "eigenstates": tuple(self._eigenstates),
             "amplitudes": dict(self._amplitudes),
         }
 
+    def _to_abstract_repr(self) -> dict[str, Any]:
+        payload = self._serial_payload()
+        # Guard against in-place mutation since construction: rebuild
+        # from the recorded amplitudes and compare.
+        recreation = self.from_state_amplitudes(
+            eigenstates=self._eigenstates,
+            amplitudes=self._amplitudes,  # type: ignore[arg-type]
+        )
+        if abs(float(self.overlap(recreation)) - 1.0) > 1e-12:
+            raise AbstractReprError(
+                f"Failed to serialize state of type"
+                f" {self.__class__.__name__!r} because"
+                " it was modified in place after its creation."
+            )
+        return payload
+
 
 class StateRepr(State):
-    """A backend-independent quantum state representation.
+    """A state that is only its serializable description.
 
-    Created via ``from_state_amplitudes``; supports de/serialization for
-    remote backend execution.
+    Built with ``from_state_amplitudes``; exists so states can ride the
+    wire to remote backends without a numerical backing.
     """
 
     _n_qudits: int
@@ -261,17 +268,8 @@ class StateRepr(State):
         return state, amplitudes
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        cls_name = self.__class__.__name__
-        if self._amplitudes is None:
-            raise AbstractReprError(
-                f"Failed to serialize state of type {cls_name!r} because"
-                f" it was not created via"
-                f" '{cls_name}.from_state_amplitudes()'."
-            )
-        return {
-            "eigenstates": tuple(self._eigenstates),
-            "amplitudes": dict(self._amplitudes),
-        }
+        # No overlap available to check for mutation; serialize as-is.
+        return self._serial_payload()
 
     @property
     def n_qudits(self) -> int:

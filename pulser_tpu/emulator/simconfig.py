@@ -1,7 +1,10 @@
 """The (legacy) SimConfig class.
 
 Behavioral parity with reference
-``pulser-simulation/pulser_simulation/simconfig.py:42-273``.
+``pulser-simulation/pulser_simulation/simconfig.py:42-273``. SimConfig
+predates NoiseModel; it keeps the old parameter spellings (eta/epsilon/
+epsilon_prime, temperature in µK at the API surface but Kelvin inside)
+and converts to/from NoiseModel through an alias table.
 """
 
 from __future__ import annotations
@@ -25,7 +28,8 @@ from pulser_tpu.noise_model import (
 
 T = TypeVar("T", bound="SimConfig")
 
-_DIFF_NOISE_PARAMS = {
+# NoiseModel field name -> SimConfig field name, where they differ.
+_LEGACY_NAME_OF = {
     "noise_types": "noise",
     "state_prep_error": "eta",
     "p_false_pos": "epsilon",
@@ -35,26 +39,22 @@ _DIFF_NOISE_PARAMS = {
 
 @dataclass(frozen=True)
 class SimConfig:
-    """Specifies a simulation's configuration.
+    """The deprecated, pre-NoiseModel simulation configuration.
 
     Warning:
         Deprecated; ``NoiseModel`` should be used instead.
 
     Args:
-        noise: Types of noises to be used in the simulation (one or a
-            tuple of the allowed noise types).
-        eta: Probability of each atom to be badly prepared.
-        epsilon: Probability of false positives.
-        epsilon_prime: Probability of false negatives.
-        runs: Number of runs needed; each run draws new random noise.
-        samples_per_run: Number of samples per noisy run.
-        temperature: Temperature, in µK, of the Rydberg array.
-        laser_waist: Waist of the gaussian laser, in µm, for global
-            pulses.
-        amp_sigma: Fluctuations in amplitude (std of a normal
-            distribution centered in 1).
-        detuning_sigma: Fluctuations in detuning (std of a normal
-            distribution centered in 0).
+        noise: Active noise type(s) — one name or a tuple of names.
+        eta: Chance that an atom comes out badly prepared.
+        epsilon: False-positive readout probability.
+        epsilon_prime: False-negative readout probability.
+        runs: How many noisy realizations to draw.
+        samples_per_run: Bitstring samples taken per realization.
+        temperature: The array's temperature, given in µK.
+        laser_waist: Gaussian waist of the global-pulse laser (µm).
+        amp_sigma: Shot-to-shot amplitude spread (std around 1).
+        detuning_sigma: Shot-to-shot detuning spread (std around 0).
         solver_options: Options for the solver.
     """
 
@@ -84,19 +84,19 @@ class SimConfig:
 
     @classmethod
     def from_noise_model(cls: Type[T], noise_model: NoiseModel) -> T:
-        """Creates a SimConfig from a NoiseModel."""
-        kwargs: dict[str, Any] = dict(noise=noise_model.noise_types)
-        relevant_params = NoiseModel._find_relevant_params(
+        """Translates a NoiseModel into the legacy spelling."""
+        relevant = NoiseModel._find_relevant_params(
             noise_model.noise_types,
             noise_model.state_prep_error,
             noise_model.amp_sigma,
             noise_model.laser_waist,
         )
-        for param in relevant_params:
-            kwargs[_DIFF_NOISE_PARAMS.get(param, param)] = getattr(
+        kwargs: dict[str, Any] = dict(noise=noise_model.noise_types)
+        for param in relevant:
+            kwargs[_LEGACY_NAME_OF.get(param, param)] = getattr(
                 noise_model, param
             )
-        # When laser_waist is None, it should be given as inf instead
+        # SimConfig spells "no waist" as inf, NoiseModel as None.
         if "amplitude" in noise_model.noise_types:
             kwargs.setdefault("laser_waist", float("inf"))
         kwargs.pop("with_leakage", None)
@@ -104,26 +104,25 @@ class SimConfig:
             kwargs["eff_noise_opers"] = [
                 np.asarray(op) for op in kwargs["eff_noise_opers"]
             ]
-        if "runs" in kwargs and kwargs["runs"] is None:
-            kwargs.pop("runs")
+        if kwargs.get("runs", 0) is None:
+            del kwargs["runs"]
         return cls(**kwargs)
 
     def to_noise_model(self) -> NoiseModel:
-        """Creates a NoiseModel from the SimConfig."""
-        laser_waist_ = (
+        """Translates this legacy config into a NoiseModel."""
+        waist = (
             None if math.isinf(self.laser_waist) else self.laser_waist
         )
-        relevant_params = NoiseModel._find_relevant_params(
+        relevant = NoiseModel._find_relevant_params(
             cast(Tuple[NoiseTypes, ...], self.noise),
             self.eta,
             self.amp_sigma,
-            laser_waist_,
+            waist,
         )
-        kwargs = {}
-        for param in relevant_params:
-            kwargs[param] = getattr(
-                self, _DIFF_NOISE_PARAMS.get(param, param)
-            )
+        kwargs = {
+            param: getattr(self, _LEGACY_NAME_OF.get(param, param))
+            for param in relevant
+        }
         if "temperature" in kwargs:
             kwargs["temperature"] *= 1e6  # Converts back to µK
         if "eff_noise_opers" in kwargs:
@@ -142,12 +141,12 @@ class SimConfig:
         # A single noise given as argument: convert it to a tuple
         if isinstance(self.noise, str):
             self._change_attribute("noise", (self.noise,))
-        # Converts temperature from µK to K
         if not isinstance(self.temperature, (int, float)):
             raise TypeError(
                 "'temperature' must be a float, not"
                 f" {type(self.temperature)}."
             )
+        # Stored in Kelvin; the constructor argument is in µK.
         self._change_attribute("temperature", self.temperature / 1e6)
         NoiseModel._check_noise_types(
             cast(Tuple[NoiseTypes], self.noise)
@@ -160,12 +159,12 @@ class SimConfig:
 
     @property
     def with_leakage(self) -> bool:
-        """Whether 'leakage' is included in the noise types."""
+        """True when leakage is among the active noise types."""
         return "leakage" in self.noise
 
     @property
     def spam_dict(self) -> dict[str, float]:
-        """A dictionary combining the SPAM error parameters."""
+        """The three SPAM error parameters, bundled."""
         return {
             "eta": self.eta,
             "epsilon": self.epsilon,
@@ -174,16 +173,12 @@ class SimConfig:
 
     @property
     def doppler_sigma(self) -> float:
-        """Standard deviation of Doppler shifts from thermal motion."""
+        """The thermal-motion Doppler-shift spread."""
         return _doppler_sigma(self.temperature)
 
-    def __str__(self, solver_options: bool = False) -> str:
-        lines = [
-            "Options:",
-            "----------",
-            f"Number of runs:        {self.runs}",
-            f"Samples per run:       {self.samples_per_run}",
-        ]
+    def _noise_report_lines(self) -> list[str]:
+        """One report block per active noise type."""
+        lines = []
         if self.noise:
             lines.append(
                 "Noise types:           " + ", ".join(self.noise)
@@ -218,6 +213,16 @@ class SimConfig:
             lines.append(
                 f"Depolarizing rate: {self.depolarizing_rate}"
             )
+        return lines
+
+    def __str__(self, solver_options: bool = False) -> str:
+        lines = [
+            "Options:",
+            "----------",
+            f"Number of runs:        {self.runs}",
+            f"Samples per run:       {self.samples_per_run}",
+            *self._noise_report_lines(),
+        ]
         if solver_options:
             lines.append(
                 "Solver Options: \n"
@@ -227,7 +232,7 @@ class SimConfig:
 
     def _check_spam_dict(self) -> None:
         for param, value in self.spam_dict.items():
-            if value > 1 or value < 0:
+            if not 0 <= value <= 1:
                 raise ValueError(
                     f"SPAM parameter {param} = {value} must be"
                     + " greater than 0 and less than 1."
@@ -248,5 +253,5 @@ class SimConfig:
 
     @property
     def supported_noises(self) -> dict:
-        """Noise types supported by each interaction mode."""
+        """Which noise types each interaction mode accepts."""
         return SUPPORTED_NOISES
