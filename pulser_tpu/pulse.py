@@ -31,23 +31,47 @@ if TYPE_CHECKING:
 __all__ = ["Pulse"]
 
 PHASE_PRECISION = 1e-6
+_TWO_PI = 2 * np.pi
+
+
+def _phases_close(phase1: float, phase2: float) -> np.bool_:
+    """Phase equality robust to the 0/2π wrapping point."""
+    return np.isclose(phase1, phase2, atol=1e-6) or np.isclose(
+        (phase1 + 1) % _TWO_PI,
+        (phase2 + 1) % _TWO_PI,
+        atol=PHASE_PRECISION,
+    )
+
+
+def _detuning_from_phase(phase: Waveform) -> Waveform:
+    """The detuning waveform realizing a given phase waveform.
+
+    Inverts φ(t) = φ_c - Σ_{k<=t} δ(k): δ is (minus) the discrete
+    derivative of φ, in rad/µs, with the first sample doubled up so the
+    output has the phase waveform's length.
+    """
+    if isinstance(phase, ConstantWaveform):
+        return ConstantWaveform(phase.duration, 0.0)
+    if isinstance(phase, RampWaveform):
+        return ConstantWaveform(phase.duration, -phase._slope * 1e3)
+    steps = -pm.diff(phase.samples) * 1e3  # rad/ns -> rad/µs
+    return CustomWaveform(pm.pad(steps, (1, 0), mode="edge"))
 
 
 @dataclass(init=False, repr=False, frozen=True)
 class Pulse:
-    r"""A generic pulse.
+    r"""One pulse: paired amplitude/detuning waveforms plus a phase.
 
-    A modulation of a frequency signal in amplitude and/or frequency, with
-    a specific phase, over a given duration.  The ``amplitude`` of a pulse
-    is its Rabi frequency, :math:`\Omega`, in rad/µs.  Equivalently, the
-    ``detuning`` is :math:`\delta`, also in rad/µs.
+    The ``amplitude`` waveform carries the Rabi frequency
+    :math:`\Omega` and the ``detuning`` waveform carries
+    :math:`\delta`, both in rad/µs, over a shared duration.
 
     Args:
-        amplitude: The pulse amplitude waveform (in rad/µs).
-        detuning: The pulse detuning waveform (in rad/µs).
-        phase: The pulse phase (in radians).
-        post_phase_shift: Optional phase shift (in rad) applied immediately
-            after the end of the pulse.
+        amplitude: The Rabi-frequency waveform (rad/µs); never negative.
+        detuning: The detuning waveform (rad/µs).
+        phase: The pulse's constant phase offset (rad).
+        post_phase_shift: A virtual-Z rotation (rad) applied to the
+            targets right after the pulse ends.
     """
 
     amplitude: Waveform = field(init=False)
@@ -57,11 +81,11 @@ class Pulse:
 
     def __new__(cls, *args: Any, **kwargs: Any) -> Pulse:
         """Returns a ParamObj if any argument is parametrized."""
-        for x in itertools.chain(args, kwargs.values()):
-            if isinstance(x, Parametrized):
-                return ParamObj(  # type: ignore[return-value]
-                    cls, *args, **kwargs
-                )
+        if any(
+            isinstance(x, Parametrized)
+            for x in itertools.chain(args, kwargs.values())
+        ):
+            return ParamObj(cls, *args, **kwargs)  # type: ignore
         return object.__new__(cls)
 
     def __init__(
@@ -78,29 +102,31 @@ class Pulse:
             raise TypeError(
                 "'amplitude' and 'detuning' have to be waveforms."
             )
-
         if detuning.duration != amplitude.duration:
             raise ValueError(
                 "The duration of detuning and amplitude waveforms must match."
             )
-        if not amplitude.samples.requires_grad and np.any(
-            amplitude.samples.as_array(detach=True) < 0
+        amp_samples = amplitude.samples
+        if not amp_samples.requires_grad and np.any(
+            amp_samples.as_array(detach=True) < 0
         ):
             raise ValueError(
                 "All samples of an amplitude waveform must be "
                 "greater than or equal to zero."
             )
-        object.__setattr__(self, "amplitude", amplitude)
-        object.__setattr__(self, "detuning", detuning)
         assert not isinstance(phase, Parametrized)
-        if (phase_ := pm.AbstractArray(phase, dtype=float)).size != 1:
+        wrapped_phase = pm.AbstractArray(phase, dtype=float)
+        if wrapped_phase.size != 1:
             raise TypeError(
                 f"'phase' must be a single float, not {phase!r}."
             )
-        object.__setattr__(self, "phase", phase_ % (2 * np.pi))
-        post_phase_shift = cast(float, post_phase_shift)
+        object.__setattr__(self, "amplitude", amplitude)
+        object.__setattr__(self, "detuning", detuning)
+        object.__setattr__(self, "phase", wrapped_phase % _TWO_PI)
         object.__setattr__(
-            self, "post_phase_shift", float(post_phase_shift) % (2 * np.pi)
+            self,
+            "post_phase_shift",
+            float(cast(float, post_phase_shift)) % _TWO_PI,
         )
 
     @property
@@ -117,11 +143,11 @@ class Pulse:
         phase: float | pm.TensorLike | Parametrized,
         post_phase_shift: float | Parametrized = 0.0,
     ) -> Pulse:
-        """Creates a Pulse with an amplitude waveform, constant detuning."""
-        detuning_wf = ConstantWaveform(
+        """An amplitude waveform over one fixed detuning value."""
+        flat_detuning = ConstantWaveform(
             cast(Waveform, amplitude).duration, detuning
         )
-        return cls(amplitude, detuning_wf, phase, post_phase_shift)
+        return cls(amplitude, flat_detuning, phase, post_phase_shift)
 
     @classmethod
     @parametrize
@@ -132,11 +158,11 @@ class Pulse:
         phase: float | pm.TensorLike | Parametrized,
         post_phase_shift: float | Parametrized = 0.0,
     ) -> Pulse:
-        """Pulse with a constant amplitude and a detuning waveform."""
-        amplitude_wf = ConstantWaveform(
+        """A detuning waveform under one fixed amplitude value."""
+        flat_amplitude = ConstantWaveform(
             cast(Waveform, detuning).duration, amplitude
         )
-        return cls(amplitude_wf, detuning, phase, post_phase_shift)
+        return cls(flat_amplitude, detuning, phase, post_phase_shift)
 
     @classmethod
     def ConstantPulse(
@@ -147,10 +173,13 @@ class Pulse:
         phase: float | pm.TensorLike | Parametrized,
         post_phase_shift: float | Parametrized = 0.0,
     ) -> Pulse:
-        """Pulse with a constant amplitude and a constant detuning."""
-        amplitude_wf = ConstantWaveform(duration, amplitude)
-        detuning_wf = ConstantWaveform(duration, detuning)
-        return cls(amplitude_wf, detuning_wf, phase, post_phase_shift)
+        """Fixed amplitude and detuning values over a duration."""
+        return cls(
+            ConstantWaveform(duration, amplitude),
+            ConstantWaveform(duration, detuning),
+            phase,
+            post_phase_shift,
+        )
 
     @classmethod
     @parametrize
@@ -160,76 +189,64 @@ class Pulse:
         phase: Waveform | Parametrized,
         post_phase_shift: float | Parametrized = 0.0,
     ) -> Pulse:
-        r"""Pulse with an arbitrary phase waveform.
+        r"""A pulse whose phase follows a waveform.
 
-        The phase and detuning are related by
+        Since the accumulated phase obeys
 
         .. math:: \phi(t) = \phi_c - \sum_{k=0}^{t} \delta(k)
 
-        where :math:`\phi_c` is the pulse's constant phase offset. From a
-        given phase waveform, the phase offset and detuning waveform that
-        respect this formula are extracted.
+        any phase trajectory can be realized by the right detuning
+        waveform plus a constant offset :math:`\phi_c`; both are
+        extracted here from the given phase waveform.
 
         Args:
-            amplitude: The amplitude waveform (in rad/µs).
-            phase: The phase waveform (in rad).
-            post_phase_shift: Optional phase shift after the pulse (in rad).
+            amplitude: The Rabi-frequency waveform (rad/µs).
+            phase: The desired phase waveform (rad).
+            post_phase_shift: A virtual-Z rotation (rad) applied after
+                the pulse ends.
         """
         if not isinstance(phase, Waveform):
             raise TypeError(
                 f"'phase' must be a waveform, not of type {type(phase)}."
             )
-        detuning: Waveform
-        if isinstance(phase, ConstantWaveform):
-            detuning = ConstantWaveform(phase.duration, 0.0)
-        elif isinstance(phase, RampWaveform):
-            detuning = ConstantWaveform(phase.duration, -phase._slope * 1e3)
-        else:
-            detuning_samples = -pm.diff(phase.samples) * 1e3  # rad/ns->rad/µs
-            # Use the same value in the first two detuning samples
-            detuning = CustomWaveform(
-                pm.pad(detuning_samples, (1, 0), mode="edge")
-            )
-        # Adjust phase_c to incorporate the first detuning sample
+        detuning = _detuning_from_phase(phase)
+        # Fold the first detuning sample into the constant offset.
         phase_c = phase[0] + detuning[0] * 1e-3
         return cls(amplitude, detuning, phase_c, post_phase_shift)
 
     def draw(self) -> None:
-        """Draws the pulse's amplitude and frequency waveforms."""
+        """Plots amplitude and detuning on twin axes."""
         import matplotlib.pyplot as plt
 
-        fig, ax1 = plt.subplots()
-        ax2 = ax1.twinx()
-
-        self.amplitude._plot(ax1, r"$\Omega$ (rad/µs)", color="darkgreen")
-        self.detuning._plot(ax2, r"$\delta$ (rad/µs)", color="indigo")
-
+        fig, amp_ax = plt.subplots()
+        det_ax = amp_ax.twinx()
+        self.amplitude._plot(amp_ax, r"$\Omega$ (rad/µs)", color="darkgreen")
+        self.detuning._plot(det_ax, r"$\delta$ (rad/µs)", color="indigo")
         fig.tight_layout()
         plt.show()
 
     def fall_time(self, channel: Channel, in_eom_mode: bool = False) -> int:
-        """Calculates the extra time needed to ramp down to zero."""
-        aligned_start_extra_time = (
-            channel.rise_time
-            if not in_eom_mode
-            else cast(
+        """How long the output keeps ringing past the pulse's end."""
+        if in_eom_mode:
+            rise = cast(
                 pulser_tpu.channels.eom.BaseEOM, channel.eom_config
             ).rise_time
-        )
-        end_extra_time = max(
+        else:
+            rise = channel.rise_time
+        tail = max(
             self.amplitude.modulation_buffers(channel, eom=in_eom_mode)[1],
             self.detuning.modulation_buffers(channel, eom=in_eom_mode)[1],
         )
-        return aligned_start_extra_time + end_extra_time
+        return rise + tail
 
     def get_full_duration(
         self, channel: Channel, in_eom_mode: bool = False
     ) -> int:
-        """Calculates the pulse's full duration after output modulation.
+        """Programmed duration plus the channel's modulation tail.
 
         Args:
-            channel: The channel executing the pulse.
-            in_eom_mode: Whether the pulse is executed in EOM mode.
+            channel: The channel that would run the pulse.
+            in_eom_mode: True when the pulse runs inside an EOM block.
         """
         from pulser_tpu.channels.base_channel import Channel as _Channel
 
@@ -280,20 +297,11 @@ class Pulse:
     def __eq__(self, other: Any) -> bool:
         if type(other) is not type(self):
             return False
-
-        def check_phase_eq(phase1: float, phase2: float) -> np.bool_:
-            # The offset comparison avoids failures near the wrapping point
-            return np.isclose(phase1, phase2, atol=1e-6) or np.isclose(
-                (phase1 + 1) % (2 * np.pi),
-                (phase2 + 1) % (2 * np.pi),
-                atol=PHASE_PRECISION,
-            )
-
         return bool(
             self.amplitude == other.amplitude
             and self.detuning == other.detuning
-            and check_phase_eq(float(self.phase), float(other.phase))
-            and check_phase_eq(
+            and _phases_close(float(self.phase), float(other.phase))
+            and _phases_close(
                 self.post_phase_shift, other.post_phase_shift
             )
         )

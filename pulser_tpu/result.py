@@ -19,21 +19,25 @@ import pulser_tpu.backend.results as backend_results
 from pulser_tpu.backend.default_observables import BitStrings
 from pulser_tpu.math.multinomial import multinomial
 
+_RENAMED = {"Results": "ResultsSequence", "ResultType": "ResultsType"}
+
+# Shared by all SampledResult instances so equal counts compare equal.
+_FIXED_UUID = uuid.UUID("00000000-0000-0000-0000-000000000000")
+
 
 def __getattr__(name: str) -> Any:
-    name_map = {"Results": "ResultsSequence", "ResultType": "ResultsType"}
-    if name not in name_map:
+    if name not in _RENAMED:
         raise AttributeError(
             f"Module {__name__!r} has no attribute {name!r}."
         )
     warnings.warn(
         f"The 'pulser.result.{name}' class has been renamed to "
-        f"'{name_map[name]}' and moved to 'pulser.backend.results'. "
+        f"'{_RENAMED[name]}' and moved to 'pulser.backend.results'. "
         f"Importing it as '{name}' from 'pulser.results' is deprecated.",
         DeprecationWarning,
         stacklevel=3,
     )
-    return getattr(backend_results, name_map[name])
+    return getattr(backend_results, _RENAMED[name])
 
 
 __all__ = ["Result", "SampledResult"]
@@ -58,13 +62,19 @@ class Result(ABC, backend_results.Results):
         super().__post_init__()
 
     @property
+    def _size(self) -> int:
+        return len(self.atom_order)
+
+    def _bitstring_of(self, index: int) -> str:
+        return np.binary_repr(index, width=self._size)
+
+    @property
     def sampling_dist(self) -> dict[str, float]:
-        """Sampling distribution of the measured bitstrings."""
-        n = self._size
+        """Probability per observed bitstring."""
+        weights = self._weights()
         return {
-            np.binary_repr(ind, width=n): prob
-            for ind, prob in enumerate(self._weights())
-            if prob != 0
+            self._bitstring_of(ind): weights[ind]
+            for ind in np.flatnonzero(weights)
         }
 
     @property
@@ -72,34 +82,27 @@ class Result(ABC, backend_results.Results):
     def sampling_errors(self) -> dict[str, float]:
         """The sampling error associated to each bitstring's rate."""
 
-    @property
-    def _size(self) -> int:
-        return len(self.atom_order)
-
     @abstractmethod
     def _weights(self) -> np.ndarray:
         """The sampling rate for every state in an ordered array."""
 
     def get_samples(self, n_samples: int) -> Counter[str]:
-        """Takes multiple samples from the sampling distribution.
+        """Draws bitstrings from this result's distribution.
 
         Args:
-            n_samples: Number of samples to return.
+            n_samples: How many draws to make.
 
         Returns:
-            Samples of bitstrings corresponding to measured quantum
-            states.
+            The drawn bitstrings, as a Counter.
         """
-        return Counter(
-            np.binary_repr(i, self._size)
-            for i in multinomial(n_samples, self._weights())
-        )
+        draws = multinomial(n_samples, self._weights())
+        return Counter(self._bitstring_of(i) for i in draws)
 
     def get_state(self) -> Any:
-        """Gets the quantum state associated with the result.
+        """The underlying quantum state, when one is available.
 
-        Can only be defined for emulation results that don't resort to
-        sampling a quantum state.
+        Only emulation results that keep the full state (instead of
+        sampled bitstrings) can implement this.
         """
         raise NotImplementedError(
             f"`{self.__class__.__name__}.get_state()` is not implemented."
@@ -111,23 +114,21 @@ class Result(ABC, backend_results.Results):
         max_n_bitstrings: int | None = None,
         show: bool = True,
     ) -> None:
-        """Plots the result in a histogram.
+        """Bar-plots the bitstring distribution.
 
         Args:
-            min_rate: The minimum sampling rate a bitstring must have to
-                be displayed.
-            max_n_bitstrings: An optional limit on the number of
-                bitstrings displayed.
+            min_rate: Bitstrings rarer than this are left out.
+            max_n_bitstrings: Cap on how many bitstrings are shown.
             show: Whether to call `plt.show()` before returning.
         """
         import matplotlib.pyplot as plt
 
-        probs = np.array(
+        ranked = np.array(
             Counter(self.sampling_dist).most_common(max_n_bitstrings),
             dtype=object,
         )
-        probs = probs[probs[:, 1] >= min_rate]
-        plt.bar(probs[:, 0], probs[:, 1])
+        ranked = ranked[ranked[:, 1] >= min_rate]
+        plt.bar(ranked[:, 0], ranked[:, 1])
         plt.xticks(rotation="vertical")
         plt.ylabel("Probabilites")
         if show:
@@ -151,15 +152,13 @@ class Result(ABC, backend_results.Results):
 
 @dataclass
 class SampledResult(Result):
-    """Represents the result of a run from a series of samples.
+    """A run's outcome, given as measured-bitstring counts.
 
     Args:
-        atom_order: The order of the atoms in the bitstrings that
-            represent the measured states.
+        atom_order: Which atom each bitstring position refers to.
         meas_basis: The measurement basis.
-        bitstring_counts: The number of times each bitstring was
-            measured.
-        evaluation_time: Relative time at which the samples were taken.
+        bitstring_counts: How many times each bitstring came up.
+        evaluation_time: The relative sampling time, in [0, 1].
     """
 
     bitstring_counts: dict[str, int]
@@ -168,14 +167,10 @@ class SampledResult(Result):
     def __post_init__(self) -> None:
         super().__post_init__()
         self.n_samples = sum(self.bitstring_counts.values())
-        bitstrings_obs = BitStrings(num_shots=self.n_samples)
-        # Override UUID so that two SampledResult instances with the same
-        # counts are identical
-        bitstrings_obs._uuid = uuid.UUID(
-            "00000000-0000-0000-0000-000000000000"
-        )
+        via_obs = BitStrings(num_shots=self.n_samples)
+        via_obs._uuid = _FIXED_UUID
         self._store(
-            observable=bitstrings_obs,
+            observable=via_obs,
             time=self.evaluation_time,
             value=Counter(self.bitstring_counts),
         )

@@ -7,7 +7,7 @@ Behavioral parity with reference
 from __future__ import annotations
 
 import warnings
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Iterator
 
 from pulser_tpu.channels import DMM
 from pulser_tpu.pulse import Pulse
@@ -16,95 +16,93 @@ if TYPE_CHECKING:
     from pulser_tpu.sequence.sequence import Sequence
 
 
+def _sorted_targets(ts) -> tuple[list, str]:
+    try:
+        tgts = sorted(ts.targets)
+    except TypeError:
+        raise NotImplementedError(
+            "Can't print sequence with qubit IDs of different types."
+        )
+    return tgts, ", ".join(map(str, tgts))
+
+
+def _pulse_slot_text(sequence: Sequence, ch: str, sched, ts) -> str:
+    """The line describing one pulse slot."""
+    _, tgt_txt = _sorted_targets(ts)
+    pulse = ts.type
+    if isinstance(sequence.declared_channels[ch], DMM):
+        if sched.is_detuned_delay(pulse):
+            shown = "{:.3g} rad/µs".format(float(pulse.detuning[0]))
+        else:
+            shown = f"{pulse.detuning!s} rad/µs"
+        return (
+            f"t: {ts.ti}->{ts.tf} | Detuning: {shown}"
+            f" | Targets: {tgt_txt}\n"
+        )
+    if sched.is_detuned_delay(pulse):
+        return (
+            f"t: {ts.ti}->{ts.tf} | Detuned Delay | Detuning: "
+            "{:.3g} rad/µs\n".format(float(pulse.detuning[0]))
+        )
+    return f"t: {ts.ti}->{ts.tf} | {pulse} | Targets: {tgt_txt}\n"
+
+
+def _channel_block(sequence: Sequence, ch: str, sched) -> Iterator[str]:
+    """Yields the text pieces describing one channel's timeline."""
+    if (
+        sched.channel_obj.addressing == "Global"
+        and sequence.is_register_mappable()
+    ):
+        warnings.warn(
+            "Showing the register for a sequence with a mappable"
+            f" register. Target qubits of channel {ch} will be defined"
+            " in build.",
+            UserWarning,
+        )
+    basis = sequence.declared_channels[ch].basis
+    yield f"Channel: {ch}\n"
+    seen_first_target = False
+    for ts in sched:
+        if ts.type == "delay":
+            yield f"t: {ts.ti}->{ts.tf} | Delay \n"
+        elif isinstance(ts.type, Pulse):
+            yield _pulse_slot_text(sequence, ch, sched, ts)
+        elif ts.type == "target":
+            tgts, tgt_txt = _sorted_targets(ts)
+            phase = float(
+                sequence._basis_ref[basis][tgts[0]].phase[ts.tf]
+            )
+            if not seen_first_target:
+                seen_first_target = True
+                yield (
+                    f"t: 0 | Initial targets: {tgt_txt} | "
+                    f"Phase Reference: {phase} \n"
+                )
+            else:
+                yield (
+                    f"t: {ts.ti}->{ts.tf} | Target: {tgt_txt}"
+                    f" | Phase Reference: {phase}\n"
+                )
+    yield "\n"
+
+
 def seq_to_str(sequence: Sequence) -> str:
     """Generates the string representation of a sequence."""
-    full = ""
-    pulse_line = "t: {}->{} | {} | Targets: {}\n"
-    target_line = "t: {}->{} | Target: {} | Phase Reference: {}\n"
-    delay_line = "t: {}->{} | Delay \n"
-    det_delay_line = (
-        "t: {}->{} | Detuned Delay | Detuning: {:.3g} rad/µs\n"
-    )
-    dmm_det_line = "t: {}->{} | Detuning: {} | Targets: {}\n"
-
-    for ch, seq in sequence._schedule.items():
-        if (
-            seq.channel_obj.addressing == "Global"
-            and sequence.is_register_mappable()
-        ):
-            warnings.warn(
-                "Showing the register for a sequence with a mappable"
-                f" register. Target qubits of channel {ch} will be defined"
-                " in build.",
-                UserWarning,
-            )
-        basis = sequence.declared_channels[ch].basis
-        full += f"Channel: {ch}\n"
-        first_slot = True
-        for ts in seq:
-            if ts.type == "delay":
-                full += delay_line.format(ts.ti, ts.tf)
-                continue
-
-            try:
-                tgts = sorted(ts.targets)
-            except TypeError:
-                raise NotImplementedError(
-                    "Can't print sequence with qubit IDs of different"
-                    " types."
-                )
-            tgt_txt = ", ".join(map(str, tgts))
-            if isinstance(ts.type, Pulse):
-                if isinstance(sequence.declared_channels[ch], DMM):
-                    full += dmm_det_line.format(
-                        ts.ti,
-                        ts.tf,
-                        (
-                            f"{ts.type.detuning!s} rad/µs"
-                            if not seq.is_detuned_delay(ts.type)
-                            else "{:.3g} rad/µs".format(
-                                float(ts.type.detuning[0])
-                            )
-                        ),
-                        tgt_txt,
-                    )
-                elif seq.is_detuned_delay(ts.type):
-                    det = ts.type.detuning[0]
-                    full += det_delay_line.format(
-                        ts.ti, ts.tf, float(det)
-                    )
-                else:
-                    full += pulse_line.format(
-                        ts.ti, ts.tf, ts.type, tgt_txt
-                    )
-            elif ts.type == "target":
-                phase = float(
-                    sequence._basis_ref[basis][tgts[0]].phase[ts.tf]
-                )
-                if first_slot:
-                    full += (
-                        f"t: 0 | Initial targets: {tgt_txt} | "
-                        + f"Phase Reference: {phase} \n"
-                    )
-                    first_slot = False
-                else:
-                    full += target_line.format(
-                        ts.ti, ts.tf, tgt_txt, phase
-                    )
-        full += "\n"
-
+    pieces: list[str] = []
+    for ch, sched in sequence._schedule.items():
+        pieces.extend(_channel_block(sequence, ch, sched))
     if hasattr(sequence, "_measurement"):
-        full += f"Measured in basis: {sequence._measurement}"
+        pieces.append(f"Measured in basis: {sequence._measurement}")
+    text = "".join(pieces)
 
     if sequence.is_parametrized():
-        prelude = "Prelude\n-------\n" + full
-        lines = ["Stored calls\n------------"]
-        for i, c in enumerate(sequence._to_build_calls, 1):
-            args = [str(a) for a in c.args]
-            kwargs = [
-                f"{key}={str(value)}" for key, value in c.kwargs.items()
+        blocks = ["Stored calls\n------------"]
+        for i, call in enumerate(sequence._to_build_calls, 1):
+            shown_args = [str(a) for a in call.args]
+            shown_args += [
+                f"{key}={str(value)}" for key, value in call.kwargs.items()
             ]
-            lines.append(f"{i}. {c.name}({', '.join(args + kwargs)})")
-        full = prelude + "\n\n".join(lines)
+            blocks.append(f"{i}. {call.name}({', '.join(shown_args)})")
+        text = "Prelude\n-------\n" + text + "\n\n".join(blocks)
 
-    return full
+    return text
