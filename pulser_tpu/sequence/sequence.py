@@ -68,6 +68,58 @@ DeviceType = TypeVar("DeviceType", bound=BaseDevice)
 PROTOCOLS = Literal["min-delay", "no-delay", "wait-for-all"]
 
 
+def _holds_parametrized(value: Any) -> bool:
+    """Whether a value is, or contains, a Parametrized object."""
+    try:
+        return any(
+            isinstance(entry, Parametrized)
+            for entry in cast(Collection, value)
+        )
+    except TypeError:
+        return isinstance(value, Parametrized)
+
+
+def _coerce_target_set(qubits: Any) -> set:
+    """One-or-many target spec -> a set of targets."""
+    if isinstance(qubits, pm.AbstractArray):
+        qubits = qubits.tolist()
+    if isinstance(qubits, str):
+        return {qubits}
+    try:
+        return set(cast(Collection, qubits))
+    except TypeError:
+        return {qubits}
+
+
+def _require_numeric_phases(*values: Any) -> None:
+    """Rejects non-numeric concrete phase values."""
+    for value in values:
+        if isinstance(value, Parametrized):
+            continue
+        try:
+            if isinstance(value, str):
+                raise TypeError
+            float(pm.AbstractArray(value, dtype=float))
+        except TypeError:
+            raise TypeError("Phase values must be a numeric value.")
+
+
+def _wrap_eom_values(
+    amp_on: Union[float, pm.TensorLike, Parametrized],
+    detuning_on: Union[float, pm.TensorLike, Parametrized],
+    detuning_off: float | pm.AbstractArray | Parametrized,
+) -> tuple[pm.AbstractArray, pm.AbstractArray, pm.AbstractArray]:
+    """Wraps resolved EOM setpoint values as arrays."""
+    assert not isinstance(amp_on, Parametrized)
+    assert not isinstance(detuning_on, Parametrized)
+    assert not isinstance(detuning_off, Parametrized)
+    return (
+        pm.AbstractArray(amp_on),
+        pm.AbstractArray(detuning_on),
+        pm.AbstractArray(detuning_off),
+    )
+
+
 class Sequence(Generic[DeviceType]):
     """A sequence of operations on a device.
 
@@ -96,61 +148,79 @@ class Sequence(Generic[DeviceType]):
         register: Union[BaseRegister, MappableRegister],
         device: DeviceType,
     ):
-        """Initializes a new pulse sequence."""
+        """Creates an empty sequence on the given register/device."""
         if not isinstance(device, BaseDevice):
             raise TypeError(
                 f"'device' must be of type 'BaseDevice', not {type(device)}."
             )
 
-        # Checks if the register is compatible with the device
+        # The register must fit on the device before anything else
         if isinstance(register, MappableRegister):
             device.validate_layout(register.layout)
             device.validate_layout_filling(register)
         else:
             device.validate_register(register)
 
+        # The hardware side
         self._register: Union[BaseRegister, MappableRegister] = register
         self._device = device
+        self._qids: set[QubitId] = set(self._register.qubit_ids)
+
+        # Operating-mode state
         self._in_xy: bool = False
         self._in_ising_value: bool = False
         self._mag_field: Optional[tuple[float, float, float]] = None
-        self._calls: list[_Call] = [
-            _Call("__init__", (), {"register": register, "device": device})
-        ]
+
+        # The instruction record: the schedule holds applied
+        # instructions, _calls replays eagerly-executed ones
         self._schedule: _Schedule = _Schedule(
             max_duration=device.max_sequence_duration
         )
+        self._calls: list[_Call] = [
+            _Call("__init__", (), {"register": register, "device": device})
+        ]
         self._basis_ref: dict[str, dict[QubitId, _QubitRef]] = {}
-        # IDs of all qubits in device
-        self._qids: set[QubitId] = set(self._register.qubit_ids)
+        # Marks the sequence as empty until the first pulse is added
+        self._empty_sequence: bool = True
+
+        # SLM mask bookkeeping
+        self._slm_mask_targets: set[QubitId] = set()
+        self._slm_mask_dmm: str | None = None
+
+        # Parametrization state (also declares _variables,
+        # _to_build_calls and _building)
         self._variables: dict[str, Variable] = {}
         self._to_build_calls: list[_Call] = []
         self._building: bool = True
-        # Marks the sequence as empty until the first pulse is added
-        self._empty_sequence: bool = True
-        # SLM mask targets and on/off times
-        self._slm_mask_targets: set[QubitId] = set()
-        self._slm_mask_dmm: str | None = None
-        # Initializes all parametrized-Sequence-related attributes
         self._reset_parametrized()
 
     @property
+    def _slm_dmm_schedule(self) -> _DMMSchedule | None:
+        """The schedule of the DMM reserved for the SLM mask, if any.
+
+        None when no DMM is reserved or (XY mode) none was scheduled.
+        """
+        if (
+            self._slm_mask_dmm is None
+            or self._slm_mask_dmm not in self._schedule
+        ):
+            return None
+        return cast(_DMMSchedule, self._schedule[self._slm_mask_dmm])
+
+    @property
     def _slm_mask_time(self) -> list[int]:
-        """The initial and final time when the SLM mask is on."""
+        """When the SLM mask switches on and off, if it does."""
+        slm_sched = self._slm_dmm_schedule
         if (
             self._in_ising
-            and self._slm_mask_dmm
-            and not cast(
-                _DMMSchedule, self._schedule[self._slm_mask_dmm]
-            )._waiting_for_first_pulse
+            and slm_sched is not None
+            and not slm_sched._waiting_for_first_pulse
         ):
-            slm_slot = self._schedule[self._slm_mask_dmm].slots[1]
+            slm_slot = slm_sched.slots[1]
             return [slm_slot.ti, slm_slot.tf]
-        return (
-            []
-            if not self._slm_mask_targets
-            else self._schedule.find_slm_mask_times()
-        )
+        if not self._slm_mask_targets:
+            return []
+        return self._schedule.find_slm_mask_times()
 
     @property
     def _in_ising(self) -> bool:
@@ -185,7 +255,7 @@ class Sequence(Generic[DeviceType]):
 
     @property
     def device(self) -> DeviceType:
-        """Device that the sequence is using."""
+        """The device whose constraints this sequence obeys."""
         return self._device
 
     @property
@@ -211,59 +281,57 @@ class Sequence(Generic[DeviceType]):
     def get_register(
         self, include_mappable: bool = True
     ) -> BaseRegister | MappableRegister:
-        """The atom register on which to apply the pulses."""
+        """The register, mappable or concrete, the pulses act on."""
         return self._register if include_mappable else self.register
 
     def _get_dmm_id_detuning_map(
         self, call: _Call
     ) -> tuple[str, DetuningMap]:
-        dmm_id: str
-        det_map: DetuningMap
-        # Get DMM name
-        if "dmm_id" in call.kwargs:
-            dmm_id = call.kwargs["dmm_id"]
-        elif len(call.args) > 1:
-            dmm_id = call.args[1]
-        else:
-            dmm_id = "dmm_0"
-        # Get DetuningMap
+        """Reads (dmm_id, detuning_map) out of a stored config call.
+
+        Handles both ``config_detuning_map`` and ``config_slm_mask``
+        argument layouts (positional or keyword).
+        """
+        dmm_id: str = call.kwargs.get(
+            "dmm_id",
+            call.args[1] if len(call.args) > 1 else "dmm_0",
+        )
         if "detuning_map" in call.kwargs:
-            det_map = call.kwargs["detuning_map"]
+            det_map: DetuningMap = call.kwargs["detuning_map"]
         elif isinstance(call.args[0], DetuningMap):
             det_map = call.args[0]
-        else:  # SLM case:
+        else:
+            # config_slm_mask: derive the map from the masked qubits
             det_map = self._slm_detuning_map(set(call.args[0]))
         return (dmm_id, det_map)
 
     @property
     def declared_channels(self) -> dict[str, Channel]:
-        """Channels declared in this Sequence."""
-        all_declared_channels = {
-            name: cs.channel_obj for name, cs in self._schedule.items()
+        """Every channel declared so far, by name."""
+        declared = {
+            name: sched.channel_obj
+            for name, sched in self._schedule.items()
         }
-        # Add DMM and SLM whose configuration is stored
+        # DMM/SLM configurations stored for build time also count
         for call in self._to_build_calls:
-            if (
-                call.name == "config_slm_mask"
-                or call.name == "config_detuning_map"
+            if call.name not in (
+                "config_slm_mask",
+                "config_detuning_map",
             ):
-                (dmm_id, _) = self._get_dmm_id_detuning_map(call)
-                dmm_name = _get_dmm_name(
-                    dmm_id, list(all_declared_channels.keys())
-                )
-                all_declared_channels[dmm_name] = self.device.dmm_channels[
-                    dmm_id
-                ]
-        return all_declared_channels
+                continue
+            dmm_id, _ = self._get_dmm_id_detuning_map(call)
+            dmm_name = _get_dmm_name(dmm_id, list(declared.keys()))
+            declared[dmm_name] = self.device.dmm_channels[dmm_id]
+        return declared
 
     @property
     def declared_variables(self) -> dict[str, Variable]:
-        """Variables declared in this Sequence."""
+        """Every variable declared so far, by name."""
         return dict(self._variables)
 
     @property
     def available_channels(self) -> dict[str, Channel]:
-        """Channels still available for declaration."""
+        """Device channels not yet used up by a declaration."""
         all_channels = {
             **self.device.channels,
             **self.device.dmm_channels,
@@ -305,7 +373,7 @@ class Sequence(Generic[DeviceType]):
         }
 
     def is_empty(self) -> bool:
-        """States whether the sequence is empty."""
+        """True while no pulse or delay has been scheduled."""
         if not self._empty_sequence:
             return False
         # The sequence is also not empty if there is a delay call
@@ -361,7 +429,7 @@ class Sequence(Generic[DeviceType]):
         return isinstance(self._register, MappableRegister)
 
     def is_measured(self) -> bool:
-        """States whether the sequence has been measured."""
+        """True once a measurement has been programmed."""
         return (
             bool(self._param_measurement)
             if self.is_parametrized()
@@ -402,11 +470,11 @@ class Sequence(Generic[DeviceType]):
         return self._schedule.get_duration(channel, include_fall_time)
 
     def get_addressed_bases(self) -> tuple[str, ...]:
-        """Returns the bases addressed by the declared channels."""
+        """The bases the declared channels drive."""
         return tuple(self._basis_ref)
 
     def get_addressed_states(self) -> list[States]:
-        """Returns the states addressed by the declared channels."""
+        """The eigenstates the declared channels drive."""
         return get_states_from_bases(self.get_addressed_bases())
 
     @seq_decorators.screen
@@ -447,18 +515,20 @@ class Sequence(Generic[DeviceType]):
             by: Field component along y (in Gauss).
             bz: Field component along z (in Gauss).
         """
-        if not self._in_xy:
-            if self._schedule:
+        if self._in_xy:
+            if not self._empty_sequence:
+                # Not all channels are empty
                 raise ValueError(
-                    "The magnetic field can only be set in 'XY Mode'."
+                    "The magnetic field can only be set on an empty"
+                    " sequence."
                 )
+        elif self._schedule:
+            raise ValueError(
+                "The magnetic field can only be set in 'XY Mode'."
+            )
+        else:
             # No channels declared yet
             self._in_xy = True
-        elif not self._empty_sequence:
-            # Not all channels are empty
-            raise ValueError(
-                "The magnetic field can only be set on an empty sequence."
-            )
 
         mag_vector = (bx, by, bz)
         if np.linalg.norm(mag_vector) == 0.0:
@@ -490,23 +560,19 @@ class Sequence(Generic[DeviceType]):
                 break
         # Modulate the dmm if pulses were already added to Global channels
         slm_mask_times = self._schedule.find_slm_mask_times()
-        if slm_mask_times:
-            max_amp = max(
-                [
-                    np.max(
-                        ch_schedule.get_samples().amp[: slm_mask_times[1]]
-                    )
-                    for ch_schedule in self._schedule.values()
-                    if not isinstance(ch_schedule, _DMMSchedule)
-                    and ch_schedule.channel_obj.addressing == "Global"
-                ]
-            )
-            self._modulate_slm_mask_dmm(slm_mask_times[1], max_amp)
-        else:
+        if not slm_mask_times:
             # Block the modulation of this dmm
             cast(
                 _DMMSchedule, self._schedule[key]
             )._waiting_for_first_pulse = True
+            return
+        global_peaks = [
+            np.max(ch_schedule.get_samples().amp[: slm_mask_times[1]])
+            for ch_schedule in self._schedule.values()
+            if not isinstance(ch_schedule, _DMMSchedule)
+            and ch_schedule.channel_obj.addressing == "Global"
+        ]
+        self._modulate_slm_mask_dmm(slm_mask_times[1], max(global_peaks))
 
     @seq_decorators.store
     def config_slm_mask(
@@ -552,18 +618,21 @@ class Sequence(Generic[DeviceType]):
         if self._slm_mask_targets:
             raise ValueError("SLM mask can be configured only once.")
 
-        if self._in_xy or (not self._in_xy and not self._in_ising):
+        if self._in_xy or not self._in_ising:
             if dmm_id not in self.device.dmm_channels:
-                raise ValueError(
-                    f"No DMM called {dmm_id} is available in the device. "
-                    f"Your selected device {self.device.name} has the "
-                    "following DMM channels available: "
-                    f"{list(self.device.dmm_channels.keys())}."
-                )
+                raise ValueError(self._unknown_dmm_message(dmm_id))
             self._slm_mask_dmm = dmm_id
         if not self._in_xy and self._in_ising:
             self._set_slm_mask_dmm(dmm_id, targets)
         self._slm_mask_targets = targets
+
+    def _unknown_dmm_message(self, dmm_id: str) -> str:
+        return (
+            f"No DMM called {dmm_id} is available in the device. "
+            f"Your selected device {self.device.name} has the "
+            "following DMM channels available: "
+            f"{list(self.device.dmm_channels.keys())}."
+        )
 
     @seq_decorators.store
     @seq_decorators.conditionally_block()
@@ -586,16 +655,19 @@ class Sequence(Generic[DeviceType]):
                 available one when omitted.
         """
         if dmm_id is None:
-            for ch_id, ch_obj in self.available_channels.items():
-                if isinstance(ch_obj, DMM):
-                    dmm_id = ch_id
-                    break
-            else:
+            dmm_id = next(
+                (
+                    ch_id
+                    for ch_id, ch_obj in self.available_channels.items()
+                    if isinstance(ch_obj, DMM)
+                ),
+                None,
+            )
+            if dmm_id is None:
                 raise ValueError(
                     "No DMM channel is still available in device "
                     f"{self.device.name!r}."
                 )
-
         self._config_detuning_map(detuning_map, dmm_id)
 
     def _config_detuning_map(
@@ -604,12 +676,7 @@ class Sequence(Generic[DeviceType]):
         dmm_id: str,
     ) -> None:
         if dmm_id not in self.device.dmm_channels:
-            raise ValueError(
-                f"No DMM called {dmm_id} is available in the device. "
-                f"Your selected device {self.device.name} has the"
-                " following DMM channels available: "
-                f"{list(self.device.dmm_channels.keys())}."
-            )
+            raise ValueError(self._unknown_dmm_message(dmm_id))
 
         dmm_ch = self.device.dmm_channels[dmm_id]
         if self._in_xy:
@@ -662,16 +729,17 @@ class Sequence(Generic[DeviceType]):
             The sequence with the new register.
         """
         new_seq = type(self)(register=new_register, device=self.device)
-        # Copy the variables to the new sequence
+        # The replicated sequence shares this one's variables
         new_seq._variables = self.declared_variables
-        for call in self._calls[1:] + self._to_build_calls:
-            if call.name == "config_detuning_map":
-                warnings.warn(
-                    "Switching the register of a sequence that configures"
-                    " a detuning map. Please ensure that the new qubit"
-                    " positions are still aligned.",
-                    stacklevel=2,
-                )
+        replayed = self._calls[1:] + self._to_build_calls
+        if any(c.name == "config_detuning_map" for c in replayed):
+            warnings.warn(
+                "Switching the register of a sequence that configures"
+                " a detuning map. Please ensure that the new qubit"
+                " positions are still aligned.",
+                stacklevel=2,
+            )
+        for call in replayed:
             getattr(new_seq, call.name)(*call.args, **call.kwargs)
         return new_seq
 
@@ -751,58 +819,24 @@ class Sequence(Generic[DeviceType]):
                 start with. When None, a target instruction must be the
                 channel's first addition.
         """
-        if name.startswith("dmm_"):
-            raise ValueError(
-                "Name starting by 'dmm_' are reserved for DMM channels."
-            )
-        if name in self._schedule:
-            raise ValueError("The given name is already in use.")
+        ch = self._checked_channel_declaration(name, channel_id)
+        if initial_target is not None and _holds_parametrized(
+            initial_target
+        ):
+            raise TypeError("The initial_target cannot be parametrized")
 
-        if channel_id not in self.device.channels:
-            raise ValueError(f"No channel {channel_id} in the device.")
-
-        ch = self.device.channels[channel_id]
-        if channel_id not in self.available_channels:
-            if self._in_xy and ch.basis != "XY":
-                raise ValueError(
-                    f"Channel '{ch}' cannot work simultaneously "
-                    "with the declared 'Microwave' channel."
-                )
-            elif not self._in_xy and ch.basis == "XY":
-                raise ValueError(
-                    "Channel of type 'Microwave' cannot work "
-                    "simultaneously with the declared channels."
-                )
-            else:
-                raise ValueError(
-                    f"Channel {channel_id} is not available."
-                )
-
-        if initial_target is not None:
-            try:
-                cond = any(
-                    isinstance(t, Parametrized)
-                    for t in cast(Collection, initial_target)
-                )
-            except TypeError:
-                cond = isinstance(initial_target, Parametrized)
-            if cond:
-                raise TypeError(
-                    "The initial_target cannot be parametrized"
-                )
-
+        # The first declaration pins the operating mode
         if ch.basis == "XY":
             if not self._in_xy:
                 self.set_magnetic_field()
                 self._in_xy = True
         else:
             self._in_ising = True
-        self._schedule[name] = _ChannelSchedule(channel_id, ch)
 
-        if ch.basis not in self._basis_ref:
-            self._basis_ref[ch.basis] = {
-                q: _QubitRef() for q in self._qids
-            }
+        self._schedule[name] = _ChannelSchedule(channel_id, ch)
+        self._basis_ref.setdefault(
+            ch.basis, {q: _QubitRef() for q in self._qids}
+        )
 
         if ch.addressing == "Global":
             self._add_to_schedule(
@@ -829,6 +863,34 @@ class Sequence(Generic[DeviceType]):
                 {"initial_target": initial_target},
             )
         )
+
+    def _checked_channel_declaration(
+        self, name: str, channel_id: str
+    ) -> Channel:
+        """Validates a declaration and resolves the channel object."""
+        if name.startswith("dmm_"):
+            raise ValueError(
+                "Name starting by 'dmm_' are reserved for DMM channels."
+            )
+        if name in self._schedule:
+            raise ValueError("The given name is already in use.")
+        if channel_id not in self.device.channels:
+            raise ValueError(f"No channel {channel_id} in the device.")
+        ch = self.device.channels[channel_id]
+        if channel_id in self.available_channels:
+            return ch
+        # Diagnose why the channel is not on offer
+        if self._in_xy and ch.basis != "XY":
+            raise ValueError(
+                f"Channel '{ch}' cannot work simultaneously "
+                "with the declared 'Microwave' channel."
+            )
+        if not self._in_xy and ch.basis == "XY":
+            raise ValueError(
+                "Channel of type 'Microwave' cannot work "
+                "simultaneously with the declared channels."
+            )
+        raise ValueError(f"Channel {channel_id} is not available.")
 
     @overload
     def declare_variable(
@@ -879,12 +941,11 @@ class Sequence(Generic[DeviceType]):
             raise ValueError("Name for variable is already being used.")
 
         if size is None:
-            var = self.declare_variable(name, size=1, dtype=dtype)
-            return var[0]
-        else:
-            var = Variable(name, dtype, size=size)
-            self._variables[name] = var
-            return var
+            # A scalar is a size-1 array variable, unwrapped
+            return self.declare_variable(name, size=1, dtype=dtype)[0]
+        var = Variable(name, dtype, size=size)
+        self._variables[name] = var
+        return var
 
     @seq_decorators.verify_parametrization
     @seq_decorators.conditionally_block()
@@ -931,13 +992,9 @@ class Sequence(Generic[DeviceType]):
             channel_obj, amp_on, detuning_on, optimal_detuning_off
         )
         if not self.is_parametrized():
-            assert not isinstance(amp_on, Parametrized)
-            amp_on_ = pm.AbstractArray(amp_on)
-            assert not isinstance(detuning_on, Parametrized)
-            detuning_on_ = pm.AbstractArray(detuning_on)
-            assert not isinstance(detuning_off, Parametrized)
-            detuning_off_ = pm.AbstractArray(detuning_off)
-
+            amp_on_, detuning_on_, detuning_off_ = _wrap_eom_values(
+                amp_on, detuning_on, detuning_off
+            )
             phase_drift_params = _PhaseDriftParams(
                 drift_rate=-detuning_off_,
                 # enable_eom() calls wait for fall, so the block only
@@ -953,13 +1010,12 @@ class Sequence(Generic[DeviceType]):
             )
             if correct_phase_drift:
                 buffer_slot = self._last(channel)
-                drift = phase_drift_params.calc_phase_drift(
-                    buffer_slot.tf
-                )
-                self._phase_shift(
-                    -float(drift),
-                    *buffer_slot.targets,
-                    basis=channel_obj.basis,
+                self._shift_away_drift(
+                    float(
+                        phase_drift_params.calc_phase_drift(buffer_slot.tf)
+                    ),
+                    buffer_slot.targets,
+                    channel_obj.basis,
                 )
 
         # Stored by hand so that the resolved 'optimal_detuning_off'
@@ -1004,12 +1060,12 @@ class Sequence(Generic[DeviceType]):
                 drift_params = self._get_last_eom_pulse_phase_drift(
                     channel
                 )
-                self._phase_shift(
-                    -float(
+                self._shift_away_drift(
+                    float(
                         drift_params.calc_phase_drift(last_eom_block_tf)
                     ),
-                    *ch_schedule[-1].targets,
-                    basis=ch_schedule.channel_obj.basis,
+                    ch_schedule[-1].targets,
+                    ch_schedule.channel_obj.basis,
                 )
 
     @seq_decorators.verify_parametrization
@@ -1047,13 +1103,9 @@ class Sequence(Generic[DeviceType]):
         )
 
         if not self.is_parametrized():
-            assert not isinstance(amp_on, Parametrized)
-            amp_on_ = pm.AbstractArray(amp_on)
-            assert not isinstance(detuning_on, Parametrized)
-            detuning_on_ = pm.AbstractArray(detuning_on)
-            assert not isinstance(detuning_off, Parametrized)
-            detuning_off_ = pm.AbstractArray(detuning_off)
-
+            amp_on_, detuning_on_, detuning_off_ = _wrap_eom_values(
+                amp_on, detuning_on, detuning_off
+            )
             self._schedule.disable_eom(channel, _skip_buffer=True)
             old_phase_drift_params = (
                 self._get_last_eom_pulse_phase_drift(channel)
@@ -1077,10 +1129,8 @@ class Sequence(Generic[DeviceType]):
                 ) + new_phase_drift_params.calc_phase_drift(
                     buffer_slot.tf
                 )
-                self._phase_shift(
-                    -float(drift),
-                    *buffer_slot.targets,
-                    basis=channel_obj.basis,
+                self._shift_away_drift(
+                    float(drift), buffer_slot.targets, channel_obj.basis
                 )
 
         # Stored by hand so that the resolved 'optimal_detuning_off'
@@ -1130,22 +1180,13 @@ class Sequence(Generic[DeviceType]):
             )
 
         if self.is_parametrized():
+            # Eagerly check whatever is already concrete
             self._validate_add_protocol(protocol)
-            # Test the parameters
             if not isinstance(duration, Parametrized):
-                channel_obj = self.declared_channels[channel]
-                channel_obj.validate_duration(duration)
-            for arg in (phase, post_phase_shift):
-                if isinstance(arg, Parametrized):
-                    continue
-                try:
-                    if isinstance(arg, str):
-                        raise TypeError
-                    float(pm.AbstractArray(arg, dtype=float))
-                except TypeError:
-                    raise TypeError(
-                        "Phase values must be a numeric value."
-                    )
+                self.declared_channels[channel].validate_duration(
+                    duration
+                )
+            _require_numeric_phases(phase, post_phase_shift)
             return
 
         eom_settings = self._schedule[channel].eom_blocks[-1]
@@ -1205,6 +1246,7 @@ class Sequence(Generic[DeviceType]):
                 "`Sequence.add()` can't be used on a DMM channel. "
                 "Use `Sequence.add_dmm_detuning()` instead."
             )
+
         self._add(pulse, channel, protocol)
 
     @seq_decorators.store
@@ -1311,13 +1353,19 @@ class Sequence(Generic[DeviceType]):
                 " or pulse is parametrized."
             )
         if self.is_in_eom_mode(channel):
+            # In EOM mode the setpoint overrides the pulse's waveforms
             eom_settings = self._schedule[channel].eom_blocks[-1]
-            for qty, samples, setpoint in (
-                ("amplitude", pulse.amplitude.samples,
-                 eom_settings.rabi_freq),
-                ("detuning", pulse.detuning.samples,
-                 eom_settings.detuning_on),
-            ):
+            overridden = {
+                "amplitude": (
+                    pulse.amplitude.samples,
+                    eom_settings.rabi_freq,
+                ),
+                "detuning": (
+                    pulse.detuning.samples,
+                    eom_settings.detuning_on,
+                ),
+            }
+            for qty, (samples, setpoint) in overridden.items():
                 if np.any(samples != setpoint):
                     warnings.warn(
                         f"Channel {channel} is in EOM mode, the {qty} of"
@@ -1387,18 +1435,17 @@ class Sequence(Generic[DeviceType]):
             basis: The measurement basis (one of
                 ``device.supported_bases``).
         """
-        available = (
-            self.device.supported_bases - {"XY"}
-            if not self._in_xy
-            else {"XY"}
-        )
+        if self._in_xy:
+            available = {"XY"}
+        else:
+            available = self.device.supported_bases - {"XY"}
         if basis not in available:
             raise ValueError(
                 f"The basis '{basis}' is not supported by the "
                 "selected device and operation mode. The "
                 "available options are: " + ", ".join(list(available))
             )
-        elif basis not in self.get_addressed_bases():
+        if basis not in self.get_addressed_bases():
             warnings.warn(
                 f"The desired measurement basis '{basis}' is not being "
                 "addressed by any channel in the sequence.",
@@ -1463,37 +1510,33 @@ class Sequence(Generic[DeviceType]):
             at_rest: Count a channel's output-modulation tail when
                 deciding when it finishes.
         """
-        ch_set = set(channels)
-        # channels have to be a subset of the declared channels
-        if not ch_set <= set(self._schedule):
+        unique_names = set(channels)
+        if not unique_names <= set(self._schedule):
             raise ValueError(
                 "All channel names must correspond to declared channels."
             )
-        if len(channels) != len(ch_set):
+        if len(unique_names) != len(channels):
             raise ValueError(
                 "The same channel was provided more than once."
             )
-
         if len(channels) < 2:
             raise ValueError(
                 "Needs at least two channels for alignment."
             )
-
         if self.is_parametrized():
             return
 
-        # The time to align each channel with
-        tf = max(
-            self.get_duration(id, include_fall_time=at_rest)
-            for id in channels
+        # Everyone pads up to the latest-finishing channel
+        end = max(
+            self.get_duration(name, include_fall_time=at_rest)
+            for name in channels
         )
-
-        for id in channels:
-            delta = tf - self.get_duration(id)
-            if delta > 0:
+        for name in channels:
+            shortfall = end - self.get_duration(name)
+            if shortfall > 0:
                 self._delay(
-                    self._schedule[id].adjust_duration(delta),
-                    id,
+                    self._schedule[name].adjust_duration(shortfall),
+                    name,
                 )
 
     def build(
@@ -1514,13 +1557,13 @@ class Sequence(Generic[DeviceType]):
         Returns:
             The Sequence built with the given variable values.
         """
-        if self.is_register_mappable():
-            if qubits is None:
-                raise ValueError(
-                    "'qubits' must be specified when the sequence is"
-                    " created with a MappableRegister."
-                )
-        elif qubits is not None:
+        mappable = self.is_register_mappable()
+        if mappable and qubits is None:
+            raise ValueError(
+                "'qubits' must be specified when the sequence is"
+                " created with a MappableRegister."
+            )
+        if not mappable and qubits is not None:
             raise ValueError(
                 "'qubits' must not be specified when the sequence already"
                 " has a concrete register."
@@ -1540,7 +1583,7 @@ class Sequence(Generic[DeviceType]):
         for call in base_calls:
             getattr(seq, call.name)(*call.args, **call.kwargs)
 
-        if not (self.is_parametrized() or self.is_register_mappable()):
+        if not self.is_parametrized() and not mappable:
             warnings.warn(
                 "Building a non-parametrized sequence simply returns"
                 " a copy of itself.",
@@ -1552,19 +1595,22 @@ class Sequence(Generic[DeviceType]):
             self._variables[name]._assign(value)
 
         if qubits:
-            reg = cast(
-                MappableRegister, self._register
-            ).build_register(qubits)
-            self._set_register(seq, reg)
+            self._set_register(
+                seq,
+                cast(
+                    MappableRegister, self._register
+                ).build_register(qubits),
+            )
 
         def _resolve(x: Any) -> Any:
             return x.build() if isinstance(x, Parametrized) else x
 
         for call in self._to_build_calls:
-            getattr(seq, call.name)(
-                *[_resolve(arg) for arg in call.args],
-                **{k: _resolve(v) for k, v in call.kwargs.items()},
-            )
+            built_args = [_resolve(arg) for arg in call.args]
+            built_kwargs = {
+                k: _resolve(v) for k, v in call.kwargs.items()
+            }
+            getattr(seq, call.name)(*built_args, **built_kwargs)
 
         return seq
 
@@ -1709,20 +1755,19 @@ class Sequence(Generic[DeviceType]):
                 f"'mode' must be one of {valid_modes}, not '{mode}'."
             )
         if mode == "output":
-            if draw_phase_area:
-                warnings.warn(
-                    "'draw_phase_area' doesn't work in 'output' mode, so"
-                    " it will default to 'False'.",
-                    stacklevel=2,
-                )
-                draw_phase_area = False
-            if draw_interp_pts:
-                warnings.warn(
-                    "'draw_interp_pts' doesn't work in 'output' mode, so"
-                    " it will default to 'False'.",
-                    stacklevel=2,
-                )
-                draw_interp_pts = False
+            # Input-only decorations are meaningless on output curves
+            for opt_name, opt_on in (
+                ("draw_phase_area", draw_phase_area),
+                ("draw_interp_pts", draw_interp_pts),
+            ):
+                if opt_on:
+                    warnings.warn(
+                        f"'{opt_name}' doesn't work in 'output' mode, so"
+                        " it will default to 'False'.",
+                        stacklevel=2,
+                    )
+            draw_phase_area = False
+            draw_interp_pts = False
         if draw_register and self.is_register_mappable():
             raise ValueError(
                 "Can't draw the register for a sequence without a defined"
@@ -1785,9 +1830,9 @@ class Sequence(Generic[DeviceType]):
             and min_det * n_masked < dmm_obj.total_bottom_detuning
         ):
             min_det = dmm_obj.total_bottom_detuning / n_masked
-        cast(
-            _DMMSchedule, self._schedule[self._slm_mask_dmm]
-        )._waiting_for_first_pulse = False
+        slm_sched = self._slm_dmm_schedule
+        assert slm_sched is not None
+        slm_sched._waiting_for_first_pulse = False
         self._add(
             Pulse.ConstantPulse(duration, 0, min_det, 0),
             self._slm_mask_dmm,
@@ -1844,12 +1889,13 @@ class Sequence(Generic[DeviceType]):
             self._phase_shift(
                 total_phase_shift, *last.targets, basis=basis
             )
+        # The first real global (non-DMM) pulse triggers the pending
+        # SLM-mask modulation
+        slm_sched = self._slm_dmm_schedule
         if (
             self._in_ising
-            and self._slm_mask_dmm
-            and cast(
-                _DMMSchedule, self._schedule[self._slm_mask_dmm]
-            )._waiting_for_first_pulse
+            and slm_sched is not None
+            and slm_sched._waiting_for_first_pulse
             and channel_obj.addressing == "Global"
             and not _ChannelSchedule.is_detuned_delay(pulse)
             and not isinstance(channel_obj, DMM)
@@ -1870,27 +1916,17 @@ class Sequence(Generic[DeviceType]):
     ) -> None:
         self._validate_channel(channel, block_eom_mode=True)
         channel_obj = self._schedule[channel].channel_obj
-        if isinstance(qubits, pm.AbstractArray):
-            qubits = qubits.tolist()
-        try:
-            qubits_set = (
-                set(cast(Collection, qubits))
-                if not isinstance(qubits, str)
-                else {qubits}
-            )
-        except TypeError:
-            qubits_set = {qubits}
+        qubits_set = _coerce_target_set(qubits)
 
         if not qubits_set:
             raise ValueError(
                 "Need at least one qubit to target but none were given."
             )
-
         if channel_obj.addressing != "Local":
             raise ValueError(
                 "Can only choose target of 'Local' channels."
             )
-        elif (
+        if (
             channel_obj.max_targets is not None
             and len(qubits_set) > channel_obj.max_targets
         ):
@@ -1929,26 +1965,28 @@ class Sequence(Generic[DeviceType]):
                 )
             return ids
 
-        qubit_ids = self._register.qubit_ids
-        if not self.is_parametrized():
-            try:
-                return {
-                    qubit_ids[int(index)]  # type: ignore[arg-type]
-                    for index in qubits
-                }
-            except IndexError:
-                raise IndexError("Indices must exist for the register.")
-        # Parametrized: only validate the concrete indices, resolve later
-        nb_of_indices = len(qubit_ids)
-        for i in qubits:
-            if isinstance(i, Parametrized) or i in range(nb_of_indices):
-                continue
-            raise ValueError(
-                f"All non-variable targets must be indices"
-                f" valid for the register, between 0 and "
-                f"{nb_of_indices - 1}. Wrong index: {i!r}."
-            )
-        return set()
+        register_ids = self._register.qubit_ids
+        if self.is_parametrized():
+            # Only validate the concrete indices; resolution waits
+            # until build time
+            top = len(register_ids) - 1
+            for i in qubits:
+                if isinstance(i, Parametrized):
+                    continue
+                if i not in range(top + 1):
+                    raise ValueError(
+                        f"All non-variable targets must be indices"
+                        f" valid for the register, between 0 and "
+                        f"{top}. Wrong index: {i!r}."
+                    )
+            return set()
+        try:
+            return {
+                register_ids[int(index)]  # type: ignore[arg-type]
+                for index in qubits
+            }
+        except IndexError:
+            raise IndexError("Indices must exist for the register.")
 
     @seq_decorators.conditionally_block()
     def _delay(
@@ -1961,10 +1999,10 @@ class Sequence(Generic[DeviceType]):
         if self.is_parametrized():
             return
         if at_rest:
+            # Start counting only once the previous output dies down
             self._schedule.wait_for_fall(channel)
-        if not duration:
-            return
-        self._schedule.add_delay(cast(int, duration), channel)
+        if duration:
+            self._schedule.add_delay(cast(int, duration), channel)
 
     def _phase_shift(
         self,
@@ -1998,6 +2036,15 @@ class Sequence(Generic[DeviceType]):
             for qubit in target_ids:
                 self._basis_ref[basis][qubit].increment_phase(phi)
 
+    def _shift_away_drift(
+        self,
+        drift: float,
+        targets: Collection[QubitId],
+        basis: str,
+    ) -> None:
+        """Compensates an accumulated EOM phase drift on some targets."""
+        self._phase_shift(-drift, *targets, basis=basis)
+
     def _resolve_phase_ref(
         self,
         channel_obj: Channel,
@@ -2028,13 +2075,13 @@ class Sequence(Generic[DeviceType]):
     def _get_last_eom_pulse_phase_drift(
         self, channel: str
     ) -> _PhaseDriftParams:
-        eom_settings = self._schedule[channel].eom_blocks[-1]
+        ch_schedule = self._schedule[channel]
+        eom_settings = ch_schedule.eom_blocks[-1]
         try:
-            last_pulse_tf = (
-                self._schedule[channel]
-                .last_pulse_slot(ignore_detuned_delay=True)
-                .tf
+            last_slot = ch_schedule.last_pulse_slot(
+                ignore_detuned_delay=True
             )
+            last_pulse_tf = last_slot.tf
         except RuntimeError:
             # There is no previous pulse
             last_pulse_tf = 0
@@ -2085,17 +2132,16 @@ class Sequence(Generic[DeviceType]):
             raise ValueError("Use the name of a declared channel.")
         if block_eom_mode and self.is_in_eom_mode(channel):
             raise RuntimeError("The chosen channel is in EOM mode.")
-        if (
-            block_if_slm
-            and channel == self._slm_mask_dmm
-            and cast(
-                _DMMSchedule, self._schedule[self._slm_mask_dmm]
-            )._waiting_for_first_pulse
-        ):
-            raise ValueError(
-                "You should add a Pulse to a Global Channel prior to"
-                " modulating the DMM used for the SLM Mask."
-            )
+        # When requested, refuse to touch the SLM-reserved DMM before
+        # its triggering global pulse exists
+        if block_if_slm and channel == self._slm_mask_dmm:
+            slm_sched = self._slm_dmm_schedule
+            assert slm_sched is not None
+            if slm_sched._waiting_for_first_pulse:
+                raise ValueError(
+                    "You should add a Pulse to a Global Channel prior to"
+                    " modulating the DMM used for the SLM Mask."
+                )
 
     def _validate_and_adjust_pulse(
         self,
@@ -2248,7 +2294,7 @@ class Sequence(Generic[DeviceType]):
         return stored_opt_detuning_off, switching_beams
 
     def _reset_parametrized(self) -> None:
-        """Resets all attributes related to parametrization."""
+        """Wipes the parametrization state back to a fresh sequence."""
         self._building = True
         self._param_measurement = ""
         self._variables = {}
@@ -2258,22 +2304,23 @@ class Sequence(Generic[DeviceType]):
         """Sets the register on a sequence that had a mappable register."""
         self.device.validate_register(reg)
         qids = set(reg.qubit_ids)
-        used_qubits = set()
+        explicitly_targeted: set[QubitId] = set()
         for ch, ch_schedule in self._schedule.items():
-            if ch_schedule.channel_obj.addressing != "Global":
+            if ch_schedule.channel_obj.addressing == "Global":
+                # Global slots now target the full concrete register
+                for i, slot in enumerate(self._schedule[ch]):
+                    seq._schedule[ch].slots[i] = _TimeSlot(
+                        **{**slot._asdict(), "targets": qids}
+                    )
+            else:
                 # Every explicitly targeted qubit needs a trap
                 for slot in self._schedule[ch]:
-                    used_qubits.update(slot.targets)
-                continue
-            # Global slots now target the full concrete register
-            for i, slot in enumerate(self._schedule[ch]):
-                seq._schedule[ch].slots[i] = _TimeSlot(
-                    **{**slot._asdict(), "targets": qids}
-                )
+                    explicitly_targeted.update(slot.targets)
 
-        if not used_qubits <= qids:
+        trapless = explicitly_targeted - qids
+        if trapless:
             raise ValueError(
-                f"Qubits {used_qubits - qids} are being targeted but"
+                f"Qubits {trapless} are being targeted but"
                 " have not been assigned a trap."
             )
         seq._register = reg
@@ -2283,21 +2330,21 @@ class Sequence(Generic[DeviceType]):
         )
 
     def _cross_check_vars(self, vars: dict[str, Any]) -> None:
-        """Checks if values are given to all and only declared vars."""
-        all_keys, given_keys = self._variables.keys(), vars.keys()
-        if given_keys != all_keys:
-            invalid_vars = given_keys - all_keys
-            if invalid_vars:
-                warnings.warn(
-                    "No declared variables named: "
-                    + ", ".join(invalid_vars),
-                    stacklevel=3,
-                )
-                for k in invalid_vars:
-                    vars.pop(k, None)
-            missing_vars = all_keys - given_keys
-            if missing_vars:
-                raise TypeError(
-                    "Did not receive values for variables: "
-                    + ", ".join(missing_vars)
-                )
+        """Requires a value for each declared variable, nothing more."""
+        declared = self._variables.keys()
+        if vars.keys() == declared:
+            return
+        undeclared = vars.keys() - declared
+        if undeclared:
+            warnings.warn(
+                "No declared variables named: " + ", ".join(undeclared),
+                stacklevel=3,
+            )
+            for name in undeclared:
+                vars.pop(name, None)
+        unassigned = declared - vars.keys()
+        if unassigned:
+            raise TypeError(
+                "Did not receive values for variables: "
+                + ", ".join(unassigned)
+            )
