@@ -120,11 +120,8 @@ class Operator(ABC, Generic[ArgScalarType, ReturnScalarType, StateType]):
         """Implements the conversion used in `from_operator_repr()`."""
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        if (
-            self._eigenstates is None
-            or self._n_qudits is None
-            or self._operations is None
-        ):
+        recorded = (self._eigenstates, self._n_qudits, self._operations)
+        if any(part is None for part in recorded):
             cls_name = self.__class__.__name__
             raise AbstractReprError(
                 f"Failed to serialize state of type {cls_name!r} because"
@@ -132,7 +129,7 @@ class Operator(ABC, Generic[ArgScalarType, ReturnScalarType, StateType]):
                 f" '{cls_name}.from_operator_repr()'."
             )
         return {
-            "eigenstates": tuple(self._eigenstates),
+            "eigenstates": tuple(self._eigenstates),  # type: ignore
             "n_qudits": self._n_qudits,
             "operations": self._operations,
         }
@@ -144,36 +141,46 @@ class Operator(ABC, Generic[ArgScalarType, ReturnScalarType, StateType]):
         n_qudits: int,
         operations: FullOp,
     ) -> None:
-        """Check validity of operations passed to `from_operator_repr`."""
-        for tensor_op_num, (coeff, tensor_op) in enumerate(operations):
+        """Check validity of operations passed to `from_operator_repr`.
+
+        Each tensor operator may claim a qudit index only once, and
+        every qudit-operator key must be a two-eigenstate projector
+        label.
+        """
+
+        def check_keys(qudit_op: QuditOp) -> None:
+            for proj_str in qudit_op:
+                well_formed = len(proj_str) == 2 and all(
+                    s_ in eigenstates for s_ in proj_str
+                )
+                if not well_formed:
+                    raise ValueError(
+                        f"Every QuditOp key must be made up"
+                        f" of two eigenstates"
+                        f" among {eigenstates};"
+                        f" instead, got '{proj_str}'."
+                    )
+
+        for tensor_op_num, (_, tensor_op) in enumerate(operations):
             free_inds = set(range(n_qudits))
             for qudit_op, qudit_inds in tensor_op:
-                if bad_inds_ := (set(qudit_inds) - free_inds):
+                claimed_twice = set(qudit_inds) - free_inds
+                if claimed_twice:
                     raise ValueError(
                         "Got invalid indices for a system with "
-                        f"{n_qudits} qudits: {bad_inds_}. For TensorOp "
+                        f"{n_qudits} qudits: {claimed_twice}. For TensorOp "
                         f"#{tensor_op_num}, only indices {free_inds} "
                         "were still available."
                     )
-                free_inds.difference_update(qudit_inds)
-
-                for proj_str, coeff in qudit_op.items():
-                    if len(proj_str) != 2 or any(
-                        s_ not in eigenstates for s_ in proj_str
-                    ):
-                        raise ValueError(
-                            f"Every QuditOp key must be made up"
-                            f" of two eigenstates"
-                            f" among {eigenstates};"
-                            f" instead, got '{proj_str}'."
-                        )
+                free_inds -= set(qudit_inds)
+                check_keys(qudit_op)
 
 
 class OperatorRepr(Operator):
-    """A backend-independent quantum operator representation.
+    """An operator that is only its serializable description.
 
-    Created via ``from_operator_repr``; supports de/serialization for
-    remote backend execution.
+    Built with ``from_operator_repr``; exists so operators can ride the
+    wire to remote backends without a numerical backing.
     """
 
     @classmethod

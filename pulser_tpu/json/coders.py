@@ -27,17 +27,17 @@ class PulserEncoder(JSONEncoder):
     def default(self, o: Any) -> dict[str, Any] | int:
         """Handles JSON encoding of objects not supported by default."""
         if hasattr(o, "_to_dict"):
+            # Framework objects know their own record form
             return cast(dict, o._to_dict())
-        elif type(o) is type:
+        if type(o) is type:
             return obj_to_dict(o, _build=False, _name=o.__name__)
-        elif isinstance(o, np.ndarray):
+        if isinstance(o, np.ndarray):
             return obj_to_dict(o, o.tolist(), _name="array")
-        elif isinstance(o, np.integer):
+        if isinstance(o, np.integer):
             return int(o)
-        elif isinstance(o, set):
+        if isinstance(o, set):
             return obj_to_dict(o, list(o))
-        else:
-            return cast(dict, JSONEncoder.default(self, o))
+        return cast(dict, JSONEncoder.default(self, o))
 
 
 def _import_module(module_str: str) -> Any:
@@ -115,34 +115,35 @@ class PulserDecoder(JSONDecoder):
             return cls
 
         if "Device" in obj_name:
-            # Legacy payloads may carry "_channels" instead of the
-            # channel_objects/channel_ids pair
-            _channels = obj["__kwargs__"].pop("_channels", None)
-            channel_objs = obj["__kwargs__"].get(
-                "channel_objects", None
-            )
-            channel_ids = obj["__kwargs__"].get("channel_ids", None)
-            if _channels and not (channel_ids or channel_objs):
-                _channels_dict = dict(_channels)
-                obj["__kwargs__"]["channel_ids"] = tuple(
-                    _channels_dict.keys()
-                )
-                obj["__kwargs__"]["channel_objects"] = tuple(
-                    _channels_dict.values()
-                )
-
+            _upgrade_device_kwargs(obj["__kwargs__"])
         if "Sequence" in obj_name:
-            seq = cls(*obj["__args__"], **obj["__kwargs__"])
-            for name, args, kwargs in obj["calls"]:
-                getattr(seq, name)(*args, **kwargs)
-            seq._building = obj["vars"] == {}
-            for name, var in obj["vars"].items():
-                assert name not in seq._variables, (
-                    f"Multiples variables with the name '{name}'."
-                )
-                seq._variables[name] = var
-            for name, args, kwargs in obj["to_build_calls"]:
-                getattr(seq, name)(*args, **kwargs)
-            return seq
-        else:
-            return cls(*obj["__args__"], **obj["__kwargs__"])
+            return _rebuild_sequence(cls, obj)
+        return cls(*obj["__args__"], **obj["__kwargs__"])
+
+
+def _upgrade_device_kwargs(kwargs: dict[str, Any]) -> None:
+    """Converts a legacy '_channels' payload to the modern pair form."""
+    _channels = kwargs.pop("_channels", None)
+    already_modern = kwargs.get("channel_objects") or kwargs.get(
+        "channel_ids"
+    )
+    if _channels and not already_modern:
+        as_dict = dict(_channels)
+        kwargs["channel_ids"] = tuple(as_dict.keys())
+        kwargs["channel_objects"] = tuple(as_dict.values())
+
+
+def _rebuild_sequence(cls: Any, obj: dict[str, Any]) -> Any:
+    """Reconstructs a Sequence record: replay calls, restore vars."""
+    seq = cls(*obj["__args__"], **obj["__kwargs__"])
+    for name, args, kwargs in obj["calls"]:
+        getattr(seq, name)(*args, **kwargs)
+    seq._building = obj["vars"] == {}
+    for name, var in obj["vars"].items():
+        assert (
+            name not in seq._variables
+        ), f"Multiples variables with the name '{name}'."
+        seq._variables[name] = var
+    for name, args, kwargs in obj["to_build_calls"]:
+        getattr(seq, name)(*args, **kwargs)
+    return seq

@@ -231,14 +231,20 @@ class Waveform(ABC):
         return channel.modulate(self._samples, eom=eom)
 
     # --- Serialization hooks -----------------------------------------
+    # Most waveforms serialize as their constructor values; each class
+    # lists those in _serial_args and both wire formats derive from it.
 
     @abstractmethod
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        """(args, kwargs) reconstructing this waveform."""
+
     def _to_dict(self) -> dict[str, Any]:
-        pass
+        args, kwargs = self._serial_args()
+        return obj_to_dict(self, *args, **kwargs)
 
-    @abstractmethod
     def _to_abstract_repr(self) -> dict[str, Any]:
-        pass
+        args, kwargs = self._serial_args()
+        return abstract_repr(type(self).__name__, *args, **kwargs)
 
     # --- Indexing ------------------------------------------------------
 
@@ -415,11 +421,8 @@ class CompositeWaveform(Waveform):
         """The component waveforms, in order."""
         return list(self._waveforms)
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, *self._waveforms)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr("CompositeWaveform", *self._waveforms)
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return tuple(self._waveforms), {}
 
     def __str__(self) -> str:
         pieces = ", ".join(repr(wf) for wf in self._waveforms)
@@ -456,11 +459,8 @@ class CustomWaveform(Waveform):
     def _samples(self) -> pm.AbstractArray:
         return self._samples_arr
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, self._samples)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr("CustomWaveform", self._samples)
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._samples,), {}
 
     def __str__(self) -> str:
         return "Custom"
@@ -510,11 +510,8 @@ class ConstantWaveform(Waveform):
         """A shortened copy (still a ConstantWaveform)."""
         return self.with_new_duration(min(new_duration, self.duration))
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, self._duration, self._value)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr("ConstantWaveform", self._duration, self._value)
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._duration, self._value), {}
 
     def __str__(self) -> str:
         return f"{float(self._value):.3g}"
@@ -596,13 +593,8 @@ class RampWaveform(Waveform):
         """The same endpoints over a different duration."""
         return RampWaveform(new_duration, self._start, self._stop)
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, self._duration, self._start, self._stop)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr(
-            "RampWaveform", self._duration, self._start, self._stop
-        )
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._duration, self._start, self._stop), {}
 
     def __str__(self) -> str:
         return f"Ramp({float(self._start):.3g}->{float(self._stop):.3g})"
@@ -728,11 +720,8 @@ class BlackmanWaveform(_WindowWaveform):
         """The same area spread over a different duration."""
         return BlackmanWaveform(new_duration, self._area)
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, self._duration, self._area)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr("BlackmanWaveform", self._duration, self._area)
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._duration, self._area), {}
 
     def __str__(self) -> str:
         return f"Blackman(Area: {float(self._area):.3g})"
@@ -951,15 +940,15 @@ class InterpolatedWaveform(Waveform):
                 c=color,
             )
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(
-            self, self._duration, self._values, **self._kwargs
-        )
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._duration, self._values), dict(self._kwargs)
 
     def _to_abstract_repr(self) -> dict[str, Any]:
-        if self._kwargs["interpolator"] != "PchipInterpolator" or set(
-            self._kwargs
-        ) - {"times", "interpolator"}:
+        non_default = set(self._kwargs) - {"times", "interpolator"}
+        if (
+            self._kwargs["interpolator"] != "PchipInterpolator"
+            or non_default
+        ):
             raise AbstractReprError(
                 "Export of an InterpolatedWaveform is only supported for the "
                 "'PchipInterpolator' and without any 'interpolator_kwargs'."
@@ -1092,13 +1081,8 @@ class KaiserWaveform(_WindowWaveform):
         """The same area/beta over a different duration."""
         return KaiserWaveform(new_duration, self._area, self._beta)
 
-    def _to_dict(self) -> dict[str, Any]:
-        return obj_to_dict(self, self._duration, self._area, self._beta)
-
-    def _to_abstract_repr(self) -> dict[str, Any]:
-        return abstract_repr(
-            "KaiserWaveform", self._duration, self._area, beta=self._beta
-        )
+    def _serial_args(self) -> tuple[tuple, dict[str, Any]]:
+        return (self._duration, self._area), {"beta": self._beta}
 
     def __str__(self) -> str:
         return (
