@@ -177,18 +177,49 @@ def cpu_sesolve_seconds(ham, eval_times, psi0) -> float:
 def cpu_mesolve_traj_seconds(sim) -> float:
     """CPU reference: one noisy Lindblad trajectory with scipy DOP853.
 
-    Uses the structured form of the master equation
-    drho = -i[H, rho] + sum_k L rho L+ - (1/2){L+L, rho}; the collapse
-    operators here (dephasing) are diagonal, so the dissipator is a
-    precomputed elementwise mask — the same optimization QuTiP's
-    sparse solver benefits from.
+    Mirrors QuTiP's approach for the master equation
+    drho = -i[H, rho] + sum_k L rho L+ - (1/2){L+L, rho}: the
+    Hamiltonian is a sparse (CSR) operator sum H0 + sum_k c_k(t) H_k
+    with linearly interpolated coefficients, and the (diagonal)
+    dephasing dissipator is a precomputed elementwise mask.
     """
+    import scipy.sparse as sp
     from scipy.integrate import solve_ivp
 
     ham_wr = next(iter(sim._hamiltonians))
     ham = ham_wr.hamiltonian
-    dim = ham.dim**ham.n_qudits
-    h_apply = _structured_hpsi(ham)
+    d = ham.dim
+    n = ham.n_qudits
+    dim = d**n
+    knots = ham.sampling_times
+    amp_c = ham.amp_coeffs
+    det_c = ham.det_coeffs
+
+    # Static part: the interaction diagonal
+    h_static = sp.diags(ham.int_diag.astype(complex), format="csr")
+
+    def embed(local: np.ndarray, q: int) -> sp.csr_matrix:
+        mats = [sp.identity(d, format="csr")] * n
+        mats[q] = sp.csr_matrix(local)
+        out = mats[0]
+        for m in mats[1:]:
+            out = sp.kron(out, m, format="csr")
+        return out
+
+    # Drive terms: per (pair, qubit), |i><j|, |j><i| and -|k><k|
+    # operators with time-dependent coefficients
+    terms = []
+    for bi, (i, j, k) in enumerate(ham.pairs):
+        for q in range(n):
+            sig_ij = np.zeros((d, d), complex)
+            sig_ij[i, j] = 1.0
+            proj_kk = np.zeros((d, d), complex)
+            proj_kk[k, k] = 1.0
+            terms.append((embed(sig_ij, q), amp_c[bi, q]))
+            terms.append(
+                (embed(sig_ij.conj().T, q), np.conj(amp_c[bi, q]))
+            )
+            terms.append((embed(proj_kk, q), -det_c[bi, q]))
 
     # Dissipator mask from the (diagonal) collapse operators
     mask = np.zeros((dim, dim), complex)
@@ -202,15 +233,30 @@ def cpu_mesolve_traj_seconds(sim) -> float:
             l2[:, None] + l2[None, :]
         )
 
+    def coeff_at(c, t):
+        idx = np.clip(
+            np.searchsorted(knots, t, side="right") - 1,
+            0,
+            len(knots) - 2,
+        )
+        t0, t1 = knots[idx], knots[idx + 1]
+        frac = np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+        return c[idx] * (1 - frac) + c[idx + 1] * frac
+
     psi0 = sim.initial_state.full()[:, 0]
     rho0 = np.outer(psi0, np.conj(psi0))
     tf = float(sim.evaluation_times[-1]) * sim._tot_duration * 1e-3
 
     def rhs(t, y):
         rho = y.reshape(dim, dim)
-        h_rho = h_apply(t, rho)
+        h_t = h_static.copy()
+        for op, c in terms:
+            val = coeff_at(c, t)
+            if val != 0:
+                h_t = h_t + val * op
+        h_rho = h_t @ rho
         # rho @ H = (H @ rho^dagger)^dagger for Hermitian H
-        drho = -1j * (h_rho - h_apply(t, rho.conj().T).conj().T)
+        drho = -1j * (h_rho - (h_t @ rho.conj().T).conj().T)
         drho += mask * rho
         return drho.reshape(-1)
 

@@ -76,6 +76,20 @@ def _has_stochastic_noise(noise_model: NoiseModel) -> bool:
     )
 
 
+def _quantized_step(base_step: float, stability_cap: float) -> float:
+    """Halves ``base_step`` until it satisfies the stability cap.
+
+    Snapping the step to a power-of-two ladder keeps the integration
+    grid (and therefore the compiled solver shapes) identical across
+    noise trajectories whose coefficient magnitudes only fluctuate by
+    a few percent — one XLA compilation then serves the whole batch.
+    """
+    step = base_step
+    while step > stability_cap:
+        step /= 2
+    return step
+
+
 def _default_cdtype() -> Any:
     return (
         jnp.complex128
@@ -683,11 +697,11 @@ class TpuEmulator:
                         np.sum(np.abs(hamiltonian.xy_mat[0]), axis=1)
                     )
                 )
-        max_step = min(
+        base_step = min(
             float(np.median(spacings)) if len(spacings) else 1e-3,
             1e-3,
-            0.8 / max(lambda_max, 1e-9),
         )
+        max_step = _quantized_step(base_step, 0.8 / max(lambda_max, 1e-9))
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
 
@@ -1028,13 +1042,13 @@ class TpuEmulator:
             )
             for h in hams
         )
-        max_step = min(
+        base_step = min(
             float(np.median(np.diff(knots)))
             if len(knots) > 1
             else 1e-3,
             1e-3,
-            0.8 / max(lambda_max, 1e-9),
         )
+        max_step = _quantized_step(base_step, 0.8 / max(lambda_max, 1e-9))
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
         plans = [

@@ -45,6 +45,10 @@ def _unary(np_fn, jnp_fn=None):
             return AbstractArray((jnp_fn or np_fn)(a.as_tensor()))
         return AbstractArray(np_fn(a.as_array()))
 
+    # The function's name is load-bearing: ParamObj serializes deferred
+    # calls under cls.__name__ (e.g. {"expression": "sqrt", ...})
+    fn.__name__ = np_fn.__name__
+    fn.__qualname__ = np_fn.__name__
     return fn
 
 

@@ -51,13 +51,14 @@ def verify_variable(seq: Sequence, x: Any) -> None:
         return
     if isinstance(x, str):
         return
-    # Containers may hide parametrized objects — walk them
+    # Containers may hide parametrized objects — walk them. Anything
+    # that fails to iterate (including mid-loop, e.g. 0-d arrays
+    # reached through a waveform's index protocol) is a leaf.
     try:
-        iterator = iter(x)
+        for y in x:
+            verify_variable(seq, y)
     except TypeError:
         return
-    for y in iterator:
-        verify_variable(seq, y)
 
 
 def _frozen_by_truncate(seq: Sequence) -> bool:
