@@ -411,6 +411,14 @@ class Channel(ABC):
                 f"'pulse' must be of type Pulse, not of type {type(pulse)}."
             )
 
+        if (
+            pulse.amplitude.samples.requires_grad
+            or pulse.detuning.samples.requires_grad
+        ):
+            # Traced values have no concrete magnitude to check against
+            # the channel limits; the checks run on the concrete build.
+            return
+
         amp_samples_np = pulse.amplitude.samples.as_array(detach=True)
         if self.max_amp is not None and np.any(
             amp_samples_np > self.max_amp

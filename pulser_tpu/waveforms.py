@@ -308,6 +308,10 @@ class Waveform(ABC):
         )
 
     def __hash__(self) -> int:
+        if self._samples.requires_grad:
+            # Traced samples have no concrete values to hash; fall back
+            # to identity (valid within a single trace).
+            return object.__hash__(self)
         return hash(tuple(self.samples.tolist()))
 
     @abstractmethod

@@ -624,3 +624,43 @@ def test_pallas_kernel_matches_xla_path():
         interpret=True,
     )
     assert np.max(np.abs(xla - pal)) < 1e-6
+
+
+def test_mcsolve_exponential_decay_and_determinism():
+    """Quantum jumps reproduce T1 decay; fixed seeds are reproducible.
+
+    A single undriven atom prepared in |r> under pure relaxation decays
+    as exp(-Gamma t); the MC jump statistics must reproduce it, and the
+    same numpy seed must give bit-identical trajectories.
+    """
+    from pulser_tpu.emulator.simulation import Solver
+
+    gamma = 1.2  # 1/us
+    reg = tpu.Register({"q0": (0.0, 0.0)})
+
+    def run(seed, ntraj=400):
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        # A fast pi pulse (20 ns), then free decay for 2 us
+        seq.add(
+            tpu.Pulse.ConstantPulse(20, np.pi / 0.020, 0.0, 0.0), "ryd"
+        )
+        seq.delay(2000, "ryd")
+        np.random.seed(seed)
+        sim = TpuEmulator.from_sequence(
+            seq,
+            noise_model=tpu.NoiseModel(relaxation_rate=gamma),
+            solver=Solver.MCSOLVER,
+            n_trajectories=ntraj,
+        )
+        return sim.run().get_final_state().full()
+
+    rho = run(7)
+    # Population left in |r> after ~2us of free decay (index 0 = r)
+    expected = np.exp(-gamma * 2.0)
+    assert abs(np.trace(rho).real - 1.0) < 1e-8
+    # 400 trajectories: sampling error ~ sqrt(p(1-p)/400) ~ 0.02
+    assert rho[0, 0].real == pytest.approx(expected, abs=0.06)
+
+    # Determinism: the same seed gives the same density matrix
+    np.testing.assert_array_equal(run(11, ntraj=50), run(11, ntraj=50))
