@@ -1004,8 +1004,13 @@ class TpuEmulator:
         program and the batch runs in a single vmapped device call.
         """
         ham0 = self._noiseless_hamiltonian
+        # The collapse-op check must look at the TRUE noise model (the
+        # noiseless hamiltonian never carries any): dissipative noise
+        # (dephasing/relaxation/...) needs the density-matrix solver
+        # per trajectory, not the pure-state batch.
+        lindblad = self._hamiltonian_data.lindblad_data
         return (
-            len(ham0.lindblad_data.local_collapse_ops) == 0
+            len(lindblad.local_collapse_ops) == 0
             and ham0.xy_mat is None
             and ham0.int_w is None
             and self.initial_state.isket

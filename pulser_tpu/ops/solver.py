@@ -1232,8 +1232,11 @@ def mcsolve_rk4(
         else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
     )
     # Trajectories run in bounded chunks so no single device
-    # execution outlives the runtime's watchdog; partial density-
-    # matrix sums accumulate on host.
+    # execution outlives the runtime's watchdog; partial weighted
+    # density-matrix sums accumulate on host. Every trajectory's key
+    # comes from ONE stream, and short/ragged chunks are padded with
+    # zero-weight dummies — chunking and sharding therefore never
+    # change the result (sharded == serial, any chunk size).
     n_steps_tot = int(np.count_nonzero(plan.seg_dts))
     chunk = max(1, min(ntraj, 65536 // max(1, n_steps_tot)))
     n_dev = (
@@ -1245,23 +1248,25 @@ def mcsolve_rk4(
         # Round the chunk up so each device gets an equal share
         chunk = -(-chunk // n_dev) * n_dev
     n_chunks = -(-ntraj // chunk)
-    # Full chunks everywhere: the effective trajectory count is
-    # n_chunks*chunk >= ntraj (extra trajectories only tighten the
-    # Monte-Carlo estimate)
+    all_keys = jax.random.split(
+        jax.random.PRNGKey(jnp.asarray(seed, dtype=jnp.uint32)), ntraj
+    )
+    scan_fn = (
+        functools.partial(_mcsolve_scan_sharded, mesh)
+        if n_dev > 1
+        else _mcsolve_scan
+    )
     rho_re_acc: np.ndarray | None = None
     rho_im_acc: np.ndarray | None = None
     for ci in range(n_chunks):
-        keys = jax.random.split(
-            jax.random.PRNGKey(
-                jnp.asarray(seed + ci, dtype=jnp.uint32)
-            ),
-            chunk,
-        )
-        scan_fn = (
-            functools.partial(_mcsolve_scan_sharded, mesh)
-            if n_dev > 1
-            else _mcsolve_scan
-        )
+        lo = ci * chunk
+        take = min(chunk, ntraj - lo)
+        keys = all_keys[lo : lo + take]
+        if take < chunk:
+            keys = jnp.concatenate(
+                [keys, jnp.tile(keys[-1:], (chunk - take, 1))]
+            )
+        weights = (jnp.arange(chunk) < take).astype(rdtype)
         rho_re, rho_im = scan_fn(
             psi2_0,
             amp_re,
@@ -1276,6 +1281,7 @@ def mcsolve_rk4(
             g_re_stack,
             g_im_stack,
             keys,
+            weights,
             pairs=pairs,
             d=d,
             n=n,
@@ -1283,8 +1289,9 @@ def mcsolve_rk4(
             has_int_w=has_int_w,
             n_cops=n_cops,
         )
-        rr = np.asarray(rho_re) / n_chunks
-        ri = np.asarray(rho_im) / n_chunks
+        # The scans return weighted sums; normalize by the true count
+        rr = np.asarray(rho_re) / ntraj
+        ri = np.asarray(rho_im) / ntraj
         if rho_re_acc is None:
             rho_re_acc, rho_im_acc = rr, ri
         else:
@@ -1507,6 +1514,7 @@ def _mcsolve_scan(
     g_re_stack: jax.Array,
     g_im_stack: jax.Array,
     keys: jax.Array,
+    weights: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -1515,7 +1523,11 @@ def _mcsolve_scan(
     has_int_w: bool,
     n_cops: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """The compiled MCWF trajectory batch (cached across calls)."""
+    """The compiled MCWF trajectory batch (cached across calls).
+
+    Returns the weight-scaled SUM of |psi><psi| over the batch (the
+    caller normalizes); zero-weight entries are shape padding.
+    """
     states = _mcwf_traj_states(
         psi2_0,
         amp_re,
@@ -1537,7 +1549,8 @@ def _mcsolve_scan(
         has_int_w=has_int_w,
         n_cops=n_cops,
     )
-    return _avg_density(states, states.shape[0])
+    states = states * weights[:, None, None, None]
+    return _avg_density(states, 1)
 
 
 def _mcsolve_scan_sharded(
@@ -1555,6 +1568,7 @@ def _mcsolve_scan_sharded(
     g_re_stack: jax.Array,
     g_im_stack: jax.Array,
     keys: jax.Array,
+    weights: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -1566,11 +1580,12 @@ def _mcsolve_scan_sharded(
 ) -> tuple[jax.Array, jax.Array]:
     """MCWF trajectory batch sharded over a device mesh.
 
-    The per-trajectory RNG keys split over the mesh's ``axis_name``;
-    each chip integrates its shard's quantum-jump trajectories and
-    forms a partial density-matrix sum, completed by a single ``psum``
-    over ICI — the ``Results.aggregate`` reduction as a collective
-    (reference ``backend/results.py:332-488``). Trajectory results are
+    The per-trajectory RNG keys (and their 0/1 padding weights) split
+    over the mesh's ``axis_name``; each chip integrates its shard's
+    quantum-jump trajectories and forms a partial weighted density-
+    matrix sum, completed by a single ``psum`` over ICI — the
+    ``Results.aggregate`` reduction as a collective (reference
+    ``backend/results.py:332-488``). Trajectory results are
     key-deterministic, so sharded and serial runs agree to reduction
     rounding.
     """
@@ -1599,6 +1614,7 @@ def _mcsolve_scan_sharded(
         g_re_stack,
         g_im_stack,
         keys_sh,
+        weights_sh,
     ):
         states = _mcwf_traj_states(
             psi2_0,
@@ -1621,7 +1637,8 @@ def _mcsolve_scan_sharded(
             has_int_w=has_int_w,
             n_cops=n_cops,
         )
-        rho_re, rho_im = _avg_density(states, ntraj)
+        states = states * weights_sh[:, None, None, None]
+        rho_re, rho_im = _avg_density(states, 1)
         return (
             jax.lax.psum(rho_re, axis_name),
             jax.lax.psum(rho_im, axis_name),
@@ -1635,7 +1652,7 @@ def _mcsolve_scan_sharded(
     sharded = shard_map(
         local_work,
         mesh=mesh,
-        in_specs=(P(),) * 12 + (P(axis_name),),
+        in_specs=(P(),) * 12 + (P(axis_name), P(axis_name)),
         out_specs=(P(), P()),
         check_rep=False,
     )
@@ -1653,6 +1670,7 @@ def _mcsolve_scan_sharded(
         g_re_stack,
         g_im_stack,
         keys,
+        weights,
     )
 
 

@@ -664,3 +664,34 @@ def test_mcsolve_exponential_decay_and_determinism():
 
     # Determinism: the same seed gives the same density matrix
     np.testing.assert_array_equal(run(11, ntraj=50), run(11, ntraj=50))
+
+
+def test_stochastic_noise_with_dephasing_uses_lindblad_path():
+    """Regression: dephasing + shot-to-shot noise must NOT take the
+    pure-state batched path (which would silently drop the dissipator).
+    """
+    seq = _bell_sequence()
+    nm = tpu.NoiseModel(
+        amp_sigma=0.02, dephasing_rate=10.0, runs=3, samples_per_run=4
+    )
+    np.random.seed(3)
+    sim = TpuEmulator.from_sequence(
+        seq, noise_model=nm, evaluation_times="Minimal"
+    )
+    assert not sim._can_batch_trajectories()
+
+    # Strong dephasing must visibly change the outcome distribution
+    nm_off = tpu.NoiseModel(
+        amp_sigma=0.02, runs=3, samples_per_run=4
+    )
+    np.random.seed(3)
+    sim_off = TpuEmulator.from_sequence(
+        seq, noise_model=nm_off, evaluation_times="Minimal"
+    )
+    res_on = sim.run().results[-1]
+    res_off = sim_off.run().results[-1]
+    dist = sum(
+        abs(res_on.get(k, 0) - res_off.get(k, 0))
+        for k in set(res_on) | set(res_off)
+    )
+    assert dist > 0.2
