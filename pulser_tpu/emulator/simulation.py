@@ -1092,6 +1092,148 @@ class TpuEmulator:
             ]
             yield self._wrap_coherent(states_q), hwr.reps
 
+    def _can_batch_lindblad(self) -> bool:
+        """Whether dissipative noise trajectories can batch on-device.
+
+        With collapse operators the per-trajectory solve is a master
+        equation (or one quantum-jump realization); when only the drive
+        coefficients and the interaction diagonal vary across
+        trajectories, the whole batch vmaps into one compiled program.
+        """
+        ham0 = self._noiseless_hamiltonian
+        lindblad = self._hamiltonian_data.lindblad_data
+        return (
+            len(lindblad.local_collapse_ops) > 0
+            and not lindblad.depolarizing_pauli_2ds
+            and ham0.xy_mat is None
+            and ham0.int_w is None
+            and self.initial_state.isket
+        )
+
+    def _lindblad_solver_choice(self) -> bool:
+        """True when the quantum-jump solver handles Lindblad terms.
+
+        Mirrors the reference's auto-selection (simulation.py:705-721):
+        under the DEFAULT solver, stochastic noise combined with
+        collapse operators runs one MCWF realization per trajectory;
+        MESOLVER forces the master equation.
+        """
+        return self.solver == Solver.MCSOLVER or (
+            self.solver == Solver.DEFAULT
+            and _has_stochastic_noise(self.noise_model)
+        )
+
+    def _noisy_runs_batched_lindblad(
+        self,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> Iterator[tuple[SimulationResults, int]]:
+        """Dissipative variant of :meth:`_noisy_runs_batched`.
+
+        The reference loops mesolve/mcsolve serially over trajectories
+        (``simulation.py:848-861``); here every trajectory's Lindblad
+        (or quantum-jump) solve runs in one vmapped device program.
+        """
+        from pulser_tpu.ops.solver import (
+            mcsolve_rk4_batched,
+            mesolve_rk4_batched,
+        )
+
+        self._refresh_trajectories()
+        hams = list(self._hamiltonians)
+        if print_progress:
+            print(
+                f"Emulating Trajectories [1 - {self.n_trajectories}]"
+                f"/{self.n_trajectories} (batched, dissipative)"
+            )
+        first = hams[0].hamiltonian
+        d, n = first.dim, first.n_qudits
+        knots = first.sampling_times
+        # Shared step cap across trajectories: full (non-interaction-
+        # picture) stiffness since the Lindblad solvers integrate in
+        # the lab frame
+        lambda_max = max(
+            float(
+                np.sum(
+                    2
+                    * np.max(
+                        np.abs(h.hamiltonian.amp_coeffs), axis=(1, 2)
+                    )
+                )
+                + np.max(np.abs(h.hamiltonian.int_diag))
+                + np.sum(
+                    np.max(
+                        np.abs(h.hamiltonian.det_coeffs), axis=(1, 2)
+                    )
+                )
+            )
+            for h in hams
+        )
+        base_step = min(
+            float(np.median(np.diff(knots)))
+            if len(knots) > 1
+            else 1e-3,
+            1e-3,
+        )
+        max_step = _quantized_step(
+            base_step, 0.8 / max(lambda_max, 1e-9)
+        )
+        if "max_step" in options and options["max_step"]:
+            max_step = min(max_step, float(options["max_step"]))
+        plans = [
+            build_plan(
+                h.hamiltonian.sampling_times,
+                {
+                    "amp": h.hamiltonian.amp_coeffs,
+                    "det": h.hamiltonian.det_coeffs,
+                },
+                self._eval_times_array,
+                max_step=max_step,
+            )
+            for h in hams
+        ]
+        diags = np.stack([h.hamiltonian.int_diag for h in hams])
+        cdtype = _default_cdtype()
+        psi0 = self.initial_state.full()[:, 0]
+        collapse_mats = first._local_collapse_mats
+
+        if self._lindblad_solver_choice():
+            # One quantum-jump realization per noise trajectory, with
+            # the same per-trajectory seed draws as the serial loop
+            seeds = [
+                int(np.random.randint(2**31)) for _ in hams
+            ]
+            states_batch = mcsolve_rk4_batched(
+                np.asarray(psi0, dtype=cdtype),
+                plans,
+                diags,
+                first.pairs,
+                d,
+                n,
+                collapse_mats,
+                seeds,
+                dtype=cdtype,
+            )
+            dims = [[d] * n, [1] * n]
+        else:
+            rho0 = np.outer(psi0, psi0.conj())
+            states_batch = mesolve_rk4_batched(
+                np.asarray(rho0, dtype=cdtype),
+                plans,
+                diags,
+                first.pairs,
+                d,
+                n,
+                collapse_mats,
+                dtype=cdtype,
+            )
+            dims = [[d] * n, [d] * n]
+
+        for hwr, states_t in zip(hams, states_batch):
+            self._current_hamiltonian = hwr.hamiltonian
+            states_q = [Qobj(s, dims=dims) for s in states_t]
+            yield self._wrap_coherent(states_q), hwr.reps
+
     def _noisy_runs(
         self,
         progress_bar: bool,
@@ -1100,6 +1242,11 @@ class TpuEmulator:
     ) -> Iterator[tuple[SimulationResults, int]]:
         if self._can_batch_trajectories():
             yield from self._noisy_runs_batched(
+                print_progress=print_progress, **options
+            )
+            return
+        if self._can_batch_lindblad():
+            yield from self._noisy_runs_batched_lindblad(
                 print_progress=print_progress, **options
             )
             return

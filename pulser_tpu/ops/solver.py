@@ -712,6 +712,233 @@ def _sesolve_scan(
     return ys
 
 
+def _collapse_algebra(
+    collapse_ops: list[np.ndarray], d: int, n: int, rdtype: Any
+) -> tuple:
+    """Host-side complex prep of the collapse algebra.
+
+    - Σ_k L†L (for the anticommutator's static group matrices);
+    - the L ρ L† terms decomposed into matrix units: any local L is
+      Σ v_a |i_a><j_a|, so L ρ L† = Σ_{a,b} v_a v_b* E_{i_a j_a} ρ
+      E_{j_b i_b} — each term moves one (j_a, j_b) block of ρ to
+      (i_a, i_b) with a static slice (indices known at trace time).
+    - Terms whose units are both diagonal (i==j) collapse into one
+      elementwise (dim, dim) mask: W[r, c] = Σ_q Σ_t c_t
+      [digit_q(r)=i1][digit_q(c)=i2] — the whole dephasing-type
+      dissipator then costs a single fused multiply per stage.
+    """
+    dim = d**n
+    cdc_sum = np.zeros((d, d), dtype=np.complex128)
+    lrl_idx: list[tuple[int, int, int, int]] = []
+    lrl_coef: list[list[float]] = []
+    diag_mask = np.zeros((dim, dim), dtype=np.complex128)
+    idx_digits = (
+        np.arange(dim)[None, :]
+        // (d ** (n - 1 - np.arange(n)))[:, None]
+    ) % d  # (n, dim)
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        cdc_sum += c_np.conj().T @ c_np
+        nz = [
+            (i, j, c_np[i, j])
+            for i in range(d)
+            for j in range(d)
+            if abs(c_np[i, j]) > 1e-14
+        ]
+        for i1, j1, v1 in nz:
+            for i2, j2, v2 in nz:
+                c = v1 * np.conj(v2)
+                if i1 == j1 and i2 == j2:
+                    row_hits = (idx_digits == i1).astype(float)
+                    col_hits = (idx_digits == i2).astype(float)
+                    # Σ_q over matching digits on rows AND columns
+                    diag_mask += c * np.einsum(
+                        "qr,qc->rc", row_hits, col_hits
+                    )
+                else:
+                    lrl_idx.append((i1, j1, i2, j2))
+                    lrl_coef.append([c.real, c.imag])
+    cdc_pair = (
+        jnp.asarray(cdc_sum.real, dtype=rdtype),
+        jnp.asarray(cdc_sum.imag, dtype=rdtype),
+    )
+    lrl_coef_arr = (
+        jnp.asarray(np.asarray(lrl_coef), dtype=rdtype)
+        if lrl_coef
+        else jnp.zeros((0, 2), dtype=rdtype)
+    )
+    has_diag_mask = bool(np.any(np.abs(diag_mask) > 1e-14))
+    diag_mask_pair = (
+        jnp.asarray(diag_mask.real, dtype=rdtype),
+        jnp.asarray(diag_mask.imag, dtype=rdtype),
+    )
+    return (
+        cdc_pair,
+        lrl_idx,
+        lrl_coef_arr,
+        diag_mask_pair,
+        has_diag_mask,
+        bool(collapse_ops),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "has_int_w",
+        "lrl_idx",
+        "has_cops",
+        "has_diag_mask",
+    ),
+)
+def _mesolve_scan_batched(
+    rho2_0: jax.Array,
+    amp_re_b: jax.Array,
+    amp_im_b: jax.Array,
+    det_b: jax.Array,
+    dts: jax.Array,
+    int_w: jax.Array,
+    diag_b: jax.Array,
+    cdc_pair: tuple,
+    lrl_coef_arr: jax.Array,
+    diag_mask_pair: tuple,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    has_int_w: bool,
+    lrl_idx: tuple[tuple[int, int, int, int], ...],
+    has_cops: bool,
+    has_diag_mask: bool,
+) -> jax.Array:
+    """A vmapped batch of Lindblad scans (one per noise trajectory).
+
+    Trajectory noise only perturbs the drive coefficients and the
+    interaction diagonal, so the whole batch shares one compiled
+    program — the density-matrix analogue of the vmapped statevector
+    batch the reference runs serially (simulation.py:848-861).
+    """
+
+    def one_traj(amp_re, amp_im, det, diag_static):
+        return _mesolve_scan.__wrapped__(
+            rho2_0,
+            amp_re,
+            amp_im,
+            det,
+            dts,
+            int_w,
+            diag_static,
+            None,
+            cdc_pair,
+            lrl_coef_arr,
+            diag_mask_pair,
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=None,
+            has_int_w=has_int_w,
+            lrl_idx=lrl_idx,
+            has_cops=has_cops,
+            has_diag_mask=has_diag_mask,
+        )
+
+    return jax.vmap(one_traj)(amp_re_b, amp_im_b, det_b, diag_b)
+
+
+def mesolve_rk4_batched(
+    rho0: np.ndarray,
+    plans: list[EvolutionPlan],
+    diags: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    dtype: Any = None,
+) -> np.ndarray:
+    """Solves one Lindblad equation per noise trajectory, batched.
+
+    All plans must share the same grid shape (guaranteed by the
+    quantized step selection); the batch is split into bounded device
+    calls along the trajectory axis so each XLA execution stays small
+    while every call reuses one compiled executable.
+
+    Returns:
+        ``(n_traj, n_eval, dim, dim)`` complex density matrices.
+    """
+    cdtype = dtype or np.asarray(rho0).dtype
+    rdtype = _real_dtype(cdtype)
+    rho0_np = np.asarray(rho0, dtype=cdtype)
+    rho2_0 = jnp.asarray(
+        np.stack([rho0_np.real, rho0_np.imag]), dtype=rdtype
+    )
+    base = plans[0]
+    shapes = {p.seg_dts.shape for p in plans}
+    assert len(shapes) == 1, f"plans disagree on grid shape: {shapes}"
+
+    amp_np = np.stack([p.seg_stage("amp") for p in plans])
+    det_np = np.stack([p.seg_stage("det").real for p in plans])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det = jnp.asarray(det_np, dtype=rdtype)
+    dts = jnp.asarray(base.seg_dts, dtype=rdtype)
+    diag_b = jnp.asarray(np.asarray(diags).real, dtype=rdtype)
+    int_w = jnp.zeros(base.seg_dts.shape + (3, 1), dtype=rdtype)
+
+    (
+        cdc_pair,
+        lrl_idx,
+        lrl_coef_arr,
+        diag_mask_pair,
+        has_diag_mask,
+        has_cops,
+    ) = _collapse_algebra(collapse_ops, d, n, rdtype)
+
+    n_traj = len(plans)
+    n_steps_tot = int(np.count_nonzero(base.seg_dts))
+    # Per-call budget: trajectories × steps bounded so one execution
+    # stays well under the runtime watchdog
+    batch = max(1, min(n_traj, 65536 // max(1, n_steps_tot)))
+    outs = []
+    for lo in range(0, n_traj, batch):
+        take = slice(lo, min(lo + batch, n_traj))
+        pad = batch - (take.stop - take.start)
+
+        def pad_b(arr):
+            part = arr[take]
+            if pad == 0:
+                return part
+            return jnp.concatenate(
+                [part, jnp.repeat(part[-1:], pad, axis=0)]
+            )
+
+        ys = _mesolve_scan_batched(
+            rho2_0,
+            pad_b(amp_re),
+            pad_b(amp_im),
+            pad_b(det),
+            dts,
+            int_w,
+            pad_b(diag_b),
+            cdc_pair,
+            lrl_coef_arr,
+            diag_mask_pair,
+            pairs=pairs,
+            d=d,
+            n=n,
+            has_int_w=False,
+            lrl_idx=tuple(lrl_idx),
+            has_cops=has_cops,
+            has_diag_mask=has_diag_mask,
+        )
+        ys_np = np.asarray(ys)[: take.stop - take.start]
+        outs.append(ys_np)
+    out = np.concatenate(outs)[:, base.eval_map]
+    return (out[:, :, 0] + 1j * out[:, :, 1]).astype(cdtype)
+
+
 def mesolve_rk4(
     rho0: np.ndarray,
     plan: EvolutionPlan,
@@ -761,62 +988,14 @@ def mesolve_rk4(
         if xy_static is not None
         else None
     )
-    # Host-side complex prep of the collapse algebra:
-    # - Σ_k L†L (for the anticommutator's static group matrices);
-    # - the L ρ L† terms decomposed into matrix units: any local L is
-    #   Σ v_a |i_a><j_a|, so L ρ L† = Σ_{a,b} v_a v_b* E_{i_a j_a} ρ
-    #   E_{j_b i_b} — each term moves one (j_a, j_b) block of ρ to
-    #   (i_a, i_b) with a static slice (indices known at trace time).
-    dim = d**n
-    cdc_sum = np.zeros((d, d), dtype=np.complex128)
-    lrl_idx: list[tuple[int, int, int, int]] = []
-    lrl_coef: list[list[float]] = []
-    # Terms whose units are both diagonal (i==j) collapse into one
-    # elementwise (dim, dim) mask: W[r, c] = Σ_q Σ_t c_t
-    # [digit_q(r)=i1][digit_q(c)=i2] — the whole dephasing-type
-    # dissipator then costs a single fused multiply per stage.
-    diag_mask = np.zeros((dim, dim), dtype=np.complex128)
-    idx_digits = (
-        np.arange(dim)[None, :]
-        // (d ** (n - 1 - np.arange(n)))[:, None]
-    ) % d  # (n, dim)
-    for c_np in collapse_ops:
-        c_np = np.asarray(c_np, dtype=np.complex128)
-        cdc_sum += c_np.conj().T @ c_np
-        nz = [
-            (i, j, c_np[i, j])
-            for i in range(d)
-            for j in range(d)
-            if abs(c_np[i, j]) > 1e-14
-        ]
-        for i1, j1, v1 in nz:
-            for i2, j2, v2 in nz:
-                c = v1 * np.conj(v2)
-                if i1 == j1 and i2 == j2:
-                    row_hits = (idx_digits == i1).astype(float)
-                    col_hits = (idx_digits == i2).astype(float)
-                    # Σ_q over matching digits on rows AND columns
-                    diag_mask += c * np.einsum(
-                        "qr,qc->rc", row_hits, col_hits
-                    )
-                else:
-                    lrl_idx.append((i1, j1, i2, j2))
-                    lrl_coef.append([c.real, c.imag])
-    cdc_pair = (
-        jnp.asarray(cdc_sum.real, dtype=rdtype),
-        jnp.asarray(cdc_sum.imag, dtype=rdtype),
-    )
-    lrl_coef_arr = (
-        jnp.asarray(np.asarray(lrl_coef), dtype=rdtype)
-        if lrl_coef
-        else jnp.zeros((0, 2), dtype=rdtype)
-    )
-    has_diag_mask = bool(np.any(np.abs(diag_mask) > 1e-14))
-    diag_mask_pair = (
-        jnp.asarray(diag_mask.real, dtype=rdtype),
-        jnp.asarray(diag_mask.imag, dtype=rdtype),
-    )
-    has_cops = bool(collapse_ops)
+    (
+        cdc_pair,
+        lrl_idx,
+        lrl_coef_arr,
+        diag_mask_pair,
+        has_diag_mask,
+        has_cops,
+    ) = _collapse_algebra(collapse_ops, d, n, rdtype)
 
     w_dummy = (
         int_w
@@ -888,6 +1067,176 @@ def mesolve_rk4(
         [np.asarray(ys) for ys in ys_handles]
     )[:n_seg][plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pairs",
+        "d",
+        "n",
+        "has_int_w",
+        "n_cops",
+    ),
+)
+def _mcwf_scan_batched(
+    psi2_0: jax.Array,
+    amp_re_b: jax.Array,
+    amp_im_b: jax.Array,
+    det_b: jax.Array,
+    dts: jax.Array,
+    int_w: jax.Array,
+    diag_b: jax.Array,
+    c_re_arr: jax.Array,
+    c_im_arr: jax.Array,
+    g_re_stack: jax.Array,
+    g_im_stack: jax.Array,
+    keys_b: jax.Array,
+    *,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    has_int_w: bool,
+    n_cops: int,
+) -> jax.Array:
+    """One quantum-jump realization per noise trajectory, batched.
+
+    Each batch entry pairs its own drive coefficients/diagonal with its
+    own RNG key; the whole batch shares one compiled program (the
+    reference's serial mcsolve-per-trajectory loop collapsed into a
+    single device call).
+    """
+
+    def one(amp_re, amp_im, det, diag_static, key):
+        states = _mcwf_traj_states(
+            psi2_0,
+            amp_re,
+            amp_im,
+            det,
+            dts,
+            int_w,
+            diag_static,
+            None,
+            c_re_arr,
+            c_im_arr,
+            g_re_stack,
+            g_im_stack,
+            key[None],
+            pairs=pairs,
+            d=d,
+            n=n,
+            xy_indices=None,
+            has_int_w=has_int_w,
+            n_cops=n_cops,
+        )
+        return states[0]
+
+    return jax.vmap(one)(amp_re_b, amp_im_b, det_b, diag_b, keys_b)
+
+
+def mcsolve_rk4_batched(
+    psi0: np.ndarray,
+    plans: list[EvolutionPlan],
+    diags: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    seeds: list[int],
+    dtype: Any = None,
+) -> np.ndarray:
+    """One MCWF realization per noise trajectory, batched on-device.
+
+    Per-trajectory seeds reproduce the serial path's draws exactly
+    (trajectory i uses ``split(PRNGKey(seeds[i]), 1)[0]``, the same key
+    the serial solver would use), so batched == serial.
+
+    Returns:
+        ``(n_traj, n_eval, 2, dim)``-derived complex pure states,
+        shaped ``(n_traj, n_eval, dim)``.
+    """
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+    psi2_0 = jnp.asarray(
+        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
+    )
+    base = plans[0]
+    shapes = {p.seg_dts.shape for p in plans}
+    assert len(shapes) == 1, f"plans disagree on grid shape: {shapes}"
+
+    amp_np = np.stack([p.seg_stage("amp") for p in plans])
+    det_np = np.stack([p.seg_stage("det").real for p in plans])
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det = jnp.asarray(det_np, dtype=rdtype)
+    dts = jnp.asarray(base.seg_dts, dtype=rdtype)
+    diag_b = jnp.asarray(np.asarray(diags).real, dtype=rdtype)
+    int_w = jnp.zeros(base.seg_dts.shape + (3, 1), dtype=rdtype)
+
+    c_res, c_ims = [], []
+    g_np = np.zeros((d, d), dtype=np.complex128)
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        g_np += c_np.conj().T @ c_np
+        c_res.append(c_np.real)
+        c_ims.append(c_np.imag)
+    c_re_arr = jnp.asarray(np.stack(c_res), dtype=rdtype)
+    c_im_arr = jnp.asarray(np.stack(c_ims), dtype=rdtype)
+    g_re_stack = jnp.asarray(
+        np.tile(g_np.real[None], (n, 1, 1)), dtype=rdtype
+    )
+    g_im_stack = jnp.asarray(
+        np.tile(g_np.imag[None], (n, 1, 1)), dtype=rdtype
+    )
+
+    keys = jnp.stack(
+        [
+            jax.random.split(
+                jax.random.PRNGKey(jnp.asarray(sd, dtype=jnp.uint32)), 1
+            )[0]
+            for sd in seeds
+        ]
+    )
+
+    n_traj = len(plans)
+    n_steps_tot = int(np.count_nonzero(base.seg_dts))
+    batch = max(1, min(n_traj, 65536 // max(1, n_steps_tot)))
+    outs = []
+    for lo in range(0, n_traj, batch):
+        take = slice(lo, min(lo + batch, n_traj))
+        pad = batch - (take.stop - take.start)
+
+        def pad_b(arr):
+            part = arr[take]
+            if pad == 0:
+                return part
+            return jnp.concatenate(
+                [part, jnp.repeat(part[-1:], pad, axis=0)]
+            )
+
+        ys = _mcwf_scan_batched(
+            psi2_0,
+            pad_b(amp_re),
+            pad_b(amp_im),
+            pad_b(det),
+            dts,
+            int_w,
+            pad_b(diag_b),
+            c_re_arr,
+            c_im_arr,
+            g_re_stack,
+            g_im_stack,
+            pad_b(keys),
+            pairs=pairs,
+            d=d,
+            n=n,
+            has_int_w=False,
+            n_cops=len(collapse_ops),
+        )
+        outs.append(np.asarray(ys)[: take.stop - take.start])
+    out = np.concatenate(outs)[:, base.eval_map]
+    return (out[:, :, 0] + 1j * out[:, :, 1]).astype(cdtype)
 
 
 def _dag2(rho2: jax.Array) -> jax.Array:

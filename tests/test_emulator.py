@@ -695,3 +695,57 @@ def test_stochastic_noise_with_dephasing_uses_lindblad_path():
         for k in set(res_on) | set(res_off)
     )
     assert dist > 0.2
+
+
+def test_batched_lindblad_paths_match_serial():
+    """Batched dissipative trajectories == the serial per-trajectory
+    solves (both the MCWF and the master-equation variants)."""
+    from pulser_tpu.emulator.simulation import Solver, TpuEmulator
+
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 9)})
+
+    def build():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(400, 2 * np.pi, -1.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, dephasing_rate=0.2, runs=3, samples_per_run=2
+    )
+
+    for solver in (Solver.DEFAULT, Solver.MESOLVER):
+        np.random.seed(11)
+        sim = TpuEmulator.from_sequence(
+            build(), noise_model=nm, solver=solver
+        )
+        assert sim._can_batch_lindblad()
+        batched = [
+            (res.states, reps)
+            for res, reps in sim._noisy_runs(progress_bar=False)
+        ]
+
+        np.random.seed(11)
+        sim2 = TpuEmulator.from_sequence(
+            build(), noise_model=nm, solver=solver
+        )
+        sim2._can_batch_lindblad = lambda: False  # force serial
+        serial = [
+            (res.states, reps)
+            for res, reps in sim2._noisy_runs(progress_bar=False)
+        ]
+
+        assert len(batched) == len(serial) > 0
+        for (st_b, reps_b), (st_s, reps_s) in zip(batched, serial):
+            assert reps_b == reps_s
+            for qb, qs in zip(st_b, st_s):
+                a, b = qb.full(), qs.full()
+                if a.shape != b.shape:
+                    # ket vs density-matrix representation
+                    a = a @ a.conj().T if a.shape[1] == 1 else a
+                    b = b @ b.conj().T if b.shape[1] == 1 else b
+                np.testing.assert_allclose(
+                    a, b, atol=5e-6, err_msg=str(solver)
+                )

@@ -94,6 +94,7 @@ def xy_interaction(reg, device, mag_field):
     basis = BASIS["XY"]
     s_ud = [embed(sigma(basis, "u", "d"), q, n, 2) for q in range(n)]
     s_du = [embed(sigma(basis, "d", "u"), q, n, 2) for q in range(n)]
+    s_uu = [embed(sigma(basis, "u", "u"), q, n, 2) for q in range(n)]
     bnorm = np.array(mag_field) / np.linalg.norm(mag_field)
     h = np.zeros((2**n, 2**n), dtype=complex)
     for i in range(n):
@@ -105,6 +106,11 @@ def xy_interaction(reg, device, mag_field):
             ) ** 2 if r else 0.0
             u = device.interaction_coeff_xy * (1 - 3 * cos2) / r**3
             h += u * (s_ud[i] @ s_du[j] + s_du[i] @ s_ud[j])
+            # Stacked C6 term between 'u' states (reference
+            # hamiltonian_data.py:608-611, hamiltonian.py:276-295:
+            # 0.5*U_ryd*sigma_uu*sigma_uu + h.c.)
+            u6 = device.interaction_coeff / r**6
+            h += u6 * (s_uu[i] @ s_uu[j])
     return h
 
 
@@ -179,6 +185,10 @@ def golden_solve(
         h_static = xy_interaction(
             seq.register, seq.device, seq.magnetic_field
         )
+    elif basis_name == "digital":
+        # No interaction term in the digital basis (reference
+        # hamiltonian.py:396: skipped when "digital" in basis_name)
+        h_static = np.zeros((dim, dim), dtype=complex)
     else:
         h_static = ising_interaction(seq.register, seq.device)
 
@@ -203,9 +213,12 @@ def golden_solve(
         return h
 
     if initial is None:
+        # Reference "all-ground": every atom in 'g' (or 'u' for XY)
+        # (pulser-simulation simulation.py:498-505)
+        ground = "u" if basis_name == "XY" else "g"
+        k = BASIS[basis_name].index(ground)
         initial = np.zeros(dim, dtype=complex)
-        # All atoms in the "ground-like" state = last basis index
-        initial[-1] = 1.0
+        initial[int(k * (dim - 1) / (d - 1))] = 1.0
 
     if lindblad_ops:
         rho0 = np.outer(initial, initial.conj())
