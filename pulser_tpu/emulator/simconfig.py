@@ -4,14 +4,18 @@ Behavioral parity with reference
 ``pulser-simulation/pulser_simulation/simconfig.py:42-273``. SimConfig
 predates NoiseModel; it keeps the old parameter spellings (eta/epsilon/
 epsilon_prime, temperature in µK at the API surface but Kelvin inside)
-and converts to/from NoiseModel through an alias table.
+and converts to/from NoiseModel through an alias table. Unlike the
+reference, the frozen dataclass is assembled at import time from a
+single field-spec table so the legacy defaults live in exactly one
+place.
 """
 
 from __future__ import annotations
 
 import math
 import warnings
-from dataclasses import dataclass, field, fields
+from dataclasses import MISSING, fields, make_dataclass
+from dataclasses import field as _dc_field
 from typing import Any, Tuple, Type, TypeVar, Union, cast
 
 import numpy as np
@@ -28,59 +32,82 @@ from pulser_tpu.noise_model import (
 
 T = TypeVar("T", bound="SimConfig")
 
-# NoiseModel field name -> SimConfig field name, where they differ.
-_LEGACY_NAME_OF = {
-    "noise_types": "noise",
-    "state_prep_error": "eta",
-    "p_false_pos": "epsilon",
-    "p_false_neg": "epsilon_prime",
-}
 
+class _Legacy(str):
+    """Marks a field whose default comes from ``_LEGACY_DEFAULTS``.
 
-@dataclass(frozen=True)
-class SimConfig:
-    """The deprecated, pre-NoiseModel simulation configuration.
-
-    Warning:
-        Deprecated; ``NoiseModel`` should be used instead.
-
-    Args:
-        noise: Active noise type(s) — one name or a tuple of names.
-        eta: Chance that an atom comes out badly prepared.
-        epsilon: False-positive readout probability.
-        epsilon_prime: False-negative readout probability.
-        runs: How many noisy realizations to draw.
-        samples_per_run: Bitstring samples taken per realization.
-        temperature: The array's temperature, given in µK.
-        laser_waist: Gaussian waist of the global-pulse laser (µm).
-        amp_sigma: Shot-to-shot amplitude spread (std around 1).
-        detuning_sigma: Shot-to-shot detuning spread (std around 0).
-        solver_options: Options for the solver.
+    The string value is the NoiseModel spelling of the parameter; it
+    doubles as the alias used when translating to/from NoiseModel.
     """
 
-    noise: Union[NoiseTypes, tuple[NoiseTypes, ...]] = ()
-    runs: int = cast(int, _LEGACY_DEFAULTS["runs"])
-    samples_per_run: int = cast(
-        int, _LEGACY_DEFAULTS["samples_per_run"]
-    )
-    temperature: float = _LEGACY_DEFAULTS["temperature"]
-    laser_waist: float = _LEGACY_DEFAULTS["laser_waist"]
-    amp_sigma: float = _LEGACY_DEFAULTS["amp_sigma"]
-    detuning_sigma: float = 0.0
-    eta: float = _LEGACY_DEFAULTS["state_prep_error"]
-    epsilon: float = _LEGACY_DEFAULTS["p_false_pos"]
-    epsilon_prime: float = _LEGACY_DEFAULTS["p_false_neg"]
-    relaxation_rate: float = _LEGACY_DEFAULTS["relaxation_rate"]
-    dephasing_rate: float = _LEGACY_DEFAULTS["dephasing_rate"]
-    hyperfine_dephasing_rate: float = _LEGACY_DEFAULTS[
-        "hyperfine_dephasing_rate"
-    ]
-    depolarizing_rate: float = _LEGACY_DEFAULTS["depolarizing_rate"]
-    eff_noise_rates: list[float] = field(
-        default_factory=list, repr=False
-    )
-    eff_noise_opers: list[Any] = field(default_factory=list, repr=False)
-    solver_options: dict[str, Any] | None = None
+
+# One row per SimConfig field: (name, type, default). A ``_Legacy``
+# default is resolved against _LEGACY_DEFAULTS under its NoiseModel
+# spelling — rows where that spelling differs from the field name
+# define the legacy-alias table as a side effect.
+_FIELD_SPEC: tuple[tuple[str, Any, Any], ...] = (
+    ("noise", "NoiseArg", ()),
+    ("runs", int, _Legacy("runs")),
+    ("samples_per_run", int, _Legacy("samples_per_run")),
+    ("temperature", float, _Legacy("temperature")),
+    ("laser_waist", float, _Legacy("laser_waist")),
+    ("amp_sigma", float, _Legacy("amp_sigma")),
+    ("detuning_sigma", float, 0.0),
+    ("eta", float, _Legacy("state_prep_error")),
+    ("epsilon", float, _Legacy("p_false_pos")),
+    ("epsilon_prime", float, _Legacy("p_false_neg")),
+    ("relaxation_rate", float, _Legacy("relaxation_rate")),
+    ("dephasing_rate", float, _Legacy("dephasing_rate")),
+    (
+        "hyperfine_dephasing_rate",
+        float,
+        _Legacy("hyperfine_dephasing_rate"),
+    ),
+    ("depolarizing_rate", float, _Legacy("depolarizing_rate")),
+    ("eff_noise_rates", list, MISSING),
+    ("eff_noise_opers", list, MISSING),
+    ("solver_options", "dict | None", None),
+)
+
+# NoiseModel spelling -> SimConfig spelling (derived from the spec),
+# plus the tuple-of-types field itself.
+_LEGACY_NAME_OF: dict[str, str] = {"noise_types": "noise"}
+_LEGACY_NAME_OF.update(
+    {
+        str(default): name
+        for name, _, default in _FIELD_SPEC
+        if isinstance(default, _Legacy) and str(default) != name
+    }
+)
+
+
+def _map_params(
+    source: Any, relevant: set, to_legacy: bool
+) -> dict[str, Any]:
+    """Copies the relevant params across the alias table.
+
+    ``source`` is a NoiseModel (to_legacy=True, read under NoiseModel
+    spellings, write under SimConfig spellings) or a SimConfig
+    (to_legacy=False, the reverse).
+    """
+    out: dict[str, Any] = {}
+    for param in relevant:
+        legacy = _LEGACY_NAME_OF.get(param, param)
+        src_name, dst_name = (
+            (param, legacy) if to_legacy else (legacy, param)
+        )
+        out[dst_name] = getattr(source, src_name)
+    if "eff_noise_opers" in out:
+        out["eff_noise_opers"] = [
+            np.asarray(op) for op in out["eff_noise_opers"]
+        ]
+    return out
+
+
+class _SimConfigLogic:
+    """Everything SimConfig does, minus the generated field storage."""
+
+    # --- NoiseModel translation (both directions share one mapper) ---
 
     @classmethod
     def from_noise_model(cls: Type[T], noise_model: NoiseModel) -> T:
@@ -91,22 +118,15 @@ class SimConfig:
             noise_model.amp_sigma,
             noise_model.laser_waist,
         )
-        kwargs: dict[str, Any] = dict(noise=noise_model.noise_types)
-        for param in relevant:
-            kwargs[_LEGACY_NAME_OF.get(param, param)] = getattr(
-                noise_model, param
-            )
+        relevant.discard("with_leakage")
+        kwargs = _map_params(noise_model, relevant, to_legacy=True)
+        kwargs["noise"] = noise_model.noise_types
         # SimConfig spells "no waist" as inf, NoiseModel as None.
         if "amplitude" in noise_model.noise_types:
             kwargs.setdefault("laser_waist", float("inf"))
-        kwargs.pop("with_leakage", None)
-        if "eff_noise_opers" in kwargs:
-            kwargs["eff_noise_opers"] = [
-                np.asarray(op) for op in kwargs["eff_noise_opers"]
-            ]
         if kwargs.get("runs", 0) is None:
             del kwargs["runs"]
-        return cls(**kwargs)
+        return cast(Type[T], cls)(**kwargs)
 
     def to_noise_model(self) -> NoiseModel:
         """Translates this legacy config into a NoiseModel."""
@@ -119,17 +139,12 @@ class SimConfig:
             self.amp_sigma,
             waist,
         )
-        kwargs = {
-            param: getattr(self, _LEGACY_NAME_OF.get(param, param))
-            for param in relevant
-        }
+        kwargs = _map_params(self, relevant, to_legacy=False)
         if "temperature" in kwargs:
             kwargs["temperature"] *= 1e6  # Converts back to µK
-        if "eff_noise_opers" in kwargs:
-            kwargs["eff_noise_opers"] = [
-                np.asarray(op) for op in kwargs["eff_noise_opers"]
-            ]
         return NoiseModel(**kwargs)
+
+    # --- construction-time validation ---
 
     def __post_init__(self) -> None:
         warnings.warn(
@@ -140,22 +155,44 @@ class SimConfig:
         )
         # A single noise given as argument: convert it to a tuple
         if isinstance(self.noise, str):
-            self._change_attribute("noise", (self.noise,))
+            object.__setattr__(self, "noise", (self.noise,))
         if not isinstance(self.temperature, (int, float)):
             raise TypeError(
                 "'temperature' must be a float, not"
                 f" {type(self.temperature)}."
             )
         # Stored in Kelvin; the constructor argument is in µK.
-        self._change_attribute("temperature", self.temperature / 1e6)
+        object.__setattr__(
+            self, "temperature", self.temperature / 1e6
+        )
         NoiseModel._check_noise_types(
             cast(Tuple[NoiseTypes], self.noise)
         )
-        self._check_spam_dict()
+        for param, value in self.spam_dict.items():
+            if not 0 <= value <= 1:
+                raise ValueError(
+                    f"SPAM parameter {param} = {value} must be"
+                    + " greater than 0 and less than 1."
+                )
         self._check_eff_noise()
         NoiseModel._validate_parameters(
             {f.name: getattr(self, f.name) for f in fields(self)}
         )
+
+    def _check_eff_noise(self) -> None:
+        NoiseModel._check_eff_noise(
+            self.eff_noise_rates,
+            [np.asarray(op) for op in self.eff_noise_opers],
+            "eff_noise" in self.noise,
+            self.with_leakage,
+        )
+
+    def _change_attribute(
+        self, attr_name: str, new_value: Any
+    ) -> None:
+        object.__setattr__(self, attr_name, new_value)
+
+    # --- derived views ---
 
     @property
     def with_leakage(self) -> bool:
@@ -176,44 +213,12 @@ class SimConfig:
         """The thermal-motion Doppler-shift spread."""
         return _doppler_sigma(self.temperature)
 
-    def _noise_report_lines(self) -> list[str]:
-        """One report block per active noise type."""
-        lines = []
-        if self.noise:
-            lines.append(
-                "Noise types:           " + ", ".join(self.noise)
-            )
-        if "SPAM" in self.noise:
-            lines.append(f"SPAM dictionary:       {self.spam_dict}")
-        if "eff_noise" in self.noise:
-            lines.append(
-                f"Effective noise rates:       {self.eff_noise_rates}"
-            )
-            lines.append(
-                "Effective noise operators:      "
-                f" {self.eff_noise_opers}"
-            )
-        if "doppler" in self.noise:
-            lines.append(
-                f"Temperature:           {self.temperature * 1.e6}µK"
-            )
-        if "amplitude" in self.noise:
-            lines.append(f"Laser waist:           {self.laser_waist}μm")
-            lines.append(
-                f"Amplitude standard dev.:  {self.amp_sigma}"
-            )
-        if "relaxation" in self.noise:
-            lines.append(f"Relaxation rate: {self.relaxation_rate}")
-        if "dephasing" in self.noise:
-            lines.append(
-                f"Dephasing rate: {self.dephasing_rate} (Rydberg), "
-                f"{self.hyperfine_dephasing_rate} (Hyperfine)"
-            )
-        if "depolarizing" in self.noise:
-            lines.append(
-                f"Depolarizing rate: {self.depolarizing_rate}"
-            )
-        return lines
+    @property
+    def supported_noises(self) -> dict:
+        """Which noise types each interaction mode accepts."""
+        return SUPPORTED_NOISES
+
+    # --- reporting ---
 
     def __str__(self, solver_options: bool = False) -> str:
         lines = [
@@ -221,8 +226,41 @@ class SimConfig:
             "----------",
             f"Number of runs:        {self.runs}",
             f"Samples per run:       {self.samples_per_run}",
-            *self._noise_report_lines(),
         ]
+        report_of = {
+            "SPAM": lambda: [
+                f"SPAM dictionary:       {self.spam_dict}"
+            ],
+            "eff_noise": lambda: [
+                f"Effective noise rates:       {self.eff_noise_rates}",
+                "Effective noise operators:      "
+                f" {self.eff_noise_opers}",
+            ],
+            "doppler": lambda: [
+                f"Temperature:           {self.temperature * 1.e6}µK"
+            ],
+            "amplitude": lambda: [
+                f"Laser waist:           {self.laser_waist}μm",
+                f"Amplitude standard dev.:  {self.amp_sigma}",
+            ],
+            "relaxation": lambda: [
+                f"Relaxation rate: {self.relaxation_rate}"
+            ],
+            "dephasing": lambda: [
+                f"Dephasing rate: {self.dephasing_rate} (Rydberg), "
+                f"{self.hyperfine_dephasing_rate} (Hyperfine)"
+            ],
+            "depolarizing": lambda: [
+                f"Depolarizing rate: {self.depolarizing_rate}"
+            ],
+        }
+        if self.noise:
+            lines.append(
+                "Noise types:           " + ", ".join(self.noise)
+            )
+        for kind, make_lines in report_of.items():
+            if kind in self.noise:
+                lines.extend(make_lines())
         if solver_options:
             lines.append(
                 "Solver Options: \n"
@@ -230,28 +268,40 @@ class SimConfig:
             )
         return "\n".join(lines).rstrip()
 
-    def _check_spam_dict(self) -> None:
-        for param, value in self.spam_dict.items():
-            if not 0 <= value <= 1:
-                raise ValueError(
-                    f"SPAM parameter {param} = {value} must be"
-                    + " greater than 0 and less than 1."
-                )
 
-    def _change_attribute(
-        self, attr_name: str, new_value: Any
-    ) -> None:
-        object.__setattr__(self, attr_name, new_value)
+def _resolve_default(default: Any) -> Any:
+    if isinstance(default, _Legacy):
+        return _dc_field(default=_LEGACY_DEFAULTS[str(default)])
+    if default is MISSING:
+        return _dc_field(default_factory=list, repr=False)
+    return _dc_field(default=default)
 
-    def _check_eff_noise(self) -> None:
-        NoiseModel._check_eff_noise(
-            self.eff_noise_rates,
-            [np.asarray(op) for op in self.eff_noise_opers],
-            "eff_noise" in self.noise,
-            self.with_leakage,
-        )
 
-    @property
-    def supported_noises(self) -> dict:
-        """Which noise types each interaction mode accepts."""
-        return SUPPORTED_NOISES
+SimConfig = make_dataclass(
+    "SimConfig",
+    [
+        (name, tp, _resolve_default(default))
+        for name, tp, default in _FIELD_SPEC
+    ],
+    bases=(_SimConfigLogic,),
+    frozen=True,
+)
+SimConfig.__module__ = __name__
+SimConfig.__doc__ = """The deprecated, pre-NoiseModel simulation configuration.
+
+    Warning:
+        Deprecated; ``NoiseModel`` should be used instead.
+
+    Args:
+        noise: Active noise type(s) — one name or a tuple of names.
+        eta: Chance that an atom comes out badly prepared.
+        epsilon: False-positive readout probability.
+        epsilon_prime: False-negative readout probability.
+        runs: How many noisy realizations to draw.
+        samples_per_run: Bitstring samples taken per realization.
+        temperature: The array's temperature, given in µK.
+        laser_waist: Gaussian waist of the global-pulse laser (µm).
+        amp_sigma: Shot-to-shot amplitude spread (std around 1).
+        detuning_sigma: Shot-to-shot detuning spread (std around 0).
+        solver_options: Options for the solver.
+    """

@@ -34,13 +34,13 @@ from numpy.typing import ArrayLike
 import pulser_tpu
 import pulser_tpu.math as pm
 import pulser_tpu.sequence._decorators as seq_decorators
+import pulser_tpu.sequence._eom_mode as _eom_mode
 from pulser_tpu.channels.base_channel import (
     Channel,
     States,
     get_states_from_bases,
 )
 from pulser_tpu.channels.dmm import DMM, _dmm_id_from_name, _get_dmm_name
-from pulser_tpu.channels.eom import RydbergBeam, RydbergEOM
 from pulser_tpu.devices._device_datacls import BaseDevice
 from pulser_tpu.exceptions.serialization import AbstractReprError
 from pulser_tpu.json.utils import obj_to_dict
@@ -102,22 +102,6 @@ def _require_numeric_phases(*values: Any) -> None:
             float(pm.AbstractArray(value, dtype=float))
         except TypeError:
             raise TypeError("Phase values must be a numeric value.")
-
-
-def _wrap_eom_values(
-    amp_on: Union[float, pm.TensorLike, Parametrized],
-    detuning_on: Union[float, pm.TensorLike, Parametrized],
-    detuning_off: float | pm.AbstractArray | Parametrized,
-) -> tuple[pm.AbstractArray, pm.AbstractArray, pm.AbstractArray]:
-    """Wraps resolved EOM setpoint values as arrays."""
-    assert not isinstance(amp_on, Parametrized)
-    assert not isinstance(detuning_on, Parametrized)
-    assert not isinstance(detuning_off, Parametrized)
-    return (
-        pm.AbstractArray(amp_on),
-        pm.AbstractArray(detuning_on),
-        pm.AbstractArray(detuning_off),
-    )
 
 
 class Sequence(Generic[DeviceType]):
@@ -515,20 +499,16 @@ class Sequence(Generic[DeviceType]):
             by: Field component along y (in Gauss).
             bz: Field component along z (in Gauss).
         """
-        if self._in_xy:
-            if not self._empty_sequence:
-                # Not all channels are empty
-                raise ValueError(
-                    "The magnetic field can only be set on an empty"
-                    " sequence."
-                )
-        elif self._schedule:
+        blocker: str | None = None
+        if self._in_xy and not self._empty_sequence:
+            blocker = "on an empty sequence"
+        elif not self._in_xy and self._schedule:
+            blocker = "in 'XY Mode'"
+        if blocker:
             raise ValueError(
-                "The magnetic field can only be set in 'XY Mode'."
+                f"The magnetic field can only be set {blocker}."
             )
-        else:
-            # No channels declared yet
-            self._in_xy = True
+        self._in_xy = True  # No channels declared yet, if not XY already
 
         mag_vector = (bx, by, bz)
         if np.linalg.norm(mag_vector) == 0.0:
@@ -988,44 +968,13 @@ class Sequence(Generic[DeviceType]):
                 f"Channel '{channel}' does not have an EOM."
             )
 
-        detuning_off, switching_beams = self._process_eom_parameters(
-            channel_obj, amp_on, detuning_on, optimal_detuning_off
-        )
-        if not self.is_parametrized():
-            amp_on_, detuning_on_, detuning_off_ = _wrap_eom_values(
-                amp_on, detuning_on, detuning_off
-            )
-            phase_drift_params = _PhaseDriftParams(
-                drift_rate=-detuning_off_,
-                # enable_eom() calls wait for fall, so the block only
-                # starts after fall time
-                ti=self.get_duration(channel, include_fall_time=True),
-            )
-            self._schedule.enable_eom(
-                channel,
-                amp_on_,
-                detuning_on_,
-                detuning_off_,
-                switching_beams,
-            )
-            if correct_phase_drift:
-                buffer_slot = self._last(channel)
-                self._shift_away_drift(
-                    float(
-                        phase_drift_params.calc_phase_drift(buffer_slot.tf)
-                    ),
-                    buffer_slot.targets,
-                    channel_obj.basis,
-                )
-
-        # Stored by hand so that the resolved 'optimal_detuning_off'
-        # replaces the requested one
-        self._store_eom_settings_call(
+        _eom_mode.begin_block(
+            self,
             "enable_eom_mode",
             channel,
             amp_on,
             detuning_on,
-            detuning_off,
+            optimal_detuning_off,
             correct_phase_drift,
         )
 
@@ -1049,24 +998,7 @@ class Sequence(Generic[DeviceType]):
             raise RuntimeError(
                 f"The '{channel}' channel is not in EOM mode."
             )
-        if not self.is_parametrized():
-            self._schedule.disable_eom(channel)
-            if correct_phase_drift:
-                ch_schedule = self._schedule[channel]
-                # EOM mode has just been disabled, so tf is defined
-                last_eom_block_tf = cast(
-                    int, ch_schedule.eom_blocks[-1].tf
-                )
-                drift_params = self._get_last_eom_pulse_phase_drift(
-                    channel
-                )
-                self._shift_away_drift(
-                    float(
-                        drift_params.calc_phase_drift(last_eom_block_tf)
-                    ),
-                    ch_schedule[-1].targets,
-                    ch_schedule.channel_obj.basis,
-                )
+        _eom_mode.end_block(self, channel, correct_phase_drift)
 
     @seq_decorators.verify_parametrization
     @seq_decorators.conditionally_block()
@@ -1097,50 +1029,13 @@ class Sequence(Generic[DeviceType]):
                 f"The '{channel}' channel is not in EOM mode."
             )
 
-        channel_obj = self.declared_channels[channel]
-        detuning_off, switching_beams = self._process_eom_parameters(
-            channel_obj, amp_on, detuning_on, optimal_detuning_off
-        )
-
-        if not self.is_parametrized():
-            amp_on_, detuning_on_, detuning_off_ = _wrap_eom_values(
-                amp_on, detuning_on, detuning_off
-            )
-            self._schedule.disable_eom(channel, _skip_buffer=True)
-            old_phase_drift_params = (
-                self._get_last_eom_pulse_phase_drift(channel)
-            )
-            new_phase_drift_params = _PhaseDriftParams(
-                drift_rate=-detuning_off_,
-                ti=self.get_duration(channel, include_fall_time=False),
-            )
-            self._schedule.enable_eom(
-                channel,
-                amp_on_,
-                detuning_on_,
-                detuning_off_,
-                switching_beams,
-                _skip_wait_for_fall=True,
-            )
-            if correct_phase_drift:
-                buffer_slot = self._last(channel)
-                drift = old_phase_drift_params.calc_phase_drift(
-                    buffer_slot.ti
-                ) + new_phase_drift_params.calc_phase_drift(
-                    buffer_slot.tf
-                )
-                self._shift_away_drift(
-                    float(drift), buffer_slot.targets, channel_obj.basis
-                )
-
-        # Stored by hand so that the resolved 'optimal_detuning_off'
-        # replaces the requested one
-        self._store_eom_settings_call(
+        _eom_mode.begin_block(
+            self,
             "modify_eom_setpoint",
             channel,
             amp_on,
             detuning_on,
-            detuning_off,
+            optimal_detuning_off,
             correct_phase_drift,
         )
 
@@ -1189,24 +1084,16 @@ class Sequence(Generic[DeviceType]):
             _require_numeric_phases(phase, post_phase_shift)
             return
 
-        eom_settings = self._schedule[channel].eom_blocks[-1]
-        eom_pulse = Pulse.ConstantPulse(
-            duration,
-            eom_settings.rabi_freq,
-            eom_settings.detuning_on,
-            phase,
-            post_phase_shift=post_phase_shift,
-        )
-        phase_drift_params = (
-            self._get_last_eom_pulse_phase_drift(channel)
-            if correct_phase_drift
-            else None
+        eom_pulse, drift_params = _eom_mode.make_block_pulse(
+            self, channel, duration, phase, post_phase_shift
         )
         self._add(
             eom_pulse,
             channel,
             protocol,
-            phase_drift_params=phase_drift_params,
+            phase_drift_params=(
+                drift_params if correct_phase_drift else None
+            ),
         )
 
     @seq_decorators.store
@@ -1773,43 +1660,39 @@ class Sequence(Generic[DeviceType]):
                 "Can't draw the register for a sequence without a defined"
                 " register."
             )
-        fig_reg, fig, fig_qubit, fig_legend = draw_sequence(
+        # Flags forwarded under the same name, picked up from locals()
+        passthrough = (
+            "draw_phase_area",
+            "draw_interp_pts",
+            "draw_phase_shifts",
+            "draw_register",
+            "draw_phase_curve",
+            "draw_detuning_maps",
+            "draw_qubit_amp",
+            "draw_qubit_det",
+        )
+        scope = locals()
+        figs = draw_sequence(
             self,
-            draw_phase_area=draw_phase_area,
-            draw_interp_pts=draw_interp_pts,
-            draw_phase_shifts=draw_phase_shifts,
-            draw_register=draw_register,
             draw_input="input" in mode,
             draw_modulation="output" in mode,
-            draw_phase_curve=draw_phase_curve,
-            draw_detuning_maps=draw_detuning_maps,
-            draw_qubit_amp=draw_qubit_amp,
-            draw_qubit_det=draw_qubit_det,
             phase_modulated=as_phase_modulated,
+            **{name: scope[name] for name in passthrough},
         )
+        fig_reg, fig, fig_qubit, fig_legend = figs
         if fig_name is not None:
             name, ext = os.path.splitext(fig_name)
-            suffix = (
-                "_pulses"
-                if all(
-                    f is None for f in (fig_reg, fig_qubit, fig_legend)
-                )
-                else ""
+            only_pulses = fig is not None and all(
+                f is None for f in (fig_reg, fig_qubit, fig_legend)
             )
-            fig.savefig(name + suffix + ext, **kwargs_savefig)
-            if fig_reg is not None:
-                fig_reg.savefig(
-                    name + "_register" + ext, **kwargs_savefig
-                )
-            if fig_qubit is not None:
-                fig_qubit.savefig(
-                    name + "_per_qubit" + ext, **kwargs_savefig
-                )
-                if fig_legend is not None:
-                    fig_legend.savefig(
-                        name + "_per_qubit_legend" + ext,
-                        **kwargs_savefig,
-                    )
+            for figure, tag in (
+                (fig, "_pulses" if only_pulses else ""),
+                (fig_reg, "_register"),
+                (fig_qubit, "_per_qubit"),
+                (fig_legend, "_per_qubit_legend"),
+            ):
+                if figure is not None:
+                    figure.savefig(name + tag + ext, **kwargs_savefig)
 
         if show:
             plt.show()
@@ -2072,24 +1955,6 @@ class Sequence(Generic[DeviceType]):
             self._basis_ref[basis][q].phase.last_time for q in targets
         ]
 
-    def _get_last_eom_pulse_phase_drift(
-        self, channel: str
-    ) -> _PhaseDriftParams:
-        ch_schedule = self._schedule[channel]
-        eom_settings = ch_schedule.eom_blocks[-1]
-        try:
-            last_slot = ch_schedule.last_pulse_slot(
-                ignore_detuned_delay=True
-            )
-            last_pulse_tf = last_slot.tf
-        except RuntimeError:
-            # There is no previous pulse
-            last_pulse_tf = 0
-        return _PhaseDriftParams(
-            drift_rate=-eom_settings.detuning_off,
-            ti=max(eom_settings.ti, last_pulse_tf),
-        )
-
     def _to_dict(
         self, _module: str = "pulser_tpu.sequence"
     ) -> dict[str, Any]:
@@ -2211,87 +2076,6 @@ class Sequence(Generic[DeviceType]):
                 f"Invalid protocol '{protocol}', only accepts protocols: "
                 + ", ".join(valid_protocols)
             )
-
-    def _store_eom_settings_call(
-        self,
-        method_name: str,
-        channel: str,
-        amp_on: Union[float, pm.TensorLike, Parametrized],
-        detuning_on: Union[float, pm.TensorLike, Parametrized],
-        detuning_off: float | pm.AbstractArray | Parametrized,
-        correct_phase_drift: bool,
-    ) -> None:
-        """Records an EOM settings call with the resolved detuning_off."""
-        call_container = (
-            self._to_build_calls
-            if self.is_parametrized()
-            else self._calls
-        )
-        call_container.append(
-            _Call(
-                method_name,
-                (),
-                dict(
-                    channel=channel,
-                    amp_on=amp_on,
-                    detuning_on=detuning_on,
-                    optimal_detuning_off=(
-                        detuning_off
-                        if isinstance(detuning_off, Parametrized)
-                        else float(detuning_off)
-                    ),
-                    correct_phase_drift=correct_phase_drift,
-                ),
-            )
-        )
-
-    def _process_eom_parameters(
-        self,
-        channel_obj: Channel,
-        amp_on: Union[float, pm.TensorLike, Parametrized],
-        detuning_on: Union[float, pm.TensorLike, Parametrized],
-        optimal_detuning_off: Union[float, Parametrized],
-    ) -> tuple[
-        float | pm.AbstractArray | Parametrized, tuple[RydbergBeam, ...]
-    ]:
-        on_pulse = Pulse.ConstantPulse(
-            channel_obj.min_duration, amp_on, detuning_on, 0.0
-        )
-        stored_opt_detuning_off: (
-            float | pm.AbstractArray | Parametrized
-        ) = optimal_detuning_off
-        switching_beams: tuple[RydbergBeam, ...] = ()
-        if not isinstance(on_pulse, Parametrized):
-            channel_obj.validate_pulse(on_pulse)
-            assert not isinstance(amp_on, Parametrized)
-            assert not isinstance(detuning_on, Parametrized)
-            eom_config = cast(RydbergEOM, channel_obj.eom_config)
-            if not isinstance(optimal_detuning_off, Parametrized):
-                (
-                    detuning_off,
-                    switching_beams,
-                ) = eom_config.calculate_detuning_off(
-                    amp_on,
-                    detuning_on,
-                    float(optimal_detuning_off),
-                    return_switching_beams=True,
-                )
-                # The detuning from the laser is constant (detuning_on)
-                lightshift = eom_config._lightshift(
-                    pm.AbstractArray(amp_on), *switching_beams
-                )
-                if channel_obj.max_abs_detuning is not None:
-                    assert (
-                        detuning_off - lightshift
-                        >= -channel_obj.max_abs_detuning
-                        if lightshift < 0
-                        else detuning_off - lightshift
-                        <= channel_obj.max_abs_detuning
-                    )
-                # Update optimal_detuning_off to the chosen detuning_off
-                # (minimizes changes when the device is switched)
-                stored_opt_detuning_off = detuning_off
-        return stored_opt_detuning_off, switching_beams
 
     def _reset_parametrized(self) -> None:
         """Wipes the parametrization state back to a fresh sequence."""
