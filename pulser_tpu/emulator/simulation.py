@@ -158,6 +158,9 @@ class TpuEmulator:
         device.validate_register(register)
         self._register = register
         self.solver = Solver(solver)
+        # Smallest quantized step chosen so far, per solver context —
+        # see _sticky_quantized_step
+        self._sticky_steps: dict[str, float] = {}
         if (
             sampled_seq._slm_mask.end > 0
             and not device.supports_slm_mask
@@ -645,6 +648,26 @@ class TpuEmulator:
 
         return min(min_variations)
 
+    def _sticky_quantized_step(
+        self, key: str, base_step: float, cap: float
+    ) -> float:
+        """A quantized step that never grows back across run() calls.
+
+        ``_quantized_step`` only ever halves ``base_step``, so reusing
+        the smallest step chosen so far is always stability-safe.
+        Keeping it sticky pins the integration-grid shape — and with it
+        the compiled solver executable — across noise-trajectory
+        refreshes whose coefficient magnitudes drift across a
+        power-of-two boundary (otherwise each ``run()`` could trigger
+        a fresh ~minutes-long XLA compile).
+        """
+        step = _quantized_step(base_step, cap)
+        prev = self._sticky_steps.get(key)
+        if prev is not None and prev < step:
+            step = prev
+        self._sticky_steps[key] = step
+        return step
+
     def _run_solver(
         self,
         hamiltonian: Hamiltonian,
@@ -701,7 +724,11 @@ class TpuEmulator:
             float(np.median(spacings)) if len(spacings) else 1e-3,
             1e-3,
         )
-        max_step = _quantized_step(base_step, 0.8 / max(lambda_max, 1e-9))
+        max_step = self._sticky_quantized_step(
+            "sesolve" if can_use_ip else "sesolve_lab",
+            base_step,
+            0.8 / max(lambda_max, 1e-9),
+        )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
 
@@ -1053,7 +1080,14 @@ class TpuEmulator:
             else 1e-3,
             1e-3,
         )
-        max_step = _quantized_step(base_step, 0.8 / max(lambda_max, 1e-9))
+        # The 1.3 margin absorbs stiffness fluctuations across noise
+        # draws: later run() calls stay within the margin instead of
+        # crossing a power-of-two boundary and recompiling
+        max_step = self._sticky_quantized_step(
+            "sesolve_batch",
+            base_step,
+            0.8 / max(1.3 * lambda_max, 1e-9),
+        )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
         plans = [
@@ -1175,8 +1209,11 @@ class TpuEmulator:
             else 1e-3,
             1e-3,
         )
-        max_step = _quantized_step(
-            base_step, 0.8 / max(lambda_max, 1e-9)
+        # 1.3 margin: see _noisy_runs_batched
+        max_step = self._sticky_quantized_step(
+            "lindblad_batch",
+            base_step,
+            0.8 / max(1.3 * lambda_max, 1e-9),
         )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))

@@ -749,3 +749,30 @@ def test_batched_lindblad_paths_match_serial():
                 np.testing.assert_allclose(
                     a, b, atol=5e-6, err_msg=str(solver)
                 )
+
+
+def test_sticky_step_pins_grid_shape_across_runs():
+    """Trajectory refreshes must not grow the integration step back,
+    so repeated run() calls reuse one compiled solver shape."""
+    from pulser_tpu.emulator.simulation import TpuEmulator
+
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 9)})
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(400, 2 * np.pi, -1.0, 0.0), "ryd")
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, dephasing_rate=0.2, runs=2, samples_per_run=1
+    )
+    np.random.seed(3)
+    sim = TpuEmulator.from_sequence(seq, noise_model=nm)
+    sim.run()
+    steps_first = dict(sim._sticky_steps)
+    for _ in range(3):
+        sim.run()
+    for key, step in sim._sticky_steps.items():
+        assert step <= steps_first[key]
+    # The helper itself: never grows, halves when the cap tightens
+    assert sim._sticky_quantized_step("t", 1e-3, 1e-3) == 1e-3
+    assert sim._sticky_quantized_step("t", 1e-3, 2e-3) == 1e-3
+    assert sim._sticky_quantized_step("t", 1e-3, 0.4e-3) == 0.25e-3
+    assert sim._sticky_quantized_step("t", 1e-3, 2e-3) == 0.25e-3
