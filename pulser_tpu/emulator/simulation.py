@@ -52,13 +52,30 @@ from pulser_tpu.emulator.simresults import (
     NoisyResults,
     SimulationResults,
 )
+from pulser_tpu import profiling
 from pulser_tpu.parallel import default_mesh
-from pulser_tpu.ops.solver import (
-    build_plan,
-    mcsolve_rk4,
-    mesolve_rk4,
-    sesolve_rk4,
-    sesolve_rk4_batched,
+from pulser_tpu.ops import solver as _solver_mod
+from pulser_tpu.ops.solver import build_plan
+
+
+def _timed(name: str, fn: Any) -> Any:
+    """Wraps a solver entry point in a profiling phase."""
+
+    def wrapper(*args: Any, **kwargs: Any) -> Any:
+        with profiling.phase(name):
+            return fn(*args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
+# Every device solve is phase-timed (and trace-annotated when a
+# jax.profiler trace is active) under "emulator.<solver>"
+mcsolve_rk4 = _timed("emulator.mcsolve", _solver_mod.mcsolve_rk4)
+mesolve_rk4 = _timed("emulator.mesolve", _solver_mod.mesolve_rk4)
+sesolve_rk4 = _timed("emulator.sesolve", _solver_mod.sesolve_rk4)
+sesolve_rk4_batched = _timed(
+    "emulator.sesolve_batched", _solver_mod.sesolve_rk4_batched
 )
 
 
@@ -738,9 +755,13 @@ class TpuEmulator:
         }
         if hamiltonian.int_w is not None:
             coeffs["int_w"] = hamiltonian.int_w
-        plan = build_plan(
-            knots, coeffs, self._eval_times_array, max_step=max_step
-        )
+        with profiling.phase("emulator.build_plan"):
+            plan = build_plan(
+                knots,
+                coeffs,
+                self._eval_times_array,
+                max_step=max_step,
+            )
         cdtype = _default_cdtype()
 
         use_lindblad = (
@@ -1168,9 +1189,13 @@ class TpuEmulator:
         (``simulation.py:848-861``); here every trajectory's Lindblad
         (or quantum-jump) solve runs in one vmapped device program.
         """
-        from pulser_tpu.ops.solver import (
-            mcsolve_rk4_batched,
-            mesolve_rk4_batched,
+        mcsolve_rk4_batched = _timed(
+            "emulator.mcsolve_batched",
+            _solver_mod.mcsolve_rk4_batched,
+        )
+        mesolve_rk4_batched = _timed(
+            "emulator.mesolve_batched",
+            _solver_mod.mesolve_rk4_batched,
         )
 
         self._refresh_trajectories()

@@ -776,3 +776,23 @@ def test_sticky_step_pins_grid_shape_across_runs():
     assert sim._sticky_quantized_step("t", 1e-3, 2e-3) == 1e-3
     assert sim._sticky_quantized_step("t", 1e-3, 0.4e-3) == 0.25e-3
     assert sim._sticky_quantized_step("t", 1e-3, 2e-3) == 0.25e-3
+
+
+def test_profiling_phases_recorded():
+    """Phase timings accumulate around emulator solves and annotate
+    traces; the report exposes totals and call counts."""
+    from pulser_tpu import profiling
+
+    profiling.reset_phases()
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 8)})
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(200, 1.0, 0.0, 0.0), "ryd")
+    from pulser_tpu.emulator.simulation import TpuEmulator
+
+    TpuEmulator.from_sequence(seq).run()
+    report = profiling.phase_report()
+    assert report["emulator.build_plan"]["calls"] >= 1
+    assert report["emulator.sesolve"]["total_s"] > 0
+    profiling.reset_phases()
+    assert profiling.phase_report() == {}
