@@ -211,104 +211,162 @@ def _deserialize_pulse(op: dict, vars: dict) -> Pulse | ParamObj:
     )
 
 
+# Field extractors for the declarative op table below: each returns
+# a callable (op_dict, vars) -> kwarg value.
+def _p(key: str):  # a (possibly parametrized) scalar
+    return lambda op, vars: _deserialize_parameter(op[key], vars)
+
+
+def _w(key: str):  # a waveform
+    return lambda op, vars: _deserialize_waveform(op[key], vars)
+
+
+def _r(key: str, *default: Any):  # a raw JSON value
+    if default:
+        return lambda op, vars: op.get(key, default[0])
+    return lambda op, vars: op[key]
+
+
+_EOM_SETPOINT_FIELDS = dict(
+    channel=_r("channel"),
+    amp_on=_p("amp_on"),
+    detuning_on=_p("detuning_on"),
+    optimal_detuning_off=_p("optimal_detuning_off"),
+)
+
+# op kind -> (Sequence method, {kwarg: extractor}). Kinds with
+# irregular call shapes (varargs, composite pulse construction) are
+# handled by _IRREGULAR_OPS instead.
+_OP_TABLE: dict[str, tuple[str, dict[str, Any]]] = {
+    "target": (
+        "target_index",
+        dict(qubits=_p("target"), channel=_r("channel")),
+    ),
+    "delay": (
+        "delay",
+        dict(
+            duration=_p("time"),
+            channel=_r("channel"),
+            at_rest=_r("at_rest", False),
+        ),
+    ),
+    "enable_eom_mode": (
+        "enable_eom_mode",
+        dict(
+            **_EOM_SETPOINT_FIELDS,
+            correct_phase_drift=_r("correct_phase_drift", False),
+        ),
+    ),
+    "modify_eom_setpoint": (
+        "modify_eom_setpoint",
+        dict(
+            **_EOM_SETPOINT_FIELDS,
+            correct_phase_drift=_r("correct_phase_drift"),
+        ),
+    ),
+    "add_eom_pulse": (
+        "add_eom_pulse",
+        dict(
+            channel=_r("channel"),
+            duration=_p("duration"),
+            phase=_p("phase"),
+            post_phase_shift=_p("post_phase_shift"),
+            protocol=_r("protocol"),
+            correct_phase_drift=_r("correct_phase_drift", False),
+        ),
+    ),
+    "disable_eom_mode": (
+        "disable_eom_mode",
+        dict(
+            channel=_r("channel"),
+            correct_phase_drift=_r("correct_phase_drift", False),
+        ),
+    ),
+    "add_dmm_detuning": (
+        "add_dmm_detuning",
+        dict(
+            waveform=_w("waveform"),
+            dmm_name=_r("dmm_name"),
+            protocol=_r("protocol"),
+        ),
+    ),
+    "config_slm_mask": (
+        "config_slm_mask",
+        dict(qubits=_r("qubits"), dmm_id=_r("dmm_id")),
+    ),
+    "truncate": ("truncate", dict(duration=_p("duration"))),
+}
+
+
+def _op_align(seq: Sequence, op: dict, vars: dict) -> None:
+    seq.align(*op["channels"], at_rest=op.get("at_rest", True))
+
+
+def _op_phase_shift(seq: Sequence, op: dict, vars: dict) -> None:
+    seq.phase_shift_index(
+        _deserialize_parameter(op["phi"], vars),
+        *[_deserialize_parameter(t, vars) for t in op["targets"]],
+        basis=op["basis"],
+    )
+
+
+def _op_pulse(seq: Sequence, op: dict, vars: dict) -> None:
+    seq.add(
+        pulse=cast(Pulse, _deserialize_pulse(op, vars)),
+        channel=op["channel"],
+        protocol=op["protocol"],
+    )
+
+
+def _op_pulse_arbitrary_phase(
+    seq: Sequence, op: dict, vars: dict
+) -> None:
+    pulse = Pulse.ArbitraryPhase(
+        amplitude=_deserialize_waveform(op["amplitude"], vars),
+        phase=_deserialize_waveform(op["phase"], vars),
+        post_phase_shift=_deserialize_parameter(
+            op["post_phase_shift"], vars
+        ),
+    )
+    seq.add(
+        pulse=cast(Pulse, pulse),
+        channel=op["channel"],
+        protocol=op["protocol"],
+    )
+
+
+def _op_config_detuning_map(
+    seq: Sequence, op: dict, vars: dict
+) -> None:
+    seq.config_detuning_map(
+        detuning_map=_deserialize_det_map(op["detuning_map"]),
+        dmm_id=op["dmm_id"],
+    )
+
+
+_IRREGULAR_OPS = {
+    "align": _op_align,
+    "phase_shift": _op_phase_shift,
+    "pulse": _op_pulse,
+    "pulse_arbitrary_phase": _op_pulse_arbitrary_phase,
+    "config_detuning_map": _op_config_detuning_map,
+}
+
+
 def _deserialize_operation(
     seq: Sequence, op: dict, vars: dict
 ) -> None:
     kind = op["op"]
-    if kind == "target":
-        seq.target_index(
-            qubits=_deserialize_parameter(op["target"], vars),
-            channel=op["channel"],
-        )
-    elif kind == "align":
-        seq.align(*op["channels"], at_rest=op.get("at_rest", True))
-    elif kind == "delay":
-        seq.delay(
-            duration=_deserialize_parameter(op["time"], vars),
-            channel=op["channel"],
-            at_rest=op.get("at_rest", False),
-        )
-    elif kind == "phase_shift":
-        seq.phase_shift_index(
-            _deserialize_parameter(op["phi"], vars),
-            *[_deserialize_parameter(t, vars) for t in op["targets"]],
-            basis=op["basis"],
-        )
-    elif kind == "pulse":
-        seq.add(
-            pulse=cast(Pulse, _deserialize_pulse(op, vars)),
-            channel=op["channel"],
-            protocol=op["protocol"],
-        )
-    elif kind == "pulse_arbitrary_phase":
-        pulse = Pulse.ArbitraryPhase(
-            amplitude=_deserialize_waveform(op["amplitude"], vars),
-            phase=_deserialize_waveform(op["phase"], vars),
-            post_phase_shift=_deserialize_parameter(
-                op["post_phase_shift"], vars
-            ),
-        )
-        seq.add(
-            pulse=cast(Pulse, pulse),
-            channel=op["channel"],
-            protocol=op["protocol"],
-        )
-    elif kind == "enable_eom_mode":
-        seq.enable_eom_mode(
-            channel=op["channel"],
-            amp_on=_deserialize_parameter(op["amp_on"], vars),
-            detuning_on=_deserialize_parameter(
-                op["detuning_on"], vars
-            ),
-            optimal_detuning_off=_deserialize_parameter(
-                op["optimal_detuning_off"], vars
-            ),
-            correct_phase_drift=op.get("correct_phase_drift", False),
-        )
-    elif kind == "modify_eom_setpoint":
-        seq.modify_eom_setpoint(
-            channel=op["channel"],
-            amp_on=_deserialize_parameter(op["amp_on"], vars),
-            detuning_on=_deserialize_parameter(
-                op["detuning_on"], vars
-            ),
-            optimal_detuning_off=_deserialize_parameter(
-                op["optimal_detuning_off"], vars
-            ),
-            correct_phase_drift=op["correct_phase_drift"],
-        )
-    elif kind == "add_eom_pulse":
-        seq.add_eom_pulse(
-            channel=op["channel"],
-            duration=_deserialize_parameter(op["duration"], vars),
-            phase=_deserialize_parameter(op["phase"], vars),
-            post_phase_shift=_deserialize_parameter(
-                op["post_phase_shift"], vars
-            ),
-            protocol=op["protocol"],
-            correct_phase_drift=op.get("correct_phase_drift", False),
-        )
-    elif kind == "disable_eom_mode":
-        seq.disable_eom_mode(
-            channel=op["channel"],
-            correct_phase_drift=op.get("correct_phase_drift", False),
-        )
-    elif kind == "add_dmm_detuning":
-        seq.add_dmm_detuning(
-            waveform=_deserialize_waveform(op["waveform"], vars),
-            dmm_name=op["dmm_name"],
-            protocol=op["protocol"],
-        )
-    elif kind == "config_slm_mask":
-        seq.config_slm_mask(qubits=op["qubits"], dmm_id=op["dmm_id"])
-    elif kind == "config_detuning_map":
-        seq.config_detuning_map(
-            detuning_map=_deserialize_det_map(op["detuning_map"]),
-            dmm_id=op["dmm_id"],
-        )
-    elif kind == "truncate":
-        seq.truncate(
-            duration=_deserialize_parameter(op["duration"], vars)
+    if kind in _IRREGULAR_OPS:
+        _IRREGULAR_OPS[kind](seq, op, vars)
+        return
+    if kind in _OP_TABLE:
+        method, spec = _OP_TABLE[kind]
+        getattr(seq, method)(
+            **{
+                kwarg: extract(op, vars)
+                for kwarg, extract in spec.items()
+            }
         )
 
 

@@ -41,78 +41,125 @@ NoiseTypes = Literal[
     "dmm_crosstalk",
 ]
 
+
+class _ParamSpec:
+    """One row of the parameter registry.
+
+    Unlike the reference, which keeps six parallel structures
+    (``_NOISE_TYPE_PARAMS``, the validation-kind sets, the legacy
+    defaults, the optional-in-wire-format tuple), every fact about a
+    parameter lives in its single registry row here; the reference's
+    structures are derived below for the shared validation code.
+    """
+
+    __slots__ = ("noise", "kind", "legacy", "optional_wire")
+
+    def __init__(
+        self,
+        noise: NoiseTypes | None,
+        kind: str,
+        legacy: float | int | None = None,
+        optional_wire: bool = False,
+    ) -> None:
+        self.noise = noise
+        self.kind = kind  # pos | strict_pos | prob | bool | raw
+        self.legacy = legacy
+        self.optional_wire = optional_wire
+
+
+# Parameter name -> (owning noise type, validation kind, legacy
+# default, optional in the abstract repr). Rows are grouped by owner;
+# within a group the order fixes the reference's per-noise tuples.
+_PARAMS: dict[str, _ParamSpec] = {
+    "with_leakage": _ParamSpec("leakage", "bool"),
+    "temperature": _ParamSpec("doppler", "pos", 50.0),
+    "trap_waist": _ParamSpec("register", "pos", optional_wire=True),
+    "trap_depth": _ParamSpec(
+        "register", "strict_pos", optional_wire=True
+    ),
+    "laser_waist": _ParamSpec("amplitude", "strict_pos", 175.0),
+    "amp_sigma": _ParamSpec("amplitude", "prob", 5e-2),
+    "detuning_sigma": _ParamSpec(
+        "detuning", "pos", optional_wire=True
+    ),
+    "detuning_hf_psd": _ParamSpec(
+        "detuning", "raw", optional_wire=True
+    ),
+    "detuning_hf_omegas": _ParamSpec(
+        "detuning", "raw", optional_wire=True
+    ),
+    "p_false_pos": _ParamSpec("SPAM", "prob", 0.01),
+    "p_false_neg": _ParamSpec("SPAM", "prob", 0.05),
+    "state_prep_error": _ParamSpec("SPAM", "prob", 0.005),
+    "dephasing_rate": _ParamSpec("dephasing", "pos", 0.05),
+    "hyperfine_dephasing_rate": _ParamSpec(
+        "dephasing", "pos", 1e-3
+    ),
+    "relaxation_rate": _ParamSpec("relaxation", "pos", 0.01),
+    "depolarizing_rate": _ParamSpec("depolarizing", "pos", 0.05),
+    "eff_noise_rates": _ParamSpec("eff_noise", "raw"),
+    "eff_noise_opers": _ParamSpec("eff_noise", "raw"),
+    "dmm_sigma": _ParamSpec(
+        "dmm_sigma", "prob", optional_wire=True
+    ),
+    "detuning_map_spot_waist": _ParamSpec(
+        "dmm_crosstalk", "strict_pos", optional_wire=True
+    ),
+    # Owned by no noise type:
+    "runs": _ParamSpec(None, "strict_pos", 15),
+    "samples_per_run": _ParamSpec(None, "strict_pos", 5),
+    "disable_doppler": _ParamSpec(None, "bool"),
+}
+
+# The noise-type order of the reference's registry (which differs
+# from the NoiseTypes literal order) is preserved for stable
+# iteration in reports.
 _NOISE_TYPE_PARAMS: dict[NoiseTypes, tuple[str, ...]] = {
-    "leakage": ("with_leakage",),
-    "doppler": ("temperature",),
-    "register": ("trap_waist", "trap_depth"),
-    "amplitude": ("laser_waist", "amp_sigma"),
-    "detuning": ("detuning_sigma", "detuning_hf_psd", "detuning_hf_omegas"),
-    "SPAM": ("p_false_pos", "p_false_neg", "state_prep_error"),
-    "dephasing": ("dephasing_rate", "hyperfine_dephasing_rate"),
-    "relaxation": ("relaxation_rate",),
-    "depolarizing": ("depolarizing_rate",),
-    "eff_noise": ("eff_noise_rates", "eff_noise_opers"),
-    "dmm_sigma": ("dmm_sigma",),
-    "dmm_crosstalk": ("detuning_map_spot_waist",),
+    nt: tuple(
+        name for name, spec in _PARAMS.items() if spec.noise == nt
+    )
+    for nt in (
+        "leakage",
+        "doppler",
+        "register",
+        "amplitude",
+        "detuning",
+        "SPAM",
+        "dephasing",
+        "relaxation",
+        "depolarizing",
+        "eff_noise",
+        "dmm_sigma",
+        "dmm_crosstalk",
+    )
 }
 
 _PARAM_TO_NOISE_TYPE: dict[str, NoiseTypes] = {
-    param: noise_type
-    for noise_type, params in _NOISE_TYPE_PARAMS.items()
-    for param in params
+    name: spec.noise
+    for name, spec in _PARAMS.items()
+    if spec.noise is not None
 }
 
-_POSITIVE = {
-    "dephasing_rate",
-    "hyperfine_dephasing_rate",
-    "relaxation_rate",
-    "depolarizing_rate",
-    "temperature",
-    "detuning_sigma",
-    "trap_waist",
+
+def _params_of_kind(kind: str) -> set[str]:
+    return {
+        name for name, spec in _PARAMS.items() if spec.kind == kind
+    }
+
+
+_POSITIVE = _params_of_kind("pos")
+_STRICT_POSITIVE = _params_of_kind("strict_pos")
+_PROBABILITY_LIKE = _params_of_kind("prob")
+_BOOLEAN = _params_of_kind("bool")
+
+_LEGACY_DEFAULTS: dict[str, float | int] = {
+    name: spec.legacy
+    for name, spec in _PARAMS.items()
+    if spec.legacy is not None
 }
 
-_STRICT_POSITIVE = {
-    "runs",
-    "samples_per_run",
-    "laser_waist",
-    "trap_depth",
-    "detuning_map_spot_waist",
-}
-
-_PROBABILITY_LIKE = {
-    "state_prep_error",
-    "p_false_pos",
-    "p_false_neg",
-    "amp_sigma",
-    "dmm_sigma",
-}
-
-_BOOLEAN = {"with_leakage", "disable_doppler"}
-
-_LEGACY_DEFAULTS = {
-    "runs": 15,
-    "samples_per_run": 5,
-    "state_prep_error": 0.005,
-    "p_false_pos": 0.01,
-    "p_false_neg": 0.05,
-    "temperature": 50.0,
-    "laser_waist": 175.0,
-    "amp_sigma": 5e-2,
-    "relaxation_rate": 0.01,
-    "dephasing_rate": 0.05,
-    "hyperfine_dephasing_rate": 1e-3,
-    "depolarizing_rate": 0.05,
-}
-
-OPTIONAL_IN_ABSTR_REPR = (
-    "detuning_sigma",
-    "trap_waist",
-    "trap_depth",
-    "detuning_hf_psd",
-    "detuning_hf_omegas",
-    "dmm_sigma",
-    "detuning_map_spot_waist",
+OPTIONAL_IN_ABSTR_REPR = tuple(
+    name for name, spec in _PARAMS.items() if spec.optional_wire
 )
 
 # Noise types whose activation makes trajectory counts meaningful
@@ -567,42 +614,41 @@ class NoiseModel:
                 "`detuning_hf_psd` and `detuning_hf_omegas` must either"
                 " both be empty tuples or both be provided."
             )
-
         if psd == ():
             return
 
-        psd_a = np.asarray(psd)
-        freqs_a = np.asarray(freqs)
-
-        if psd_a.ndim != 1 or freqs_a.ndim != 1:
-            raise ValueError(
+        psd_a, freqs_a = np.asarray(psd), np.asarray(freqs)
+        # Requirement -> complaint, checked in order
+        rules = (
+            (
+                psd_a.ndim == 1 and freqs_a.ndim == 1,
                 "`detuning_hf_psd` and `detuning_hf_omegas`"
-                " are expected to be 1D tuples."
-            )
-
-        if psd_a.size != freqs_a.size:
-            raise ValueError(
+                " are expected to be 1D tuples.",
+            ),
+            (
+                psd_a.size == freqs_a.size,
                 "`detuning_hf_psd` and `detuning_hf_omegas`"
-                " are expected to have the same length."
-            )
-
-        if psd_a.size <= 1:
-            raise ValueError(
+                " are expected to have the same length.",
+            ),
+            (
+                psd_a.size > 1,
                 "`detuning_hf_psd` and `detuning_hf_omegas`"
-                " are expected to have length > 1."
-            )
-
-        if not (np.all(psd_a > 0) and np.all(freqs_a > 0)):
-            raise ValueError(
+                " are expected to have length > 1.",
+            ),
+            (
+                bool(np.all(psd_a > 0) and np.all(freqs_a > 0)),
                 "`detuning_hf_psd` and `detuning_hf_omegas`"
-                " are expected to have positive values."
-            )
-
-        if np.any(np.diff(freqs_a) < 0):
-            raise ValueError(
+                " are expected to have positive values.",
+            ),
+            (
+                not np.any(np.diff(freqs_a) < 0),
                 "`detuning_hf_omegas` are expected to be monotonously"
-                " growing."
-            )
+                " growing.",
+            ),
+        )
+        for ok, complaint in rules:
+            if not ok:
+                raise ValueError(complaint)
 
     @staticmethod
     def _check_eff_noise(
@@ -658,28 +704,37 @@ class NoiseModel:
                     f"not {operator.shape}."
                 )
 
+    # Per validation kind: (value check, requirement description)
+    _KIND_CHECKS = {
+        "pos": (
+            lambda v: v >= 0,
+            "greater than or equal to zero",
+        ),
+        "strict_pos": (
+            lambda v: v is not None and v > 0,
+            "greater than zero",
+        ),
+        "prob": (
+            lambda v: 0 <= v <= 1,
+            "greater than or equal to zero and smaller than "
+            "or equal to one",
+        ),
+        "bool": (
+            lambda v: isinstance(v, bool),
+            "a boolean",
+        ),
+    }
+
     @staticmethod
     def _validate_parameters(param_vals: dict[str, Any]) -> None:
+        """Checks each value against its registry row's kind."""
         for param, value in param_vals.items():
-            is_valid = True
-            comp = ""
-            if param in _POSITIVE:
-                is_valid = value >= 0
-                comp = "greater than or equal to zero"
-            elif param in _STRICT_POSITIVE:
-                is_valid = value is not None and value > 0
-                comp = "greater than zero"
-            elif param in _PROBABILITY_LIKE:
-                is_valid = 0 <= value <= 1
-                comp = (
-                    "greater than or equal to zero and smaller than "
-                    "or equal to one"
+            spec = _PARAMS.get(param)
+            check = spec and NoiseModel._KIND_CHECKS.get(spec.kind)
+            if check is not None and not check[0](value):
+                raise ValueError(
+                    f"'{param}' must be {check[1]}, not {value}."
                 )
-            elif param in _BOOLEAN:
-                is_valid = isinstance(value, bool)
-                comp = "a boolean"
-            if not is_valid:
-                raise ValueError(f"'{param}' must be {comp}, not {value}.")
             if param == "samples_per_run" and value != 1:
                 warnings.warn(
                     "Setting samples_per_run different to 1 is "
