@@ -146,6 +146,15 @@ class AbstractArray:
         """Returns the contents as a python list."""
         return np.asarray(self.as_array(detach=True)).tolist()
 
+    def reshape(self, shape: tuple[int, ...]) -> AbstractArray:
+        """Returns a new AbstractArray with the given shape.
+
+        Works on either backend (reference
+        ``math/abstract_array.py:325``); gradients flow through on
+        the JAX side.
+        """
+        return AbstractArray(self._array.reshape(shape))
+
     @property
     def size(self) -> int:
         """The number of elements."""
