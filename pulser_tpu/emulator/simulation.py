@@ -1111,18 +1111,21 @@ class TpuEmulator:
         )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
-        plans = [
-            build_plan(
-                h.hamiltonian.sampling_times,
-                {
-                    "amp": h.hamiltonian.amp_coeffs,
-                    "det": h.hamiltonian.det_coeffs,
-                },
-                self._eval_times_array,
-                max_step=max_step,
-            )
-            for h in hams
-        ]
+        # One plan for the whole batch: the grid is shared, only the
+        # coefficient values differ per trajectory
+        plans = _solver_mod.build_plan_batched(
+            knots,
+            {
+                "amp": np.stack(
+                    [h.hamiltonian.amp_coeffs for h in hams]
+                ),
+                "det": np.stack(
+                    [h.hamiltonian.det_coeffs for h in hams]
+                ),
+            },
+            self._eval_times_array,
+            max_step=max_step,
+        )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]
@@ -1242,18 +1245,21 @@ class TpuEmulator:
         )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
-        plans = [
-            build_plan(
-                h.hamiltonian.sampling_times,
-                {
-                    "amp": h.hamiltonian.amp_coeffs,
-                    "det": h.hamiltonian.det_coeffs,
-                },
-                self._eval_times_array,
-                max_step=max_step,
-            )
-            for h in hams
-        ]
+        # One plan for the whole batch (shared grid, see
+        # _noisy_runs_batched)
+        plans = _solver_mod.build_plan_batched(
+            knots,
+            {
+                "amp": np.stack(
+                    [h.hamiltonian.amp_coeffs for h in hams]
+                ),
+                "det": np.stack(
+                    [h.hamiltonian.det_coeffs for h in hams]
+                ),
+            },
+            self._eval_times_array,
+            max_step=max_step,
+        )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]

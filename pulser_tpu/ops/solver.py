@@ -98,6 +98,80 @@ class EvolutionPlan:
         return self.stage_arrays[name][self.seg_map]
 
 
+@dataclasses.dataclass
+class BatchedPlan:
+    """One plan for a whole trajectory batch.
+
+    Produced by calling :func:`build_plan` on coefficient arrays with
+    a leading trajectory axis ``(B, ..., n_knots)`` — every noise
+    trajectory shares the integration grid (only coefficient *values*
+    differ), so grid construction and segmentation run once instead
+    of per trajectory (which dominated noisy-run host time).
+    Accessors return the staged arrays with the batch axis first,
+    matching the layout the batched solvers consume.
+    """
+
+    plan: EvolutionPlan
+    n_traj: int
+
+    def seg_stage_b(self, name: str) -> np.ndarray:
+        """``(B, n_seg, L, 3, ...)`` staged values for ``name``."""
+        # In the underlying plan the batch rides at axis 3 (after
+        # the (n_seg, L, 3) segmented-stage axes)
+        return np.moveaxis(self.plan.seg_stage(name), 3, 0)
+
+    @property
+    def eval_det_cum_b(self) -> np.ndarray:
+        """``(B, n_eval, n_bases, n)`` detuning integrals."""
+        assert self.plan.eval_det_cum is not None
+        return np.moveaxis(self.plan.eval_det_cum, 1, 0)
+
+
+def build_plan_batched(
+    knots: np.ndarray,
+    coeffs_batch: dict[str, np.ndarray],
+    eval_times: np.ndarray,
+    max_step: float | None = None,
+) -> BatchedPlan:
+    """Builds one :class:`BatchedPlan` for stacked coefficients.
+
+    Args:
+        knots: Shared ``(n_knots,)`` coefficient sample times.
+        coeffs_batch: Name -> ``(B, ..., n_knots)`` stacked
+            per-trajectory coefficients.
+        eval_times: Shared evaluation times.
+        max_step: Shared maximum step.
+    """
+    n_traj = next(iter(coeffs_batch.values())).shape[0]
+    plan = build_plan(
+        knots, coeffs_batch, eval_times, max_step=max_step
+    )
+    return BatchedPlan(plan=plan, n_traj=n_traj)
+
+
+def _batched_inputs(
+    plans: "list[EvolutionPlan] | BatchedPlan",
+    names: tuple[str, ...],
+) -> tuple[EvolutionPlan, int, dict[str, np.ndarray]]:
+    """Normalizes either plan form into (base plan, B, staged dict)."""
+    if isinstance(plans, BatchedPlan):
+        return (
+            plans.plan,
+            plans.n_traj,
+            {name: plans.seg_stage_b(name) for name in names},
+        )
+    shapes = {p.seg_dts.shape for p in plans}
+    assert len(shapes) == 1, f"plans disagree on grid shape: {shapes}"
+    return (
+        plans[0],
+        len(plans),
+        {
+            name: np.stack([p.seg_stage(name) for p in plans])
+            for name in names
+        },
+    )
+
+
 def _interp_at(
     coeffs: np.ndarray, knots: np.ndarray, times: np.ndarray
 ) -> np.ndarray:
@@ -850,7 +924,7 @@ def _mesolve_scan_batched(
 
 def mesolve_rk4_batched(
     rho0: np.ndarray,
-    plans: list[EvolutionPlan],
+    plans: "list[EvolutionPlan] | BatchedPlan",
     diags: np.ndarray,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -874,12 +948,9 @@ def mesolve_rk4_batched(
     rho2_0 = jnp.asarray(
         np.stack([rho0_np.real, rho0_np.imag]), dtype=rdtype
     )
-    base = plans[0]
-    shapes = {p.seg_dts.shape for p in plans}
-    assert len(shapes) == 1, f"plans disagree on grid shape: {shapes}"
-
-    amp_np = np.stack([p.seg_stage("amp") for p in plans])
-    det_np = np.stack([p.seg_stage("det").real for p in plans])
+    base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
+    amp_np = staged["amp"]
+    det_np = staged["det"].real
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
     det = jnp.asarray(det_np, dtype=rdtype)
@@ -896,11 +967,11 @@ def mesolve_rk4_batched(
         has_cops,
     ) = _collapse_algebra(collapse_ops, d, n, rdtype)
 
-    n_traj = len(plans)
     n_steps_tot = int(np.count_nonzero(base.seg_dts))
     # Per-call budget: trajectories × steps bounded so one execution
-    # stays well under the runtime watchdog
-    batch = max(1, min(n_traj, 65536 // max(1, n_steps_tot)))
+    # stays well under the runtime watchdog (density matrices are
+    # dim^2-heavy, so the budget is tighter than the MCWF one)
+    batch = max(1, min(n_traj, 262144 // max(1, n_steps_tot)))
     outs = []
     for lo in range(0, n_traj, batch):
         take = slice(lo, min(lo + batch, n_traj))
@@ -1136,7 +1207,7 @@ def _mcwf_scan_batched(
 
 def mcsolve_rk4_batched(
     psi0: np.ndarray,
-    plans: list[EvolutionPlan],
+    plans: "list[EvolutionPlan] | BatchedPlan",
     diags: np.ndarray,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -1161,12 +1232,9 @@ def mcsolve_rk4_batched(
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
-    base = plans[0]
-    shapes = {p.seg_dts.shape for p in plans}
-    assert len(shapes) == 1, f"plans disagree on grid shape: {shapes}"
-
-    amp_np = np.stack([p.seg_stage("amp") for p in plans])
-    det_np = np.stack([p.seg_stage("det").real for p in plans])
+    base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
+    amp_np = staged["amp"]
+    det_np = staged["det"].real
     amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
     det = jnp.asarray(det_np, dtype=rdtype)
@@ -1199,9 +1267,10 @@ def mcsolve_rk4_batched(
         ]
     )
 
-    n_traj = len(plans)
     n_steps_tot = int(np.count_nonzero(base.seg_dts))
-    batch = max(1, min(n_traj, 65536 // max(1, n_steps_tot)))
+    # Statevector trajectories are cheap per step; a large budget puts
+    # a typical noise batch in ONE device call (fewer dispatches)
+    batch = max(1, min(n_traj, 2097152 // max(1, n_steps_tot)))
     outs = []
     for lo in range(0, n_traj, batch):
         take = slice(lo, min(lo + batch, n_traj))
@@ -1587,7 +1656,7 @@ def mcsolve_rk4(
     # zero-weight dummies — chunking and sharding therefore never
     # change the result (sharded == serial, any chunk size).
     n_steps_tot = int(np.count_nonzero(plan.seg_dts))
-    chunk = max(1, min(ntraj, 65536 // max(1, n_steps_tot)))
+    chunk = max(1, min(ntraj, 2097152 // max(1, n_steps_tot)))
     n_dev = (
         int(np.prod(list(mesh.shape.values())))
         if mesh is not None
@@ -1723,31 +1792,37 @@ def _mcwf_traj_states(
                 )
         return jnp.stack(cands)
 
-    def do_jump(psi2, key):
+    def do_jump(psi2, u2):
+        # u2 holds this step's pre-drawn uniforms: channel selector
+        # and the refreshed norm threshold (drawing inside the scan
+        # would put ~100 scalar threefry rounds on every step of
+        # every vmapped trajectory)
         cands = candidates(psi2)
         w = jnp.sum(cands**2, axis=(1, 2))
         cum = jnp.cumsum(w)
-        key, k1, k2 = jax.random.split(key, 3)
-        u = jax.random.uniform(k1, dtype=rdtype) * cum[-1]
+        u = u2[0] * cum[-1]
         idx = jnp.searchsorted(cum, u)
         idx = jnp.clip(idx, 0, n_cops * n - 1)
         psi_new = cands[idx] / jnp.sqrt(
             jnp.maximum(w[idx], 1e-30)
         )
-        r_new = jax.random.uniform(k2, dtype=rdtype)
-        return psi_new, r_new, key
+        return psi_new, u2[1]
 
     rk_stage = jnp.asarray([0, 1, 1, 2])
     rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
     rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def one_traj(key):
-        key, k0 = jax.random.split(key)
+        key, k0, ku = jax.random.split(key, 3)
         r0 = jax.random.uniform(k0, dtype=rdtype)
+        # Per-step uniforms drawn up front in one vectorized call
+        us = jax.random.uniform(
+            ku, dts.shape + (2,), dtype=rdtype
+        )
 
         def step(carry, xs):
-            psi, r, key = carry
-            ar_st, ai_st, det_st, h, w_st = xs
+            psi, r = carry
+            ar_st, ai_st, det_st, h, w_st, u2 = xs
 
             def stage_body(stage_carry, i):
                 k_prev, acc = stage_carry
@@ -1786,28 +1861,27 @@ def _mcwf_traj_states(
             # A jump on a zero-length (padded) step cannot trigger:
             # the norm is unchanged since the last real step
             norm2 = jnp.sum(psi**2)
-            psi, r, key = jax.lax.cond(
+            psi, r = jax.lax.cond(
                 norm2 <= r,
-                lambda p, rr, kk: do_jump(p, kk),
-                lambda p, rr, kk: (p, rr, kk),
+                lambda p, rr: do_jump(p, u2),
+                lambda p, rr: (p, rr),
                 psi,
                 r,
-                key,
             )
-            return (psi, r, key), None
+            return (psi, r), None
 
         def segment(seg_carry, seg_xs):
-            (psi, r, key), _ = jax.lax.scan(step, seg_carry, seg_xs)
+            (psi, r), _ = jax.lax.scan(step, seg_carry, seg_xs)
             # Emit the normalized state (QuTiP mcsolve convention)
             psi_n = psi / jnp.sqrt(
                 jnp.maximum(jnp.sum(psi**2), 1e-30)
             )
-            return (psi, r, key), psi_n
+            return (psi, r), psi_n
 
         _, ys = jax.lax.scan(
             segment,
-            (psi2_0, r0, key),
-            (amp_re, amp_im, det, dts, int_w),
+            (psi2_0, r0),
+            (amp_re, amp_im, det, dts, int_w, us),
         )
         return ys  # (n_seg, 2, dim)
 
@@ -2025,7 +2099,7 @@ def _mcsolve_scan_sharded(
 
 def sesolve_rk4_batched(
     psi0: np.ndarray,
-    plans: list[EvolutionPlan],
+    plans: "list[EvolutionPlan] | BatchedPlan",
     static_diags: np.ndarray,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -2071,14 +2145,17 @@ def sesolve_rk4_batched(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
     two_pi = 2 * np.pi
-    n_traj = len(plans)
-    amp_np = np.stack([p.seg_stage("amp") for p in plans])
-    det_cum_np = np.stack(
-        [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+    base, n_traj, staged = _batched_inputs(
+        plans, ("amp", "det_cum")
     )
-    eval_cum_np = np.stack(
-        [(-p.eval_det_cum) % two_pi for p in plans]
-    )
+    amp_np = staged["amp"]
+    det_cum_np = (-staged["det_cum"]) % two_pi
+    if isinstance(plans, BatchedPlan):
+        eval_cum_np = (-plans.eval_det_cum_b) % two_pi
+    else:
+        eval_cum_np = np.stack(
+            [(-p.eval_det_cum) % two_pi for p in plans]
+        )
     diags_np = np.asarray(static_diags).real
 
     if mesh is not None and n_traj > 1:
@@ -2095,11 +2172,11 @@ def sesolve_rk4_batched(
     amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
     det_cum_mod = jnp.asarray(det_cum_np, dtype=rdtype)
     t_stage = jnp.asarray(
-        plans[0].seg_stage("t_stage"), dtype=rdtype
+        base.seg_stage("t_stage"), dtype=rdtype
     )
-    dts = jnp.asarray(plans[0].seg_dts, dtype=rdtype)
+    dts = jnp.asarray(base.seg_dts, dtype=rdtype)
     eval_t = jnp.asarray(
-        plans[0].eval_times - plans[0].grid[0], dtype=rdtype
+        base.eval_times - base.grid[0], dtype=rdtype
     )
     eval_cum_mod = jnp.asarray(eval_cum_np, dtype=rdtype)
     diags = jnp.asarray(diags_np, dtype=rdtype)
@@ -2149,7 +2226,7 @@ def sesolve_rk4_batched(
         )
     # (T, n_seg, 2, dim) -> complex numpy at the requested eval times
     # (padded trajectories, if any, are sliced off)
-    out_np = np.asarray(out)[:n_traj][:, plans[0].eval_map]
+    out_np = np.asarray(out)[:n_traj][:, base.eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
 
 
@@ -2217,7 +2294,7 @@ def _sesolve_rk4_pallas(
 
 def _sesolve_batched_pallas(
     psi0_np: np.ndarray,
-    plans: list[EvolutionPlan],
+    plans: "list[EvolutionPlan] | BatchedPlan",
     static_diags: np.ndarray,
     n: int,
     cdtype: Any,
@@ -2235,7 +2312,7 @@ def _sesolve_batched_pallas(
     rows, cols = 1 << n_row, 1 << n_col
     two_pi = 2 * np.pi
     n_traj = len(plans)
-    spt, seg_len = plans[0].seg_dts.shape
+    spt, seg_len = base.seg_dts.shape
 
     a = np.concatenate(
         [p.seg_stage("amp")[..., 0, :] for p in plans]
@@ -2276,5 +2353,5 @@ def _sesolve_batched_pallas(
         interpret=interpret,
     )
     out_np = np.asarray(out).reshape(n_traj, spt, 2, rows * cols)
-    out_np = out_np[:, plans[0].eval_map]
+    out_np = out_np[:, base.eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
