@@ -46,9 +46,9 @@ class TestBackendPromotion:
                 a.as_array()
             with pytest.raises(RuntimeError, match="abstract JAX"):
                 a.as_array(detach=True)
-            return x
+            return jnp.sum(a.as_tensor())
 
-        jax.grad(lambda x: float(jnp.sum(f(x) * 0)) + x)(1.0)
+        jax.grad(f)(1.0)
 
 
 class TestOperators:
