@@ -194,3 +194,33 @@ def test_results_roundtrip():
     assert res2.atom_order == ("q0", "q1")
     assert res2.total_duration == 500
     assert res2.get_result(obs, 1.0) == {"00": 250, "11": 250}
+
+
+def test_legacy_sequence_serialize_roundtrip():
+    """The legacy object-graph JSON coders replay a full sequence,
+    including a parametrized build (reference json/coders.py:30-49)."""
+    import pulser_tpu as tpu
+
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 8)})
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp = seq.declare_variable("amp", dtype=float)
+    seq.add(tpu.Pulse.ConstantPulse(200, amp, -1.0, 0.5), "ryd")
+    seq.delay(100, "ryd")
+
+    s = seq._serialize()
+    seq2 = tpu.Sequence._deserialize(s)
+    assert seq2.is_parametrized()
+    built = seq2.build(amp=2.0)
+    ref_built = seq.build(amp=2.0)
+    from pulser_tpu.sampler import sample
+
+    a = sample(built).channel_samples["ryd"]
+    b = sample(ref_built).channel_samples["ryd"]
+    np.testing.assert_array_equal(
+        np.asarray(a.amp, dtype=float), np.asarray(b.amp, dtype=float)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.phase, dtype=float),
+        np.asarray(b.phase, dtype=float),
+    )
