@@ -1,0 +1,59 @@
+"""XY spin exchange between dipole-coupled Rydberg states.
+
+In XY mode the qubit lives in two Rydberg levels coupled by a
+C3/r^3 dipole-dipole flip-flop interaction whose strength carries the
+(1 - 3 cos^2 theta) angular factor with respect to the magnetic
+field. A microwave pi-pulse prepares one excitation, which then
+coherently hops along a three-atom chain.
+
+Run:  python examples/xy_spin_exchange.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import pulser_tpu as tpu
+from pulser_tpu.emulator import TpuEmulator
+
+reg = tpu.Register(
+    {"q0": (0.0, 0.0), "q1": (8.0, 0.0), "q2": (16.0, 0.0)}
+)
+seq = tpu.Sequence(reg, tpu.MockDevice)
+# The magnetic field orientation sets the interaction anisotropy;
+# (0, 0, 30) G (the default) is perpendicular to the chain
+seq.set_magnetic_field(0.0, 0.0, 30.0)
+seq.declare_channel("mw", "mw_global")
+
+u_nn = tpu.MockDevice.interaction_coeff_xy / 8.0**3
+print(f"nearest-neighbour exchange U = {u_nn:.3f} rad/µs")
+
+# A short global microwave pulse tilts the spins, then free
+# spin-exchange evolution under the C3 coupling
+seq.add(
+    tpu.Pulse.ConstantPulse(200, 2 * np.pi * 0.5, 0.0, 0.0), "mw"
+)
+seq.delay(800, "mw")
+
+eval_times = np.linspace(0, seq.get_duration() * 1e-3, 51)
+sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
+res = sim.run()
+
+# Track the 'u'-state occupation of each atom over time: the
+# excitation sloshes between the chain ends
+n_ops = []
+for q in range(3):
+    mats = [np.eye(2, dtype=complex)] * 3
+    mats[q] = np.diag([1.0, 0.0]).astype(complex)  # |u><u|
+    full = mats[0]
+    for m in mats[1:]:
+        full = np.kron(full, m)
+    n_ops.append(full)
+occ = np.real(np.array(res.expect(n_ops)))  # (3, n_times)
+
+for label, row in zip(("q0", "q1", "q2"), occ):
+    spark = "".join(
+        " .:-=+*#%@"[min(9, int(v * 10))] for v in row[::2]
+    )
+    print(f"{label}: |{spark}|  final={row[-1]:.3f}")
+print("total excitation:", f"{occ[:, -1].sum():.3f} (conserved)")

@@ -1246,7 +1246,8 @@ class TpuEmulator:
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
         # One plan for the whole batch (shared grid, see
-        # _noisy_runs_batched)
+        # _noisy_runs_batched); staging happens on-device from the
+        # raw knot values, so skip the (large) host staging entirely
         plans = _solver_mod.build_plan_batched(
             knots,
             {
@@ -1259,6 +1260,7 @@ class TpuEmulator:
             },
             self._eval_times_array,
             max_step=max_step,
+            host_stage=False,
         )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()

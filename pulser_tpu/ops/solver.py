@@ -92,6 +92,10 @@ class EvolutionPlan:
     #: Exact detuning integrals at the (unique) eval times, for the
     #: interaction-picture lab-frame rotation: (n_eval, n_bases, n).
     eval_det_cum: np.ndarray | None = None
+    #: ``(idx0, idx1, frac)`` arrays of shape (n_steps, 3): the knot
+    #: gather indices + lerp fractions behind each staged value, for
+    #: on-device staging of raw coefficients.
+    stage_knots: tuple[np.ndarray, ...] | None = None
 
     def seg_stage(self, name: str) -> np.ndarray:
         """A stage array gathered into the (n_seg, L, 3, ...) layout."""
@@ -113,12 +117,24 @@ class BatchedPlan:
 
     plan: EvolutionPlan
     n_traj: int
+    #: The raw ``(B, ..., n_knots)`` coefficient batch, kept so the
+    #: solvers can ship it to the device and stage there (the staged
+    #: arrays are ~3·n_steps/n_knots times larger — a painful
+    #: host->device transfer).
+    raw_coeffs: dict[str, np.ndarray] | None = None
 
     def seg_stage_b(self, name: str) -> np.ndarray:
         """``(B, n_seg, L, 3, ...)`` staged values for ``name``."""
         # In the underlying plan the batch rides at axis 3 (after
         # the (n_seg, L, 3) segmented-stage axes)
         return np.moveaxis(self.plan.seg_stage(name), 3, 0)
+
+    def seg_knots(self) -> tuple[np.ndarray, ...]:
+        """``(idx0, idx1, frac)`` in the (n_seg, L, 3) layout."""
+        assert self.plan.stage_knots is not None
+        return tuple(
+            a[self.plan.seg_map] for a in self.plan.stage_knots
+        )
 
     @property
     def eval_det_cum_b(self) -> np.ndarray:
@@ -132,6 +148,7 @@ def build_plan_batched(
     coeffs_batch: dict[str, np.ndarray],
     eval_times: np.ndarray,
     max_step: float | None = None,
+    host_stage: bool = True,
 ) -> BatchedPlan:
     """Builds one :class:`BatchedPlan` for stacked coefficients.
 
@@ -144,9 +161,15 @@ def build_plan_batched(
     """
     n_traj = next(iter(coeffs_batch.values())).shape[0]
     plan = build_plan(
-        knots, coeffs_batch, eval_times, max_step=max_step
+        knots,
+        coeffs_batch,
+        eval_times,
+        max_step=max_step,
+        host_stage=host_stage,
     )
-    return BatchedPlan(plan=plan, n_traj=n_traj)
+    return BatchedPlan(
+        plan=plan, n_traj=n_traj, raw_coeffs=dict(coeffs_batch)
+    )
 
 
 def _batched_inputs(
@@ -170,6 +193,50 @@ def _batched_inputs(
             for name in names
         },
     )
+
+
+def _lindblad_drive_arrays(
+    plans: "list[EvolutionPlan] | BatchedPlan", rdtype: Any
+) -> tuple:
+    """Device-resident staged drive arrays for the Lindblad solvers.
+
+    For a :class:`BatchedPlan` carrying raw coefficients, only the
+    small ``(B, nb, n, T)`` knot values cross the host->device link;
+    the ~18x larger stage arrays are gathered on-device by the
+    separately-jitted :func:`_stage_on_device` (kept out of the big
+    scan program so it does not inflate its compile time).
+
+    Returns:
+        ``(amp_re, amp_im, det, base_plan, n_traj)`` with the staged
+        arrays in the ``(B, n_seg, L, 3, nb, n)`` layout.
+    """
+    if (
+        isinstance(plans, BatchedPlan)
+        and plans.raw_coeffs is not None
+        and plans.plan.stage_knots is not None
+    ):
+        raw_amp = np.asarray(plans.raw_coeffs["amp"])
+        raw_det = np.asarray(plans.raw_coeffs["det"]).real
+        idx0, idx1, frac = plans.seg_knots()
+        ji0 = jnp.asarray(idx0)
+        ji1 = jnp.asarray(idx1)
+        jfr = jnp.asarray(frac, dtype=rdtype)
+        amp_re = _stage_on_device(
+            jnp.asarray(raw_amp.real, dtype=rdtype), ji0, ji1, jfr
+        )
+        amp_im = _stage_on_device(
+            jnp.asarray(raw_amp.imag, dtype=rdtype), ji0, ji1, jfr
+        )
+        det = _stage_on_device(
+            jnp.asarray(raw_det, dtype=rdtype), ji0, ji1, jfr
+        )
+        return amp_re, amp_im, det, plans.plan, plans.n_traj
+
+    base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
+    amp_re = jnp.asarray(staged["amp"].real, dtype=rdtype)
+    amp_im = jnp.asarray(staged["amp"].imag, dtype=rdtype)
+    det = jnp.asarray(staged["det"].real, dtype=rdtype)
+    return amp_re, amp_im, det, base, n_traj
 
 
 def _interp_at(
@@ -258,6 +325,7 @@ def build_plan(
     coeffs: dict[str, np.ndarray],
     eval_times: np.ndarray,
     max_step: float | None = None,
+    host_stage: bool = True,
 ) -> EvolutionPlan:
     """Builds the host-side evolution plan.
 
@@ -368,8 +436,33 @@ def build_plan(
         [grid[:-1], (grid[:-1] + grid[1:]) / 2, grid[1:]], axis=1
     )  # (n_steps, 3)
     flat_times = stage_times.reshape(-1)
+    # Knot gather indices + lerp fractions for the same stages, so
+    # solvers can move the (large) staging gather onto the device and
+    # transfer only the raw (..., n_knots) coefficients
+    if len(knots) == 1:
+        k_idx0 = np.zeros(len(flat_times), dtype=np.int32)
+        k_idx1 = k_idx0
+        k_frac = np.zeros(len(flat_times))
+    else:
+        k_idx0 = np.clip(
+            np.searchsorted(knots, flat_times, side="right") - 1,
+            0,
+            len(knots) - 2,
+        ).astype(np.int32)
+        k_idx1 = k_idx0 + 1
+        k_frac = np.clip(
+            (flat_times - knots[k_idx0])
+            / (knots[k_idx1] - knots[k_idx0]),
+            0.0,
+            1.0,
+        )
+    stage_knots = tuple(
+        a.reshape(n_steps, 3) for a in (k_idx0, k_idx1, k_frac)
+    )
     stage_arrays = {}
     for name, c in coeffs.items():
+        if not host_stage:
+            break
         vals = _interp_at(np.asarray(c), knots, flat_times)
         # (..., n_steps*3) -> (n_steps, 3, ...)
         vals = np.moveaxis(
@@ -378,7 +471,7 @@ def build_plan(
         stage_arrays[name] = vals
     # Exact detuning integrals + absolute stage times, for the
     # interaction-picture solver (phase = ∫D dt', closed-form)
-    if "det" in coeffs:
+    if host_stage and "det" in coeffs:
         cum = _integ_at(
             np.asarray(coeffs["det"]).real, knots, flat_times
         )
@@ -405,7 +498,10 @@ def build_plan(
         eval_map=eval_map,
         seg_map=seg_map,
         seg_dts=seg_dts,
-        eval_det_cum=eval_cum if "det" in coeffs else None,
+        eval_det_cum=(
+            eval_cum if host_stage and "det" in coeffs else None
+        ),
+        stage_knots=stage_knots,
     )
 
 
@@ -948,12 +1044,9 @@ def mesolve_rk4_batched(
     rho2_0 = jnp.asarray(
         np.stack([rho0_np.real, rho0_np.imag]), dtype=rdtype
     )
-    base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
-    amp_np = staged["amp"]
-    det_np = staged["det"].real
-    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
-    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(det_np, dtype=rdtype)
+    amp_re, amp_im, det, base, n_traj = _lindblad_drive_arrays(
+        plans, rdtype
+    )
     dts = jnp.asarray(base.seg_dts, dtype=rdtype)
     diag_b = jnp.asarray(np.asarray(diags).real, dtype=rdtype)
     int_w = jnp.zeros(base.seg_dts.shape + (3, 1), dtype=rdtype)
@@ -1140,6 +1233,27 @@ def mesolve_rk4(
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
+@jax.jit
+def _stage_on_device(
+    raw: jax.Array,
+    idx0: jax.Array,
+    idx1: jax.Array,
+    frac: jax.Array,
+) -> jax.Array:
+    """Stages raw ``(B, ..., T)`` coefficients on the device.
+
+    Returns the ``(B, n_seg, L, 3, ...)`` RK4 stage values via two
+    knot gathers + a lerp. The staged array is ~3·n_steps/n_knots
+    times larger than the raw one, so gathering on-device instead of
+    shipping host-staged arrays cuts the host->device transfer by
+    that factor (the dominant per-run cost over a remote TPU link).
+    """
+    g0 = raw[..., idx0]  # (B, ..., n_seg, L, 3)
+    g1 = raw[..., idx1]
+    st = g0 * (1 - frac) + g1 * frac
+    return jnp.moveaxis(st, (-3, -2, -1), (1, 2, 3))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1232,12 +1346,9 @@ def mcsolve_rk4_batched(
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
-    base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
-    amp_np = staged["amp"]
-    det_np = staged["det"].real
-    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
-    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(det_np, dtype=rdtype)
+    amp_re, amp_im, det, base, n_traj = _lindblad_drive_arrays(
+        plans, rdtype
+    )
     dts = jnp.asarray(base.seg_dts, dtype=rdtype)
     diag_b = jnp.asarray(np.asarray(diags).real, dtype=rdtype)
     int_w = jnp.zeros(base.seg_dts.shape + (3, 1), dtype=rdtype)
