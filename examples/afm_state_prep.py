@@ -11,6 +11,13 @@ Run:  python examples/afm_state_prep.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 import pulser_tpu as tpu

@@ -18,6 +18,10 @@ pod slice each chip works on its own 2^N/8 block over ICI.
 import os
 import sys
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 # Virtual 8-device mesh when real multi-chip hardware is absent.
 if "--real-devices" not in sys.argv:
     os.environ["XLA_FLAGS"] = (

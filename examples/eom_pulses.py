@@ -13,6 +13,13 @@ Run:  python examples/eom_pulses.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 import pulser_tpu as tpu
@@ -27,9 +34,10 @@ amp_on = 2 * np.pi  # rad/µs
 seq.enable_eom_mode(
     "ryd", amp_on=amp_on, detuning_on=0.0, optimal_detuning_off=-20.0
 )
+det_off = float(seq._schedule["ryd"].eom_blocks[-1].detuning_off)
 print(
     "detuning_off chosen by the EOM physics:",
-    f"{seq._schedule['ryd'].eom_blocks[-1].detuning_off:.3f} rad/µs",
+    f"{det_off:.3f} rad/µs",
 )
 
 seq.add_eom_pulse("ryd", duration=100, phase=0.0)

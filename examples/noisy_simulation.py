@@ -12,6 +12,13 @@ Run:  python examples/noisy_simulation.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 import pulser_tpu as tpu

@@ -7,6 +7,13 @@ with a jitted statevector/density-matrix solver.
 """
 
 from pulser_tpu._version import __version__ as __version__
+from pulser_tpu.caching import (
+    _maybe_enable_from_env,
+    enable_compilation_cache as enable_compilation_cache,
+)
+
+_maybe_enable_from_env()
+del _maybe_enable_from_env
 from pulser_tpu.waveforms import (
     CompositeWaveform,
     CustomWaveform,

@@ -1,0 +1,57 @@
+"""Persistent XLA compilation caching.
+
+Cold compiles of the big solver scans run for minutes; a persistent
+cache loads them back in seconds on later runs or in fresh processes
+(the reference has no analogue — QuTiP has no compile step). Opt in
+either by calling :func:`enable_compilation_cache` before the first
+solve, or by setting the environment variable
+``PULSER_TPU_COMPILATION_CACHE`` to a directory (or to ``1`` for the
+default location) before importing :mod:`pulser_tpu`.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compilation_cache"]
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "pulser_tpu_xla"
+)
+
+
+def enable_compilation_cache(
+    cache_dir: str | None = None,
+    min_compile_time_secs: float = 10.0,
+) -> str:
+    """Turns on JAX's persistent compilation cache.
+
+    Args:
+        cache_dir: Directory for the cache; created if missing.
+            Defaults to ``~/.cache/pulser_tpu_xla``.
+        min_compile_time_secs: Only compilations at least this slow
+            are persisted (fast ones aren't worth the disk I/O).
+
+    Returns:
+        The cache directory in use.
+    """
+    import jax
+
+    path = cache_dir or _DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        min_compile_time_secs,
+    )
+    return path
+
+
+def _maybe_enable_from_env() -> None:
+    """Honors ``PULSER_TPU_COMPILATION_CACHE`` at import time."""
+    value = os.environ.get("PULSER_TPU_COMPILATION_CACHE")
+    if not value:
+        return
+    enable_compilation_cache(
+        None if value in ("1", "true", "yes") else value
+    )

@@ -796,3 +796,28 @@ def test_profiling_phases_recorded():
     assert report["emulator.sesolve"]["total_s"] > 0
     profiling.reset_phases()
     assert profiling.phase_report() == {}
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache configures jax's persistent cache;
+    the env hook honors PULSER_TPU_COMPILATION_CACHE."""
+    import jax
+
+    from pulser_tpu import caching
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        path = tpu.enable_compilation_cache(str(tmp_path / "c1"))
+        assert jax.config.jax_compilation_cache_dir == path
+        import os
+
+        assert os.path.isdir(path)
+        monkeypatch.setenv(
+            "PULSER_TPU_COMPILATION_CACHE", str(tmp_path / "c2")
+        )
+        caching._maybe_enable_from_env()
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / "c2"
+        )
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
