@@ -3,8 +3,8 @@
 In XY mode the qubit lives in two Rydberg levels coupled by a
 C3/r^3 dipole-dipole flip-flop interaction whose strength carries the
 (1 - 3 cos^2 theta) angular factor with respect to the magnetic
-field. A microwave pi-pulse prepares one excitation, which then
-coherently hops along a three-atom chain.
+field. Starting from |duu> (one flipped spin at the chain end), the
+flip-flop term makes the excitation hop coherently along the chain.
 
 Run:  python examples/xy_spin_exchange.py
 """
@@ -35,23 +35,24 @@ seq.declare_channel("mw", "mw_global")
 u_nn = tpu.MockDevice.interaction_coeff_xy / 8.0**3
 print(f"nearest-neighbour exchange U = {u_nn:.3f} rad/µs")
 
-# A short global microwave pulse tilts the spins, then free
-# spin-exchange evolution under the C3 coupling
-seq.add(
-    tpu.Pulse.ConstantPulse(200, 2 * np.pi * 0.5, 0.0, 0.0), "mw"
-)
-seq.delay(800, "mw")
+# Free spin-exchange evolution under the C3 coupling (the zero-
+# amplitude pulse keeps the mw channel's clock running)
+seq.add(tpu.Pulse.ConstantPulse(400, 0.0, 0.0, 0.0), "mw")
 
 eval_times = np.linspace(0, seq.get_duration() * 1e-3, 51)
 sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
+# One flipped spin at the chain end: |d u u> in the [u, d] basis
+psi0 = np.zeros(8, dtype=complex)
+psi0[0b100] = 1.0  # atom 0 in 'd' (index 1), atoms 1-2 in 'u'
+sim.set_initial_state(psi0)
 res = sim.run()
 
-# Track the 'u'-state occupation of each atom over time: the
-# excitation sloshes between the chain ends
+# Track each atom's 'd'-state occupation over time: the flipped
+# spin sloshes along the chain
 n_ops = []
 for q in range(3):
     mats = [np.eye(2, dtype=complex)] * 3
-    mats[q] = np.diag([1.0, 0.0]).astype(complex)  # |u><u|
+    mats[q] = np.diag([0.0, 1.0]).astype(complex)  # |d><d|
     full = mats[0]
     for m in mats[1:]:
         full = np.kron(full, m)
@@ -63,4 +64,4 @@ for label, row in zip(("q0", "q1", "q2"), occ):
         " .:-=+*#%@"[min(9, int(v * 10))] for v in row[::2]
     )
     print(f"{label}: |{spark}|  final={row[-1]:.3f}")
-print("total excitation:", f"{occ[:, -1].sum():.3f} (conserved)")
+print("total flipped spins:", f"{occ[:, -1].sum():.3f} (conserved)")
