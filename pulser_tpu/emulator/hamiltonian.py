@@ -86,7 +86,6 @@ class Hamiltonian:
             np.arange(self._duration, dtype=np.double) / 1000
         )
 
-        self._collapse_ops: list[Qobj] = []
         # Local (d×d) collapse matrices consumed by the TPU solver
         self._local_collapse_mats: list[np.ndarray] = []
 
@@ -165,12 +164,23 @@ class Hamiltonian:
         return np.asarray(coeff * np.asarray(collapse_op, dtype=complex))
 
     def _build_collapse_operators(self) -> None:
-        """Builds the local collapse matrices (and their embeddings)."""
+        """Builds the local (d×d) collapse matrices."""
         self._local_collapse_mats = [
             self._local_collapse_matrix(coeff, op)
             for coeff, op in self.lindblad_data.local_collapse_ops
         ]
-        self._collapse_ops = [
+
+    @property
+    def _collapse_ops(self) -> list[Qobj]:
+        """Full multi-qudit embeddings of the collapse operators.
+
+        The TPU solvers consume the local (d×d) matrices directly and
+        apply them axis-wise, so these dense ``dim×dim`` embeddings —
+        built with n_ops·n kron products — are only materialized on
+        demand (building them per noise trajectory used to dominate
+        the noisy-run host time, ~7x the actual device solve).
+        """
+        return [
             self._build_operator(
                 [(Qobj(mat), [qid])], self.op_matrix
             )

@@ -1201,8 +1201,9 @@ class TpuEmulator:
             _solver_mod.mesolve_rk4_batched,
         )
 
-        self._refresh_trajectories()
-        hams = list(self._hamiltonians)
+        with profiling.phase("emulator.noise_trajectories"):
+            self._refresh_trajectories()
+            hams = list(self._hamiltonians)
         if print_progress:
             print(
                 f"Emulating Trajectories [1 - {self.n_trajectories}]"
@@ -1248,7 +1249,10 @@ class TpuEmulator:
         # One plan for the whole batch (shared grid, see
         # _noisy_runs_batched); staging happens on-device from the
         # raw knot values, so skip the (large) host staging entirely
-        plans = _solver_mod.build_plan_batched(
+        plans = _timed(
+            "emulator.build_plan_batched",
+            _solver_mod.build_plan_batched,
+        )(
             knots,
             {
                 "amp": np.stack(
@@ -1301,8 +1305,10 @@ class TpuEmulator:
 
         for hwr, states_t in zip(hams, states_batch):
             self._current_hamiltonian = hwr.hamiltonian
-            states_q = [Qobj(s, dims=dims) for s in states_t]
-            yield self._wrap_coherent(states_q), hwr.reps
+            with profiling.phase("emulator.wrap_results"):
+                states_q = [Qobj(s, dims=dims) for s in states_t]
+                res = self._wrap_coherent(states_q)
+            yield res, hwr.reps
 
     def _noisy_runs(
         self,
