@@ -3,7 +3,10 @@
 Behavioral parity with reference
 ``pulser-simulation/pulser_simulation/qutip_result.py:31-243``,
 including the r-first bitstring-ordering quirk of the ground-rydberg
-basis and the dim-3/4 marginalization rules.
+basis and the dim-3/4 marginalization rules. The marginalization here
+is a per-axis tensor contraction (O(n·d^n)) instead of the
+reference's loop over all 2^n bitstrings with fancy indexing, and
+basis-state eliminations use vectorized digit arithmetic.
 """
 
 from __future__ import annotations
@@ -20,6 +23,20 @@ from pulser_tpu.channels.base_channel import (
 )
 from pulser_tpu.emulator.qobj import Qobj
 from pulser_tpu.result import Result
+
+#: The state counted as '1' in each measurement basis.
+_ONE_STATE: dict[str, States] = {
+    "ground-rydberg": "r",
+    "digital": "h",
+    "XY": "d",
+}
+
+
+def _digits(dim: int, size: int) -> np.ndarray:
+    """``(size, dim**size)`` base-``dim`` digit table of all indices."""
+    idx = np.arange(dim**size)
+    strides = dim ** (size - 1 - np.arange(size))
+    return (idx[None, :] // strides[:, None]) % dim
 
 
 @dataclass
@@ -57,99 +74,111 @@ class TpuResult(Result):
 
     @property
     def _basis_name(self) -> str:
+        """Resolves the state's basis from (mode, dim, matching).
+
+        The decision mirrors the reference's case analysis
+        (``qutip_result.py:101-158``): XY only comes in dim 2/3;
+        Ising dim 4 is the full error basis; Ising dim 3 is either
+        the measured basis + error level (when the bases match) or
+        'all'; Ising dim 2 flips basis when they don't match.
+        """
+        dim, matching = self._dim, self.matching_meas_basis
         if self.meas_basis == "XY":
-            if self._dim == 3:
-                return "XY_with_error"
-            assert self._dim == 2, (
+            assert dim in (2, 3), (
                 "In XY, state's dimension can only be 2 or 3, not"
-                f" {self._dim}."
+                f" {dim}."
             )
-            return "XY"
-        if self._dim == 4:
-            return "all_with_error"
-        if self._dim == 3:
-            if self.matching_meas_basis:
-                return self.meas_basis + "_with_error"
-            return "all"
-        assert self._dim == 2, (
+            return "XY_with_error" if dim == 3 else "XY"
+        assert dim in (2, 3, 4), (
             f"In Ising, state's dimension can be 2, 3 or 4, not"
-            f" {self._dim}."
+            f" {dim}."
         )
-        if not self.matching_meas_basis:
-            return (
-                "digital"
-                if self.meas_basis == "ground-rydberg"
-                else "ground-rydberg"
-            )
-        return self.meas_basis
+        resolve = {
+            4: lambda: "all_with_error",
+            3: lambda: (
+                self.meas_basis + "_with_error" if matching else "all"
+            ),
+            2: lambda: (
+                self.meas_basis
+                if matching
+                else (
+                    "digital"
+                    if self.meas_basis == "ground-rydberg"
+                    else "ground-rydberg"
+                )
+            ),
+        }
+        return resolve[dim]()
 
     @property
     def _eigenbasis(self) -> list[States]:
-        bases = self._basis_name.split("_with_error")
+        basis, with_error, _ = self._basis_name.partition(
+            "_with_error"
+        )
         states = get_states_from_bases(
             ["ground-rydberg", "digital"]
-            if bases[0] == "all"
-            else [bases[0]]
+            if basis == "all"
+            else [basis]
         )
-        states += ["x"] if len(bases) == 2 else []
-        return states
+        return states + (["x"] if with_error else [])
+
+    def _state_probs(self) -> np.ndarray:
+        if not self.state.isket:
+            return np.abs(self.state.diag())
+        return (np.abs(self.state.full()) ** 2).flatten()
 
     def _weights(self) -> np.ndarray:
         size = self._size
-        if not self.state.isket:
-            probs = np.abs(self.state.diag())
-        else:
-            probs = (np.abs(self.state.full()) ** 2).flatten()
+        dim = self._dim
+        probs = self._state_probs()
 
-        if self._dim == 2:
-            if self.matching_meas_basis:
-                # Statevector ordered with r first for 'ground-rydberg',
-                # e.g. n=2: [rr, rg, gr, gg] -> [11, 10, 01, 00];
-                # inverting gives the [00, 01, 10, 11] correspondence.
-                # In the XY and digital bases, the order is canonical.
-                weights = (
-                    probs[::-1]
-                    if self.meas_basis == "ground-rydberg"
-                    else probs
-                )
-            else:
+        if dim == 2:
+            if not self.matching_meas_basis:
                 # Only 000...000 is measured
                 weights = np.zeros(probs.size)
                 weights[0] = 1.0
-
-        elif self._dim == 3 or self._dim == 4:
-            one_state_dict: dict[str, States] = {
-                "ground-rydberg": "r",
-                "digital": "h",
-                "XY": "d",
-            }
-            if self.meas_basis not in one_state_dict:
+            elif self.meas_basis == "ground-rydberg":
+                # Statevector ordered with r first, e.g. n=2:
+                # [rr, rg, gr, gg] -> [11, 10, 01, 00]; inverting
+                # gives the canonical [00, 01, 10, 11] order.
+                weights = probs[::-1]
+            else:
+                weights = probs
+        elif dim in (3, 4):
+            if self.meas_basis not in _ONE_STATE:
                 raise RuntimeError(
                     f"Unknown measurement basis '{self.meas_basis}'."
                 )
-            one_state_idx = self._eigenbasis.index(
-                one_state_dict[self.meas_basis]
+            one_idx = self._eigenbasis.index(
+                _ONE_STATE[self.meas_basis]
             )
-            ex_one = [i for i in range(self._dim) if i != one_state_idx]
-            probs = probs.reshape([self._dim] * size)
-            weights = np.zeros(2**size)
-            for dec_val in range(2**size):
-                ind: list[int | list[int]] = []
-                for v in np.binary_repr(dec_val, width=size):
-                    if v == "0":
-                        ind.append(ex_one)
-                    else:
-                        ind.append([one_state_idx])
-                # Sum all probabilities that correspond to measuring
-                # the bitstring (e.g. 11010 -> hhghg, hhrhg, ...)
-                weights[dec_val] = np.sum(probs[np.ix_(*ind)])
+            # Collapse each qudit axis to its binary outcome: row 1
+            # keeps the 'one' state, row 0 sums everything else
+            collapse = np.zeros((2, dim))
+            collapse[1, one_idx] = 1.0
+            collapse[0] = 1.0 - collapse[1]
+            w = probs.reshape([dim] * size)
+            for axis in range(size):
+                w = np.moveaxis(
+                    np.tensordot(collapse, w, axes=(1, axis)),
+                    0,
+                    axis,
+                )
+            weights = w.reshape(-1)
         else:
             raise NotImplementedError(
-                "Cannot sample system with single-atom state vectors of "
-                "dimension > 4."
+                "Cannot sample system with single-atom state vectors "
+                "of dimension > 4."
             )
         # Takes care of numerical artefacts in case sum(weights) != 1
         return cast(np.ndarray, weights / sum(weights))
+
+    def _eliminated_indices(
+        self, ex_state_idx: list[int]
+    ) -> np.ndarray:
+        """Flat indices whose base-d digits touch an excluded state."""
+        digits = _digits(self._dim, self._size)
+        return np.where(np.isin(digits, ex_state_idx).any(axis=0))[0]
 
     def get_state(
         self,
@@ -190,51 +219,46 @@ class TpuResult(Result):
                     f"Can't reduce a system in {self._basis_name}"
                     + f" to the {reduce_to_basis} basis."
                 )
-        elif reduce_to_basis is not None:
-            if is_density_matrix:
-                raise NotImplementedError(
-                    "Reduce to basis not implemented for density matrix"
-                    " states."
-                )
-            if reduce_to_basis not in EIGENSTATES:
-                raise ValueError(
-                    "'reduce_to_basis' must be 'ground-rydberg', "
-                    f"'XY', or 'digital', not '{reduce_to_basis}'."
-                )
-            basis_states = set(self._eigenbasis)
-            target_states = set(EIGENSTATES[reduce_to_basis])
-            if not target_states.issubset(basis_states):
-                raise ValueError(
-                    f"Can't reduce a state expressed in"
-                    f" {self._basis_name} into {reduce_to_basis}"
-                )
-            ex_states = basis_states - target_states
-            ex_inds = [
-                i
-                for i in range(self._dim**self._size)
-                if any(
-                    [
-                        str(self._eigenbasis.index(ex_state))
-                        in np.base_repr(i, base=self._dim).zfill(
-                            self._size
-                        )
-                        for ex_state in ex_states
-                    ]
-                )
+            return state.tidyup()
+        if reduce_to_basis is None:
+            return state.tidyup()
+
+        if is_density_matrix:
+            raise NotImplementedError(
+                "Reduce to basis not implemented for density matrix"
+                " states."
+            )
+        if reduce_to_basis not in EIGENSTATES:
+            raise ValueError(
+                "'reduce_to_basis' must be 'ground-rydberg', "
+                f"'XY', or 'digital', not '{reduce_to_basis}'."
+            )
+        basis_states = set(self._eigenbasis)
+        target_states = set(EIGENSTATES[reduce_to_basis])
+        if not target_states.issubset(basis_states):
+            raise ValueError(
+                f"Can't reduce a state expressed in"
+                f" {self._basis_name} into {reduce_to_basis}"
+            )
+        ex_inds = self._eliminated_indices(
+            [
+                self._eigenbasis.index(s)
+                for s in basis_states - target_states
             ]
-            state_arr = state.full()
-            ex_probs = np.abs(state_arr[ex_inds]) ** 2
-            if not np.all(np.isclose(ex_probs, 0, atol=tol)):
-                raise TypeError(
-                    "Can't reduce to chosen basis because the population"
-                    " of a state to eliminate is above the allowed"
-                    " tolerance."
-                )
-            mask = np.ones_like(state_arr, dtype=bool)
-            mask[ex_inds] = False
-            state = Qobj(state_arr[mask])
-            if normalize:
-                state.unit(inplace=True)
+        )
+        state_arr = state.full()
+        ex_probs = np.abs(state_arr[ex_inds]) ** 2
+        if not np.all(np.isclose(ex_probs, 0, atol=tol)):
+            raise TypeError(
+                "Can't reduce to chosen basis because the population"
+                " of a state to eliminate is above the allowed"
+                " tolerance."
+            )
+        mask = np.ones_like(state_arr, dtype=bool)
+        mask[ex_inds] = False
+        state = Qobj(state_arr[mask])
+        if normalize:
+            state.unit(inplace=True)
         return state.tidyup()
 
 

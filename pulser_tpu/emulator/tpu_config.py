@@ -65,6 +65,20 @@ class TpuConfig(EmulationConfig[TpuState]):
         **backend_options: Any,
     ):
         """Initializes a TpuConfig."""
+        self._screen_options(sampling_rate, backend_options)
+        super().__init__(
+            sampling_rate=sampling_rate,
+            solver=self._coerce_solver(solver),
+            print_progress=print_progress,
+            progress_bar=progress_bar,
+            **backend_options,
+        )
+
+    @staticmethod
+    def _screen_options(
+        sampling_rate: float, backend_options: dict[str, Any]
+    ) -> None:
+        """Rejects/flags option combinations this backend can't run."""
         if backend_options.setdefault("interaction_matrix") is not None:
             raise NotImplementedError(
                 "'TpuBackendV2' does not handle custom interaction"
@@ -81,30 +95,28 @@ class TpuConfig(EmulationConfig[TpuState]):
                 "If provided, `initial_state` must be an instance of "
                 f"`TpuState`, not {type(initial_state)}."
             )
-        if "noise_model" in backend_options and backend_options[
-            "noise_model"
-        ].samples_per_run not in [None, 1]:
+        noise_model = backend_options.get("noise_model")
+        if (
+            noise_model is not None
+            and noise_model.samples_per_run not in (None, 1)
+        ):
             warnings.warn(
                 f"The number of samples per run (`samples_per_run` "
-                f"= {backend_options['noise_model'].samples_per_run}) "
+                f"= {noise_model.samples_per_run}) "
                 f"is ignored when using TpuBackendV2.",
                 stacklevel=2,
             )
+
+    @staticmethod
+    def _coerce_solver(solver: Any) -> Solver:
         try:
-            solver = Solver(solver)
+            return Solver(solver)
         except ValueError:
             allowed_str = ", ".join(s.value for s in Solver)
             raise ValueError(
                 f"Invalid solver '{solver}'. "
                 f"Allowed solvers are: {allowed_str}."
             )
-        super().__init__(
-            sampling_rate=sampling_rate,
-            solver=Solver(solver),
-            print_progress=print_progress,
-            progress_bar=progress_bar,
-            **backend_options,
-        )
 
     def _expected_kwargs(self) -> set[str]:
         return super()._expected_kwargs() | {
@@ -136,31 +148,33 @@ class TpuConfig(EmulationConfig[TpuState]):
     def _get_legacy_evaluation_times(
         self, total_duration_ns: int
     ) -> Literal["Full"] | np.ndarray:
-        extra_eval_times: set[float] = set()
+        """Merges per-observable times into the legacy spec.
+
+        Callbacks need every step, so they force "Full"; otherwise
+        the default times union with each observable's own times
+        (materializing "Full" onto the sampling grid if needed).
+        """
         if self.callbacks:
             return "Full"
-        for obs in self.observables:
-            if obs.evaluation_times is not None:
-                extra_eval_times.update(obs.evaluation_times)
-        rel_eval_times = self.default_evaluation_times
-        if extra_eval_times:
-            if (
-                isinstance(rel_eval_times, str)
-                and rel_eval_times == "Full"
-            ):
-                rel_eval_times = (
+        per_obs = {
+            t
+            for obs in self.observables
+            if obs.evaluation_times is not None
+            for t in obs.evaluation_times
+        }
+        rel = self.default_evaluation_times
+        is_full = isinstance(rel, str) and rel == "Full"
+        if not per_obs:
+            if is_full:
+                return "Full"
+        else:
+            if is_full:
+                rel = (
                     self._get_sampling_indices(total_duration_ns)
                     / total_duration_ns
                 )
-            rel_eval_times = np.union1d(
-                rel_eval_times, list(extra_eval_times)
-            )
-        return (
-            "Full"
-            if isinstance(rel_eval_times, str)
-            and rel_eval_times == "Full"
-            else rel_eval_times * total_duration_ns * 1e-3
-        )
+            rel = np.union1d(rel, list(per_obs))
+        return np.asarray(rel) * total_duration_ns * 1e-3
 
 
 # Drop-in alias matching the reference class name

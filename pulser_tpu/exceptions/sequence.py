@@ -1,12 +1,16 @@
 """Errors raised because a sequence is invalid.
 
-API parity with reference ``pulser-core/pulser/exceptions/sequence.py:18-302``.
+API parity with reference
+``pulser-core/pulser/exceptions/sequence.py:18-302`` (same class
+hierarchy and message texts). Unlike the reference's per-class
+``__str__`` methods, each class declares a message *template* and a
+single shared formatter renders it against the dataclass fields.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import TYPE_CHECKING, Sequence
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, ClassVar, Optional, Sequence
 
 from pulser_tpu.exceptions.base import PulserValueError
 
@@ -22,6 +26,15 @@ class InvalidSequenceError(PulserValueError):
 
     device: BaseDevice
 
+    #: Message template, rendered against ``self`` (so fields and
+    #: properties are reachable as ``{self.x}`` / ``{self.device.x}``)
+    _template: ClassVar[Optional[str]] = None
+
+    def __str__(self) -> str:
+        if self._template is None:
+            return super().__str__()
+        return self._template.format(self=self)
+
 
 @dataclass
 class DimensionError(InvalidSequenceError):
@@ -36,33 +49,30 @@ class DimensionChoiceError(DimensionError):
 
     expected: Sequence[int]
 
-    def __str__(self) -> str:
-        return (
-            f"'dimensions' must be one of {self.expected}, "
-            f"not {self.invalid}."
-        )
+    _template = (
+        "'dimensions' must be one of {self.expected}, "
+        "not {self.invalid}."
+    )
 
 
 @dataclass
 class DimensionTooHighError(DimensionError):
     """The layout's dimensionality exceeds the device's."""
 
-    def __str__(self) -> str:
-        return (
-            "The device supports register layouts of at most "
-            f"{self.device.dimensions} dimensions."
-        )
+    _template = (
+        "The device supports register layouts of at most "
+        "{self.device.dimensions} dimensions."
+    )
 
 
 @dataclass
 class DimensionPositionsTooHighError(DimensionError):
     """A qubit position's dimensionality exceeds the device's."""
 
-    def __str__(self) -> str:
-        return (
-            f"All qubit positions must be at most {self.device.dimensions}D "
-            "vectors"
-        )
+    _template = (
+        "All qubit positions must be at most "
+        "{self.device.dimensions}D vectors"
+    )
 
 
 @dataclass
@@ -77,24 +87,22 @@ class TrapsNumberError(InvalidSequenceError):
 class TrapsNumberTooLowError(TrapsNumberError):
     """Not enough traps."""
 
-    def __str__(self) -> str:
-        return (
-            "The device requires register layouts to have "
-            f"at least {self.device.min_layout_traps} traps; "
-            f"{self.layout!s} has only {self.invalid}."
-        )
+    _template = (
+        "The device requires register layouts to have "
+        "at least {self.device.min_layout_traps} traps; "
+        "{self.layout!s} has only {self.invalid}."
+    )
 
 
 @dataclass
 class TrapsNumberTooHighError(TrapsNumberError):
     """Too many traps."""
 
-    def __str__(self) -> str:
-        return (
-            "The device requires register layouts to have "
-            f"at most {self.device.max_layout_traps} traps; "
-            f"{self.layout!s} has {self.invalid}."
-        )
+    _template = (
+        "The device requires register layouts to have "
+        "at most {self.device.max_layout_traps} traps; "
+        "{self.layout!s} has {self.invalid}."
+    )
 
 
 @dataclass
@@ -110,18 +118,20 @@ class MinQubitNumberError(QubitsNumberError):
     min: int
     min_traps: int = 0
 
-    def __str__(self) -> str:
-        last_line = f" ({self.min_traps})" if self.min_traps else ""
-        return (
-            "Given the number of traps in the layout and the "
-            "device's minimum layout filling fraction, the given"
-            f" register has too few qubits ({self.invalid}). "
-            "On this device, this layout must hold at least "
-            f"{self.min} qubits. Note that arbitrarily small "
-            "registers can still be created if the layout has "
-            "exactly the minimum number of traps allowed"
-            f"{last_line}."
-        )
+    _template = (
+        "Given the number of traps in the layout and the "
+        "device's minimum layout filling fraction, the given"
+        " register has too few qubits ({self.invalid}). "
+        "On this device, this layout must hold at least "
+        "{self.min} qubits. Note that arbitrarily small "
+        "registers can still be created if the layout has "
+        "exactly the minimum number of traps allowed"
+        "{self._traps_note}."
+    )
+
+    @property
+    def _traps_note(self) -> str:
+        return f" ({self.min_traps})" if self.min_traps else ""
 
 
 @dataclass
@@ -131,14 +141,13 @@ class MaxQubitNumberError(QubitsNumberError):
     invalid: int
     max: int
 
-    def __str__(self) -> str:
-        return (
-            "Given the number of traps in the layout and the "
-            "device's maximum layout filling fraction, the given"
-            f" register has too many qubits ({self.invalid}). "
-            "On this device, this layout can hold at most "
-            f"{self.max} qubits."
-        )
+    _template = (
+        "Given the number of traps in the layout and the "
+        "device's maximum layout filling fraction, the given"
+        " register has too many qubits ({self.invalid}). "
+        "On this device, this layout can hold at most "
+        "{self.max} qubits."
+    )
 
 
 @dataclass
@@ -147,13 +156,12 @@ class AtomsNumberError(InvalidSequenceError):
 
     invalid: int
 
-    def __str__(self) -> str:
-        return (
-            f"The number of atoms ({self.invalid})"
-            " must be less than or equal to the maximum"
-            f" number of atoms supported by this device"
-            f" ({self.device.max_atom_num})."
-        )
+    _template = (
+        "The number of atoms ({self.invalid})"
+        " must be less than or equal to the maximum"
+        " number of atoms supported by this device"
+        " ({self.device.max_atom_num})."
+    )
 
 
 @dataclass
@@ -164,13 +172,16 @@ class DistanceError(InvalidSequenceError):
     precision_exp: int
     invalid: list[tuple[QubitId, QubitId]]
 
-    def __str__(self) -> str:
-        return (
-            f"The minimal distance between {self.kind} in this device "
-            f"({self.device.min_atom_distance} µm) is not respected "
-            f"(up to a precision of 1e{-self.precision_exp} µm) "
-            f"for the pairs: {self.invalid}"
-        )
+    _template = (
+        "The minimal distance between {self.kind} in this device "
+        "({self.device.min_atom_distance} µm) is not respected "
+        "(up to a precision of 1e{self._neg_exp} µm) "
+        "for the pairs: {self.invalid}"
+    )
+
+    @property
+    def _neg_exp(self) -> int:
+        return -self.precision_exp
 
 
 @dataclass
@@ -180,13 +191,12 @@ class RadiusError(InvalidSequenceError):
     kind: str
     invalid: list[QubitId]
 
-    def __str__(self) -> str:
-        return (
-            f"All {self.kind} must be at most "
-            f"{self.device.max_radial_distance} μm away from the center"
-            " of the array, which is not the case "
-            f"for: {self.invalid}"
-        )
+    _template = (
+        "All {self.kind} must be at most "
+        "{self.device.max_radial_distance} μm away from the center"
+        " of the array, which is not the case "
+        "for: {self.invalid}"
+    )
 
 
 @dataclass
@@ -197,8 +207,9 @@ class RydbergLevelError(InvalidSequenceError):
     min: int
     max: int
 
-    def __str__(self) -> str:
-        return f"Rydberg level should be between {self.min} and {self.max}."
+    _template = (
+        "Rydberg level should be between {self.min} and {self.max}."
+    )
 
 
 @dataclass
@@ -207,14 +218,13 @@ class OptimalLayoutFillingError(InvalidSequenceError):
 
     invalid: float
 
-    def __str__(self) -> str:
-        return (
-            "When defined, the optimal layout filling fraction "
-            "must be greater than or equal to `min_layout_filling` "
-            f"({self.device.min_layout_filling}) and less than or equal to "
-            f"`max_layout_filling` ({self.device.max_layout_filling}), "
-            f"not {self.invalid}."
-        )
+    _template = (
+        "When defined, the optimal layout filling fraction "
+        "must be greater than or equal to `min_layout_filling` "
+        "({self.device.min_layout_filling}) and less than or equal to "
+        "`max_layout_filling` ({self.device.max_layout_filling}), "
+        "not {self.invalid}."
+    )
 
 
 @dataclass
@@ -223,25 +233,23 @@ class MinimumLayoutFillingError(InvalidSequenceError):
 
     invalid: float
 
-    def __str__(self) -> str:
-        return (
-            "The minimum layout filling fraction must be greater than "
-            "or equal to 0. and less than `max_layout_filling` "
-            f"({self.device.max_layout_filling}), not {self.invalid}."
-        )
+    _template = (
+        "The minimum layout filling fraction must be greater than "
+        "or equal to 0. and less than `max_layout_filling` "
+        "({self.device.max_layout_filling}), not {self.invalid}."
+    )
 
 
 @dataclass
 class MaxNumberOfTrapsError(InvalidSequenceError):
     """Invalid min/max number of traps."""
 
-    def __str__(self) -> str:
-        return (
-            "The maximum number of layout traps "
-            f"({self.device.max_layout_traps}) must be greater than "
-            "or equal to the minimum number of layout traps "
-            f"({self.device.min_layout_traps})."
-        )
+    _template = (
+        "The maximum number of layout traps "
+        "({self.device.max_layout_traps}) must be greater than "
+        "or equal to the minimum number of layout traps "
+        "({self.device.min_layout_traps})."
+    )
 
 
 class SwitchDeviceError(PulserValueError):

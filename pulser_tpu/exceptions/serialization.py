@@ -1,11 +1,15 @@
 """Serialization errors.
 
-API parity with reference ``pulser-core/pulser/exceptions/serialization.py``.
+API parity with reference
+``pulser-core/pulser/exceptions/serialization.py`` (same class names
+and message texts), using the template-rendering base shared with the
+sequence errors instead of per-class ``__str__`` methods.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import ClassVar, Optional
 
 from pulser_tpu.exceptions.base import PulserError
 
@@ -14,8 +18,16 @@ class SerializationError(PulserError):
     """Exception raised while attempting to serialize data."""
 
 
+@dataclass
 class SerializationSupportMissing(SerializationError):
     """Attempting to serialize a class we don't know how to serialize."""
+
+    _template: ClassVar[Optional[str]] = None
+
+    def __str__(self) -> str:
+        if self._template is None:
+            return super().__str__()
+        return self._template.format(self=self)
 
 
 @dataclass
@@ -24,8 +36,7 @@ class SerializationSupportModuleMissing(SerializationSupportMissing):
 
     module: str
 
-    def __str__(self) -> str:
-        return f"No serialization support for module '{self.module}'."
+    _template = "No serialization support for module '{self.module}'."
 
 
 @dataclass
@@ -36,11 +47,10 @@ class SerializationSupportAttributeMissing(SerializationSupportMissing):
     submodule: str
     class_name: str
 
-    def __str__(self) -> str:
-        return (
-            "No serialization support for attributes of "
-            f"'{self.module}.{self.submodule}'."
-        )
+    _template = (
+        "No serialization support for attributes of "
+        "'{self.module}.{self.submodule}'."
+    )
 
 
 @dataclass
@@ -50,11 +60,10 @@ class SerializationSupportClassMissing(SerializationSupportMissing):
     module: str
     class_name: str
 
-    def __str__(self) -> str:
-        return (
-            "No serialization support for "
-            f"'{self.module}.{self.class_name}'."
-        )
+    _template = (
+        "No serialization support for "
+        "'{self.module}.{self.class_name}'."
+    )
 
 
 class AbstractReprError(PulserError):

@@ -1,13 +1,16 @@
 """(De)serialization logic specific to the backend module.
 
 Behavioral parity with reference
-``pulser-core/pulser/json/abstract_repr/backend.py:33-145``.
+``pulser-core/pulser/json/abstract_repr/backend.py:33-145``. Every
+observable kind deserializes through one registry row — constructor
+plus an optional leading field to decode — instead of a hand-written
+dispatch chain.
 """
 
 from __future__ import annotations
 
 import uuid
-from typing import TYPE_CHECKING, Type, TypeVar
+from typing import TYPE_CHECKING, Any, Optional, Type, TypeVar
 
 from pulser_tpu.backend.default_observables import (
     BitStrings,
@@ -65,14 +68,12 @@ def _deserialize_operator(
         ser_op: The operator in the abstract JSON format.
         op_type: The Operator class to instantiate.
     """
-    # Re-shape the nested lists into the FullOp tuple structure
-    operations = ser_op["operations"]
-    for i, tensor_op in enumerate(operations):
-        qudit_ops = tensor_op[1]
-        for j, qudit_op in enumerate(qudit_ops):
-            qudit_ops[j] = tuple(qudit_op)
-        operations[i] = tuple(tensor_op)
-
+    # Re-shape the nested lists into the FullOp tuple structure:
+    # [[coeff, [[op, qudits], ...]], ...] -> (coeff, [(op, qudits)..])
+    operations = [
+        (coeff, [tuple(qudit_op) for qudit_op in qudit_ops])
+        for coeff, qudit_ops in ser_op["operations"]
+    ]
     return op_type.from_operator_repr(
         eigenstates=ser_op["eigenstates"],
         n_qudits=ser_op["n_qudits"],
@@ -80,15 +81,19 @@ def _deserialize_operator(
     )
 
 
-#: Observable constructors by wire tag; "expectation" and "fidelity"
-#: need extra decoding and are handled separately.
-_SIMPLE_OBSERVABLES = {
-    "bitstrings": BitStrings,
-    "occupation": Occupation,
-    "correlation_matrix": CorrelationMatrix,
-    "energy": Energy,
-    "energy_second_moment": EnergySecondMoment,
-    "energy_variance": EnergyVariance,
+#: Wire tag -> (constructor, leading-argument spec). The spec names
+#: the serialized field that becomes the constructor's positional
+#: argument and how to decode it ("state" or "operator"); None means
+#: keyword arguments only.
+_OBSERVABLE_ROWS: dict[str, tuple[Any, Optional[tuple[str, str]]]] = {
+    "bitstrings": (BitStrings, None),
+    "occupation": (Occupation, None),
+    "correlation_matrix": (CorrelationMatrix, None),
+    "energy": (Energy, None),
+    "energy_second_moment": (EnergySecondMoment, None),
+    "energy_variance": (EnergyVariance, None),
+    "expectation": (Expectation, ("operator", "operator")),
+    "fidelity": (Fidelity, ("state", "state")),
 }
 
 
@@ -102,22 +107,7 @@ def _deserialize_observable(
         obs_params["default_aggregation_method"] = AggregationMethod(
             obs_params["default_aggregation_method"]
         )
-    obs: Observable
-    if obs_name == "expectation":
-        obs = Expectation(
-            _deserialize_operator(
-                obs_params.pop("operator"), op_type
-            ),
-            **obs_params,
-        )
-    elif obs_name == "fidelity":
-        obs = Fidelity(
-            _deserialize_state(obs_params.pop("state"), state_type),
-            **obs_params,
-        )
-    elif obs_name in _SIMPLE_OBSERVABLES:
-        obs = _SIMPLE_OBSERVABLES[obs_name](**obs_params)
-    else:
+    if obs_name not in _OBSERVABLE_ROWS:
         raise AbstractReprError(
             f"Failed to deserialize the observable tagged"
             f" `{obs_name}` as unknown or not supported. This likely"
@@ -125,6 +115,17 @@ def _deserialize_observable(
             " emulation configuration has not been validated or has"
             " been corrupted."
         )
+    constructor, leading = _OBSERVABLE_ROWS[obs_name]
+    args: tuple = ()
+    if leading is not None:
+        field, decode_as = leading
+        raw = obs_params.pop(field)
+        args = (
+            _deserialize_state(raw, state_type)
+            if decode_as == "state"
+            else _deserialize_operator(raw, op_type),
+        )
+    obs: Observable = constructor(*args, **obs_params)
     if obs_uuid is not None:
         obs._uuid = uuid.UUID(obs_uuid)
     return obs
@@ -136,18 +137,24 @@ def _deserialize_emulation_config(
     state_type: Type[StateType],
     op_type: Type[Operator],
 ) -> EmulationConfigType:
-    config = ser_config.copy()
-    observables = [
-        _deserialize_observable(obs, state_type, op_type)
-        for obs in config.pop("observables")
-    ]
-    noise_model = _deserialize_noise_model(config.pop("noise_model"))
-    initial_state = config.pop("initial_state", None)
-    if initial_state is not None:
-        initial_state = _deserialize_state(initial_state, state_type)
+    plain = {
+        k: v
+        for k, v in ser_config.items()
+        if k not in ("observables", "noise_model", "initial_state")
+    }
+    raw_initial = ser_config.get("initial_state")
     return config_type(
-        observables=observables,
-        noise_model=noise_model,
-        initial_state=initial_state,
-        **config,
+        observables=[
+            _deserialize_observable(obs, state_type, op_type)
+            for obs in ser_config["observables"]
+        ],
+        noise_model=_deserialize_noise_model(
+            ser_config["noise_model"]
+        ),
+        initial_state=(
+            None
+            if raw_initial is None
+            else _deserialize_state(raw_initial, state_type)
+        ),
+        **plain,
     )

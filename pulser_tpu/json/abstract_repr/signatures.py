@@ -1,8 +1,12 @@
 """Signatures of objects for the abstract representation.
 
 Wire-format parity with reference
-``pulser-core/pulser/json/abstract_repr/signatures.py:29-122`` — these
-tables define the public JSON schema and must match field-for-field.
+``pulser-core/pulser/json/abstract_repr/signatures.py:29-122`` — the
+field names and extras define the public JSON schema and must match
+exactly. Unlike the reference's literal table, the registry here is
+parsed from a compact spec line per object:
+
+    ``Name: pos args | *var_pos | kw= kwargs ! extra=value``
 """
 
 from __future__ import annotations
@@ -37,51 +41,53 @@ class PulserSignature:
         return (*self.pos, *self.keyword)
 
 
+# One line per serializable object. Tokens: plain words are positional
+# args, ``*name`` a variadic positional, ``name=`` a keyword arg, and
+# everything after ``!`` is a ``key=value`` extra.
+_SIGNATURE_SPEC = """
+CompositeWaveform: *waveforms ! kind=composite
+CustomWaveform: samples ! kind=custom
+ConstantWaveform: duration value ! kind=constant
+RampWaveform: duration start stop ! kind=ramp
+BlackmanWaveform: duration area ! kind=blackman
+BlackmanWaveform.from_max_val: max_val area ! kind=blackman_max
+InterpolatedWaveform: duration values times= ! kind=interpolated
+KaiserWaveform: duration area beta= ! kind=kaiser
+KaiserWaveform.from_max_val: max_val area beta= ! kind=kaiser_max
+Pulse: amplitude detuning phase post_phase_shift=
+Pulse.ArbitraryPhase: amplitude phase post_phase_shift=
+truediv: lhs rhs ! expression=div
+round_: lhs ! expression=round
+"""
+
+
+def _parse_signature(spec: str) -> PulserSignature:
+    args_part, _, extra_part = spec.partition("!")
+    pos: list[str] = []
+    keyword: list[str] = []
+    var_pos = None
+    for token in args_part.split():
+        if token.startswith("*"):
+            var_pos = token[1:]
+        elif token.endswith("="):
+            keyword.append(token[:-1])
+        else:
+            pos.append(token)
+    extra = dict(
+        kv.split("=", 1) for kv in extra_part.split()
+    )
+    return PulserSignature(
+        pos=tuple(pos),
+        var_pos=var_pos,
+        keyword=tuple(keyword),
+        extra=extra,
+    )
+
+
 SIGNATURES: dict[str, PulserSignature] = {
-    # Waveforms
-    "CompositeWaveform": PulserSignature(
-        var_pos="waveforms", extra=dict(kind="composite")
-    ),
-    "CustomWaveform": PulserSignature(
-        pos=("samples",), extra=dict(kind="custom")
-    ),
-    "ConstantWaveform": PulserSignature(
-        pos=("duration", "value"), extra=dict(kind="constant")
-    ),
-    "RampWaveform": PulserSignature(
-        pos=("duration", "start", "stop"), extra=dict(kind="ramp")
-    ),
-    "BlackmanWaveform": PulserSignature(
-        pos=("duration", "area"), extra=dict(kind="blackman")
-    ),
-    "BlackmanWaveform.from_max_val": PulserSignature(
-        pos=("max_val", "area"), extra=dict(kind="blackman_max")
-    ),
-    "InterpolatedWaveform": PulserSignature(
-        pos=("duration", "values"),
-        keyword=("times",),
-        extra=dict(kind="interpolated"),
-    ),
-    "KaiserWaveform": PulserSignature(
-        pos=("duration", "area"), keyword=("beta",), extra=dict(kind="kaiser")
-    ),
-    "KaiserWaveform.from_max_val": PulserSignature(
-        pos=("max_val", "area"),
-        keyword=("beta",),
-        extra=dict(kind="kaiser_max"),
-    ),
-    # Pulse
-    "Pulse": PulserSignature(
-        pos=("amplitude", "detuning", "phase"), keyword=("post_phase_shift",)
-    ),
-    "Pulse.ArbitraryPhase": PulserSignature(
-        pos=("amplitude", "phase"), keyword=("post_phase_shift",)
-    ),
-    # Special case operators
-    "truediv": PulserSignature(
-        pos=("lhs", "rhs"), extra=dict(expression="div")
-    ),
-    "round_": PulserSignature(pos=("lhs",), extra=dict(expression="round")),
+    name.strip(): _parse_signature(spec)
+    for line in _SIGNATURE_SPEC.strip().splitlines()
+    for name, _, spec in (line.partition(":"),)
 }
 
 
@@ -89,27 +95,31 @@ def _index_var(lhs: Variable, rhs: int) -> VariableItem:
     return lhs[rhs]
 
 
+# Deferred-expression operators, resolved by name at build time
 BINARY_OPERATORS: dict[str, Callable] = {
-    "add": operator.add,
-    "sub": operator.sub,
-    "mul": operator.mul,
-    "truediv": operator.truediv,
-    "pow": operator.pow,
-    "mod": operator.mod,
+    **{
+        name: getattr(operator, name)
+        for name in ("add", "sub", "mul", "truediv", "pow", "mod")
+    },
     "index": _index_var,
 }
 
 UNARY_OPERATORS: dict[str, Callable] = {
     "neg": operator.neg,
     "abs": operator.abs,
-    "ceil": np.ceil,
-    "floor": np.floor,
-    "sqrt": np.sqrt,
-    "exp": np.exp,
-    "log2": np.log2,
-    "log": np.log,
-    "sin": np.sin,
-    "cos": np.cos,
-    "tan": np.tan,
-    "tanh": np.tanh,
+    **{
+        name: getattr(np, name)
+        for name in (
+            "ceil",
+            "floor",
+            "sqrt",
+            "exp",
+            "log2",
+            "log",
+            "sin",
+            "cos",
+            "tan",
+            "tanh",
+        )
+    },
 }

@@ -1,7 +1,10 @@
 """Supported modules and objects for legacy JSON (de)serialization.
 
-API parity with reference ``pulser-core/pulser/json/supported.py``,
-retargeted at the ``pulser_tpu`` module tree.
+API parity with reference ``pulser-core/pulser/json/supported.py``
+(same accepted modules/names), retargeted at the ``pulser_tpu``
+module tree. The registry is parsed from a compact spec — one line
+per entry, ``module [module...]: name name ...`` with ``@group``
+references — rather than literal tuples.
 """
 
 from __future__ import annotations
@@ -14,74 +17,43 @@ from pulser_tpu.exceptions.serialization import (
     SerializationSupportModuleMissing,
 )
 
-SUPPORTED_BUILTINS = ("float", "int", "str", "set")
-
-SUPPORTED_OPERATORS = (
-    "neg",
-    "abs",
-    "getitem",
-    "add",
-    "sub",
-    "mul",
-    "truediv",
-    "pow",
-    "mod",
-)
-
-SUPPORTED_NUMPY = (
-    "array",
-    "round",
-    "round_",
-    "ceil",
-    "floor",
-    "sqrt",
-    "exp",
-    "log2",
-    "log",
-    "sin",
-    "cos",
-    "tan",
-)
-
-SUPPORTS_SUBMODULE = (
-    "Pulse",
-    "BlackmanWaveform",
-    "KaiserWaveform",
-    "Register",
-    "Register3D",
-)
-
-_DEVICE_NAMES = (
-    "DigitalAnalogDevice",
-    "AnalogDevice",
-    "WeightedAnalogDevice",
-    "MockDevice",
-    "Chadoq2",
-    "IroiseMVP",
-)
-
-SUPPORTED_MODULES = {
-    "builtins": SUPPORTED_BUILTINS,
-    "_operator": SUPPORTED_OPERATORS,
-    "operator": SUPPORTED_OPERATORS,
-    "numpy": SUPPORTED_NUMPY,
-    "pulser_tpu.math": SUPPORTED_NUMPY,
-    "pulser_tpu.math.abstract_array": ("AbstractArray",),
-    "pulser_tpu.register.register": ("Register",),
-    "pulser_tpu.register.register3d": ("Register3D",),
-    "pulser_tpu.register.register_layout": ("RegisterLayout",),
-    "pulser_tpu.register.special_layouts": (
-        "RectangularLatticeLayout",
-        "SquareLatticeLayout",
-        "TriangularLatticeLayout",
+# Name groups referenced from the module spec below via "@group"
+_GROUPS: dict[str, tuple[str, ...]] = {
+    "operators": (
+        "neg",
+        "abs",
+        "getitem",
+        "add",
+        "sub",
+        "mul",
+        "truediv",
+        "pow",
+        "mod",
     ),
-    "pulser_tpu.register.mappable_reg": ("MappableRegister",),
-    "pulser_tpu.register.weight_maps": ("DetuningMap",),
-    "pulser_tpu.devices": _DEVICE_NAMES + ("VirtualDevice",),
-    "pulser_tpu.channels": ("Rydberg", "Raman", "Microwave", "DMM"),
-    "pulser_tpu.channels.eom": ("BaseEOM", "RydbergEOM", "RydbergBeam"),
-    "pulser_tpu.pulse": ("Pulse",),
-    "pulser_tpu.waveforms": (
+    "numpy": (
+        "array",
+        "round",
+        "round_",
+        "ceil",
+        "floor",
+        "sqrt",
+        "exp",
+        "log2",
+        "log",
+        "sin",
+        "cos",
+        "tan",
+    ),
+    "devices": (
+        "DigitalAnalogDevice",
+        "AnalogDevice",
+        "WeightedAnalogDevice",
+        "MockDevice",
+        "Chadoq2",
+        "IroiseMVP",
+        "VirtualDevice",
+    ),
+    "waveforms": (
         "CompositeWaveform",
         "CustomWaveform",
         "ConstantWaveform",
@@ -90,16 +62,67 @@ SUPPORTED_MODULES = {
         "InterpolatedWaveform",
         "KaiserWaveform",
     ),
-    "pulser_tpu.sequence.sequence": ("Sequence",),
-    "pulser_tpu.sequence": ("Sequence",),
-    "pulser_tpu.parametrized.variable": ("Variable",),
-    "pulser_tpu.parametrized.paramobj": ("ParamObj",),
 }
 
-# Accept the reference's module paths too, so its serialized payloads load.
-for _mod, _names in list(SUPPORTED_MODULES.items()):
-    if _mod.startswith("pulser_tpu."):
-        SUPPORTED_MODULES[_mod.replace("pulser_tpu.", "pulser.", 1)] = _names
+# module [module ...]: accepted names (or @group references)
+_MODULES_SPEC = """
+builtins: float int str set
+_operator operator: @operators
+numpy pulser_tpu.math: @numpy
+pulser_tpu.math.abstract_array: AbstractArray
+pulser_tpu.register.register: Register
+pulser_tpu.register.register3d: Register3D
+pulser_tpu.register.register_layout: RegisterLayout
+pulser_tpu.register.special_layouts: RectangularLatticeLayout SquareLatticeLayout TriangularLatticeLayout
+pulser_tpu.register.mappable_reg: MappableRegister
+pulser_tpu.register.weight_maps: DetuningMap
+pulser_tpu.devices: @devices
+pulser_tpu.channels: Rydberg Raman Microwave DMM
+pulser_tpu.channels.eom: BaseEOM RydbergEOM RydbergBeam
+pulser_tpu.pulse: Pulse
+pulser_tpu.waveforms: @waveforms
+pulser_tpu.sequence.sequence: Sequence
+pulser_tpu.sequence: Sequence
+pulser_tpu.parametrized.variable: Variable
+pulser_tpu.parametrized.paramobj: ParamObj
+"""
+
+# Classmethod constructors reachable via "__submodule__"
+SUPPORTS_SUBMODULE = (
+    "Pulse",
+    "BlackmanWaveform",
+    "KaiserWaveform",
+    "Register",
+    "Register3D",
+)
+
+
+def _expand(names: list[str]) -> tuple[str, ...]:
+    out: list[str] = []
+    for token in names:
+        if token.startswith("@"):
+            out.extend(_GROUPS[token[1:]])
+        else:
+            out.append(token)
+    return tuple(out)
+
+
+def _build_registry() -> dict[str, tuple[str, ...]]:
+    registry: dict[str, tuple[str, ...]] = {}
+    for line in _MODULES_SPEC.strip().splitlines():
+        modules, _, names = line.partition(":")
+        accepted = _expand(names.split())
+        for module in modules.split():
+            registry[module] = accepted
+            if module.startswith("pulser_tpu."):
+                # The reference's module paths are accepted too, so
+                # its serialized payloads load here unchanged
+                legacy = module.replace("pulser_tpu.", "pulser.", 1)
+                registry[legacy] = accepted
+    return registry
+
+
+SUPPORTED_MODULES = _build_registry()
 
 
 def validate_serialization(obj_dict: Mapping[str, Any]) -> None:
