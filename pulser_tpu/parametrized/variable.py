@@ -37,12 +37,26 @@ class Variable(Parametrized, OpSupport):
     size: int = 1
 
     def __post_init__(self) -> None:
-        if not isinstance(self.name, str):
-            raise TypeError("Variable's 'name' has to be of type 'str'.")
-        if self.dtype not in [int, float]:
-            raise TypeError(f"Invalid data type '{self.dtype}' for Variable.")
-        if not isinstance(self.size, int):
-            raise TypeError("Given variable 'size' is not of type 'int'.")
+        # Requirement -> complaint, checked in declaration order
+        rules: tuple[tuple[bool, Exception], ...] = (
+            (
+                isinstance(self.name, str),
+                TypeError("Variable's 'name' has to be of type 'str'."),
+            ),
+            (
+                self.dtype in (int, float),
+                TypeError(
+                    f"Invalid data type '{self.dtype}' for Variable."
+                ),
+            ),
+            (
+                isinstance(self.size, int),
+                TypeError("Given variable 'size' is not of type 'int'."),
+            ),
+        )
+        for ok, complaint in rules:
+            if not ok:
+                raise complaint
         if self.size < 1:
             raise ValueError("Variables must be of size 1 or larger.")
         object.__setattr__(self, "_count", -1)
