@@ -342,3 +342,408 @@ def ip_sesolve_pallas(
         psi0_re,
         psi0_im,
     )
+
+
+def _group_mats_nh(
+    lo_re, lo_im, up_re, up_im, xor, r_iota, n_bits
+):
+    """Kron-summed off-diagonal matrix for a NON-Hermitian axis group.
+
+    Generalizes :func:`_group_mats`: the ``|1><0|`` entries carry
+    ``lo_q`` and the ``|0><1|`` entries ``up_q`` independently (the
+    MCWF effective Hamiltonian ``H - i/2 Σ L†L`` is not Hermitian).
+    """
+    g_re = jnp.zeros(xor.shape, jnp.float32)
+    g_im = jnp.zeros(xor.shape, jnp.float32)
+    for q in range(n_bits):
+        bit = 1 << (n_bits - 1 - q)
+        m = (xor == bit).astype(jnp.float32)
+        rowbit = ((r_iota >> (n_bits - 1 - q)) & 1).astype(
+            jnp.float32
+        )
+        g_re = g_re + m * (
+            rowbit * lo_re[q] + (1.0 - rowbit) * up_re[q]
+        )
+        g_im = g_im + m * (
+            rowbit * lo_im[q] + (1.0 - rowbit) * up_im[q]
+        )
+    return g_re, g_im
+
+
+def _mcwf_kernel(
+    a_re_ref,
+    a_im_ref,
+    det_ref,
+    dt_ref,
+    us_ref,
+    r0_ref,
+    diag_ref,
+    psi0_re_ref,
+    psi0_im_ref,
+    out_ref,
+    psi_re,
+    psi_im,
+    r_box,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    blocks_per_traj: int,
+    cops: tuple,
+    g_diag: tuple,
+    g_lo: tuple,
+):
+    """Fused quantum-jump (MCWF) trajectory kernel.
+
+    One grid step = one fixed-size CHUNK of steps (long evaluation
+    segments are split so the streamed coefficient windows fit VMEM);
+    the state and the jump threshold persist in VMEM scratch across a
+    trajectory's chunks, and the per-segment output block is
+    revisited by every chunk of its segment (the last write is what
+    flushes). Each RK4 step integrates ``dψ/dt =
+    -i H_eff ψ`` with ``H_eff = H(t) - (i/2) Σ_{k,q} L_k†L_k`` and,
+    when ``|ψ|² <= r``, applies the quantum jump selected by this
+    step's pre-drawn uniforms — the scalar grid lets ``lax.cond``
+    genuinely skip the jump work on the (vast majority of) no-jump
+    steps, which a vmapped XLA solve cannot.
+
+    Static args:
+        cops: Per collapse op, the local 2x2 as 8 floats
+            ``(l00r, l00i, l01r, l01i, l10r, l10i, l11r, l11i)``.
+        g_diag: ``(g00, g11)`` diagonal of ``G = Σ L†L`` (real).
+        g_lo: ``(re, im)`` of ``G[1, 0]``.
+    """
+    rows, cols = 1 << n_row, 1 << n_col
+    n = n_row + n_col
+    s = pl.program_id(0)
+
+    @pl.when(s % blocks_per_traj == 0)
+    def _():
+        psi_re[:] = psi0_re_ref[:]
+        psi_im[:] = psi0_im_ref[:]
+        r_box[0, 0] = r0_ref[s // blocks_per_traj, 0]
+
+    row_bits = _bit_masks(rows, n_row, 0)
+    col_bits = _bit_masks(cols, n_col, 1)
+    xor_a, riota_a = _xor_iotas(rows)
+    xor_b, riota_b = _xor_iotas(cols)
+    diag = diag_ref[0]
+
+    # Imaginary diagonal of H_eff: -(1/2)(g00·#zeros + g11·#ones),
+    # constant in time (computed once from the bit masks)
+    pop = jnp.zeros((rows, cols), jnp.float32)
+    for q in range(n_row):
+        pop = pop + row_bits[q]
+    for q in range(n_col):
+        pop = pop + col_bits[q]
+    g00, g11 = g_diag
+    d_im = -0.5 * (g00 * (float(n) - pop) + g11 * pop)
+    # Constant complex shifts folding G's off-diagonal into the
+    # drive entries: lo += -i/2·G[1,0], up += -i/2·conj(G[1,0])
+    klo_re, klo_im = 0.5 * g_lo[1], -0.5 * g_lo[0]
+    kup_re, kup_im = -0.5 * g_lo[1], -0.5 * g_lo[0]
+
+    def real_diag(i, sidx):
+        # diag + Σ_q (−det_q)·(1 − bit_q): the detuning projector
+        # sits on eigenstate 0 in the r-first convention
+        det = det_ref[0, i, sidx, :]
+        dr = diag - jnp.sum(det)
+        for q in range(n_row):
+            dr = dr + det[q] * row_bits[q]
+        for q in range(n_col):
+            dr = dr + det[n_row + q] * col_bits[q]
+        return dr
+
+    def eff_matvec(pr, pi, i, sidx):
+        """-i H_eff (pr + i pi) as a real pair."""
+        a_re = a_re_ref[0, i, sidx, :]
+        a_im = a_im_ref[0, i, sidx, :]
+        ga_re, ga_im = _group_mats_nh(
+            [a_re[q] + klo_re for q in range(n_row)],
+            [a_im[q] + klo_im for q in range(n_row)],
+            [a_re[q] + kup_re for q in range(n_row)],
+            [-a_im[q] + kup_im for q in range(n_row)],
+            xor_a,
+            riota_a,
+            n_row,
+        )
+        # Column-axis application is ψ @ Mᵀ: building the transpose
+        # directly just swaps the lo/up roles
+        gb_re, gb_im = _group_mats_nh(
+            [a_re[n_row + q] + kup_re for q in range(n_col)],
+            [-a_im[n_row + q] + kup_im for q in range(n_col)],
+            [a_re[n_row + q] + klo_re for q in range(n_col)],
+            [a_im[n_row + q] + klo_im for q in range(n_col)],
+            xor_b,
+            riota_b,
+            n_col,
+        )
+        dr = real_diag(i, sidx)
+        acc_r = (
+            dr * pr
+            - d_im * pi
+            + _mm(ga_re, pr)
+            - _mm(ga_im, pi)
+            + _mm(pr, gb_re)
+            - _mm(pi, gb_im)
+        )
+        acc_i = (
+            dr * pi
+            + d_im * pr
+            + _mm(ga_im, pr)
+            + _mm(ga_re, pi)
+            + _mm(pi, gb_re)
+            + _mm(pr, gb_im)
+        )
+        # k = -i A ψ
+        return acc_i, -acc_r
+
+    def apply_local(lmat, pr, pi, fr, fi, q):
+        """(L^{(q)} ψ) from ψ and its bit-q flip, elementwise."""
+        l00r, l00i, l01r, l01i, l10r, l10i, l11r, l11i = lmat
+        b = row_bits[q] if q < n_row else col_bits[q - n_row]
+        keep_re = l00r * (1.0 - b) + l11r * b
+        keep_im = l00i * (1.0 - b) + l11i * b
+        cross_re = l01r * (1.0 - b) + l10r * b
+        cross_im = l01i * (1.0 - b) + l10i * b
+        cr = (
+            keep_re * pr
+            - keep_im * pi
+            + cross_re * fr
+            - cross_im * fi
+        )
+        ci = (
+            keep_re * pi
+            + keep_im * pr
+            + cross_re * fi
+            + cross_im * fr
+        )
+        return cr, ci
+
+    def do_jump(args):
+        pr, pi, r, u_sel, u_next = args
+        # Bit-q flips of ψ, via permutation matmuls (shared over k)
+        flips = []
+        for q in range(n):
+            if q < n_row:
+                m = (xor_a == (1 << (n_row - 1 - q))).astype(
+                    jnp.float32
+                )
+                flips.append((_mm(m, pr), _mm(m, pi)))
+            else:
+                m = (
+                    xor_b == (1 << (n_col - 1 - (q - n_row)))
+                ).astype(jnp.float32)
+                flips.append((_mm(pr, m), _mm(pi, m)))
+        # Candidate weights, (k outer, q inner) like the XLA path
+        weights = []
+        for lmat in cops:
+            for q in range(n):
+                fr, fi = flips[q]
+                cr, ci = apply_local(lmat, pr, pi, fr, fi, q)
+                weights.append(jnp.sum(cr * cr + ci * ci))
+        total = weights[0]
+        for w in weights[1:]:
+            total = total + w
+        u = u_sel * total
+        # Masked accumulation of the selected candidate
+        sel_r = jnp.zeros_like(pr)
+        sel_i = jnp.zeros_like(pi)
+        w_sel = jnp.float32(0.0)
+        cum = jnp.float32(0.0)
+        idx = 0
+        for lmat in cops:
+            for q in range(n):
+                fr, fi = flips[q]
+                cr, ci = apply_local(lmat, pr, pi, fr, fi, q)
+                prev = cum
+                cum = cum + weights[idx]
+                hit = jnp.logical_and(u > prev, u <= cum)
+                # The final candidate also absorbs u == 0 edge cases
+                if idx == len(weights) - 1:
+                    hit = jnp.logical_or(hit, u <= 0.0)
+                hitf = hit.astype(jnp.float32)
+                sel_r = sel_r + hitf * cr
+                sel_i = sel_i + hitf * ci
+                w_sel = w_sel + hitf * weights[idx]
+                idx += 1
+        inv = jax.lax.rsqrt(jnp.maximum(w_sel, 1e-30))
+        return sel_r * inv, sel_i * inv, u_next
+
+    def step_body(i, carry):
+        pr, pi, r = carry
+        h = dt_ref[0, i, 0]
+
+        def make_stage(sidx, a_w, b_w):
+            def stage_fn(op):
+                k_r, k_i, acc_r, acc_i = op
+                xr = pr + (h * a_w) * k_r
+                xi = pi + (h * a_w) * k_i
+                k_r, k_i = eff_matvec(xr, xi, i, sidx)
+                return (
+                    k_r,
+                    k_i,
+                    acc_r + b_w * k_r,
+                    acc_i + b_w * k_i,
+                )
+
+            return stage_fn
+
+        branches = [
+            make_stage(sidx, a_w, b_w)
+            for sidx, a_w, b_w in _RK_STAGES
+        ]
+
+        def stage_loop(j, op):
+            return jax.lax.switch(j, branches, op)
+
+        zeros = jnp.zeros_like(pr)
+        _, _, acc_r, acc_i = jax.lax.fori_loop(
+            0, 4, stage_loop, (zeros, zeros, zeros, zeros)
+        )
+        pr = pr + h * acc_r
+        pi = pi + h * acc_i
+
+        norm2 = jnp.sum(pr * pr + pi * pi)
+        pr, pi, r = jax.lax.cond(
+            norm2 <= r,
+            do_jump,
+            lambda args: args[:3],
+            (pr, pi, r, us_ref[0, i, 0], us_ref[0, i, 1]),
+        )
+        return pr, pi, r
+
+    pr, pi, r = jax.lax.fori_loop(
+        0, seg_len, step_body, (psi_re[:], psi_im[:], r_box[0, 0])
+    )
+    psi_re[:] = pr
+    psi_im[:] = pi
+    r_box[0, 0] = r
+
+    # Emit the normalized state (QuTiP mcsolve convention)
+    inv = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(pr * pr + pi * pi), 1e-30)
+    )
+    out_ref[0, 0] = pr * inv
+    out_ref[0, 1] = pi * inv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_row",
+        "n_col",
+        "seg_len",
+        "segs_per_traj",
+        "cops",
+        "g_diag",
+        "g_lo",
+        "interpret",
+    ),
+)
+def mcwf_pallas(
+    a_re,
+    a_im,
+    det,
+    seg_dts,
+    us,
+    r0,
+    diag2d,
+    psi0_re,
+    psi0_im,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    segs_per_traj: int,
+    cops: tuple,
+    g_diag: tuple,
+    g_lo: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """Runs the fused MCWF kernel over a flattened (traj, seg) grid.
+
+    Args:
+        a_re/a_im: ``(n_seg, L, 3, n)`` drive stages (0.5·Ω·e^{-iφ}).
+        det: ``(n_seg, L, 3, n)`` detuning stages.
+        seg_dts: ``(n_seg, L, 1)`` step sizes (0 = padding).
+        us: ``(n_seg, L, 2)`` per-step uniforms (selector, next r).
+        r0: ``(n_traj, 1)`` initial jump thresholds (SMEM).
+        diag2d: ``(n_traj, R, C)`` interaction diagonals.
+        psi0_re/psi0_im: ``(R, C)`` shared initial state.
+        cops/g_diag/g_lo: Static collapse algebra (see kernel).
+
+    Returns:
+        ``(n_seg, 2, R, C)`` normalized states after each segment.
+    """
+    n_seg = a_re.shape[0]
+    n = n_row + n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    spt = segs_per_traj
+
+    # Long segments stream in fixed-size chunks so the coefficient
+    # windows fit the scoped VMEM budget; the trailing chunk pads
+    # with zero-length steps (no-ops for both dynamics and jumps)
+    chunk = min(seg_len, 512)
+    n_chunks = -(-seg_len // chunk)
+    pad = n_chunks * chunk - seg_len
+
+    def chunked(arr, fill=0.0):
+        if pad:
+            widths = [(0, 0)] * arr.ndim
+            widths[1] = (0, pad)
+            arr = jnp.pad(arr, widths, constant_values=fill)
+        return jnp.reshape(
+            arr,
+            (n_seg * n_chunks, chunk) + tuple(arr.shape[2:]),
+        )
+
+    kernel = functools.partial(
+        _mcwf_kernel,
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=chunk,
+        blocks_per_traj=spt * n_chunks,
+        cops=cops,
+        g_diag=g_diag,
+        g_lo=g_lo,
+    )
+    scratch = [
+        pltpu.VMEM((rows, cols), jnp.float32),
+        pltpu.VMEM((rows, cols), jnp.float32),
+        pltpu.SMEM((1, 1), jnp.float32),
+    ]
+    tpb = spt * n_chunks
+    return pl.pallas_call(
+        kernel,
+        grid=(n_seg * n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, chunk, 1), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, chunk, 2), lambda s: (s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rows, cols), lambda s: (s // tpb, 0, 0)),
+            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+            pl.BlockSpec((rows, cols), lambda s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, rows, cols), lambda s: (s // n_chunks, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_seg, 2, rows, cols), jnp.float32
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        chunked(a_re),
+        chunked(a_im),
+        chunked(det),
+        chunked(seg_dts),
+        chunked(us, fill=0.5),
+        r0,
+        diag2d,
+        psi0_re,
+        psi0_im,
+    )

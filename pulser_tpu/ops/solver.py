@@ -1343,6 +1343,39 @@ def mcsolve_rk4_batched(
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
     psi0_np = np.asarray(psi0, dtype=cdtype)
+    import os
+
+    force_interp = bool(
+        os.environ.get("PULSER_TPU_PALLAS_INTERPRET")
+    )
+    # The fused MCWF kernel runs trajectories sequentially on the
+    # scalar grid; measured on v5e it LOSES to the vmapped XLA batch
+    # (~11 s vs ~6 s per 100 trajectories), so it stays opt-in until
+    # the kernel stacks trajectories inside a block.
+    if (
+        isinstance(plans, BatchedPlan)
+        and d == 2
+        and n >= 2
+        and pairs == ((1, 0, 0),)
+        and rdtype == np.float32
+        and (
+            (
+                os.environ.get("PULSER_TPU_MCWF_PALLAS")
+                and _pallas_available()
+            )
+            or force_interp
+        )
+    ):
+        return _mcsolve_pallas_batched(
+            psi0_np,
+            plans,
+            diags,
+            n,
+            collapse_ops,
+            seeds,
+            cdtype,
+            interpret=force_interp,
+        )
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
@@ -2465,4 +2498,125 @@ def _sesolve_batched_pallas(
     )
     out_np = np.asarray(out).reshape(n_traj, spt, 2, rows * cols)
     out_np = out_np[:, base.eval_map]
+    return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
+
+
+def _mcwf_uniforms(
+    seeds: list[int], seg_shape: tuple[int, int], rdtype: Any
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pre-draws (r0, per-step uniforms) for each trajectory.
+
+    Reproduces the XLA path's draw order exactly (same key
+    derivation as ``_mcwf_traj_states``'s ``one_traj``) so the Pallas
+    and XLA solvers consume identical random numbers.
+    """
+    r0s, uss = [], []
+    for sd in seeds:
+        key = jax.random.split(
+            jax.random.PRNGKey(jnp.asarray(sd, dtype=jnp.uint32)), 1
+        )[0]
+        key, k0, ku = jax.random.split(key, 3)
+        r0s.append(np.asarray(jax.random.uniform(k0, dtype=rdtype)))
+        uss.append(
+            np.asarray(
+                jax.random.uniform(
+                    ku, seg_shape + (2,), dtype=rdtype
+                )
+            )
+        )
+    return np.asarray(r0s, dtype=rdtype), np.stack(uss)
+
+
+def _mcsolve_pallas_batched(
+    psi0_np: np.ndarray,
+    plans: BatchedPlan,
+    diags: np.ndarray,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    seeds: list[int],
+    cdtype: Any,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Dispatches the fused Pallas MCWF kernel for the d=2 case.
+
+    Host-side preparation mirrors :func:`mcsolve_rk4_batched`; the
+    per-trajectory time loops run as one Pallas program with the
+    state and jump threshold resident in VMEM (see
+    :mod:`pulser_tpu.ops.pallas_kernels`).
+    """
+    from pulser_tpu.ops.pallas_kernels import mcwf_pallas
+
+    rdtype = np.float32
+    n_col = min(7, n - 1)
+    n_row = n - n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    base = plans.plan
+    n_traj = plans.n_traj
+    n_seg, seg_len = base.seg_dts.shape
+
+    amp_re, amp_im, det, _, _ = _lindblad_drive_arrays(
+        plans, jnp.float32
+    )
+    # (B, S, L, 3, 1, n) -> (B*S, L, 3, n)
+    flat = lambda x: jnp.reshape(  # noqa: E731
+        x, (n_traj * n_seg, seg_len, 3, n)
+    )
+    seg_dts = jnp.tile(
+        jnp.asarray(
+            base.seg_dts.reshape(n_seg, seg_len, 1), jnp.float32
+        ),
+        (n_traj, 1, 1),
+    )
+    r0_np, us_np = _mcwf_uniforms(
+        seeds, (n_seg, seg_len), rdtype
+    )
+    us = jnp.asarray(
+        us_np.reshape(n_traj * n_seg, seg_len, 2), jnp.float32
+    )
+    r0 = jnp.asarray(r0_np.reshape(n_traj, 1), jnp.float32)
+    diag2d = jnp.asarray(
+        np.asarray(diags).real.reshape(n_traj, rows, cols),
+        jnp.float32,
+    )
+
+    # Static collapse algebra: local 2x2s + G = Σ L†L
+    cops = []
+    g_np = np.zeros((2, 2), dtype=np.complex128)
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        g_np += c_np.conj().T @ c_np
+        cops.append(
+            tuple(
+                float(v)
+                for entry in c_np.reshape(-1)
+                for v in (entry.real, entry.imag)
+            )
+        )
+
+    out = mcwf_pallas(
+        flat(amp_re),
+        flat(amp_im),
+        flat(det),
+        seg_dts,
+        us,
+        r0,
+        diag2d,
+        jnp.asarray(
+            psi0_np.real.reshape(rows, cols), jnp.float32
+        ),
+        jnp.asarray(
+            psi0_np.imag.reshape(rows, cols), jnp.float32
+        ),
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=seg_len,
+        segs_per_traj=n_seg,
+        cops=tuple(cops),
+        g_diag=(float(g_np[0, 0].real), float(g_np[1, 1].real)),
+        g_lo=(float(g_np[1, 0].real), float(g_np[1, 0].imag)),
+        interpret=interpret,
+    )
+    out_np = np.asarray(out).reshape(
+        n_traj, n_seg, 2, rows * cols
+    )[:, base.eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)

@@ -821,3 +821,58 @@ def test_compilation_cache_helper(tmp_path, monkeypatch):
         )
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_mcwf_pallas_kernel_matches_xla(monkeypatch):
+    """The fused Pallas MCWF kernel (interpreter mode) reproduces the
+    XLA scan solver on a dissipative noisy batch, jumps included."""
+    from pulser_tpu.emulator.simulation import TpuEmulator
+    from pulser_tpu.ops import solver as S
+
+    np.random.seed(4)
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 9)})
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantPulse(300, 2 * np.pi, -1.0, 0.3), "ryd"
+    )
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, dephasing_rate=2.0, runs=6, samples_per_run=1
+    )
+    sim = TpuEmulator.from_sequence(seq, noise_model=nm)
+    hams = list(sim._hamiltonians)
+    first = hams[0].hamiltonian
+    plans = S.build_plan_batched(
+        first.sampling_times,
+        {
+            "amp": np.stack(
+                [h.hamiltonian.amp_coeffs for h in hams]
+            ),
+            "det": np.stack(
+                [h.hamiltonian.det_coeffs for h in hams]
+            ),
+        },
+        sim._eval_times_array,
+        max_step=0.0005,
+        host_stage=False,
+    )
+    diags = np.stack([h.hamiltonian.int_diag for h in hams])
+    psi0 = sim.initial_state.full()[:, 0].astype(np.complex64)
+    seeds = list(range(7, 13))
+    args = (
+        psi0,
+        plans,
+        diags,
+        first.pairs,
+        2,
+        2,
+        first._local_collapse_mats,
+        seeds,
+    )
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_PALLAS", "1")
+    xla = S.mcsolve_rk4_batched(*args, dtype=np.complex64)
+    monkeypatch.delenv("PULSER_TPU_DISABLE_PALLAS")
+    monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    pal = S.mcsolve_rk4_batched(*args, dtype=np.complex64)
+    np.testing.assert_allclose(pal, xla, atol=2e-4)
