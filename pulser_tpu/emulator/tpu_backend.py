@@ -133,32 +133,21 @@ class TpuBackendV2(EmulatorBackend):
     ) -> None:
         """Initializes the backend."""
         super().__init__(sequence, config=config, mimic_qpu=mimic_qpu)
-
-        self._sim_obj = TpuEmulator.from_sequence(
-            sequence,
-            sampling_rate=self._config.sampling_rate,
-            noise_model=self._get_noise_model(
-                self._config, sequence.device
-            ),
-            with_modulation=self._config.with_modulation,
-            solver=self._config.solver,
-            n_trajectories=self._config.n_trajectories,
-        )
-
-        self._sim_obj.set_evaluation_times(
-            self._config._get_legacy_evaluation_times(
-                self._sim_obj.total_duration_ns
-            ),
-        )
-        if self._config.initial_state:
-            self._sim_obj.set_initial_state(
-                self._config.initial_state.to_qobj()
+        self._sim_obj, self._solver_options = (
+            TpuBackendV2._prepare_emulator(
+                self._config,
+                TpuEmulator.from_sequence(
+                    sequence,
+                    sampling_rate=self._config.sampling_rate,
+                    noise_model=self._get_noise_model(
+                        self._config, sequence.device
+                    ),
+                    with_modulation=self._config.with_modulation,
+                    solver=self._config.solver,
+                    n_trajectories=self._config.n_trajectories,
+                ),
             )
-        self._solver_options = {
-            "print_progress": self._config.print_progress,
-            "progress_bar": self._config.progress_bar,
-        }
-
+        )
         self._sim_obj._validate_options(self._solver_options)
 
     @staticmethod
@@ -169,6 +158,29 @@ class TpuBackendV2(EmulatorBackend):
         if config.prefer_device_noise_model:
             noise_model = device.noise_model
         return noise_model or config.noise_model
+
+    @staticmethod
+    def _prepare_emulator(
+        config: EmulationConfig, sim_obj: TpuEmulator
+    ) -> tuple[TpuEmulator, dict[str, Any]]:
+        """Applies the config's emulator-side settings.
+
+        Shared by the sequence-based and samples-based entry points:
+        evaluation times merged from the observables, the optional
+        initial state, and the progress options.
+        """
+        sim_obj.set_evaluation_times(
+            config._get_legacy_evaluation_times(
+                sim_obj.total_duration_ns
+            ),
+        )
+        if config.initial_state:
+            sim_obj.set_initial_state(config.initial_state.to_qobj())
+        solver_options = {
+            "print_progress": config.print_progress,
+            "progress_bar": config.progress_bar,
+        }
+        return sim_obj, solver_options
 
     def run(self) -> Results:
         """Executes the sequence on the backend."""
@@ -195,29 +207,21 @@ class TpuBackendV2(EmulatorBackend):
             config: The configuration for the emulation.
         """
         config = config or TpuBackendV2.default_config
-        sim_obj = TpuEmulator(
-            sequence_samples,
-            register,
-            device,
-            sampling_rate=config.sampling_rate,
-            config=None,
-            noise_model=TpuBackendV2._get_noise_model(config, device),
-            solver=config.solver,
-            n_trajectories=config.n_trajectories,
-        )
-
-        sim_obj.set_evaluation_times(
-            config._get_legacy_evaluation_times(
-                sim_obj.total_duration_ns
+        sim_obj, solver_options = TpuBackendV2._prepare_emulator(
+            config,
+            TpuEmulator(
+                sequence_samples,
+                register,
+                device,
+                sampling_rate=config.sampling_rate,
+                config=None,
+                noise_model=TpuBackendV2._get_noise_model(
+                    config, device
+                ),
+                solver=config.solver,
+                n_trajectories=config.n_trajectories,
             ),
         )
-        if config.initial_state:
-            sim_obj.set_initial_state(config.initial_state.to_qobj())
-        solver_options = {
-            "print_progress": config.print_progress,
-            "progress_bar": config.progress_bar,
-        }
-
         return TpuBackendV2._run_raw(sim_obj, config, solver_options)
 
     @staticmethod
@@ -234,6 +238,10 @@ class TpuBackendV2(EmulatorBackend):
         def _feed_results(
             coherent_res: CoherentResults, res: Results
         ) -> None:
+            consumers = (
+                *config.callbacks,
+                *config.observables,
+            )
             for sim_res in coherent_res:
                 t = sim_res.evaluation_time
                 state = TpuState(
@@ -245,16 +253,8 @@ class TpuBackendV2(EmulatorBackend):
                     )._hamiltonian(t * res.total_duration / 1000),
                     eigenstates=eigenstates,
                 )
-                for callback in config.callbacks:
-                    callback(
-                        config=config,
-                        t=float(t),
-                        state=state,
-                        hamiltonian=ham,
-                        result=res,
-                    )
-                for obs in config.observables:
-                    obs(
+                for consume in consumers:
+                    consume(
                         config=config,
                         t=float(t),
                         state=state,

@@ -20,6 +20,28 @@ from pulser_tpu.backend.state import Eigenstate, State
 from pulser_tpu.emulator.qobj import Qobj, basis as basis_ket, tensor
 from pulser_tpu.math.multinomial import multinomial
 
+
+def _readout_errors(
+    bitstrings: np.ndarray, p_false_pos: float, p_false_neg: float
+) -> list[str]:
+    """Applies vectorized SPAM bit flips to sampled bitstrings.
+
+    A measured 1 flips to 0 with ``p_false_neg``, a 0 to 1 with
+    ``p_false_pos`` (reference ``qutip_state.py:112-217``); all flips
+    draw from the global numpy RNG in one call.
+    """
+    bits = (
+        np.frombuffer(
+            "".join(bitstrings.tolist()).encode(), dtype=np.uint8
+        ).reshape(len(bitstrings), -1)
+        - ord("0")
+    ).astype(int)
+    flip_probs = np.where(bits == 1, p_false_neg, p_false_pos)
+    bits ^= np.random.uniform(size=flip_probs.shape) < flip_probs
+    return [
+        "".join(map(str, row)) for row in bits
+    ]
+
 TpuStateType = TypeVar("TpuStateType", bound="TpuState")
 
 QuditOp = Mapping[str, complex]
@@ -143,14 +165,13 @@ class TpuState(State[complex, float]):
                 zero.
         """
         one_state = one_state or self.infer_one_state()
-        zero_states = set(self.eigenstates) - {one_state}
-        probs = self.probabilities(cutoff=cutoff)
+        # One translation table maps every eigenstate char to its bit
+        to_bits = str.maketrans(
+            {s: "1" if s == one_state else "0" for s in self.eigenstates}
+        )
         bitstring_probs: dict[str, float] = defaultdict(float)
-        for state_str in probs:
-            bitstring = state_str.replace(one_state, "1")
-            for s_ in zero_states:
-                bitstring = bitstring.replace(s_, "0")
-            bitstring_probs[bitstring] += probs[state_str]
+        for state_str, p in self.probabilities(cutoff=cutoff).items():
+            bitstring_probs[state_str.translate(to_bits)] += p
         return dict(bitstring_probs)
 
     def sample(
@@ -177,24 +198,11 @@ class TpuState(State[complex, float]):
         )
         bitstrings = np.array(list(bitstring_probs))
         probs = np.array(list(map(float, bitstring_probs.values())))
-        indices = multinomial(num_shots, probs)
+        drawn = bitstrings[multinomial(num_shots, probs)]
         if p_false_pos == 0.0 and p_false_neg == 0.0:
-            return Counter(bitstrings[indices].tolist())
-
-        bitstr_arr = np.array(
-            [list(bs) for bs in bitstrings[indices]], dtype=int
-        )
-        # If a 1 is measured, flip with p_false_neg, else p_false_pos
-        flip_probs = np.where(
-            bitstr_arr == 1, p_false_neg, p_false_pos
-        )
-        random_matrix = np.random.uniform(size=flip_probs.shape)
-        flips = random_matrix < flip_probs
-        new_bitstrings = bitstr_arr ^ flips
-
-        new_counts: Counter = Counter(map(tuple, new_bitstrings))
+            return Counter(drawn.tolist())
         return Counter(
-            {"".join(map(str, k)): v for k, v in new_counts.items()}
+            _readout_errors(drawn, p_false_pos, p_false_neg)
         )
 
     @classmethod
