@@ -382,14 +382,13 @@ def main() -> None:
     # driver provides (TPU when available).
     import jax
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
     # Persistent XLA compilation cache: cold compiles of the big scans
     # are minutes; cached compiles load in seconds on subsequent runs.
-    jax.config.update(
-        "jax_compilation_cache_dir", "/root/.cache/jax_pulser_tpu"
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    from pulser_tpu.caching import enable_compilation_cache
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    enable_compilation_cache("/root/.cache/jax_pulser_tpu")
     from pulser_tpu.emulator import TpuEmulator
 
     log(f"devices: {jax.devices()}")

@@ -44,6 +44,15 @@ def enable_compilation_cache(
         "jax_persistent_cache_min_compile_time_secs",
         min_compile_time_secs,
     )
+    # Source locations leak into the serialized Pallas (Mosaic)
+    # payloads, so an unrelated edit shifting a call site by one line
+    # would change the cache key and force a recompile. Dropping the
+    # traceback locations makes keys stable across such edits (at the
+    # cost of less precise locations in compiler errors).
+    jax.config.update(
+        "jax_include_full_tracebacks_in_locations", False
+    )
+    jax.config.update("jax_traceback_in_locations_limit", 0)
     return path
 
 
