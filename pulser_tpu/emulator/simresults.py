@@ -371,22 +371,7 @@ class CoherentResults(SimulationResults[TpuResult]):
                 "epsilon" and "epsilon_prime".
         """
         super().__init__(size, basis_name, sim_times)
-        if "all" in self._basis_name:
-            if meas_basis not in {"ground-rydberg", "digital"}:
-                raise ValueError(
-                    "`meas_basis` must be 'ground-rydberg' or"
-                    " 'digital'."
-                )
-        else:
-            expected_meas_basis = self._basis_name.replace(
-                "_with_error", ""
-            )
-            if meas_basis != expected_meas_basis:
-                raise ValueError(
-                    f"`meas_basis` associated to basis_name '"
-                    f"{self._basis_name}' must be"
-                    f" '{expected_meas_basis}'."
-                )
+        self._check_meas_basis(meas_basis)
         self._meas_basis = meas_basis
         self._results_seq = tuple(run_output)
         if meas_errors is not None:
@@ -397,6 +382,28 @@ class CoherentResults(SimulationResults[TpuResult]):
                 )
             self._use_pseudo_dens = True
         self._meas_errors = meas_errors
+
+    def _check_meas_basis(self, meas_basis: str) -> None:
+        """The measurement basis allowed by the state's basis.
+
+        An 'all'-basis state measures in either single basis; any
+        other basis fixes the measurement basis to itself (minus the
+        error level).
+        """
+        if "all" in self._basis_name:
+            if meas_basis not in {"ground-rydberg", "digital"}:
+                raise ValueError(
+                    "`meas_basis` must be 'ground-rydberg' or"
+                    " 'digital'."
+                )
+            return
+        expected = self._basis_name.replace("_with_error", "")
+        if meas_basis != expected:
+            raise ValueError(
+                f"`meas_basis` associated to basis_name '"
+                f"{self._basis_name}' must be"
+                f" '{expected}'."
+            )
 
     @property
     def states(self) -> list[Qobj]:
