@@ -281,3 +281,67 @@ def test_shot_to_shot_disables_dedup():
     trajs = hd.noise_trajectories
     assert len(trajs) == 10
     assert all(t.reps == 1 for t in trajs)
+
+
+def test_hf_detuning_generation_matches_formula():
+    """δ_hf(t) = Σ_k sqrt(2·Δω_k·psd_k)·cos(ω_k t + φ_k) against a
+    direct loop implementation (reference hamiltonian_data tests)."""
+    from pulser_tpu.hamiltonian_data.hamiltonian_data import (
+        _generate_detuning_fluctuations,
+    )
+
+    psd = (1.0, 2.0, 3.0)
+    freqs = (3.0, 4.0, 5.0)
+    times = np.arange(0, 10, 0.1)
+    np.random.seed(21)
+    phases = np.random.uniform(0, 2 * np.pi, size=(2,))
+    nm = NoiseModel(
+        detuning_hf_psd=psd, detuning_hf_omegas=freqs
+    )
+    out = _generate_detuning_fluctuations(nm, 0.5, phases, times)
+
+    expected = np.full_like(times, 0.5)
+    t_us = times * 1e-3
+    for i, s in enumerate(psd[1:]):
+        df = freqs[i + 1] - freqs[i]
+        expected += np.sqrt(2 * df * s) * np.cos(
+            freqs[i + 1] * t_us + phases[i]
+        )
+    np.testing.assert_allclose(out, expected, atol=1e-12)
+    assert out.size == times.size
+
+
+@pytest.mark.parametrize(
+    "kwargs, expected",
+    [
+        (dict(temperature=30.0, runs=2, samples_per_run=1), True),
+        (
+            dict(amp_sigma=0.1, runs=2, samples_per_run=1),
+            True,
+        ),
+        (dict(laser_waist=100.0), False),
+        (
+            dict(detuning_sigma=0.1, runs=2, samples_per_run=1),
+            True,
+        ),
+        (
+            dict(
+                temperature=30.0,
+                trap_waist=1.0,
+                trap_depth=150.0,
+                runs=2,
+                samples_per_run=1,
+            ),
+            True,
+        ),
+        (dict(dephasing_rate=0.2), False),
+        (dict(state_prep_error=0.1, runs=2, samples_per_run=1), False),
+    ],
+)
+def test_has_shot_to_shot_except_spam(kwargs, expected):
+    from pulser_tpu.hamiltonian_data import (
+        has_shot_to_shot_except_spam,
+    )
+
+    nm = NoiseModel(**kwargs)
+    assert has_shot_to_shot_except_spam(nm) is expected
