@@ -1,15 +1,20 @@
-"""JSON serialization helpers for the abstract representation.
+"""JSON serialization for the abstract representation.
 
 Wire-format parity with reference
-``pulser-core/pulser/json/abstract_repr/serializer.py:39-106``.  The
-full-sequence serializer (``serialize_abstract_sequence``) lives here too
-and is filled in alongside the Sequence implementation.
+``pulser-core/pulser/json/abstract_repr/serializer.py`` (the emitted
+JSON must match the published schemas byte-for-byte in structure).
+Internally organized differently: argument recovery goes through
+``inspect.Signature.bind`` instead of hand-rolled default lookups, and
+the per-operation emission logic is a declarative rule table with a
+generic emitter, with closures only for the handful of operations that
+mutate the top-level document.
 """
 
 from __future__ import annotations
 
 import json
-from typing import TYPE_CHECKING, Any, Union, cast
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any, Callable, Union, cast
 
 import numpy as np
 
@@ -22,70 +27,155 @@ if TYPE_CHECKING:
     from pulser_tpu.sequence import Sequence
 
 
+# Ordered (type, converter) fallbacks for objects without a
+# ``_to_abstract_repr`` method. Checked in sequence, first match wins.
+_JSON_FALLBACKS: tuple[tuple[type, Callable[[Any], Any]], ...] = (
+    (pm.AbstractArray, lambda a: a.tolist()),
+    (np.ndarray, lambda a: a.tolist()),
+    (np.integer, int),
+    (np.floating, float),
+    (set, list),
+    (
+        complex,
+        lambda z: z.real if z.imag == 0 else dict(real=z.real, imag=z.imag),
+    ),
+)
+
+
 class AbstractReprEncoder(json.JSONEncoder):
     """The custom encoder for abstract representation of pulser objects."""
 
     def default(self, o: Any) -> Union[dict[str, Any], list, int, float]:
         """Handles JSON encoding of objects not supported by default."""
-        if hasattr(o, "_to_abstract_repr"):
-            return cast(dict, o._to_abstract_repr())
-        elif isinstance(o, pm.AbstractArray):
-            return cast(list, o.tolist())
-        elif isinstance(o, np.ndarray):
-            return cast(list, o.tolist())
-        elif isinstance(o, np.integer):
-            return int(o)
-        elif isinstance(o, np.floating):
-            return float(o)
-        elif isinstance(o, set):
-            return list(o)
-        elif isinstance(o, complex):
-            if o.imag == 0:
-                return o.real
-            return dict(real=o.real, imag=o.imag)
-        else:  # pragma: no cover
-            return cast(dict, json.JSONEncoder.default(self, o))
+        to_repr = getattr(o, "_to_abstract_repr", None)
+        if to_repr is not None:
+            return cast(dict, to_repr())
+        for typ, convert in _JSON_FALLBACKS:
+            if isinstance(o, typ):
+                return cast(Any, convert(o))
+        return cast(dict, json.JSONEncoder.default(self, o))  # pragma: no cover
 
 
 def abstract_repr(name: str, *args: Any, **kwargs: Any) -> dict[str, Any]:
-    """Generates the abstract repr of an object with a defined signature."""
-    try:
-        signature = SIGNATURES[name]
-    except KeyError:
-        raise ValueError(f"No signature found for '{name}'.")
-    arg_as_kwarg: tuple[str, ...] = tuple()
-    if len(args) < len(signature.pos):
-        arg_as_kwarg = signature.pos[len(args):]
-        if signature.var_pos is not None or not set(arg_as_kwarg) <= set(
-            kwargs
-        ):
-            raise ValueError(
-                f"Not enough arguments given for '{name}' (expected "
-                f"{len(signature.pos)}, got {len(args)})."
-            )
-    res: dict[str, Any] = {}
-    res.update(signature.extra)
-    res.update(dict(zip(signature.all_pos_args(), args)))
+    """Generates the abstract repr of an object with a defined signature.
 
-    max_pos_args = len(signature.pos) + len(
-        set(signature.keyword) - set(kwargs)
-    )
-    if signature.var_pos:
-        res[signature.var_pos] = args[len(signature.pos):]
-    elif len(args) > max_pos_args:
+    Binds ``args``/``kwargs`` against the registered
+    :class:`~pulser_tpu.json.abstract_repr.signatures.PulserSignature`
+    and returns the wire dict (``extra`` entries first, then the bound
+    arguments).
+    """
+    sig = SIGNATURES.get(name)
+    if sig is None:
+        raise ValueError(f"No signature found for '{name}'.")
+
+    # Required slots not covered positionally may arrive as kwargs —
+    # but only for signatures without a variadic tail.
+    missing = sig.pos[len(args):]
+    if missing and (
+        sig.var_pos is not None or any(m not in kwargs for m in missing)
+    ):
         raise ValueError(
-            f"Too many positional arguments given for '{name}' (expected "
-            f"{max_pos_args}, got {len(args)})."
+            f"Not enough arguments given for '{name}' (expected "
+            f"{len(sig.pos)}, got {len(args)})."
         )
-    for kw in kwargs:
-        if kw in signature.keyword or kw in arg_as_kwarg:
-            res[kw] = kwargs[kw]
-        else:
+
+    out: dict[str, Any] = dict(sig.extra)
+    if sig.var_pos is not None:
+        out.update(zip(sig.pos, args))
+        out[sig.var_pos] = args[len(sig.pos):]
+    else:
+        # Overflow positionals spill into keyword slots (in signature
+        # order), but never past the slots left free by ``kwargs``.
+        n_free = len(sig.pos) + sum(
+            1 for kw in sig.keyword if kw not in kwargs
+        )
+        if len(args) > n_free:
             raise ValueError(
-                f"Keyword argument '{kw}' is not in the signature of "
+                f"Too many positional arguments given for '{name}' "
+                f"(expected {n_free}, got {len(args)})."
+            )
+        out.update(zip(sig.all_pos_args(), args))
+
+    accepted = set(sig.keyword).union(missing)
+    for key, value in kwargs.items():
+        if key not in accepted:
+            raise ValueError(
+                f"Keyword argument '{key}' is not in the signature of "
                 f"'{name}'."
             )
-    return res
+        out[key] = value
+    return out
+
+
+@dataclass(frozen=True)
+class _OpRule:
+    """Declarative emission rule for one recorded sequence call.
+
+    Generic rules map the call's (fully bound) arguments onto a wire
+    dict ``{"op": op, **fields}``; ``trim`` lists keyword fields that
+    are left out when they equal the method's declared default, and
+    ``rename`` maps argument names onto differing wire keys.
+    """
+
+    op: str
+    fields: tuple[str, ...]
+    trim: tuple[str, ...] = ()
+    rename: dict[str, str] = field(default_factory=dict)
+
+
+_GENERIC_RULES: dict[str, _OpRule] = {
+    "config_detuning_map": _OpRule(
+        "config_detuning_map", ("detuning_map", "dmm_id")
+    ),
+    "delay": _OpRule(
+        "delay",
+        ("duration", "channel", "at_rest"),
+        trim=("at_rest",),
+        rename={"duration": "time"},
+    ),
+    "enable_eom_mode": _OpRule(
+        "enable_eom_mode",
+        (
+            "channel",
+            "amp_on",
+            "detuning_on",
+            "optimal_detuning_off",
+            "correct_phase_drift",
+        ),
+        trim=("correct_phase_drift",),
+    ),
+    "modify_eom_setpoint": _OpRule(
+        "modify_eom_setpoint",
+        (
+            "channel",
+            "amp_on",
+            "detuning_on",
+            "optimal_detuning_off",
+            "correct_phase_drift",
+        ),
+    ),
+    "add_eom_pulse": _OpRule(
+        "add_eom_pulse",
+        (
+            "channel",
+            "duration",
+            "phase",
+            "post_phase_shift",
+            "protocol",
+            "correct_phase_drift",
+        ),
+        trim=("correct_phase_drift",),
+    ),
+    "disable_eom_mode": _OpRule(
+        "disable_eom_mode",
+        ("channel", "correct_phase_drift"),
+        trim=("correct_phase_drift",),
+    ),
+    "add_dmm_detuning": _OpRule(
+        "add_dmm_detuning", ("waveform", "dmm_name", "protocol")
+    ),
+    "truncate": _OpRule("truncate", ("duration",)),
+}
 
 
 def serialize_abstract_sequence(
@@ -117,7 +207,6 @@ def serialize_abstract_sequence(
         The sequence encoded as an abstract JSON string.
     """
     import inspect
-    from collections.abc import Collection
     from itertools import chain
 
     import pulser_tpu
@@ -127,7 +216,7 @@ def serialize_abstract_sequence(
     from pulser_tpu.json.utils import stringify_qubit_ids
     from pulser_tpu.parametrized import Parametrized
 
-    res: dict[str, Any] = {
+    doc: dict[str, Any] = {
         "version": "1",
         "name": seq_name,
         "register": [],
@@ -138,13 +227,16 @@ def serialize_abstract_sequence(
         "pulser_version": pulser_tpu.__version__,
     }
     if metadata:
-        res["metadata"] = metadata
+        doc["metadata"] = metadata
 
-    for var in seq._variables.values():
-        res["variables"][var.name] = dict(type=var.dtype.__name__)
-
+    # -- variables block -------------------------------------------
+    # Every declared variable is listed with its dtype; its value is
+    # either the caller-supplied default (validated by a trial build)
+    # or a dtype-zero placeholder of the right size (the deserializer
+    # infers each variable's size from its value).
     qubits_default = defaults.pop("qubits", None)
-    if defaults or qubits_default:
+    with_values = bool(defaults) or qubits_default is not None
+    if with_values:
         seq._cross_check_vars(defaults)
         try:
             seq.build(qubits=qubits_default, **defaults)
@@ -152,174 +244,155 @@ def serialize_abstract_sequence(
             raise ValueError(
                 "The given 'defaults' produce an invalid sequence."
             )
-        for var in seq._variables.values():
-            value = var._validate_value(defaults[var.name])
-            res["variables"][var.name]["value"] = value.tolist()
-    else:
-        # The deserializer infers each variable's size from its value
-        for var in seq._variables.values():
-            res["variables"][var.name]["value"] = [var.dtype()] * var.size
+    for var in seq._variables.values():
+        value = (
+            var._validate_value(defaults[var.name]).tolist()
+            if with_values
+            else [var.dtype()] * var.size
+        )
+        doc["variables"][var.name] = dict(
+            type=var.dtype.__name__, value=value
+        )
 
-    def unfold_targets(target_ids: Any) -> Any:
+    # -- call-argument recovery ------------------------------------
+
+    def bound_args(call: Any) -> dict[str, Any]:
+        """All of the call's arguments, with declared defaults filled."""
+        method_sig = inspect.signature(getattr(seq, call.name))
+        bound = method_sig.bind(*call.args, **call.kwargs)
+        bound.apply_defaults()
+        return dict(bound.arguments)
+
+    def declared_default(call_name: str, arg: str) -> Any:
+        sig = inspect.signature(getattr(seq, call_name))
+        return sig.parameters[arg].default
+
+    def single_or_list(target_ids: Any) -> Any:
+        """Unwraps 1-element collections of qubit ids."""
         if isinstance(target_ids, (int, str)):
             return target_ids
-        targets = list(cast(Collection, target_ids))
-        return targets if len(targets) != 1 else targets[0]
+        as_list = list(target_ids)
+        return as_list[0] if len(as_list) == 1 else as_list
 
-    def convert_targets(
+    def targets_to_indices(
         target_ids: Any, force_list_out: bool = False
     ) -> Union[int, list[int]]:
-        target_array = np.array(unfold_targets(target_ids))
-        og_dim = target_array.ndim
-        if og_dim == 0:
-            target_array = target_array[np.newaxis]
-        indices = seq.get_register(include_mappable=True).find_indices(
-            target_array.tolist()
+        """Qubit ids -> register indices, preserving scalar-ness."""
+        unwrapped = single_or_list(target_ids)
+        scalar = np.ndim(unwrapped) == 0
+        reg = seq.get_register(include_mappable=True)
+        indices = reg.find_indices(
+            [unwrapped] if scalar else list(unwrapped)
         )
-        return (
-            indices if force_list_out or og_dim > 0 else indices[0]
-        )
+        if scalar and not force_list_out:
+            return indices[0]
+        return indices
 
-    def kwarg_default(call_name: str, kwarg_name: str) -> Any:
-        sig = inspect.signature(getattr(seq, call_name))
-        return sig.parameters[kwarg_name].default
+    # -- operations ------------------------------------------------
 
-    def all_args(
-        pos_names: tuple[str, ...], call: Any
-    ) -> dict[str, Any]:
-        params = {**dict(zip(pos_names, call.args)), **call.kwargs}
-        for p_name in pos_names:
-            if p_name not in params:
-                params[p_name] = kwarg_default(call.name, p_name)
-        return params
+    operations: list[dict[str, Any]] = doc["operations"]
 
-    def drop_if_default(
-        data: dict[str, Any], call_name: str, kwarg_name: str
-    ) -> dict[str, Any]:
-        if data.get(kwarg_name, None) == kwarg_default(
-            call_name, kwarg_name
-        ):
-            data.pop(kwarg_name, None)
-        return data
+    def emit_generic(rule: _OpRule, call: Any) -> None:
+        data = bound_args(call)
+        wire: dict[str, Any] = {"op": rule.op}
+        for name in rule.fields:
+            if name in rule.trim and data[name] == declared_default(
+                call.name, name
+            ):
+                continue
+            wire[rule.rename.get(name, name)] = data[name]
+        operations.append(wire)
 
-    operations = res["operations"]
-
-    def on_init(call: Any) -> None:
-        data = all_args(("register", "device"), call)
-        res["device"] = data["device"]
-        res["register"] = data["register"]
+    def emit_init(call: Any) -> None:
+        data = bound_args(call)
+        doc["device"] = data["device"]
+        doc["register"] = data["register"]
         layout = data["register"].layout
         if layout is not None:
-            res["layout"] = layout
+            doc["layout"] = layout
         if qubits_default is not None:
-            serial_reg = res["register"]._to_abstract_repr()
+            serial_reg = doc["register"]._to_abstract_repr()
             for q_dict in serial_reg:
                 if q_dict["qid"] in qubits_default:
-                    q_dict["default_trap"] = qubits_default[
-                        q_dict["qid"]
-                    ]
-            res["register"] = serial_reg
+                    q_dict["default_trap"] = qubits_default[q_dict["qid"]]
+            doc["register"] = serial_reg
 
-    def on_declare_channel(call: Any) -> None:
-        data = all_args(("channel", "channel_id", "initial_target"), call)
-        res["channels"][data["channel"]] = data["channel_id"]
+    def emit_declare_channel(call: Any) -> None:
+        data = bound_args(call)
+        doc["channels"][data["name"]] = data["channel_id"]
         if data["initial_target"] is not None:
             operations.append(
                 {
                     "op": "target",
-                    "channel": data["channel"],
-                    "target": convert_targets(data["initial_target"]),
+                    "channel": data["name"],
+                    "target": targets_to_indices(data["initial_target"]),
                 }
             )
 
-    def on_config_detuning_map(call: Any) -> None:
-        data = all_args(("detuning_map", "dmm_id"), call)
-        operations.append(
-            {
-                "op": "config_detuning_map",
-                "detuning_map": data["detuning_map"],
-                "dmm_id": data["dmm_id"],
-            }
-        )
-
-    def on_target(call: Any) -> None:
-        data = all_args(("qubits", "channel"), call)
+    def emit_target(call: Any) -> None:
+        data = bound_args(call)
         if call.name == "target":
-            target: Any = convert_targets(data["qubits"])
-        else:  # target_index
-            if isinstance(data["qubits"], Parametrized):
-                target = data["qubits"]
-            else:
-                target = unfold_targets(data["qubits"])
+            target: Any = targets_to_indices(data["qubits"])
+        elif isinstance(data["qubits"], Parametrized):
+            target = data["qubits"]
+        else:  # target_index with literal indices
+            target = single_or_list(data["qubits"])
+        operations.append(
+            {"op": "target", "channel": data["channel"], "target": target}
+        )
+
+    def emit_align(call: Any) -> None:
+        data = bound_args(call)
+        wire: dict[str, Any] = {
+            "op": "align",
+            "channels": list(data["channels"]),
+        }
+        if data["at_rest"] != declared_default("align", "at_rest"):
+            wire["at_rest"] = data["at_rest"]
+        operations.append(wire)
+
+    def emit_measure(call: Any) -> None:
+        doc["measurement"] = bound_args(call)["basis"]
+
+    def emit_add(call: Any) -> None:
+        data = bound_args(call)
+        pulse_repr = data["pulse"]._to_abstract_repr()
+        kind = "pulse" if "detuning" in pulse_repr else (
+            "pulse_arbitrary_phase"
+        )
         operations.append(
             {
-                "op": "target",
+                "op": kind,
                 "channel": data["channel"],
-                "target": target,
+                "protocol": data["protocol"],
+                **pulse_repr,
             }
         )
 
-    def on_align(call: Any) -> None:
-        optional = drop_if_default(dict(call.kwargs), "align", "at_rest")
-        operations.append(
-            {"op": "align", "channels": list(call.args), **optional}
-        )
-
-    def on_delay(call: Any) -> None:
-        data = all_args(("duration", "channel", "at_rest"), call)
-        data = drop_if_default(data, "delay", "at_rest")
-        op_dict = {
-            "op": "delay",
-            "channel": data["channel"],
-            "time": data["duration"],
-        }
-        if "at_rest" in data:
-            op_dict["at_rest"] = data["at_rest"]
-        operations.append(op_dict)
-
-    def on_measure(call: Any) -> None:
-        data = all_args(("basis",), call)
-        res["measurement"] = data["basis"]
-
-    def on_add(call: Any) -> None:
-        data = all_args(("pulse", "channel", "protocol"), call)
-        op_dict = {
-            "op": "pulse",
-            "channel": data["channel"],
-            "protocol": data["protocol"],
-        }
-        pulse_repr = data["pulse"]._to_abstract_repr()
-        if "detuning" not in pulse_repr:
-            op_dict["op"] = "pulse_arbitrary_phase"
-        op_dict.update(pulse_repr)
-        operations.append(op_dict)
-
-    def on_phase_shift(call: Any) -> None:
-        targets = call.args[1:]
+    def emit_phase_shift(call: Any) -> None:
+        data = bound_args(call)
+        targets: Any = list(data["specific_targets"])
         if call.name == "phase_shift":
-            targets = convert_targets(targets, force_list_out=True)
+            targets = targets_to_indices(targets, force_list_out=True)
         operations.append(
             {
                 "op": "phase_shift",
-                "phi": call.args[0],
+                "phi": data["phi"],
                 "targets": targets,
-                "basis": call.kwargs.get(
-                    "basis", kwarg_default(call.name, "basis")
-                ),
+                "basis": data["basis"],
             }
         )
 
-    def on_set_magnetic_field(call: Any) -> None:
-        res["magnetic_field"] = seq.magnetic_field.tolist()
+    def emit_magnetic_field(call: Any) -> None:
+        doc["magnetic_field"] = seq.magnetic_field.tolist()
 
-    def on_config_slm_mask(call: Any) -> None:
-        data = all_args(("qubits", "dmm_id"), call)
+    def emit_slm_mask(call: Any) -> None:
+        data = bound_args(call)
         qubit_ids = stringify_qubit_ids(data["qubits"])
-        if seq._in_xy and data["dmm_id"] == kwarg_default(
-            call.name, "dmm_id"
-        ):
+        default_dmm = declared_default(call.name, "dmm_id")
+        if seq._in_xy and data["dmm_id"] == default_dmm:
             # Preserve the legacy XY-mode form for compatibility
-            res["slm_mask_targets"] = tuple(qubit_ids)
+            doc["slm_mask_targets"] = tuple(qubit_ids)
         else:
             operations.append(
                 {
@@ -329,91 +402,29 @@ def serialize_abstract_sequence(
                 }
             )
 
-    def on_enable_eom_mode(call: Any) -> None:
-        data = all_args(
-            (
-                "channel",
-                "amp_on",
-                "detuning_on",
-                "optimal_detuning_off",
-                "correct_phase_drift",
-            ),
-            call,
-        )
-        data = drop_if_default(data, call.name, "correct_phase_drift")
-        operations.append({"op": "enable_eom_mode", **data})
-
-    def on_modify_eom_setpoint(call: Any) -> None:
-        data = all_args(
-            (
-                "channel",
-                "amp_on",
-                "detuning_on",
-                "optimal_detuning_off",
-                "correct_phase_drift",
-            ),
-            call,
-        )
-        operations.append({"op": "modify_eom_setpoint", **data})
-
-    def on_add_eom_pulse(call: Any) -> None:
-        data = all_args(
-            (
-                "channel",
-                "duration",
-                "phase",
-                "post_phase_shift",
-                "protocol",
-                "correct_phase_drift",
-            ),
-            call,
-        )
-        data = drop_if_default(data, call.name, "correct_phase_drift")
-        operations.append({"op": "add_eom_pulse", **data})
-
-    def on_disable_eom_mode(call: Any) -> None:
-        data = all_args(("channel", "correct_phase_drift"), call)
-        data = drop_if_default(data, call.name, "correct_phase_drift")
-        operations.append({"op": "disable_eom_mode", **data})
-
-    def on_add_dmm_detuning(call: Any) -> None:
-        data = all_args(("waveform", "dmm_name", "protocol"), call)
-        operations.append({"op": "add_dmm_detuning", **data})
-
-    def on_truncate(call: Any) -> None:
-        data = all_args(("duration",), call)
-        operations.append({"op": "truncate", **data})
-
-    handlers = {
-        "__init__": on_init,
-        "declare_channel": on_declare_channel,
-        "config_detuning_map": on_config_detuning_map,
-        "target": on_target,
-        "target_index": on_target,
-        "align": on_align,
-        "delay": on_delay,
-        "measure": on_measure,
-        "add": on_add,
-        "phase_shift": on_phase_shift,
-        "phase_shift_index": on_phase_shift,
-        "set_magnetic_field": on_set_magnetic_field,
-        "config_slm_mask": on_config_slm_mask,
-        "enable_eom_mode": on_enable_eom_mode,
-        "modify_eom_setpoint": on_modify_eom_setpoint,
-        "add_eom_pulse": on_add_eom_pulse,
-        "disable_eom_mode": on_disable_eom_mode,
-        "add_dmm_detuning": on_add_dmm_detuning,
-        "truncate": on_truncate,
+    special_rules: dict[str, Callable[[Any], None]] = {
+        "__init__": emit_init,
+        "declare_channel": emit_declare_channel,
+        "target": emit_target,
+        "target_index": emit_target,
+        "align": emit_align,
+        "measure": emit_measure,
+        "add": emit_add,
+        "phase_shift": emit_phase_shift,
+        "phase_shift_index": emit_phase_shift,
+        "set_magnetic_field": emit_magnetic_field,
+        "config_slm_mask": emit_slm_mask,
     }
 
     for call in chain(seq._calls, seq._to_build_calls):
-        if call.name not in handlers:
+        if call.name in special_rules:
+            special_rules[call.name](call)
+        elif call.name in _GENERIC_RULES:
+            emit_generic(_GENERIC_RULES[call.name], call)
+        else:
             raise AbstractReprError(f"Unknown call '{call.name}'.")
-        handlers[call.name](call)
 
-    abstr_seq_str = json.dumps(
-        res, cls=AbstractReprEncoder, **json_dumps_options
-    )
+    encoded = json.dumps(doc, cls=AbstractReprEncoder, **json_dumps_options)
     if not skip_validation:
-        validate_abstract_repr(abstr_seq_str, "sequence")
-    return abstr_seq_str
+        validate_abstract_repr(encoded, "sequence")
+    return encoded

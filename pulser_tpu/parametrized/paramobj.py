@@ -33,6 +33,20 @@ from pulser_tpu.parametrized.paramabc import Parametrized
 if TYPE_CHECKING:
     from pulser_tpu.parametrized import Variable
 
+
+def _evaluated(x: Any) -> Any:
+    """Builds ``x`` when it's parametrized, passes it through otherwise."""
+    return x.build() if isinstance(x, Parametrized) else x
+
+
+def _merged_variables(values: Any) -> dict[str, "Variable"]:
+    """The union of the variables of every parametrized entry."""
+    merged: dict[str, Variable] = {}
+    for x in values:
+        if isinstance(x, Parametrized):
+            merged.update(x.variables)
+    return merged
+
 #: numpy ufunc name -> OpSupport method root (binary ufuncs use the
 #: reflected method when the object sits on the right-hand side)
 _UFUNC_MAP = {
@@ -166,14 +180,11 @@ class ParamObj(Parametrized, OpSupport):
     def __init__(self, cls: Callable, *args: Any, **kwargs: Any) -> None:
         """Records the call and collects the involved variables."""
         self.cls = cls
-        self._variables: dict[str, Variable] = {}
-        if isinstance(self.cls, Parametrized):
-            self._variables.update(self.cls.variables)
-        for x in chain(args, kwargs.values()):
-            if isinstance(x, Parametrized):
-                self._variables.update(x.variables)
         self.args = args
         self.kwargs = kwargs
+        self._variables = _merged_variables(
+            chain((cls,), args, kwargs.values())
+        )
         self._instance = None
         self._vars_state: dict[str, int] = {}
 
@@ -185,37 +196,26 @@ class ParamObj(Parametrized, OpSupport):
     @property
     def _default_kwargs(self) -> dict[str, Any]:
         """Default values of the callable's keyword parameters."""
-        params = inspect.signature(self.cls).parameters
-        return {
-            name: p.default
-            for name, p in params.items()
-            if p.default != p.empty
-        }
+        defaults = {}
+        for name, p in inspect.signature(self.cls).parameters.items():
+            if p.default is not p.empty:
+                defaults[name] = p.default
+        return defaults
 
     def build(self) -> Any:
         """Evaluates the call with the variables' current values.
 
         The result is cached until any involved variable is reassigned.
         """
-        vars_state = {
-            key: var._count for key, var in self._variables.items()
-        }
-        if vars_state != self._vars_state:
-            self._vars_state = vars_state
-            args_ = [
-                arg.build() if isinstance(arg, Parametrized) else arg
-                for arg in self.args
-            ]
-            kwargs_ = {
-                key: val.build() if isinstance(val, Parametrized) else val
-                for key, val in self.kwargs.items()
-            }
-            target = (
-                self.cls.build()
-                if isinstance(self.cls, ParamObj)
-                else self.cls
-            )
-            self._instance = target(*args_, **kwargs_)
+        state = {name: var._count for name, var in self._variables.items()}
+        if state == self._vars_state:
+            return self._instance
+        self._vars_state = state
+        target = _evaluated(self.cls)
+        self._instance = target(
+            *(_evaluated(a) for a in self.args),
+            **{key: _evaluated(v) for key, v in self.kwargs.items()},
+        )
         return self._instance
 
     def _is_classmethod_call(self) -> bool:
@@ -227,56 +227,62 @@ class ParamObj(Parametrized, OpSupport):
             and self.cls.__module__ != "pulser_tpu.math"
         )
 
-    def _to_dict(self) -> dict[str, Any]:
-        def callable_to_dict(fn: Callable) -> dict[str, Any]:
-            module = (
-                "numpy" if isinstance(fn, np.ufunc) else fn.__module__
-            )
-            return obj_to_dict(
-                self, _build=False, _name=fn.__name__, _module=module
-            )
+    def _callable_ref(self, fn: Callable) -> dict[str, Any]:
+        """Legacy-JSON pointer to a callable (not a built object)."""
+        module = "numpy" if isinstance(fn, np.ufunc) else fn.__module__
+        return obj_to_dict(
+            self, _build=False, _name=fn.__name__, _module=module
+        )
 
+    def _to_dict(self) -> dict[str, Any]:
         if isinstance(self.cls, Parametrized):
             raise ValueError(
                 "Serialization of calls to parametrized objects is not "
                 "supported."
             )
-        args = list(self.args)
-        if self._is_classmethod_call():
-            if not inspect.isclass(self.args[0]):
-                raise NotImplementedError(
-                    "Instance or static method "
-                    "serialization is not supported."
-                )
-            cls_dict = obj_to_dict(
-                self,
-                _build=False,
-                _name=self.cls.__name__,
-                _module=self.args[0].__module__,
-                _submodule=self.args[0].__name__,
+        if not self._is_classmethod_call():
+            return obj_to_dict(
+                self, self._callable_ref(self.cls), *self.args, **self.kwargs
             )
-            args[0] = callable_to_dict(self.args[0])
-        else:
-            cls_dict = callable_to_dict(self.cls)
-
-        return obj_to_dict(self, cls_dict, *args, **self.kwargs)
-
-    def _classmethod_abstract_repr(self) -> dict[str, Any]:
-        """Wire format of a recorded classmethod call."""
-        op_name = self.cls.__name__
-        if not inspect.isclass(self.args[0]):
+        owner = self.args[0]
+        if not inspect.isclass(owner):
             raise NotImplementedError(
                 "Instance or static method serialization is not supported."
             )
-        cls_name = self.args[0].__name__
-        name = f"{cls_name}.{op_name}"
-        signature = SIGNATURES[
-            (
-                "Pulse"
-                if cls_name == "Pulse" and op_name != "ArbitraryPhase"
-                else name
+        method_ref = obj_to_dict(
+            self,
+            _build=False,
+            _name=self.cls.__name__,
+            _module=owner.__module__,
+            _submodule=owner.__name__,
+        )
+        return obj_to_dict(
+            self,
+            method_ref,
+            self._callable_ref(owner),
+            *self.args[1:],
+            **self.kwargs,
+        )
+
+    # Pulse convenience constructors lower to a plain "Pulse" whose
+    # constant leg becomes a zero-duration ConstantWaveform marker.
+    _CONSTANT_LEG = {
+        "Pulse.ConstantAmplitude": "amplitude",
+        "Pulse.ConstantDetuning": "detuning",
+    }
+
+    def _classmethod_abstract_repr(self) -> dict[str, Any]:
+        """Wire format of a recorded classmethod call."""
+        owner = self.args[0]
+        if not inspect.isclass(owner):
+            raise NotImplementedError(
+                "Instance or static method serialization is not supported."
             )
-        ]
+        name = f"{owner.__name__}.{self.cls.__name__}"
+        lowers_to_pulse = name in self._CONSTANT_LEG or name == (
+            "Pulse.ConstantPulse"
+        )
+        signature = SIGNATURES["Pulse" if lowers_to_pulse else name]
         assert (
             signature.var_pos is None
         ), "Unexpected signature with VAR_POSITIONAL arguments."
@@ -285,18 +291,12 @@ class ParamObj(Parametrized, OpSupport):
             **dict(zip(signature.all_pos_args(), self.args[1:])),
             **self.kwargs,
         }
-        # The constant-amplitude/detuning constructors lower to a plain
-        # Pulse with a zero-duration constant waveform marker
-        if name == "Pulse.ConstantAmplitude":
-            all_args["amplitude"] = abstract_repr(
-                "ConstantWaveform", 0, all_args["amplitude"]
+        leg = self._CONSTANT_LEG.get(name)
+        if leg is not None:
+            all_args[leg] = abstract_repr(
+                "ConstantWaveform", 0, all_args[leg]
             )
-            return abstract_repr("Pulse", **all_args)
-        if name == "Pulse.ConstantDetuning":
-            all_args["detuning"] = abstract_repr(
-                "ConstantWaveform", 0, all_args["detuning"]
-            )
-            return abstract_repr("Pulse", **all_args)
+            name = "Pulse"
         return abstract_repr(name, **all_args)
 
     def _signature_abstract_repr(self) -> dict[str, Any]:
@@ -373,21 +373,23 @@ class ParamObj(Parametrized, OpSupport):
         return obj
 
     def __str__(self) -> str:
-        args = [str(a) for a in self.args]
-        kwargs = [f"{k}={v}" for k, v in self.kwargs.items()]
+        shown_args = self.args
         if isinstance(self.cls, Parametrized):
             name = str(self.cls)
         elif (
             self.args
-            and hasattr(self.args[0], self.cls.__name__)
-            and inspect.isfunction(self.cls)
             and inspect.isclass(self.args[0])
+            and inspect.isfunction(self.cls)
+            and hasattr(self.args[0], self.cls.__name__)
         ):
             name = f"{self.args[0].__name__}.{self.cls.__name__}"
-            args = args[1:]
+            shown_args = self.args[1:]
         else:
             name = self.cls.__name__
-        return f"{name}({', '.join(args + kwargs)})"
+        parts = [str(a) for a in shown_args] + [
+            f"{k}={v}" for k, v in self.kwargs.items()
+        ]
+        return f"{name}({', '.join(parts)})"
 
     def __eq__(self, other: Any) -> bool:
         if not isinstance(other, ParamObj):

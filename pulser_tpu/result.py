@@ -1,6 +1,9 @@
-"""Legacy classes to store measurement results.
+"""Legacy measurement-result containers.
 
-API parity with reference ``pulser-core/pulser/result.py:52-243``.
+API parity with the reference ``pulser-core/pulser/result.py`` (the
+deprecated ``Result``/``SampledResult`` pair kept for the legacy
+emulator pipeline), re-implemented around a small functional
+distribution-helpers core.
 """
 
 from __future__ import annotations
@@ -19,33 +22,77 @@ import pulser_tpu.backend.results as backend_results
 from pulser_tpu.backend.default_observables import BitStrings
 from pulser_tpu.math.multinomial import multinomial
 
-_RENAMED = {"Results": "ResultsSequence", "ResultType": "ResultsType"}
+__all__ = ["Result", "SampledResult"]
 
-# Shared by all SampledResult instances so equal counts compare equal.
-_FIXED_UUID = uuid.UUID("00000000-0000-0000-0000-000000000000")
+
+# ---------------------------------------------------------------- #
+# Functional core: distributions over bitstrings as weight vectors. #
+# ---------------------------------------------------------------- #
+
+
+def _labels_of(indices: np.ndarray, width: int) -> list[str]:
+    """Basis-state indices -> zero-padded bitstring labels."""
+    return [format(int(i), f"0{width}b") for i in indices]
+
+
+def _counts_to_weights(counts: dict[str, int], width: int) -> np.ndarray:
+    """Normalized weight vector over all 2**width basis states."""
+    weights = np.zeros(2**width)
+    if counts:
+        idx = np.array([int(b, 2) for b in counts], dtype=np.int64)
+        vals = np.fromiter(counts.values(), dtype=float, count=len(counts))
+        np.add.at(weights, idx, vals)
+    total = weights.sum()
+    return weights / total if total else weights
+
+
+def _support(weights: np.ndarray, width: int) -> dict[str, float]:
+    """{bitstring: probability} over the nonzero entries only."""
+    nz = np.flatnonzero(weights)
+    return dict(zip(_labels_of(nz, width), weights[nz].tolist()))
+
+
+def _binomial_sem(p: float, n: int) -> float:
+    """Standard error of the mean of a Bernoulli rate estimate."""
+    return float(np.sqrt(p * (1 - p) / n))
+
+
+# A fixed observable UUID makes two SampledResults with equal counts
+# compare equal (the auto-generated per-instance UUID would not).
+_SHARED_BITSTRINGS_UUID = uuid.UUID(int=0)
+
+_MOVED_TO_BACKEND = {
+    "Results": "ResultsSequence",
+    "ResultType": "ResultsType",
+}
 
 
 def __getattr__(name: str) -> Any:
-    if name not in _RENAMED:
+    try:
+        new_name = _MOVED_TO_BACKEND[name]
+    except KeyError:
         raise AttributeError(
             f"Module {__name__!r} has no attribute {name!r}."
-        )
+        ) from None
     warnings.warn(
         f"The 'pulser.result.{name}' class has been renamed to "
-        f"'{_RENAMED[name]}' and moved to 'pulser.backend.results'. "
+        f"'{new_name}' and moved to 'pulser.backend.results'. "
         f"Importing it as '{name}' from 'pulser.results' is deprecated.",
         DeprecationWarning,
         stacklevel=3,
     )
-    return getattr(backend_results, _RENAMED[name])
-
-
-__all__ = ["Result", "SampledResult"]
+    return getattr(backend_results, new_name)
 
 
 @dataclass
 class Result(ABC, backend_results.Results):
-    """Base class to store the result of an observable at a given time."""
+    """A single-time observable outcome (deprecated container).
+
+    Subclasses supply a weight vector over the 2**n computational
+    basis states via :meth:`_weights`; everything else (distribution
+    views, sampling, plotting) derives from it through the module's
+    functional helpers.
+    """
 
     meas_basis: str
     total_duration: int = field(default=0, init=False, repr=False)
@@ -61,30 +108,27 @@ class Result(ABC, backend_results.Results):
         )
         super().__post_init__()
 
-    @property
-    def _size(self) -> int:
-        return len(self.atom_order)
+    # -- abstract surface ------------------------------------------
 
-    def _bitstring_of(self, index: int) -> str:
-        return np.binary_repr(index, width=self._size)
-
-    @property
-    def sampling_dist(self) -> dict[str, float]:
-        """Probability per observed bitstring."""
-        weights = self._weights()
-        return {
-            self._bitstring_of(ind): weights[ind]
-            for ind in np.flatnonzero(weights)
-        }
+    @abstractmethod
+    def _weights(self) -> np.ndarray:
+        """The sampling rate for every state in an ordered array."""
 
     @property
     @abstractmethod
     def sampling_errors(self) -> dict[str, float]:
         """The sampling error associated to each bitstring's rate."""
 
-    @abstractmethod
-    def _weights(self) -> np.ndarray:
-        """The sampling rate for every state in an ordered array."""
+    # -- derived views ---------------------------------------------
+
+    @property
+    def _size(self) -> int:
+        return len(self.atom_order)
+
+    @property
+    def sampling_dist(self) -> dict[str, float]:
+        """Probability per observed bitstring."""
+        return _support(self._weights(), self._size)
 
     def get_samples(self, n_samples: int) -> Counter[str]:
         """Draws bitstrings from this result's distribution.
@@ -96,7 +140,7 @@ class Result(ABC, backend_results.Results):
             The drawn bitstrings, as a Counter.
         """
         draws = multinomial(n_samples, self._weights())
-        return Counter(self._bitstring_of(i) for i in draws)
+        return Counter(_labels_of(np.asarray(draws), self._size))
 
     def get_state(self) -> Any:
         """The underlying quantum state, when one is available.
@@ -123,14 +167,12 @@ class Result(ABC, backend_results.Results):
         """
         import matplotlib.pyplot as plt
 
-        ranked = np.array(
-            Counter(self.sampling_dist).most_common(max_n_bitstrings),
-            dtype=object,
-        )
-        ranked = ranked[ranked[:, 1] >= min_rate]
-        plt.bar(ranked[:, 0], ranked[:, 1])
+        dist = self.sampling_dist
+        order = sorted(dist, key=dist.get, reverse=True)
+        kept = [b for b in order[:max_n_bitstrings] if dist[b] >= min_rate]
+        plt.bar(kept, [dist[b] for b in kept])
         plt.xticks(rotation="vertical")
-        plt.ylabel("Probabilites")
+        plt.ylabel("Probability")
         if show:
             plt.show()
 
@@ -168,26 +210,23 @@ class SampledResult(Result):
         super().__post_init__()
         self.n_samples = sum(self.bitstring_counts.values())
         via_obs = BitStrings(num_shots=self.n_samples)
-        via_obs._uuid = _FIXED_UUID
+        via_obs._uuid = _SHARED_BITSTRINGS_UUID
         self._store(
             observable=via_obs,
             time=self.evaluation_time,
             value=Counter(self.bitstring_counts),
         )
 
+    def _weights(self) -> np.ndarray:
+        return _counts_to_weights(self.bitstring_counts, self._size)
+
     @property
     def sampling_errors(self) -> dict[str, float]:
-        """The sampling error associated to each bitstring's rate."""
+        """Standard error of the mean of each bitstring's rate."""
         return {
-            bitstr: np.sqrt(p * (1 - p) / self.n_samples)
+            bitstr: _binomial_sem(p, self.n_samples)
             for bitstr, p in self.sampling_dist.items()
         }
-
-    def _weights(self) -> np.ndarray:
-        weights = np.zeros(2**self._size)
-        for bitstr, counts in self.bitstring_counts.items():
-            weights[int(bitstr, base=2)] = counts / self.n_samples
-        return weights / sum(weights)
 
     def get_samples(self, n_samples: int) -> Counter[str]:
         """Resamples from the distribution derived from the counts.
