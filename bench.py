@@ -175,53 +175,27 @@ def cpu_sesolve_seconds(ham, eval_times, psi0) -> float:
 
 
 def cpu_mesolve_traj_seconds(sim) -> float:
-    """CPU reference: one noisy Lindblad trajectory with scipy DOP853.
+    """CPU reference: one noisy Lindblad trajectory, QuTiP-faithful.
 
-    Mirrors QuTiP's approach for the master equation
-    drho = -i[H, rho] + sum_k L rho L+ - (1/2){L+L, rho}: the
-    Hamiltonian is a sparse (CSR) operator sum H0 + sum_k c_k(t) H_k
-    with linearly interpolated coefficients, and the (diagonal)
-    dephasing dissipator is a precomputed elementwise mask.
+    Integrates ``drho = -i[H(t), rho] + sum_k L rho L+ - 1/2{L+L, rho}``
+    the way ``qutip.mesolve`` does: vectorized state, **zvode with the
+    Adams method** at QuTiP's default tolerances (rtol 1e-6, atol 1e-8),
+    and a precompiled right-hand side. The H(t) application uses the
+    structured form (diagonal + per-qubit 2x2 terms, vectorized numpy),
+    which does strictly LESS work per evaluation than QuTiP's generic
+    CSR QobjEvo superoperator — so this lower-bounds QuTiP's cost and
+    the reported ratio is conservative.
     """
-    import scipy.sparse as sp
-    from scipy.integrate import solve_ivp
+    from scipy.integrate import ode
 
     ham_wr = next(iter(sim._hamiltonians))
     ham = ham_wr.hamiltonian
-    d = ham.dim
-    n = ham.n_qudits
-    dim = d**n
-    knots = ham.sampling_times
-    amp_c = ham.amp_coeffs
-    det_c = ham.det_coeffs
+    dim = ham.dim**ham.n_qudits
+    h_apply = _structured_hpsi(ham)
 
-    # Static part: the interaction diagonal
-    h_static = sp.diags(ham.int_diag.astype(complex), format="csr")
-
-    def embed(local: np.ndarray, q: int) -> sp.csr_matrix:
-        mats = [sp.identity(d, format="csr")] * n
-        mats[q] = sp.csr_matrix(local)
-        out = mats[0]
-        for m in mats[1:]:
-            out = sp.kron(out, m, format="csr")
-        return out
-
-    # Drive terms: per (pair, qubit), |i><j|, |j><i| and -|k><k|
-    # operators with time-dependent coefficients
-    terms = []
-    for bi, (i, j, k) in enumerate(ham.pairs):
-        for q in range(n):
-            sig_ij = np.zeros((d, d), complex)
-            sig_ij[i, j] = 1.0
-            proj_kk = np.zeros((d, d), complex)
-            proj_kk[k, k] = 1.0
-            terms.append((embed(sig_ij, q), amp_c[bi, q]))
-            terms.append(
-                (embed(sig_ij.conj().T, q), np.conj(amp_c[bi, q]))
-            )
-            terms.append((embed(proj_kk, q), -det_c[bi, q]))
-
-    # Dissipator mask from the (diagonal) collapse operators
+    # Dissipator mask from the (diagonal) collapse operators:
+    # dephasing-type L = diag(l) gives (L rho L+ - 1/2{L+L, rho})_{ab}
+    # = (l_a conj(l_b) - (|l_a|^2 + |l_b|^2)/2) rho_{ab}
     mask = np.zeros((dim, dim), complex)
     for c_op in ham._collapse_ops:
         c = np.asarray(c_op.full())
@@ -233,44 +207,98 @@ def cpu_mesolve_traj_seconds(sim) -> float:
             l2[:, None] + l2[None, :]
         )
 
-    def coeff_at(c, t):
-        idx = np.clip(
-            np.searchsorted(knots, t, side="right") - 1,
-            0,
-            len(knots) - 2,
-        )
-        t0, t1 = knots[idx], knots[idx + 1]
-        frac = np.clip((t - t0) / (t1 - t0), 0.0, 1.0)
-        return c[idx] * (1 - frac) + c[idx + 1] * frac
-
     psi0 = sim.initial_state.full()[:, 0]
     rho0 = np.outer(psi0, np.conj(psi0))
     tf = float(sim.evaluation_times[-1]) * sim._tot_duration * 1e-3
 
     def rhs(t, y):
         rho = y.reshape(dim, dim)
-        h_t = h_static.copy()
-        for op, c in terms:
-            val = coeff_at(c, t)
-            if val != 0:
-                h_t = h_t + val * op
-        h_rho = h_t @ rho
+        h_rho = h_apply(t, rho)
         # rho @ H = (H @ rho^dagger)^dagger for Hermitian H
-        drho = -1j * (h_rho - (h_t @ rho.conj().T).conj().T)
-        drho += mask * rho
-        return drho.reshape(-1)
+        rho_h = h_apply(t, rho.conj().T).conj().T
+        return (-1j * (h_rho - rho_h) + mask * rho).reshape(-1)
 
     t0 = time.perf_counter()
-    solve_ivp(
-        rhs,
-        (0.0, tf),
-        rho0.reshape(-1),
-        t_eval=[tf],
-        rtol=1e-6,
-        atol=1e-8,
-        method="DOP853",
+    solver = ode(rhs)
+    solver.set_integrator(
+        "zvode", method="adams", rtol=1e-6, atol=1e-8, nsteps=100000
     )
+    solver.set_initial_value(rho0.reshape(-1), 0.0)
+    solver.integrate(tf)
+    assert solver.successful()
     return time.perf_counter() - t0
+
+
+#: TPU v5e (v5 lite) peak: 197 TFLOP/s bf16. The solver runs f32 on
+#: the MXU (~half the bf16 rate); both fractions are reported.
+_V5E_PEAK_BF16 = 197e12
+
+
+def solve_telemetry(seconds: float) -> dict:
+    """Achieved-FLOP/s estimate of the most recent solve.
+
+    Converts ``ops.solver.last_solve_info`` shape/step metadata into a
+    documented FLOP count:
+
+    - ``ip_sesolve_pallas``: MXU matmuls only (lower bound) — per RK4
+      stage the kernel runs 8 (R,R)@(R,C) / (R,C)@(C,C) matmuls, so
+      total = steps * 4 * 8 * R*C*(R+C) * ... (2 flops/MAC).
+    - ``mcwf/mesolve_batched``: vector-path estimate — per stage the
+      structured H application costs ~(8 + 12n) flops per state
+      element per side (diagonal + n axis-wise 2x2 contractions),
+      plus ~16 flops/element per collapse operator.
+    """
+    from pulser_tpu.ops import solver
+
+    info = dict(solver.last_solve_info)
+    if not info:
+        return {}
+    kind = info.get("kind")
+    if kind == "ip_sesolve_pallas":
+        r, c = info["rows"], info["cols"]
+        flops = info["n_steps"] * 4 * 8 * r * c * (r + c) * 2
+    elif kind in ("mcwf_batched", "mesolve_batched"):
+        dim = info["dim"]
+        state = dim * dim if kind == "mesolve_batched" else dim
+        sides = 2 if kind == "mesolve_batched" else 1
+        per_stage = state * (
+            sides * (8 + 12 * info["n"]) + 16 * info["n_cops"]
+        )
+        flops = info["n_traj"] * info["n_steps"] * 4 * per_stage
+    else:  # pragma: no cover
+        return {}
+    achieved = flops / seconds
+    return {
+        "est_tflops": round(flops / 1e12, 3),
+        "achieved_tflops_per_s": round(achieved / 1e12, 3),
+        "pct_of_v5e_bf16_peak": round(
+            100 * achieved / _V5E_PEAK_BF16, 3
+        ),
+        "model": kind,
+    }
+
+
+def warm_start_probe() -> None:
+    """Subprocess entry: times a fresh-process flagship warmup.
+
+    Run AFTER the main bench has populated the persistent compilation
+    cache; the printed warmup shows what a user's *second* session
+    pays (tracing + lowering + cache loads, no XLA compile). QuTiP
+    pays zero compile cost (reference ``simulation.py:689`` goes
+    straight into ``sesolve``), so this is the honest
+    cold-vs-warm-start comparison point.
+    """
+    from pulser_tpu.caching import enable_compilation_cache
+
+    enable_compilation_cache("/root/.cache/jax_pulser_tpu")
+    from pulser_tpu.emulator import TpuEmulator
+
+    seq = build_afm_sequence()
+    eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
+    t0 = time.perf_counter()
+    sim.run()
+    print(json.dumps({"warm_warmup_s": time.perf_counter() - t0}))
 
 
 def _load_cache(path, key):
@@ -322,11 +350,15 @@ def bench_afm16(TpuEmulator, cache_path):
         with open(cache_path, "w") as f:
             json.dump(cache, f)
 
+    tele = solve_telemetry(tpu_time)
+    log(f"telemetry: {tele}")
     return {
         "metric": "16-atom AFM sweep sesolve wall-clock",
         "value": round(tpu_time, 4),
         "unit": "s",
         "vs_baseline": round(cpu_time / tpu_time, 2),
+        "telemetry": tele,
+        "cold_warmup_s": round(warm, 2),
     }
 
 
@@ -357,23 +389,27 @@ def bench_noisy10(TpuEmulator, cache_path):
     )
     assert abs(sum(res.results[-1].values()) - 1) < 1e-9
 
-    cache, cpu_traj = _load_cache(cache_path, "noisy10_v1")
+    cache, cpu_traj = _load_cache(cache_path, "noisy10_v2")
     if cpu_traj is not None:
         log(f"using cached CPU reference: {cpu_traj:.2f}s/traj")
     else:
         log("running CPU reference (1 Lindblad trajectory, DOP853)...")
         cpu_traj = cpu_mesolve_traj_seconds(sim)
         log(f"CPU reference: {cpu_traj:.2f}s per trajectory")
-        cache["noisy10_v1"] = cpu_traj
+        cache["noisy10_v2"] = cpu_traj
         with open(cache_path, "w") as f:
             json.dump(cache, f)
 
     cpu_traj_per_sec = 1.0 / cpu_traj
+    tele = solve_telemetry(tpu_time)
+    log(f"telemetry: {tele}")
     return {
         "metric": "10-atom noisy mesolve trajectories/sec",
         "value": round(traj_per_sec, 2),
         "unit": "traj/s",
         "vs_baseline": round(traj_per_sec / cpu_traj_per_sec, 2),
+        "telemetry": tele,
+        "cold_warmup_s": round(warm, 2),
     }
 
 
@@ -400,13 +436,46 @@ def main() -> None:
     afm = bench_afm16(TpuEmulator, cache_path)
     noisy = bench_noisy10(TpuEmulator, cache_path)
 
+    # Warm-start proof: a FRESH process re-running the flagship solve
+    # against the now-populated persistent compilation cache
+    warm_metric = None
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warm-probe"],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        warm_s = json.loads(proc.stdout.strip().splitlines()[-1])[
+            "warm_warmup_s"
+        ]
+        log(f"warm-start warmup (fresh process): {warm_s:.2f}s")
+        warm_metric = {
+            "metric": "flagship warm-start warmup (fresh process)",
+            "value": round(warm_s, 2),
+            "unit": "s",
+            "vs_baseline": round(afm["cold_warmup_s"] / warm_s, 2),
+        }
+    except Exception as err:  # pragma: no cover
+        log(f"warm-start probe failed: {err}")
+
     out = dict(afm)
-    out["extra_metrics"] = [noisy]
+    out["extra_metrics"] = [noisy] + (
+        [warm_metric] if warm_metric else []
+    )
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--warm-probe" in sys.argv:
+        sys.path.insert(
+            0, os.path.dirname(os.path.abspath(__file__))
+        )
+        warm_start_probe()
+    else:
+        main()
 
 
 # Backwards-compatible alias used by older scripts/tests.

@@ -22,15 +22,18 @@ _DEFAULT_DIR = os.path.join(
 
 def enable_compilation_cache(
     cache_dir: str | None = None,
-    min_compile_time_secs: float = 10.0,
+    min_compile_time_secs: float = 0.0,
 ) -> str:
     """Turns on JAX's persistent compilation cache.
 
     Args:
         cache_dir: Directory for the cache; created if missing.
             Defaults to ``~/.cache/pulser_tpu_xla``.
-        min_compile_time_secs: Only compilations at least this slow
-            are persisted (fast ones aren't worth the disk I/O).
+        min_compile_time_secs: Persist compilations at least this
+            slow. Defaults to 0 (persist everything): on tunneled TPU
+            backends every tiny utility jit costs a ~0.4 s round trip
+            to compile, and dozens of them — not the flagship kernel —
+            dominate a warm start's residual overhead.
 
     Returns:
         The cache directory in use.

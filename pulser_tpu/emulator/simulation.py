@@ -1287,6 +1287,7 @@ class TpuEmulator:
                 collapse_mats,
                 seeds,
                 dtype=cdtype,
+                mesh=default_mesh(),
             )
             dims = [[d] * n, [1] * n]
         else:
@@ -1300,6 +1301,7 @@ class TpuEmulator:
                 n,
                 collapse_mats,
                 dtype=cdtype,
+                mesh=default_mesh(),
             )
             dims = [[d] * n, [d] * n]
 

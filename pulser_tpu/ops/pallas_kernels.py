@@ -243,7 +243,7 @@ def _ip_sesolve_kernel(
     jax.jit,
     static_argnames=("n_row", "n_col", "seg_len", "segs_per_traj", "interpret"),
 )
-def ip_sesolve_pallas(
+def _ip_sesolve_jit(
     a_re,
     a_im,
     cum_mod,
@@ -341,6 +341,38 @@ def ip_sesolve_pallas(
         diag2d,
         psi0_re,
         psi0_im,
+    )
+
+
+def ip_sesolve_pallas(
+    *args,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    segs_per_traj: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """AOT-cached entry point for :func:`_ip_sesolve_jit`.
+
+    Same signature/semantics; routes through the ahead-of-time
+    executable cache so warm processes skip tracing, Mosaic lowering
+    and XLA compilation of the fused kernel entirely.
+    """
+    from pulser_tpu import aot_cache
+
+    if segs_per_traj is None:
+        segs_per_traj = args[0].shape[0]
+    return aot_cache.call(
+        _ip_sesolve_jit,
+        "ip_sesolve",
+        args,
+        dict(
+            n_row=n_row,
+            n_col=n_col,
+            seg_len=seg_len,
+            segs_per_traj=segs_per_traj,
+            interpret=interpret,
+        ),
     )
 
 
@@ -641,7 +673,7 @@ def _mcwf_kernel(
         "interpret",
     ),
 )
-def mcwf_pallas(
+def _mcwf_jit(
     a_re,
     a_im,
     det,
@@ -746,4 +778,39 @@ def mcwf_pallas(
         diag2d,
         psi0_re,
         psi0_im,
+    )
+
+
+def mcwf_pallas(
+    *args,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    segs_per_traj: int,
+    cops: tuple,
+    g_diag: tuple,
+    g_lo: tuple,
+    interpret: bool = False,
+):
+    """AOT-cached entry point for :func:`_mcwf_jit`.
+
+    Same signature/semantics; routes through the ahead-of-time
+    executable cache (see :mod:`pulser_tpu.aot_cache`).
+    """
+    from pulser_tpu import aot_cache
+
+    return aot_cache.call(
+        _mcwf_jit,
+        "mcwf",
+        args,
+        dict(
+            n_row=n_row,
+            n_col=n_col,
+            seg_len=seg_len,
+            segs_per_traj=segs_per_traj,
+            cops=cops,
+            g_diag=g_diag,
+            g_lo=g_lo,
+            interpret=interpret,
+        ),
     )

@@ -510,6 +510,18 @@ def _real_dtype(cdtype: Any) -> Any:
     return np.zeros((), dtype=cdtype).real.dtype
 
 
+#: Shape/step metadata of the most recent solve, for perf telemetry
+#: (bench.py converts it into achieved-FLOP/s figures).
+last_solve_info: dict[str, Any] = {}
+
+
+def _mesh_size(mesh: Any) -> int:
+    """Device count of a mesh (1 when no mesh is given)."""
+    if mesh is None:
+        return 1
+    return int(np.prod(list(mesh.shape.values())))
+
+
 def sesolve_rk4(
     psi0: np.ndarray,
     plan: EvolutionPlan,
@@ -554,36 +566,16 @@ def sesolve_rk4(
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
     psi0_np = np.asarray(psi0, dtype=cdtype)
-    psi2_0 = jnp.asarray(
-        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
-    )
-    # Segmented stage arrays: (n_seg, L, 3, ...)
-    amp_np = plan.seg_stage("amp")
-    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
-    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
-    det = jnp.asarray(plan.seg_stage("det").real, dtype=rdtype)
-    dts = jnp.asarray(plan.seg_dts, dtype=rdtype)
     has_int_w = "int_w" in plan.stage_arrays
-    int_w = (
-        jnp.asarray(plan.seg_stage("int_w"), dtype=rdtype)
-        if has_int_w
-        else None
-    )
-    diag_static = jnp.asarray(np.asarray(static_diag).real, dtype=rdtype)
-    xy_s = (
-        jnp.asarray(np.asarray(xy_static).real, dtype=rdtype)
-        if xy_static is not None
-        else None
+    use_ip = (
+        ip_occ is not None and xy_static is None and not has_int_w
     )
 
-    w_dummy = (
-        int_w
-        if int_w is not None
-        else jnp.zeros(plan.seg_dts.shape + (3, 1), dtype=rdtype)
-    )
-    use_ip = (
-        ip_occ is not None and xy_s is None and not has_int_w
-    )
+    def dev(host_np: np.ndarray) -> jax.Array:
+        # dtype conversion on HOST, then a pure transfer: a device-side
+        # convert outside jit is its own tiny XLA compile (~0.4 s each
+        # through a tunneled backend)
+        return jnp.asarray(np.asarray(host_np, dtype=rdtype))
     # Statevector too big for one chip: shard the 2^N axis over the
     # mesh (interaction-picture path only; see parallel.state_sharding)
     if use_ip and d == 2 and state_mesh is not None:
@@ -615,47 +607,54 @@ def sesolve_rk4(
         return _sesolve_rk4_pallas(
             psi0_np, plan, static_diag, n, cdtype
         )
+    # Shared device inputs (host-converted numpy, pure transfers)
+    psi2_0 = dev(np.stack([psi0_np.real, psi0_np.imag]))
+    amp_np = plan.seg_stage("amp")
+    amp_re = dev(amp_np.real)
+    amp_im = dev(amp_np.imag)
+    dts = dev(plan.seg_dts)
+    diag_static = dev(np.asarray(static_diag).real)
+
     if use_ip:
         # Phases only matter mod 2π and the occupancies are exactly
         # 0/1, so the detuning integrals can be range-reduced on host
         # (sign: D = int_diag − Σ det·occ → Φ gets −∫det terms).
         two_pi = 2 * np.pi
-        det_cum_mod = jnp.asarray(
-            (-plan.seg_stage("det_cum")) % two_pi, dtype=rdtype
-        )
-        t_stage = jnp.asarray(
-            plan.seg_stage("t_stage"), dtype=rdtype
-        )
-        occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
-        eval_t = jnp.asarray(
-            plan.eval_times - plan.grid[0], dtype=rdtype
-        )
-        eval_cum_mod = jnp.asarray(
-            (-plan.eval_det_cum) % two_pi, dtype=rdtype
-        )
         out = _sesolve_scan_ip(
             psi2_0,
             amp_re,
             amp_im,
-            det_cum_mod,
-            t_stage,
+            dev((-plan.seg_stage("det_cum")) % two_pi),
+            dev(plan.seg_stage("t_stage")),
             dts,
-            eval_t,
-            eval_cum_mod,
+            dev(plan.eval_times - plan.grid[0]),
+            dev((-plan.eval_det_cum) % two_pi),
             diag_static,
-            occ,
+            dev(np.asarray(ip_occ)),
             pairs=pairs,
             d=d,
             n=n,
         )
     else:
+        int_w = (
+            dev(plan.seg_stage("int_w"))
+            if has_int_w
+            else jnp.zeros(
+                plan.seg_dts.shape + (3, 1), dtype=rdtype
+            )
+        )
+        xy_s = (
+            dev(np.asarray(xy_static).real)
+            if xy_static is not None
+            else None
+        )
         out = _sesolve_scan(
             psi2_0,
             amp_re,
             amp_im,
-            det,
+            dev(plan.seg_stage("det").real),
             dts,
-            w_dummy,
+            int_w,
             diag_static,
             xy_s,
             pairs=pairs,
@@ -1027,6 +1026,7 @@ def mesolve_rk4_batched(
     n: int,
     collapse_ops: list[np.ndarray],
     dtype: Any = None,
+    mesh: Any = None,
 ) -> np.ndarray:
     """Solves one Lindblad equation per noise trajectory, batched.
 
@@ -1034,6 +1034,13 @@ def mesolve_rk4_batched(
     quantized step selection); the batch is split into bounded device
     calls along the trajectory axis so each XLA execution stays small
     while every call reuses one compiled executable.
+
+    Args:
+        mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"). When
+            given, each bounded call's trajectory axis shards across
+            the mesh devices over ICI via ``shard_map`` (the reference
+            integrates dissipative trajectories serially,
+            ``simulation.py:848-861``).
 
     Returns:
         ``(n_traj, n_eval, dim, dim)`` complex density matrices.
@@ -1065,6 +1072,31 @@ def mesolve_rk4_batched(
     # stays well under the runtime watchdog (density matrices are
     # dim^2-heavy, so the budget is tighter than the MCWF one)
     batch = max(1, min(n_traj, 262144 // max(1, n_steps_tot)))
+    n_dev = _mesh_size(mesh) if n_traj > 1 else 1
+    if n_dev > 1:
+        batch = -(-batch // n_dev) * n_dev  # round up to a multiple
+
+    def run_scan(ar, ai, de, dg):
+        return _mesolve_scan_batched(
+            rho2_0,
+            ar,
+            ai,
+            de,
+            dts,
+            int_w,
+            dg,
+            cdc_pair,
+            lrl_coef_arr,
+            diag_mask_pair,
+            pairs=pairs,
+            d=d,
+            n=n,
+            has_int_w=False,
+            lrl_idx=tuple(lrl_idx),
+            has_cops=has_cops,
+            has_diag_mask=has_diag_mask,
+        )
+
     outs = []
     for lo in range(0, n_traj, batch):
         take = slice(lo, min(lo + batch, n_traj))
@@ -1078,27 +1110,25 @@ def mesolve_rk4_batched(
                 [part, jnp.repeat(part[-1:], pad, axis=0)]
             )
 
-        ys = _mesolve_scan_batched(
-            rho2_0,
-            pad_b(amp_re),
-            pad_b(amp_im),
-            pad_b(det),
-            dts,
-            int_w,
-            pad_b(diag_b),
-            cdc_pair,
-            lrl_coef_arr,
-            diag_mask_pair,
-            pairs=pairs,
-            d=d,
-            n=n,
-            has_int_w=False,
-            lrl_idx=tuple(lrl_idx),
-            has_cops=has_cops,
-            has_diag_mask=has_diag_mask,
-        )
+        chunk = (pad_b(amp_re), pad_b(amp_im), pad_b(det), pad_b(diag_b))
+        if n_dev > 1:
+            from pulser_tpu.parallel.trajectories import (
+                trajectory_sharded,
+            )
+
+            ys = trajectory_sharded(mesh, run_scan, chunk)
+        else:
+            ys = run_scan(*chunk)
         ys_np = np.asarray(ys)[: take.stop - take.start]
         outs.append(ys_np)
+    last_solve_info.update(
+        kind="mesolve_batched",
+        dim=d**n,
+        n=n,
+        n_steps=n_steps_tot,
+        n_traj=n_traj,
+        n_cops=len(collapse_ops),
+    )
     out = np.concatenate(outs)[:, base.eval_map]
     return (out[:, :, 0] + 1j * out[:, :, 1]).astype(cdtype)
 
@@ -1329,12 +1359,18 @@ def mcsolve_rk4_batched(
     collapse_ops: list[np.ndarray],
     seeds: list[int],
     dtype: Any = None,
+    mesh: Any = None,
 ) -> np.ndarray:
     """One MCWF realization per noise trajectory, batched on-device.
 
     Per-trajectory seeds reproduce the serial path's draws exactly
     (trajectory i uses ``split(PRNGKey(seeds[i]), 1)[0]``, the same key
     the serial solver would use), so batched == serial.
+
+    Args:
+        mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"); shards
+            each bounded call's trajectory axis over ICI (see
+            :func:`mesolve_rk4_batched`).
 
     Returns:
         ``(n_traj, n_eval, 2, dim)``-derived complex pure states,
@@ -1415,6 +1451,31 @@ def mcsolve_rk4_batched(
     # Statevector trajectories are cheap per step; a large budget puts
     # a typical noise batch in ONE device call (fewer dispatches)
     batch = max(1, min(n_traj, 2097152 // max(1, n_steps_tot)))
+    n_dev = _mesh_size(mesh) if n_traj > 1 else 1
+    if n_dev > 1:
+        batch = -(-batch // n_dev) * n_dev  # round up to a multiple
+
+    def run_scan(ar, ai, de, dg, ks):
+        return _mcwf_scan_batched(
+            psi2_0,
+            ar,
+            ai,
+            de,
+            dts,
+            int_w,
+            dg,
+            c_re_arr,
+            c_im_arr,
+            g_re_stack,
+            g_im_stack,
+            ks,
+            pairs=pairs,
+            d=d,
+            n=n,
+            has_int_w=False,
+            n_cops=len(collapse_ops),
+        )
+
     outs = []
     for lo in range(0, n_traj, batch):
         take = slice(lo, min(lo + batch, n_traj))
@@ -1428,26 +1489,30 @@ def mcsolve_rk4_batched(
                 [part, jnp.repeat(part[-1:], pad, axis=0)]
             )
 
-        ys = _mcwf_scan_batched(
-            psi2_0,
+        chunk = (
             pad_b(amp_re),
             pad_b(amp_im),
             pad_b(det),
-            dts,
-            int_w,
             pad_b(diag_b),
-            c_re_arr,
-            c_im_arr,
-            g_re_stack,
-            g_im_stack,
             pad_b(keys),
-            pairs=pairs,
-            d=d,
-            n=n,
-            has_int_w=False,
-            n_cops=len(collapse_ops),
         )
+        if n_dev > 1:
+            from pulser_tpu.parallel.trajectories import (
+                trajectory_sharded,
+            )
+
+            ys = trajectory_sharded(mesh, run_scan, chunk)
+        else:
+            ys = run_scan(*chunk)
         outs.append(np.asarray(ys)[: take.stop - take.start])
+    last_solve_info.update(
+        kind="mcwf_batched",
+        dim=d**n,
+        n=n,
+        n_steps=n_steps_tot,
+        n_traj=n_traj,
+        n_cops=len(collapse_ops),
+    )
     out = np.concatenate(outs)[:, base.eval_map]
     return (out[:, :, 0] + 1j * out[:, :, 1]).astype(cdtype)
 
@@ -2413,23 +2478,37 @@ def _sesolve_rk4_pallas(
     eval_cum = (-plan.eval_det_cum[:, 0, :]) % two_pi
     n_seg, seg_len = plan.seg_dts.shape
     f32 = np.float32
-    out = ip_sesolve_pallas(
-        jnp.asarray(a.real, f32),
-        jnp.asarray(a.imag, f32),
-        jnp.asarray(cum, f32),
-        jnp.asarray(t_st, f32),
-        jnp.asarray(plan.seg_dts, f32).reshape(n_seg, seg_len, 1),
-        jnp.asarray(eval_t, f32).reshape(n_seg, 1, 1),
-        jnp.asarray(eval_cum, f32).reshape(n_seg, 1, n),
-        jnp.asarray(
-            np.asarray(static_diag).real.reshape(1, rows, cols), f32
+    # All dtype conversions and reshapes happen in HOST numpy: every
+    # device-side convert/reshape outside jit is its own tiny XLA
+    # compile (~0.4 s each through a tunneled backend) and they add up
+    # to seconds of cold-start overhead.
+    host = [
+        np.asarray(a.real, f32),
+        np.asarray(a.imag, f32),
+        np.asarray(cum, f32),
+        np.asarray(t_st, f32),
+        np.asarray(plan.seg_dts, f32).reshape(n_seg, seg_len, 1),
+        np.asarray(eval_t, f32).reshape(n_seg, 1, 1),
+        np.asarray(eval_cum, f32).reshape(n_seg, 1, n),
+        np.asarray(np.asarray(static_diag).real, f32).reshape(
+            1, rows, cols
         ),
-        jnp.asarray(psi0_np.real.reshape(rows, cols), f32),
-        jnp.asarray(psi0_np.imag.reshape(rows, cols), f32),
+        np.asarray(psi0_np.real, f32).reshape(rows, cols),
+        np.asarray(psi0_np.imag, f32).reshape(rows, cols),
+    ]
+    out = ip_sesolve_pallas(
+        *(jnp.asarray(h) for h in host),
         n_row=n_row,
         n_col=n_col,
         seg_len=seg_len,
         interpret=interpret,
+    )
+    last_solve_info.update(
+        kind="ip_sesolve_pallas",
+        rows=rows,
+        cols=cols,
+        n_steps=int(np.count_nonzero(plan.seg_dts)),
+        n=n,
     )
     out_np = np.asarray(out)[plan.eval_map]
     flat = out_np.reshape(len(plan.eval_map), 2, rows * cols)
@@ -2456,6 +2535,7 @@ def _sesolve_batched_pallas(
     rows, cols = 1 << n_row, 1 << n_col
     two_pi = 2 * np.pi
     n_traj = len(plans)
+    base = plans[0]
     spt, seg_len = base.seg_dts.shape
 
     a = np.concatenate(
@@ -2474,22 +2554,23 @@ def _sesolve_batched_pallas(
     )
     n_flat = n_traj * spt
     f32 = np.float32
-    out = ip_sesolve_pallas(
-        jnp.asarray(a.real, f32),
-        jnp.asarray(a.imag, f32),
-        jnp.asarray(cum, f32),
-        jnp.asarray(t_st, f32),
-        jnp.asarray(dts, f32).reshape(n_flat, seg_len, 1),
-        jnp.asarray(eval_t, f32).reshape(n_flat, 1, 1),
-        jnp.asarray(eval_cum, f32).reshape(n_flat, 1, n),
-        jnp.asarray(
-            np.asarray(static_diags).real.reshape(
-                n_traj, rows, cols
-            ),
-            f32,
+    # Host-side conversions/reshapes only — see _sesolve_rk4_pallas
+    host = [
+        np.asarray(a.real, f32),
+        np.asarray(a.imag, f32),
+        np.asarray(cum, f32),
+        np.asarray(t_st, f32),
+        np.asarray(dts, f32).reshape(n_flat, seg_len, 1),
+        np.asarray(eval_t, f32).reshape(n_flat, 1, 1),
+        np.asarray(eval_cum, f32).reshape(n_flat, 1, n),
+        np.asarray(np.asarray(static_diags).real, f32).reshape(
+            n_traj, rows, cols
         ),
-        jnp.asarray(psi0_np.real.reshape(rows, cols), f32),
-        jnp.asarray(psi0_np.imag.reshape(rows, cols), f32),
+        np.asarray(psi0_np.real, f32).reshape(rows, cols),
+        np.asarray(psi0_np.imag, f32).reshape(rows, cols),
+    ]
+    out = ip_sesolve_pallas(
+        *(jnp.asarray(h) for h in host),
         n_row=n_row,
         n_col=n_col,
         seg_len=seg_len,

@@ -145,6 +145,48 @@ def sesolve_ip_states_sharded(
     )
 
 
+def trajectory_sharded(
+    mesh: Mesh,
+    local_fn,
+    per_traj: tuple[jax.Array, ...],
+    axis_name: str = "traj",
+) -> jax.Array:
+    """Runs a batched solver with its trajectory axis mesh-sharded.
+
+    Generic wrapper used by the dissipative batches (mesolve/MCWF):
+    each array in ``per_traj`` splits its leading (trajectory) axis
+    over the mesh's ``axis_name``; ``local_fn`` — which may close over
+    replicated arrays (initial state, step grid, collapse algebra) —
+    runs on every chip over its local shard, and the stacked states
+    come back sharded over the same axis with zero collectives in the
+    hot loop (the evolution is embarrassingly parallel).
+
+    Args:
+        mesh: 1D device mesh over ``axis_name``.
+        local_fn: Callable taking ``len(per_traj)`` local shards and
+            returning a leading-axis-batched result.
+        per_traj: Per-trajectory arrays; leading axes must all be
+            divisible by the mesh size.
+
+    Returns:
+        The batched result, gathered over the trajectory axis.
+    """
+    n_traj = per_traj[0].shape[0]
+    n_dev = mesh.shape[axis_name]
+    assert n_traj % n_dev == 0, (
+        f"trajectory count ({n_traj}) must divide evenly over the"
+        f" '{axis_name}' mesh axis ({n_dev})"
+    )
+    sharded = shard_map(
+        lambda *shards: local_fn(*shards),
+        mesh=mesh,
+        in_specs=(P(axis_name),) * len(per_traj),
+        out_specs=P(axis_name),
+        check_rep=False,
+    )
+    return jax.jit(sharded)(*per_traj)
+
+
 def _sesolve_scan_batched(
     psi2_0: jax.Array,
     amp_re_stages: jax.Array,

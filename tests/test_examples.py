@@ -50,3 +50,20 @@ def test_xy_spin_exchange_example():
 def test_afm_state_prep_example():
     out = _run("afm_state_prep.py", timeout=900)
     assert "checkerboard" in out.lower() or len(out) > 0
+
+
+def test_slm_mask_dmm_example():
+    out = _run("slm_mask_dmm.py")
+    assert "OK slm+dmm walkthrough complete" in out
+    ratio = float(
+        out.rsplit("q1/q0 DMM detuning ratio:", 1)[1].split()[0]
+    )
+    assert abs(ratio - 0.5) < 1e-9
+
+
+def test_parametrized_sequences_example():
+    out = _run("parametrized_sequences.py")
+    assert "OK parametrized-sequence walkthrough complete" in out
+    assert "round trip: OK" in out
+    err = float(out.rsplit("max |P - sin^2(theta/2)|:", 1)[1].split()[0])
+    assert err < 1e-3
