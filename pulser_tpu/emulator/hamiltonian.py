@@ -20,7 +20,6 @@ API, returning dense :class:`~pulser_tpu.emulator.qobj.Qobj` instances.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Union, cast
 
 import numpy as np

@@ -16,7 +16,7 @@ import math
 import warnings
 from dataclasses import MISSING, fields, make_dataclass
 from dataclasses import field as _dc_field
-from typing import Any, Tuple, Type, TypeVar, Union, cast
+from typing import Any, Tuple, Type, TypeVar, cast
 
 import numpy as np
 

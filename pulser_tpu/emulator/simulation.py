@@ -837,7 +837,12 @@ class TpuEmulator:
             # Beyond the single-chip HBM threshold, the 2^N axis
             # itself shards over the mesh (SURVEY §5).
             state_mesh = None
-            if ip_occ is not None and d == 2:
+            xy_shardable = (
+                hamiltonian.xy_mat is not None
+                and np.asarray(hamiltonian.xy_mat).shape[0] == 1
+                and hamiltonian.int_w is None
+            )
+            if d == 2 and (ip_occ is not None or xy_shardable):
                 from pulser_tpu.parallel.state_sharding import (
                     default_state_mesh,
                     state_shard_min_qubits,

@@ -72,3 +72,12 @@ class AbstractReprError(PulserError):
 
 class DeserializeDeviceError(PulserError):
     """Error raised when deserializing a device fails."""
+
+
+class SchemaValidationError(AbstractReprError):
+    """The serialized payload does not respect its JSON schema.
+
+    Distinguished from other abstract-repr errors so callers can wrap
+    build-time schema failures of parametrized sequences (reference
+    ``sequence.py:1906-1915`` wraps only validation errors).
+    """

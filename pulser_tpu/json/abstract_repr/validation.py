@@ -14,7 +14,10 @@ import json
 from pathlib import Path
 from typing import Any
 
-from pulser_tpu.exceptions.serialization import AbstractReprError
+from pulser_tpu.exceptions.serialization import (
+    AbstractReprError,
+    SchemaValidationError,
+)
 from pulser_tpu.json.utils import ObjectType, get_filename
 
 SCHEMAS_PATH = Path(__file__).parent / "schemas"
@@ -99,7 +102,7 @@ def validate_abstract_repr(obj_str: str, name: ObjectType) -> None:
         try:
             validator(obj)
         except Exception as e:
-            raise AbstractReprError(
+            raise SchemaValidationError(
                 f"The serialized {name} does not respect its JSON schema: "
                 f"{e}"
             ) from e

@@ -10,7 +10,6 @@ sequence build), it is carried through untouched so gradients flow.
 
 from __future__ import annotations
 
-import functools
 import operator
 from typing import Any, Union
 

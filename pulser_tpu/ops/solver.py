@@ -592,6 +592,31 @@ def sesolve_rk4(
             state_mesh,
             dtype=cdtype,
         )
+    # XY mode with a static coupling matrix also shards: the
+    # flip-flop term rides XOR-partner ppermutes (see state_sharding)
+    if (
+        state_mesh is not None
+        and d == 2
+        and xy_static is not None
+        and np.asarray(xy_static).shape[0] == 1
+        and not has_int_w
+        and xy_indices is not None
+    ):
+        from pulser_tpu.parallel.state_sharding import (
+            xy_sesolve_statevector_sharded,
+        )
+
+        return xy_sesolve_statevector_sharded(
+            psi0_np,
+            plan,
+            static_diag,
+            np.asarray(xy_static)[0],
+            pairs,
+            n,
+            state_mesh,
+            xy_indices,
+            dtype=cdtype,
+        )
     # The fused Pallas kernel covers the flagship configuration:
     # qubits (d=2), a single drive basis, interaction picture, state
     # large enough to tile the TPU's lanes and small enough for VMEM

@@ -43,6 +43,7 @@ from jax.experimental.shard_map import shard_map
 
 from pulser_tpu.ops.apply import (
     _group_matrix,
+    apply_axis_r,
     apply_block_c,
     build_drive_matrices,
     group_sizes,
@@ -395,3 +396,299 @@ def _sesolve_ip_statevector_sharded_jit(
         eval_cum_mod,
         diag,
     )
+
+
+def xy_sesolve_statevector_sharded(
+    psi0: np.ndarray,
+    plan: Any,
+    static_diag: np.ndarray,
+    xy_mat: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    n: int,
+    mesh: Mesh,
+    xy_indices: tuple[int, int],
+    dtype: Any = None,
+    axis_name: str = "state",
+) -> np.ndarray:
+    """XY-mode sesolve with the statevector sharded over the mesh.
+
+    Extends the sharded evolution beyond the interaction picture to
+    the XY (dipole-dipole) Hamiltonian (reference
+    ``hamiltonian.py:276-331``): the static ``(N, N)`` flip-flop
+    coupling is applied with the lower-mix-raise strategy of
+    :func:`pulser_tpu.ops.apply.apply_flip_flop_r`, where lowering or
+    raising a SHARDED qubit becomes one XOR-partner ``ppermute`` of
+    the local block plus a per-device digit mask. Matches
+    ``_sesolve_scan``'s direct (non-interaction-picture) RK4
+    numerically.
+
+    Args:
+        psi0: ``(2**n,)`` complex initial state (host numpy).
+        plan: :func:`build_plan` result with ``amp`` and ``det``
+            stage arrays.
+        static_diag: ``(2**n,)`` static diagonal (the XY mode's
+            Rydberg-stacking term).
+        xy_mat: ``(n, n)`` real symmetric flip-flop couplings.
+        pairs: Per-basis ``(i, j, k)`` drive triples (qubits only).
+        n: The qubit count.
+        mesh: 1D power-of-two mesh over ``axis_name``.
+        xy_indices: ``(up_idx, down_idx)`` eigenbasis indices.
+
+    Returns:
+        ``(n_eval, 2**n)`` complex states at the evaluation times.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    k = int(n_dev).bit_length() - 1
+    if 2**k != n_dev:
+        raise ValueError(
+            f"mesh size must be a power of two, got {n_dev}"
+        )
+    if k >= n:
+        raise ValueError(
+            f"cannot shard {n} qubits over {n_dev} devices"
+        )
+
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+
+    def dev(host_np: np.ndarray) -> jax.Array:
+        return jnp.asarray(np.asarray(host_np, dtype=rdtype))
+
+    amp_np = plan.seg_stage("amp")
+    out = _xy_sesolve_statevector_sharded_jit(
+        dev(np.stack([psi0_np.real, psi0_np.imag])),
+        dev(amp_np.real),
+        dev(amp_np.imag),
+        dev(plan.seg_stage("det").real),
+        dev(plan.seg_dts),
+        dev(np.asarray(static_diag).real),
+        dev(np.asarray(xy_mat).real),
+        mesh=mesh,
+        pairs=pairs,
+        n=n,
+        k=k,
+        xy_indices=xy_indices,
+        axis_name=axis_name,
+    )
+    out_np = np.asarray(out)[plan.eval_map]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "pairs",
+        "n",
+        "k",
+        "xy_indices",
+        "axis_name",
+    ),
+)
+def _xy_sesolve_statevector_sharded_jit(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det: jax.Array,
+    dts: jax.Array,
+    diag: jax.Array,
+    xy_mat: jax.Array,
+    *,
+    mesh: Mesh,
+    pairs: tuple[tuple[int, int, int], ...],
+    n: int,
+    k: int,
+    xy_indices: tuple[int, int],
+    axis_name: str,
+) -> jax.Array:
+    """The compiled sharded XY scan (cached across calls)."""
+    d = 2
+    n_dev = 2**k
+    n_local = n - k
+    rdtype = psi2_0.dtype
+    groups = group_sizes(d, n_local)
+    nb = len(pairs)
+    up_idx, down_idx = xy_indices
+
+    def local_work(
+        psi2_loc,  # (2, dim_local)
+        amp_re,  # (n_seg, L, 3, nb, n) replicated
+        amp_im,
+        det,  # (n_seg, L, 3, nb, n)
+        dts,  # (n_seg, L)
+        diag_loc,  # (dim_local,)
+    ):
+        s_dev = jax.lax.axis_index(axis_name)
+        glob_hi = s_dev.astype(jnp.int32)
+        digits = [
+            ((glob_hi >> (k - 1 - q)) & 1).astype(rdtype)
+            for q in range(k)
+        ]
+
+        sigma_du = (
+            jnp.zeros((d, d), dtype=rdtype)
+            .at[down_idx, up_idx]
+            .set(1.0)
+        )
+        sigma_ud = (
+            jnp.zeros((d, d), dtype=rdtype)
+            .at[up_idx, down_idx]
+            .set(1.0)
+        )
+
+        def flip_flop(psi2):
+            # lower every qubit, mix with U on the MXU, raise back.
+            # Sharded qubits lower/raise through one XOR ppermute plus
+            # a digit mask (sigma_du moves the partner block onto the
+            # 'down' devices; sigma_ud back onto the 'up' devices).
+            out_c = []
+            for c in range(2):
+                rows = []
+                for q in range(k):
+                    w_p = jax.lax.ppermute(
+                        psi2[c], axis_name, _xor_perm(n_dev, k - 1 - q)
+                    )
+                    mask = (
+                        digits[q] == jnp.asarray(down_idx, rdtype)
+                    ).astype(rdtype)
+                    rows.append(mask * w_p)
+                for q in range(n_local):
+                    rows.append(
+                        apply_axis_r(
+                            sigma_du, psi2[c], q, d, n_local
+                        )
+                    )
+                low = jnp.stack(rows)  # (n, dim_local)
+                mixed = jnp.einsum(
+                    "ij,jD->iD",
+                    xy_mat,
+                    low,
+                    preferred_element_type=rdtype,
+                    precision="highest",
+                )
+                acc = jnp.zeros_like(psi2[c])
+                for q in range(k):
+                    v_p = jax.lax.ppermute(
+                        mixed[q],
+                        axis_name,
+                        _xor_perm(n_dev, k - 1 - q),
+                    )
+                    mask = (
+                        digits[q] == jnp.asarray(up_idx, rdtype)
+                    ).astype(rdtype)
+                    acc = acc + mask * v_p
+                for q in range(n_local):
+                    acc = acc + apply_axis_r(
+                        sigma_ud, mixed[k + q], q, d, n_local
+                    )
+                out_c.append(acc)
+            return jnp.stack(out_c)
+
+        def h_apply(psi2, ar_s, ai_s, det_s):
+            out = diag_loc * psi2
+            # (a) local-qubit drives (incl. their detuning diagonal)
+            m_re, m_im = build_drive_matrices(
+                ar_s[:, k:],
+                ai_s[:, k:],
+                det_s[:, k:],
+                pairs,
+                d,
+                n_local,
+            )
+            q0 = 0
+            for g in groups:
+                g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+                out = out + apply_block_c(
+                    g_re,
+                    g_im,
+                    psi2,
+                    d**q0,
+                    d**g,
+                    d ** (n_local - q0 - g),
+                )
+                q0 += g
+            # (b) sharded-qubit drives: off-diagonal via ppermute,
+            # detuning projector via the device digit
+            for q in range(k):
+                w_p = jax.lax.ppermute(
+                    psi2, axis_name, _xor_perm(n_dev, k - 1 - q)
+                )
+                cr = jnp.zeros((), dtype=rdtype)
+                ci = jnp.zeros((), dtype=rdtype)
+                det_diag = jnp.zeros((), dtype=rdtype)
+                for b, (i, _, kp) in enumerate(pairs):
+                    sgn = jnp.where(
+                        digits[q] == jnp.asarray(i, dtype=rdtype),
+                        jnp.asarray(1.0, dtype=rdtype),
+                        jnp.asarray(-1.0, dtype=rdtype),
+                    )
+                    cr = cr + ar_s[b, q]
+                    ci = ci + sgn * ai_s[b, q]
+                    occ = (
+                        digits[q] == jnp.asarray(kp, dtype=rdtype)
+                    ).astype(rdtype)
+                    det_diag = det_diag - det_s[b, q] * occ
+                out = out + jnp.stack(
+                    [
+                        cr * w_p[0] - ci * w_p[1],
+                        ci * w_p[0] + cr * w_p[1],
+                    ]
+                )
+                out = out + det_diag * psi2
+            # (c) the XY flip-flop coupling
+            out = out + flip_flop(psi2)
+            return out
+
+        rk_stage = jnp.asarray([0, 1, 1, 2])
+        rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+        rk_b = jnp.asarray(
+            [1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype
+        )
+
+        def step(psi, xs):
+            ar_st, ai_st, det_st, h = xs
+
+            def stage_body(stage_carry, i):
+                k_prev, acc = stage_carry
+                s = rk_stage[i]
+                kk = neg_i(
+                    h_apply(
+                        psi + (h * rk_a[i]) * k_prev,
+                        ar_st[s],
+                        ai_st[s],
+                        det_st[s],
+                    )
+                )
+                return (kk, acc + rk_b[i] * kk), None
+
+            zeros = jnp.zeros_like(psi)
+            (_, acc), _ = jax.lax.scan(
+                stage_body, (zeros, zeros), jnp.arange(4)
+            )
+            return psi + h * acc, None
+
+        def segment(psi, seg_xs):
+            psi, _ = jax.lax.scan(step, psi, seg_xs)
+            return psi, psi
+
+        _, ys = jax.lax.scan(
+            segment, psi2_loc, (amp_re, amp_im, det, dts)
+        )
+        return ys  # (n_seg, 2, dim_local)
+
+    sharded = shard_map(
+        local_work,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),  # psi2_0
+            P(),  # amp_re
+            P(),  # amp_im
+            P(),  # det
+            P(),  # dts
+            P(axis_name),  # diag
+        ),
+        out_specs=P(None, None, axis_name),
+        check_rep=False,
+    )
+    return sharded(psi2_0, amp_re, amp_im, det, dts, diag)

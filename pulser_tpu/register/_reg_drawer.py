@@ -16,8 +16,7 @@ import numpy as np
 if TYPE_CHECKING:
     from matplotlib.axes import Axes
 
-    from pulser_tpu.register.base_register import QubitId
-
+    
 
 class RegDrawer:
     """Mixin providing register drawing capabilities."""

@@ -12,7 +12,6 @@ from typing import TYPE_CHECKING, Any, cast
 
 import numpy as np
 
-import pulser_tpu
 import pulser_tpu.register._patterns as patterns
 from pulser_tpu.json.utils import obj_to_dict
 from pulser_tpu.register.register_layout import RegisterLayout

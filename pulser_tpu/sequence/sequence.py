@@ -1532,6 +1532,10 @@ class Sequence(Generic[DeviceType]):
             serialize_abstract_sequence,
         )
 
+        from pulser_tpu.exceptions.serialization import (
+            SchemaValidationError,
+        )
+
         try:
             return serialize_abstract_sequence(
                 self,
@@ -1541,9 +1545,10 @@ class Sequence(Generic[DeviceType]):
                 metadata=_get_metadata(),
                 **defaults,
             )
-        except AbstractReprError:
-            raise
-        except Exception as e:
+        except SchemaValidationError as e:
+            # Only schema-validation failures hint at build-time-only
+            # errors in a parametrized sequence; everything else (e.g.
+            # invalid 'defaults') surfaces as-is.
             if self.is_parametrized():
                 raise AbstractReprError(
                     "The serialization of the parametrized sequence"
@@ -1553,6 +1558,7 @@ class Sequence(Generic[DeviceType]):
                     " providing the `defaults` to"
                     " `Sequence.to_abstract_repr()`."
                 ) from e
+            raise
             raise e
 
     @staticmethod

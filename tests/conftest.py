@@ -23,7 +23,6 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
-import pulser_tpu
 from pulser_tpu.channels import DMM, Raman, Rydberg
 from pulser_tpu.channels.eom import RydbergBeam, RydbergEOM
 from pulser_tpu.devices import Device
@@ -53,9 +52,9 @@ def mod_device() -> Device:
                 eom_config=RydbergEOM(
                     mod_bandwidth=30.0,
                     limiting_beam=RydbergBeam.RED,
-                    max_limiting_amp=100 * 2 * np.pi,
-                    intermediate_detuning=700 * 2 * np.pi,
-                    controlled_beams=tuple(RydbergBeam),
+                    max_limiting_amp=50 * 2 * np.pi,
+                    intermediate_detuning=800 * 2 * np.pi,
+                    controlled_beams=(RydbergBeam.BLUE,),
                 ),
             ),
             Rydberg.Local(
@@ -66,6 +65,13 @@ def mod_device() -> Device:
                 clock_period=4,
                 mod_bandwidth=4.0,
                 min_retarget_interval=220,
+                eom_config=RydbergEOM(
+                    mod_bandwidth=20.0,
+                    limiting_beam=RydbergBeam.RED,
+                    max_limiting_amp=60 * 2 * np.pi,
+                    intermediate_detuning=700 * 2 * np.pi,
+                    controlled_beams=tuple(RydbergBeam),
+                ),
             ),
             Raman.Local(
                 2 * np.pi * 20,

@@ -13,7 +13,6 @@ from collections import Counter
 import numpy as np
 import pytest
 
-import pulser_tpu as tpu
 from pulser_tpu.backend.config import EmulationConfig
 from pulser_tpu.backend.default_observables import (
     BitStrings,
@@ -21,7 +20,6 @@ from pulser_tpu.backend.default_observables import (
     Energy,
     Expectation,
     Occupation,
-    StateResult,
 )
 from pulser_tpu.backend.results import Results
 from pulser_tpu.emulator import TpuOperator, TpuState

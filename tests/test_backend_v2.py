@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 import pulser_tpu as tpu
 from pulser_tpu.backend.default_observables import (

@@ -17,7 +17,7 @@ from pulser_tpu.channels.base_channel import EIGENSTATES, STATES_RANK
 from pulser_tpu.channels.eom import RydbergBeam, RydbergEOM
 from pulser_tpu.devices import AnalogDevice, MockDevice
 from pulser_tpu.pulse import Pulse
-from pulser_tpu.waveforms import BlackmanWaveform, ConstantWaveform
+from pulser_tpu.waveforms import BlackmanWaveform
 
 
 class TestChannelValidation:

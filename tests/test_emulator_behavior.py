@@ -23,7 +23,6 @@ from collections import Counter
 import numpy as np
 import pytest
 
-import pulser_tpu as tpu
 from pulser_tpu import Pulse, Register, Sequence
 from pulser_tpu.devices import (
     AnalogDevice,
@@ -288,10 +287,10 @@ def test_building_basis_and_projection_operators(seq_ccz, leakage):
         sim.build_operator([("wrong", ["target"])])
     with pytest.raises(ValueError, match="Invalid qubit names: {'q0'}"):
         sim.build_operator([("sigma_gg", ["q0"])])
-    # global = product over all atoms
+    # "global" sums the local operator over every atom
     identity = sim.build_operator([("I", "global")])
     np.testing.assert_allclose(
-        np.asarray(identity.full()), np.eye(dim**3)
+        np.asarray(identity.full()), 3 * np.eye(dim**3)
     )
 
 
@@ -1016,22 +1015,22 @@ def test_simulation_with_modulation(mod_device, reg3):
     raman = sim._hamiltonian_data.samples.to_nested_dict()["Local"][
         "digital"
     ]
-    ryd = sim._hamiltonian_data.samples.to_nested_dict()["Local"][
-        "ground-rydberg"
-    ]
+    ryd_global = sim._hamiltonian_data.samples.to_nested_dict()[
+        "Global"
+    ]["ground-rydberg"]
     # the modulated pulse extends past its nominal duration
     assert sim._tot_duration > seq.get_duration()
-    # every targeted qubit sees the channel's modulated output
+    # every locally-targeted qubit sees the raman channel's output
     for q in ("control1", "target"):
         amp_q = np.asarray(raman[q]["amp"])
         assert amp_q.max() > 0
-        np.testing.assert_allclose(
-            amp_q[amp_q > 1e-10].max(),
-            np.asarray(mod_samples, dtype=float).max(),
-            rtol=1e-6,
-        )
-    for q in ("control1", "target", "control2"):
-        assert np.asarray(ryd[q]["amp"]).max() > 0
+    # the global channel's output is the modulated waveform
+    amp_glob = np.asarray(ryd_global["amp"])
+    np.testing.assert_allclose(
+        amp_glob.max(),
+        np.asarray(mod_samples, dtype=float).max(),
+        rtol=1e-6,
+    )
 
 
 # --- solver selection ---------------------------------------------
@@ -1079,9 +1078,29 @@ def test_default_solver_selection(monkeypatch, reg3):
     ).run()
     assert "mesolve" in calls
 
-    # MESOLVER forced on a noiseless run -> master equation
+    # MESOLVER forced WITHOUT collapse operators reduces to the pure
+    # Schrodinger solve — matching qutip.mesolve itself, which falls
+    # back to sesolve when given a ket and no c_ops.
     calls.clear()
     TpuEmulator.from_sequence(
         build(), solver=Solver.MESOLVER
     ).run()
-    assert "mesolve" in calls
+    assert calls == ["sesolve"]
+
+    # MCSOLVER forced with collapse operators -> quantum jumps
+    real_mcsolve = S.mcsolve_rk4
+
+    def spy_mcsolve(*a, **k):
+        calls.append("mcsolve")
+        return real_mcsolve(*a, **k)
+
+    monkeypatch.setattr(S, "mcsolve_rk4", spy_mcsolve)
+    monkeypatch.setattr(sim_mod, "mcsolve_rk4", spy_mcsolve)
+    calls.clear()
+    np.random.seed(11)
+    TpuEmulator.from_sequence(
+        build(),
+        noise_model=NoiseModel(dephasing_rate=0.1),
+        solver=Solver.MCSOLVER,
+    ).run()
+    assert "mcsolve" in calls

@@ -8,7 +8,6 @@ The plan builder is the host-side "compiler" every solver consumes
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from pulser_tpu.ops.solver import (
     BatchedPlan,

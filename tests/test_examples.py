@@ -67,3 +67,14 @@ def test_parametrized_sequences_example():
     assert "round trip: OK" in out
     err = float(out.rsplit("max |P - sin^2(theta/2)|:", 1)[1].split()[0])
     assert err < 1e-3
+
+
+def test_static_quality_gate():
+    """tools/check.py must pass clean (the in-image lint gate)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr

@@ -8,7 +8,6 @@ effective-noise operator rules, relevant-params logic, summaries).
 from __future__ import annotations
 
 import re
-import warnings
 
 import numpy as np
 import pytest

@@ -484,3 +484,110 @@ def test_emulator_mesolve_batched_sharded_matches_serial(
     np.testing.assert_allclose(e_sharded, e_serial, atol=1e-9)
     for r_sh, r_se in zip(res_sharded.results, res_serial.results):
         assert r_sh == r_se
+
+
+def test_xy_statevector_sharded_matches_single_device():
+    """12-qubit XY-mode distributed statevector == single-chip solve.
+
+    The flip-flop coupling (reference hamiltonian.py:276-331) rides
+    XOR-partner ppermutes for the 3 sharded qubits; drives, detuning
+    projectors and the stacking diagonal follow _sesolve_scan exactly.
+    """
+    from jax.sharding import Mesh
+    from pulser_tpu.ops.solver import sesolve_rk4
+
+    n = 12
+    xy_pairs = ((0, 1, 1),)  # u<->d drive, detuning projector on d
+    rng = np.random.default_rng(8)
+    n_knots = 9
+    t_end = 0.2
+    knots = np.linspace(0.0, t_end, n_knots)
+    eval_times = np.array([0.0, t_end / 2, t_end])
+    amp = rng.uniform(2, 6, size=(1, n, n_knots)) * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, size=(1, n, 1))
+    )
+    det = rng.normal(0, 3, size=(1, n, n_knots))
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, eval_times, max_step=1e-3
+    )
+    # symmetric zero-diagonal flip-flop couplings + stacking diagonal
+    u = rng.normal(0, 2, size=(n, n))
+    u = (u + u.T) / 2
+    np.fill_diagonal(u, 0.0)
+    xy_static = u[None]
+    diag = rng.uniform(0, 10, size=2**n)
+    psi0 = np.zeros(2**n, complex)
+    psi0[0] = 1.0
+
+    ref = sesolve_rk4(
+        psi0,
+        plan,
+        diag,
+        xy_pairs,
+        2,
+        n,
+        xy_static=xy_static,
+        xy_indices=(0, 1),
+        dtype=np.complex128,
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    shd = sesolve_rk4(
+        psi0,
+        plan,
+        diag,
+        xy_pairs,
+        2,
+        n,
+        xy_static=xy_static,
+        xy_indices=(0, 1),
+        dtype=np.complex128,
+        state_mesh=mesh,
+    )
+    assert shd.shape == ref.shape == (3, 2**n)
+    np.testing.assert_allclose(shd, ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(shd[-1]), 1.0, atol=1e-8
+    )
+
+
+def test_emulator_xy_uses_statevector_sharding(monkeypatch):
+    """XY emulation routes through the sharded path and matches."""
+    from pulser_tpu.parallel import state_sharding
+
+    reg = tpu.Register.square(2, spacing=8.0, prefix="q")
+
+    def mk():
+        seq = tpu.Sequence(reg, tpu.devices.MockDevice)
+        seq.declare_channel("mw", "mw_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(250, 2 * np.pi, 1.0, 0.2), "mw"
+        )
+        return seq
+
+    calls = []
+    orig = state_sharding.xy_sesolve_statevector_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        state_sharding, "xy_sesolve_statevector_sharded", spy
+    )
+    monkeypatch.setenv("PULSER_TPU_STATE_SHARD_MIN_QUBITS", "4")
+    psi_sharded = (
+        TpuEmulator.from_sequence(mk())
+        .run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    assert calls, "XY statevector-sharded path was not taken"
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    psi_single = (
+        TpuEmulator.from_sequence(mk())
+        .run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    np.testing.assert_allclose(psi_sharded, psi_single, atol=1e-7)

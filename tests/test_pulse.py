@@ -16,7 +16,6 @@ from pulser_tpu import (
     BlackmanWaveform,
     ConstantWaveform,
     CustomWaveform,
-    InterpolatedWaveform,
     Pulse,
     RampWaveform,
 )

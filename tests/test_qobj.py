@@ -8,7 +8,6 @@ these tests pin its algebra and kind detection.
 from __future__ import annotations
 
 import numpy as np
-import pytest
 
 from pulser_tpu.emulator.qobj import Qobj, basis, qeye, tensor
 

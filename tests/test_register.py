@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-import pulser_tpu as tpu
 from pulser_tpu import Register, Register3D
 from pulser_tpu.devices import DigitalAnalogDevice, MockDevice
 from pulser_tpu.register import RegisterLayout

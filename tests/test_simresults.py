@@ -9,7 +9,6 @@ simresults.py:38-568``).
 
 from __future__ import annotations
 
-from collections import Counter
 
 import numpy as np
 import pytest

@@ -12,7 +12,6 @@ import json
 import numpy as np
 import pytest
 
-import pulser_tpu as tpu
 from pulser_tpu import (
     BlackmanWaveform,
     CompositeWaveform,
