@@ -218,14 +218,35 @@ def cpu_mesolve_traj_seconds(sim) -> float:
         rho_h = h_apply(t, rho.conj().T).conj().T
         return (-1j * (h_rho - rho_h) + mask * rho).reshape(-1)
 
+    # Integrate in slices; past the time cap, extrapolate linearly on
+    # the remaining simulated time (the dynamics' stiffness is roughly
+    # uniform over the ramp, so cost scales with simulated time). One
+    # full 10-atom trajectory at these tolerances costs >20 CPU-min —
+    # the cap keeps the bench's wall-clock bounded while the measured
+    # rate stays the integrator's true steady-state throughput.
+    cap_s = float(os.environ.get("PULSER_TPU_BENCH_CPU_CAP", 600))
+    n_slices = 40
     t0 = time.perf_counter()
     solver = ode(rhs)
     solver.set_integrator(
         "zvode", method="adams", rtol=1e-6, atol=1e-8, nsteps=100000
     )
     solver.set_initial_value(rho0.reshape(-1), 0.0)
-    solver.integrate(tf)
-    assert solver.successful()
+    done = 0.0
+    for i in range(1, n_slices + 1):
+        target = tf * i / n_slices
+        solver.integrate(target)
+        assert solver.successful()
+        done = target
+        if time.perf_counter() - t0 > cap_s and i < n_slices:
+            elapsed = time.perf_counter() - t0
+            est = elapsed * tf / done
+            log(
+                f"CPU mesolve reference capped at {elapsed:.0f}s "
+                f"({100 * done / tf:.0f}% of the evolution); "
+                f"extrapolated total: {est:.0f}s"
+            )
+            return est
     return time.perf_counter() - t0
 
 

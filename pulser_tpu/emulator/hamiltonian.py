@@ -275,22 +275,58 @@ class Hamiltonian:
     ) -> np.ndarray:
         """Builds ``Σ_{i<j} U_ij occ_i occ_j`` as a dense diagonal.
 
+        Works in fixed-size chunks of the ``d**n`` axis so the peak
+        footprint stays at ~``n`` MB regardless of the system size (a
+        materialized ``(n, d**n)`` occupancy table is 6.7 GB at 25
+        qubits), with the pair sum as one ``(n, n) @ (n, chunk)``
+        matmul per chunk.
+
         Args:
             u_mat: (N, N) symmetric couplings.
             state: The occupied eigenstate ('r' for Ising, 'u' for XY).
             skip: Qubits whose pairs are excluded (SLM-masked).
         """
-        occ = self._occupancy_diag(state)
+        d = self.dim
         n = self.n_qudits
-        diag = np.zeros(occ.shape[1])
-        skip_idx = {self._qid_index[q] for q in skip}
-        for i in range(n):
-            for j in range(i + 1, n):
-                if i in skip_idx or j in skip_idx:
-                    continue
-                u = u_mat[i, j]
-                if u:
-                    diag += u * occ[i] * occ[j]
+        dim = d**n
+        idx = self._state_index(state)
+        skip_idx = [self._qid_index[q] for q in skip]
+        u = np.asarray(u_mat, dtype=np.float64).copy()
+        np.fill_diagonal(u, 0.0)
+        u[skip_idx, :] = 0.0
+        u[:, skip_idx] = 0.0
+
+        # Split qubits into the leading n_high (block index) and the
+        # trailing n_low (within-block index). The quadratic form
+        # splits as low-low (block-independent, computed ONCE) +
+        # high-low (a precomputed (n_high, low_dim) cross term dotted
+        # with each block's digit vector) + high-high (a scalar per
+        # block) — total cost O(n^2 * d^n_low + d^n), instead of a
+        # (n, d^n) occupancy table.
+        n_low = min(n, 20)
+        n_high = n - n_low
+        low_dim = d**n_low
+        ar = np.arange(low_dim)
+        shifts_low = d ** (n_low - 1 - np.arange(n_low))
+        b_l = (
+            (ar[None, :] // shifts_low[:, None]) % d == idx
+        ).astype(np.float64)  # (n_low, low_dim)
+        u_ll = u[n_high:, n_high:]
+        u_hl = u[:n_high, n_high:]
+        u_hh = u[:n_high, :n_high]
+        base = 0.5 * np.einsum("qD,qD->D", b_l, u_ll @ b_l)
+        cross = u_hl @ b_l if n_high else None  # (n_high, low_dim)
+
+        if n_high == 0:
+            return base
+        diag = np.empty(dim)
+        shifts_high = d ** (n_high - 1 - np.arange(n_high))
+        for blk in range(d**n_high):
+            h = ((blk // shifts_high) % d == idx).astype(np.float64)
+            const = 0.5 * float(h @ u_hh @ h)
+            diag[blk * low_dim : (blk + 1) * low_dim] = (
+                base + h @ cross + const
+            )
         return diag
 
     def _xy_coupling_matrix(

@@ -831,9 +831,14 @@ class TpuEmulator:
         else:
             # Occupancy masks of the detuning projectors enable the
             # interaction-picture path (exact diagonal rotation).
-            ip_occ = None
-            if hamiltonian.xy_mat is None and hamiltonian.int_w is None:
-                ip_occ = self._make_ip_occ(hamiltonian)
+            # The interaction picture is eligible whenever the
+            # diagonal is static; occupancies are synthesized
+            # in-kernel (no (n_bases, n, dim) host array — at 25
+            # qubits that array alone is 3.4 GB).
+            ip_occ = (
+                hamiltonian.xy_mat is None
+                and hamiltonian.int_w is None
+            ) or None
             # Beyond the single-chip HBM threshold, the 2^N axis
             # itself shards over the mesh (SURVEY §5).
             state_mesh = None
@@ -1143,7 +1148,7 @@ class TpuEmulator:
             first.pairs,
             d,
             n,
-            self._make_ip_occ(first),
+            True,
             dtype=cdtype,
             mesh=default_mesh(),
         )

@@ -655,7 +655,6 @@ def sesolve_rk4(
             dev(plan.eval_times - plan.grid[0]),
             dev((-plan.eval_det_cum) % two_pi),
             diag_static,
-            dev(np.asarray(ip_occ)),
             pairs=pairs,
             d=d,
             n=n,
@@ -716,7 +715,6 @@ def _sesolve_scan_ip(
     eval_t: jax.Array,
     eval_cum_mod: jax.Array,
     diag_static: jax.Array,
-    occ: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -730,6 +728,11 @@ def _sesolve_scan_ip(
     numerically, so RK4's error no longer scales with the (large)
     diagonal energies.
 
+    The projector occupancies are synthesized IN-KERNEL as axis-wise
+    broadcast adds (one ``(d,)`` one-hot per basis/qubit), so no
+    ``(n_bases, n, dim)`` occupancy array ever exists — at 25 qubits
+    that array would be 3.4 GB of HBM read per RK4 stage.
+
     Stage arrays arrive in the segmented ``(n_seg, L, 3, ...)`` layout:
     the outer scan emits the lab-frame state after each segment (one
     append-only write per eval time).
@@ -739,12 +742,17 @@ def _sesolve_scan_ip(
     two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
 
     def phase_at(t_s, cum_s):
-        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0)
-        phi = jnp.mod(diag_static * t_s, two_pi)
-        phi = phi + jnp.einsum(
-            "bq,bqD->D", cum_s, occ, preferred_element_type=rdtype, precision='highest'
-        )
-        return phi
+        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0);
+        # the occupancy sum is built by broadcasting each basis'
+        # one-hot over its qubit axis of the (d,)*n-shaped phase
+        shaped = jnp.mod(diag_static * t_s, two_pi).reshape((d,) * n)
+        for b, (_, _, kp) in enumerate(pairs):
+            onehot = (jnp.arange(d) == kp).astype(rdtype)
+            for q in range(n):
+                shaped = shaped + (cum_s[b, q] * onehot).reshape(
+                    (1,) * q + (d,) + (1,) * (n - 1 - q)
+                )
+        return shaped.reshape(-1)
 
     def amp_apply(psi2, ar_s, ai_s):
         zero_det = jnp.zeros_like(ar_s)
@@ -2338,7 +2346,7 @@ def sesolve_rk4_batched(
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
     n: int,
-    ip_occ: np.ndarray,
+    ip_occ: "np.ndarray | bool",
     dtype: Any = None,
     mesh: Any = None,
 ) -> np.ndarray:
@@ -2359,7 +2367,9 @@ def sesolve_rk4_batched(
         static_diags: ``(T, dim)`` per-trajectory interaction
             diagonals (register noise perturbs positions).
         pairs, d, n: Static Hamiltonian structure.
-        ip_occ: ``(n_bases, n, dim)`` detuning-projector occupancies.
+        ip_occ: Truthy enables the interaction picture (the
+            occupancies are synthesized in-kernel; a legacy
+            ``(n_bases, n, dim)`` array is accepted and ignored).
         dtype: Complex dtype of the evolution.
         mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"). When
             given, the trajectory batch shards across its devices over
@@ -2414,7 +2424,6 @@ def sesolve_rk4_batched(
     )
     eval_cum_mod = jnp.asarray(eval_cum_np, dtype=rdtype)
     diags = jnp.asarray(diags_np, dtype=rdtype)
-    occ = jnp.asarray(np.asarray(ip_occ), dtype=rdtype)
 
     if mesh is not None and n_traj > 1:
         from pulser_tpu.parallel.trajectories import (
@@ -2432,7 +2441,6 @@ def sesolve_rk4_batched(
             eval_t,
             eval_cum_mod,
             diags,
-            occ,
             pairs=pairs,
             d=d,
             n=n,
@@ -2449,7 +2457,6 @@ def sesolve_rk4_batched(
                 eval_t,
                 ec,
                 dg,
-                occ,
                 pairs=pairs,
                 d=d,
                 n=n,

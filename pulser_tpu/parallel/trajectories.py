@@ -80,7 +80,6 @@ def sesolve_ip_states_sharded(
     eval_t: jax.Array,
     eval_cum_mod: jax.Array,
     diags: jax.Array,
-    occ: jax.Array,
     *,
     pairs: tuple[tuple[int, int, int], ...],
     d: int,
@@ -97,7 +96,7 @@ def sesolve_ip_states_sharded(
 
     Args:
         mesh: 1D device mesh over ``axis_name``.
-        psi2_0, t_stage, dts, eval_t, occ: Replicated (shared) inputs.
+        psi2_0, t_stage, dts, eval_t: Replicated (shared) inputs.
         amp_re, amp_im, det_cum_mod, eval_cum_mod, diags: Per-trajectory
             inputs, leading axis divisible by the mesh size.
         pairs, d, n: Static Hamiltonian structure.
@@ -126,7 +125,6 @@ def sesolve_ip_states_sharded(
                 eval_t,
                 ec1,
                 dg1,
-                occ,
                 pairs=pairs,
                 d=d,
                 n=n,
