@@ -741,17 +741,55 @@ def _sesolve_scan_ip(
     groups = group_sizes(d, n)
     two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
 
+    # Qubits are grouped so the phase tensor's rank stays bounded
+    # (TPU XLA rejects very high ranks; a (d,)*25 reshape crashes the
+    # worker). Each group contributes one small (d**g,) vector — the
+    # cum-weighted sum of its qubits' static occupancy patterns —
+    # broadcast along its axis.
+    phase_groups: list[int] = []
+    _rem = n
+    while _rem > 0:
+        phase_groups.append(min(6, _rem))
+        _rem -= phase_groups[-1]
+    group_shape = tuple(d**g for g in phase_groups)
+    # pattern[b][group j] : (g_j, d**g_j) static 0/1 occupancies
+    patterns = []
+    for _, _, kp in pairs:
+        per_group = []
+        for g in phase_groups:
+            ar = np.arange(d**g)
+            per_group.append(
+                np.stack(
+                    [
+                        (ar // d ** (g - 1 - p)) % d == kp
+                        for p in range(g)
+                    ]
+                ).astype(np.float64)
+            )
+        patterns.append(per_group)
+
     def phase_at(t_s, cum_s):
-        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0);
-        # the occupancy sum is built by broadcasting each basis'
-        # one-hot over its qubit axis of the (d,)*n-shaped phase
-        shaped = jnp.mod(diag_static * t_s, two_pi).reshape((d,) * n)
-        for b, (_, _, kp) in enumerate(pairs):
-            onehot = (jnp.arange(d) == kp).astype(rdtype)
-            for q in range(n):
-                shaped = shaped + (cum_s[b, q] * onehot).reshape(
-                    (1,) * q + (d,) + (1,) * (n - 1 - q)
+        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0)
+        shaped = jnp.mod(diag_static * t_s, two_pi).reshape(
+            group_shape
+        )
+        k_axes = len(phase_groups)
+        for b in range(len(pairs)):
+            q0 = 0
+            for j, g in enumerate(phase_groups):
+                vec = jnp.einsum(
+                    "p,pD->D",
+                    cum_s[b, q0 : q0 + g],
+                    jnp.asarray(patterns[b][j], dtype=rdtype),
+                    preferred_element_type=rdtype,
+                    precision="highest",
                 )
+                shaped = shaped + vec.reshape(
+                    (1,) * j
+                    + (d**g,)
+                    + (1,) * (k_axes - 1 - j)
+                )
+                q0 += g
         return shaped.reshape(-1)
 
     def amp_apply(psi2, ar_s, ai_s):
@@ -2382,9 +2420,39 @@ def sesolve_rk4_batched(
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
     psi0_np = np.asarray(psi0, dtype=cdtype)
-    # NOTE: the fused Pallas kernel is NOT used here — its grid is
+    # NOTE: the fused Pallas kernel is opt-in here — its grid is
     # sequential on a single core, so the XLA vmap (which vectorizes
-    # the whole trajectory batch) wins for batched solves.
+    # the whole trajectory batch) wins for typical batches; the fused
+    # path stays available for VMEM-bound large-N batches.
+    import os as _os
+
+    force_interp = bool(
+        _os.environ.get("PULSER_TPU_PALLAS_INTERPRET")
+    )
+    if (
+        isinstance(plans, BatchedPlan)
+        and mesh is None
+        and d == 2
+        and len(pairs) == 1
+        and pairs[0] == (1, 0, 0)
+        and 10 <= n <= 17
+        and rdtype == np.float32
+        and (
+            (
+                _os.environ.get("PULSER_TPU_SESOLVE_PALLAS_BATCHED")
+                and _pallas_available()
+            )
+            or force_interp
+        )
+    ):
+        return _sesolve_batched_pallas(
+            psi0_np,
+            plans,
+            static_diags,
+            n,
+            cdtype,
+            interpret=force_interp,
+        )
     psi2_0 = jnp.asarray(
         np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
     )
@@ -2549,7 +2617,7 @@ def _sesolve_rk4_pallas(
 
 def _sesolve_batched_pallas(
     psi0_np: np.ndarray,
-    plans: "list[EvolutionPlan] | BatchedPlan",
+    plans: "BatchedPlan",
     static_diags: np.ndarray,
     n: int,
     cdtype: Any,
@@ -2558,7 +2626,9 @@ def _sesolve_batched_pallas(
     """Trajectory-batched dispatch of the fused Pallas sesolve.
 
     Flattens (trajectory, segment) onto the kernel grid; the state
-    resets from ``psi0`` at every trajectory boundary.
+    resets from ``psi0`` at every trajectory boundary. Consumes a
+    :class:`BatchedPlan` (shared grid, batch axis on the staged
+    coefficient arrays).
     """
     from pulser_tpu.ops.pallas_kernels import ip_sesolve_pallas
 
@@ -2566,27 +2636,26 @@ def _sesolve_batched_pallas(
     n_row = n - n_col
     rows, cols = 1 << n_row, 1 << n_col
     two_pi = 2 * np.pi
-    n_traj = len(plans)
-    base = plans[0]
+    n_traj = plans.n_traj
+    base = plans.plan
     spt, seg_len = base.seg_dts.shape
-
-    a = np.concatenate(
-        [p.seg_stage("amp")[..., 0, :] for p in plans]
-    )  # (T*S, L, 3, n)
-    cum = np.concatenate(
-        [(-p.seg_stage("det_cum")[..., 0, :]) % two_pi for p in plans]
-    )
-    t_st = np.concatenate([p.seg_stage("t_stage") for p in plans])
-    dts = np.concatenate([p.seg_dts for p in plans])
-    eval_t = np.concatenate(
-        [p.eval_times - p.grid[0] for p in plans]
-    )
-    eval_cum = np.concatenate(
-        [(-p.eval_det_cum[:, 0, :]) % two_pi for p in plans]
-    )
     n_flat = n_traj * spt
     f32 = np.float32
-    # Host-side conversions/reshapes only — see _sesolve_rk4_pallas
+
+    # (B, S, L, 3, n) -> (B*S, L, 3, n), single drive basis
+    a = plans.seg_stage_b("amp")[..., 0, :].reshape(
+        n_flat, seg_len, 3, n
+    )
+    cum = (
+        (-plans.seg_stage_b("det_cum")[..., 0, :]) % two_pi
+    ).reshape(n_flat, seg_len, 3, n)
+    t_st = np.tile(base.seg_stage("t_stage"), (n_traj, 1, 1))
+    dts = np.tile(base.seg_dts, (n_traj, 1))
+    eval_t = np.tile(base.eval_times - base.grid[0], n_traj)
+    eval_cum = (
+        (-plans.eval_det_cum_b[:, :, 0, :]) % two_pi
+    ).reshape(n_flat, n)
+
     host = [
         np.asarray(a.real, f32),
         np.asarray(a.imag, f32),
@@ -2612,7 +2681,6 @@ def _sesolve_batched_pallas(
     out_np = np.asarray(out).reshape(n_traj, spt, 2, rows * cols)
     out_np = out_np[:, base.eval_map]
     return (out_np[:, :, 0] + 1j * out_np[:, :, 1]).astype(cdtype)
-
 
 def _mcwf_uniforms(
     seeds: list[int], seg_shape: tuple[int, int], rdtype: Any

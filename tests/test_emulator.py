@@ -876,3 +876,45 @@ def test_mcwf_pallas_kernel_matches_xla(monkeypatch):
     monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
     pal = S.mcsolve_rk4_batched(*args, dtype=np.complex64)
     np.testing.assert_allclose(pal, xla, atol=2e-4)
+
+
+def test_sesolve_batched_pallas_matches_xla(monkeypatch):
+    """The fused batched-sesolve kernel == the vmapped XLA batch.
+
+    Runs the Pallas program in interpret mode on CPU (the opt-in TPU
+    path, PULSER_TPU_SESOLVE_PALLAS_BATCHED, shares this code).
+    """
+    import pulser_tpu.ops.solver as S
+
+    n = 10
+    n_traj = 3
+    rng = np.random.default_rng(12)
+    knots = np.linspace(0.0, 0.1, 6)
+    eval_times = np.array([0.0, 0.1])
+    amp_b = rng.uniform(1, 5, size=(n_traj, 1, n, 6)) * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, size=(n_traj, 1, n, 1))
+    )
+    det_b = rng.normal(0, 2, size=(n_traj, 1, n, 6))
+    plans = S.build_plan_batched(
+        knots,
+        {"amp": amp_b, "det": det_b},
+        eval_times,
+        max_step=2e-3,
+    )
+    diags = rng.uniform(0, 20, size=(n_traj, 2**n))
+    psi0 = np.zeros(2**n, complex)
+    psi0[-1] = 1.0
+    pairs = ((1, 0, 0),)
+
+    xla = S.sesolve_rk4_batched(
+        psi0, plans, diags, pairs, 2, n, True, dtype=np.complex64
+    )
+    monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    pal = S.sesolve_rk4_batched(
+        psi0, plans, diags, pairs, 2, n, True, dtype=np.complex64
+    )
+    assert pal.shape == xla.shape == (n_traj, 2, 2**n)
+    np.testing.assert_allclose(pal, xla, atol=2e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(pal[:, -1], axis=-1), 1.0, atol=1e-5
+    )

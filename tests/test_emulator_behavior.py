@@ -1104,3 +1104,73 @@ def test_default_solver_selection(monkeypatch, reg3):
         solver=Solver.MCSOLVER,
     ).run()
     assert "mcsolve" in calls
+
+
+def test_amp_sigma_noise_per_channel_factors():
+    """Shot-to-shot amplitude factors: per channel, constant across
+    pulses, applied to every targeted qubit (reference :2193)."""
+    reg = Register({"q0": (0, 0), "q1": (10, 10)})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ch0", "rydberg_global")
+    seq.declare_channel("ch1", "raman_local", initial_target="q0")
+    seq.declare_channel("ch2", "raman_local", initial_target="q1")
+
+    pulse1 = Pulse.ConstantPulse(120, 1, 0, 2.0)
+    seq.add(pulse1, "ch0")
+    seq.add(pulse1, "ch0")
+    seq.add(pulse1, "ch1", protocol="no-delay")
+    seq.target("q1", "ch1")
+    seq.add(pulse1, "ch1", protocol="no-delay")
+    seq.add(pulse1, "ch2", protocol="no-delay")
+
+    np.random.seed(777)
+    sim = TpuEmulator.from_sequence(
+        seq, noise_model=NoiseModel(amp_sigma=0.1), n_trajectories=1
+    )
+    noiseless = TpuEmulator.from_sequence(
+        seq
+    ).samples_obj.to_nested_dict(all_local=True)
+    sim_samples = sim._current_hamiltonian.samples.to_nested_dict()
+    assert sim_samples["Global"] == {}
+
+    amp0 = np.asarray(pulse1.amplitude.samples, float)[0]
+    ryd = sim_samples["Local"]["ground-rydberg"]
+    factors = {
+        "ch0": float(np.asarray(ryd["q0"]["amp"])[0]) / amp0
+    }
+    for qid in reg.qubit_ids:
+        np.testing.assert_allclose(
+            np.asarray(
+                noiseless["Local"]["ground-rydberg"][qid]["amp"],
+                dtype=float,
+            )
+            * factors["ch0"],
+            np.asarray(ryd[qid]["amp"], dtype=float),
+            rtol=1e-12,
+        )
+
+    dig = sim_samples["Local"]["digital"]
+    factors["ch1"] = float(np.asarray(dig["q0"]["amp"])[0]) / amp0
+    factors["ch2"] = float(np.asarray(dig["q1"]["amp"])[0]) / amp0
+    assert all(f > 0 and f != 1 for f in factors.values())
+    assert len(set(factors.values())) == len(factors)
+
+    # q0 sees only ch1's factor
+    np.testing.assert_allclose(
+        np.asarray(
+            noiseless["Local"]["digital"]["q0"]["amp"], dtype=float
+        )
+        * factors["ch1"],
+        np.asarray(dig["q0"]["amp"], dtype=float),
+        rtol=1e-12,
+    )
+    # q1: first pulse from ch2, second from ch1
+    expected_q1 = np.asarray(
+        noiseless["Local"]["digital"]["q1"]["amp"], dtype=float
+    ).copy()
+    expected_q1[: pulse1.duration] *= factors["ch2"]
+    expected_q1[-pulse1.duration - 1 :] *= factors["ch1"]
+    np.testing.assert_allclose(
+        expected_q1, np.asarray(dig["q1"]["amp"], dtype=float),
+        rtol=1e-12,
+    )
