@@ -427,7 +427,11 @@ def warm_start_probe() -> None:
     """
     from pulser_tpu.caching import enable_compilation_cache
 
-    enable_compilation_cache("/root/.cache/jax_pulser_tpu")
+    enable_compilation_cache(
+        os.environ.get(
+            "PULSER_TPU_BENCH_CACHE_DIR", "/root/.cache/jax_pulser_tpu"
+        )
+    )
     from pulser_tpu.emulator import TpuEmulator
 
     seq = build_afm_sequence()
@@ -580,11 +584,24 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    # Persistent XLA compilation cache: cold compiles of the big scans
-    # are minutes; cached compiles load in seconds on subsequent runs.
+    # Persistent XLA compilation cache, pointed at a FRESH per-run
+    # directory: on the tunneled TPU backend, executing a cache entry
+    # compiled in an EARLIER server session triggers a server-side
+    # rebuild that is SLOWER than a cold compile (90-340 s observed),
+    # while same-session entries load in ~10 s. A fresh directory
+    # makes the main run an honest cold compile and the warm-start
+    # probe below a same-session reload — deterministic on every
+    # driver run.
+    import tempfile
+
     from pulser_tpu.caching import enable_compilation_cache
 
-    enable_compilation_cache("/root/.cache/jax_pulser_tpu")
+    cache_dir = os.environ.get("PULSER_TPU_BENCH_CACHE_DIR")
+    if cache_dir is None:
+        cache_dir = tempfile.mkdtemp(prefix="pulser_tpu_xla_bench_")
+        os.environ["PULSER_TPU_BENCH_CACHE_DIR"] = cache_dir
+    enable_compilation_cache(cache_dir)
+    log(f"compilation cache: {cache_dir}")
     from pulser_tpu.emulator import TpuEmulator
 
     log(f"devices: {jax.devices()}")
