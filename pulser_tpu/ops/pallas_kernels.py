@@ -41,8 +41,22 @@ except ImportError:  # pragma: no cover
 
 _TWO_PI = 2 * np.pi
 
-#: RK4 tableau (stage coefficient index, increment weight, k weight)
-_RK_STAGES = ((0, 0.0, 1 / 6), (1, 0.5, 1 / 3), (1, 0.5, 1 / 3), (2, 1.0, 1 / 6))
+
+def _rk_stage_coeffs(j):
+    """RK4 tableau entries for traced stage index ``j`` in 0..3.
+
+    Returns ``(sidx, a_w, b_w)`` — the stage-sample index into the
+    3-sample coefficient arrays (``[0, 1, 1, 2]``), the increment
+    weight (``[0, 1/2, 1/2, 1]``) and the accumulation weight
+    (``[1/6, 1/3, 1/3, 1/6]``) — as scalar arithmetic on ``j``, so a
+    single traced stage body serves all four stages (a 4-branch
+    ``lax.switch`` would quadruple the kernel graph Mosaic compiles).
+    """
+    sidx = (j + 1) >> 1
+    a_w = 0.5 * sidx.astype(jnp.float32)
+    mid = jnp.logical_or(j == 1, j == 2)
+    b_w = jnp.where(mid, jnp.float32(1 / 3), jnp.float32(1 / 6))
+    return sidx, a_w, b_w
 
 
 def _bit_masks(size: int, n_bits: int, axis: int):
@@ -150,78 +164,69 @@ def _ip_sesolve_kernel(
         pr, pi = carry
         h = dt_ref[0, i, 0]
 
-        def make_stage(sidx, a_w, b_w):
-            def stage_fn(op):
-                k_r, k_i, acc_r, acc_i = op
-                xr = pr + (h * a_w) * k_r
-                xi = pi + (h * a_w) * k_i
-                ph = phase(
-                    t_ref[0, i, sidx], cum_ref[0, i, sidx, :]
-                )
-                c = jnp.cos(ph)
-                sn = jnp.sin(ph)
-                # w = e^{-iΦ} x = (c - i s)(xr + i xi)
-                wr = c * xr + sn * xi
-                wi = c * xi - sn * xr
-                ga_re, ga_im = _group_mats(
-                    a_re_ref[0, i, sidx, :n_row],
-                    a_im_ref[0, i, sidx, :n_row],
-                    xor_a,
-                    riota_a,
-                    n_row,
-                )
-                gb_re, gb_im = _group_mats(
-                    a_re_ref[0, i, sidx, n_row:],
-                    a_im_ref[0, i, sidx, n_row:],
-                    xor_b,
-                    riota_b,
-                    n_col,
-                )
-                # y = G_A w (rows) + w G_Bᵀ (columns); G_B real part
-                # is symmetric and imaginary part antisymmetric by
-                # construction, so w @ G_Bᵀ re-uses the forward
-                # matrices
-                yr = (
-                    _mm(ga_re, wr)
-                    - _mm(ga_im, wi)
-                    + _mm(wr, gb_re)
-                    + _mm(wi, gb_im)
-                )
-                yi = (
-                    _mm(ga_im, wr)
-                    + _mm(ga_re, wi)
-                    + _mm(wi, gb_re)
-                    - _mm(wr, gb_im)
-                )
-                # k = -i e^{+iΦ} y
-                z_r = c * yr - sn * yi
-                z_i = c * yi + sn * yr
-                k_r = z_i
-                k_i = -z_r
-                return (
-                    k_r,
-                    k_i,
-                    acc_r + b_w * k_r,
-                    acc_i + b_w * k_i,
-                )
-
-            return stage_fn
-
-        branches = [
-            make_stage(sidx, a_w, b_w)
-            for sidx, a_w, b_w in _RK_STAGES
-        ]
-
-        # A 4-iteration stage loop with a switch keeps only ONE
-        # stage's intermediates live on Mosaic's (conservatively
+        # One traced body serves all four RK4 stages (stage data is
+        # indexed, coefficients computed from j — see
+        # ``_rk_stage_coeffs``); a 4-iteration loop also keeps only
+        # ONE stage's intermediates live on Mosaic's (conservatively
         # sized) VMEM stack — a Python unroll quadruples it and
         # overflows for dim 65536
-        def stage_loop(j, op):
-            return jax.lax.switch(j, branches, op)
+        def stage_fn(j, op):
+            k_r, k_i, acc_r, acc_i = op
+            sidx, a_w, b_w = _rk_stage_coeffs(j)
+            i3 = i * 3 + sidx
+            xr = pr + (h * a_w) * k_r
+            xi = pi + (h * a_w) * k_i
+            ph = phase(t_ref[0, i3, 0], cum_ref[0, i3, :])
+            c = jnp.cos(ph)
+            sn = jnp.sin(ph)
+            # w = e^{-iΦ} x = (c - i s)(xr + i xi)
+            wr = c * xr + sn * xi
+            wi = c * xi - sn * xr
+            ga_re, ga_im = _group_mats(
+                a_re_ref[0, i3, :n_row],
+                a_im_ref[0, i3, :n_row],
+                xor_a,
+                riota_a,
+                n_row,
+            )
+            gb_re, gb_im = _group_mats(
+                a_re_ref[0, i3, n_row:],
+                a_im_ref[0, i3, n_row:],
+                xor_b,
+                riota_b,
+                n_col,
+            )
+            # y = G_A w (rows) + w G_Bᵀ (columns); G_B real part
+            # is symmetric and imaginary part antisymmetric by
+            # construction, so w @ G_Bᵀ re-uses the forward
+            # matrices
+            yr = (
+                _mm(ga_re, wr)
+                - _mm(ga_im, wi)
+                + _mm(wr, gb_re)
+                + _mm(wi, gb_im)
+            )
+            yi = (
+                _mm(ga_im, wr)
+                + _mm(ga_re, wi)
+                + _mm(wi, gb_re)
+                - _mm(wr, gb_im)
+            )
+            # k = -i e^{+iΦ} y
+            z_r = c * yr - sn * yi
+            z_i = c * yi + sn * yr
+            k_r = z_i
+            k_i = -z_r
+            return (
+                k_r,
+                k_i,
+                acc_r + b_w * k_r,
+                acc_i + b_w * k_i,
+            )
 
         zeros = jnp.zeros_like(pr)
         k_r, k_i, acc_r, acc_i = jax.lax.fori_loop(
-            0, 4, stage_loop, (zeros, zeros, zeros, zeros)
+            0, 4, stage_fn, (zeros, zeros, zeros, zeros)
         )
         return (pr + h * acc_r, pi + h * acc_i)
 
@@ -304,17 +309,19 @@ def _ip_sesolve_jit(
         pltpu.VMEM((rows, cols), jnp.float32),
         pltpu.VMEM((rows, cols), jnp.float32),
     ]
-    # Per-segment blocks whose last two dims equal the array's (the
-    # TPU tiling rule); sub-2D operands are reshaped host-side so the
-    # dynamic step index never lands on a lane dimension.
+    # The (step, stage-sample) axes merge into one sublane axis so
+    # the kernel's single stage body can index row ``i*3 + sidx``
+    # with a traced stage index (dynamic indexing stays off the lane
+    # dimension). Reshapes here are free — they run inside the jit.
+    L3 = seg_len * 3
     return pl.pallas_call(
         kernel,
         grid=(n_seg,),
         in_specs=[
-            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, seg_len, 3, n), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, seg_len, 3), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, L3, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, L3, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, L3, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, L3, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, seg_len, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, 1, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, 1, n), lambda s: (s, 0, 0)),
@@ -331,10 +338,10 @@ def _ip_sesolve_jit(
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        a_re,
-        a_im,
-        cum_mod,
-        t_stage,
+        jnp.reshape(a_re, (n_seg, L3, n)),
+        jnp.reshape(a_im, (n_seg, L3, n)),
+        jnp.reshape(cum_mod, (n_seg, L3, n)),
+        jnp.reshape(t_stage, (n_seg, L3, 1)),
         seg_dts,
         eval_t,
         eval_cum_mod,
@@ -475,10 +482,10 @@ def _mcwf_kernel(
     klo_re, klo_im = 0.5 * g_lo[1], -0.5 * g_lo[0]
     kup_re, kup_im = -0.5 * g_lo[1], -0.5 * g_lo[0]
 
-    def real_diag(i, sidx):
+    def real_diag(i3):
         # diag + Σ_q (−det_q)·(1 − bit_q): the detuning projector
         # sits on eigenstate 0 in the r-first convention
-        det = det_ref[0, i, sidx, :]
+        det = det_ref[0, i3, :]
         dr = diag - jnp.sum(det)
         for q in range(n_row):
             dr = dr + det[q] * row_bits[q]
@@ -486,10 +493,10 @@ def _mcwf_kernel(
             dr = dr + det[n_row + q] * col_bits[q]
         return dr
 
-    def eff_matvec(pr, pi, i, sidx):
+    def eff_matvec(pr, pi, i3):
         """-i H_eff (pr + i pi) as a real pair."""
-        a_re = a_re_ref[0, i, sidx, :]
-        a_im = a_im_ref[0, i, sidx, :]
+        a_re = a_re_ref[0, i3, :]
+        a_im = a_im_ref[0, i3, :]
         ga_re, ga_im = _group_mats_nh(
             [a_re[q] + klo_re for q in range(n_row)],
             [a_im[q] + klo_im for q in range(n_row)],
@@ -510,7 +517,7 @@ def _mcwf_kernel(
             riota_b,
             n_col,
         )
-        dr = real_diag(i, sidx)
+        dr = real_diag(i3)
         acc_r = (
             dr * pr
             - d_im * pi
@@ -606,32 +613,23 @@ def _mcwf_kernel(
         pr, pi, r = carry
         h = dt_ref[0, i, 0]
 
-        def make_stage(sidx, a_w, b_w):
-            def stage_fn(op):
-                k_r, k_i, acc_r, acc_i = op
-                xr = pr + (h * a_w) * k_r
-                xi = pi + (h * a_w) * k_i
-                k_r, k_i = eff_matvec(xr, xi, i, sidx)
-                return (
-                    k_r,
-                    k_i,
-                    acc_r + b_w * k_r,
-                    acc_i + b_w * k_i,
-                )
-
-            return stage_fn
-
-        branches = [
-            make_stage(sidx, a_w, b_w)
-            for sidx, a_w, b_w in _RK_STAGES
-        ]
-
-        def stage_loop(j, op):
-            return jax.lax.switch(j, branches, op)
+        # Single traced RK4 stage body (see ``_rk_stage_coeffs``)
+        def stage_fn(j, op):
+            k_r, k_i, acc_r, acc_i = op
+            sidx, a_w, b_w = _rk_stage_coeffs(j)
+            xr = pr + (h * a_w) * k_r
+            xi = pi + (h * a_w) * k_i
+            k_r, k_i = eff_matvec(xr, xi, i * 3 + sidx)
+            return (
+                k_r,
+                k_i,
+                acc_r + b_w * k_r,
+                acc_i + b_w * k_i,
+            )
 
         zeros = jnp.zeros_like(pr)
         _, _, acc_r, acc_i = jax.lax.fori_loop(
-            0, 4, stage_loop, (zeros, zeros, zeros, zeros)
+            0, 4, stage_fn, (zeros, zeros, zeros, zeros)
         )
         pr = pr + h * acc_r
         pi = pi + h * acc_i
@@ -746,13 +744,20 @@ def _mcwf_jit(
         pltpu.SMEM((1, 1), jnp.float32),
     ]
     tpb = spt * n_chunks
+    # Merged (step, stage-sample) sublane axis — see _ip_sesolve_jit
+    c3 = chunk * 3
+    n_blk = n_seg * n_chunks
+
+    def staged(arr):
+        return jnp.reshape(chunked(arr), (n_blk, c3, n))
+
     return pl.pallas_call(
         kernel,
         grid=(n_seg * n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, chunk, 3, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, c3, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, c3, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, c3, n), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, chunk, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec((1, chunk, 2), lambda s: (s, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -769,9 +774,9 @@ def _mcwf_jit(
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        chunked(a_re),
-        chunked(a_im),
-        chunked(det),
+        staged(a_re),
+        staged(a_im),
+        staged(det),
         chunked(seg_dts),
         chunked(us, fill=0.5),
         r0,
