@@ -416,22 +416,18 @@ def solve_telemetry(seconds: float) -> dict:
 
 
 def warm_start_probe() -> None:
-    """Subprocess entry: times a fresh-process flagship warmup.
+    """Subprocess entry: times a second fresh-process flagship warmup.
 
-    Run AFTER the main bench has populated the persistent compilation
-    cache; the printed warmup shows what a user's *second* session
-    pays (tracing + lowering + cache loads, no XLA compile). QuTiP
-    pays zero compile cost (reference ``simulation.py:689`` goes
-    straight into ``sesolve``), so this is the honest
-    cold-vs-warm-start comparison point.
+    QuTiP pays zero compile cost (reference ``simulation.py:689`` goes
+    straight into ``sesolve``), so what a user's *second* session pays
+    is the honest comparison point. With the single-stage-body kernels
+    the cold compile itself is ~10 s, and on the tunneled TPU backend
+    *loading* a persisted XLA cache entry triggers a server-side
+    rebuild costing more than that — so the steady-state experience IS
+    the cold start, and this probe simply repeats it uncached.
+    Directly-attached TPUs can still opt into persistent caching via
+    ``pulser_tpu.caching.enable_compilation_cache``.
     """
-    from pulser_tpu.caching import enable_compilation_cache
-
-    enable_compilation_cache(
-        os.environ.get(
-            "PULSER_TPU_BENCH_CACHE_DIR", "/root/.cache/jax_pulser_tpu"
-        )
-    )
     from pulser_tpu.emulator import TpuEmulator
 
     seq = build_afm_sequence()
@@ -584,24 +580,13 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    # Persistent XLA compilation cache, pointed at a FRESH per-run
-    # directory: on the tunneled TPU backend, executing a cache entry
-    # compiled in an EARLIER server session triggers a server-side
-    # rebuild that is SLOWER than a cold compile (90-340 s observed),
-    # while same-session entries load in ~10 s. A fresh directory
-    # makes the main run an honest cold compile and the warm-start
-    # probe below a same-session reload — deterministic on every
-    # driver run.
-    import tempfile
-
-    from pulser_tpu.caching import enable_compilation_cache
-
-    cache_dir = os.environ.get("PULSER_TPU_BENCH_CACHE_DIR")
-    if cache_dir is None:
-        cache_dir = tempfile.mkdtemp(prefix="pulser_tpu_xla_bench_")
-        os.environ["PULSER_TPU_BENCH_CACHE_DIR"] = cache_dir
-    enable_compilation_cache(cache_dir)
-    log(f"compilation cache: {cache_dir}")
+    # No persistent XLA compilation cache here: with the
+    # single-stage-body kernels the flagship cold compile is ~3 s
+    # (~11 s full warmup), while on the tunneled TPU backend *loading*
+    # a persisted entry triggers a server-side rebuild costing more
+    # than the cold compile it replaces (89.5 s measured). Uncached is
+    # both faster and deterministic; directly-attached TPUs can opt in
+    # via ``pulser_tpu.caching.enable_compilation_cache``.
     from pulser_tpu.emulator import TpuEmulator
 
     log(f"devices: {jax.devices()}")
@@ -613,8 +598,9 @@ def main() -> None:
     afm = bench_afm16(TpuEmulator, cache_path)
     noisy = bench_noisy10(TpuEmulator, cache_path)
 
-    # Warm-start proof: a FRESH process re-running the flagship solve
-    # against the now-populated persistent compilation cache
+    # Start-up reproducibility proof: a FRESH process re-running the
+    # flagship solve from scratch (see warm_start_probe's docstring
+    # for why uncached cold start IS the steady-state experience here)
     warm_metric = None
     try:
         import subprocess
@@ -628,9 +614,9 @@ def main() -> None:
         warm_s = json.loads(proc.stdout.strip().splitlines()[-1])[
             "warm_warmup_s"
         ]
-        log(f"warm-start warmup (fresh process): {warm_s:.2f}s")
+        log(f"fresh-process warmup (uncached): {warm_s:.2f}s")
         warm_metric = {
-            "metric": "flagship warm-start warmup (fresh process)",
+            "metric": "flagship fresh-process warmup (uncached)",
             "value": round(warm_s, 2),
             "unit": "s",
             "vs_baseline": round(afm["cold_warmup_s"] / warm_s, 2),
