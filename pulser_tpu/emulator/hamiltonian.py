@@ -427,20 +427,11 @@ class Hamiltonian:
         )
         self.bases = bases_present
 
-        pairs = []
         amp_full = np.zeros(
             (len(bases_present), n, self._duration), dtype=complex
         )
         det_full = np.zeros((len(bases_present), n, self._duration))
         for bi, b in enumerate(bases_present):
-            si, sj, sk = _DRIVE_STATES[b]
-            pairs.append(
-                (
-                    self._state_index(si),
-                    self._state_index(sj),
-                    self._state_index(sk),
-                )
-            )
             g = nested.get("Global", {}).get(b)
             if g is not None:
                 a = 0.5 * g["amp"] * np.exp(-1j * g["phase"])
@@ -459,6 +450,33 @@ class Hamiltonian:
         # construction for the amp part (a + conj transpose) and here
         # for the detuning (−0.5δ + h.c. = −δ on the diagonal).
         det_full *= 2.0
+
+        # Resolve drive states to eigenbasis indices only where their
+        # coefficient is nonzero — the reference builds each sigma_ab
+        # operator lazily (hamiltonian.py:354-389), so e.g. a digital
+        # detuning with zero amplitude runs fine in the 2-level
+        # ground-rydberg basis (only sigma_gg is needed).
+        eigen = self.basis_data.eigenbasis
+        pairs = []
+        for bi, b in enumerate(bases_present):
+            si, sj, sk = _DRIVE_STATES[b]
+            if si in eigen and sj in eigen:
+                ii, jj = eigen.index(si), eigen.index(sj)
+            elif not np.any(amp_full[bi]):
+                ii = jj = 0  # inert: coefficient identically zero
+            else:
+                raise ValueError(
+                    f"sigma_{si}{sj} is not a valid operator"
+                )
+            if sk in eigen:
+                kk = eigen.index(sk)
+            elif not np.any(det_full[bi]):
+                kk = 0
+            else:
+                raise ValueError(
+                    f"sigma_{sk}{sk} is not a valid operator"
+                )
+            pairs.append((ii, jj, kk))
 
         self.pairs = tuple(pairs)
         self.amp_coeffs = self._adapt_last_axis(amp_full)

@@ -693,7 +693,7 @@ class TpuEmulator:
         **options: Any,
     ) -> CoherentResults:
         """Runs the jitted evolution, returning CoherentResults."""
-        if progress_bar not in (True, False, None):
+        if not (progress_bar is True or progress_bar is False or progress_bar is None):
             raise ValueError("`progress_bar` must be a bool.")
 
         d = hamiltonian.dim
@@ -979,6 +979,8 @@ class TpuEmulator:
                 integration step.
         """
         self._validate_options(options)
+        if not (progress_bar is True or progress_bar is False or progress_bar is None):
+            raise ValueError("`progress_bar` must be a bool.")
 
         if not _has_stochastic_noise(self.noise_model):
             if print_progress:

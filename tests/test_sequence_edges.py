@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import re
 import sys
-import warnings
 
-import numpy as np
 import pytest
 
 REF_PATH = "/root/reference/pulser-core"
