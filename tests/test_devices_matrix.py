@@ -290,9 +290,10 @@ class TestInteractionCoefficients:
                 **test_params, interaction_coeff_xy=500.0
             )
         assert dev.interaction_coeff_xy == 500.0
-        # A level change resets a custom coefficient to the inferred one
+        assert dev._custom_interaction_coeff_xy == 500.0
+        # A custom coefficient is unaffected by a rydberg-level change
         dev.change_rydberg_level(60)
-        assert dev.interaction_coeff_xy == c3_dict[60]
+        assert dev.interaction_coeff_xy == 500.0
 
     def test_custom_coeff_type(self, test_params):
         with pytest.raises(TypeError):
