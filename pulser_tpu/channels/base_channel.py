@@ -149,7 +149,7 @@ class Channel(ABC):
     # ------------------------------------------------------------------
 
     @classmethod
-    def _check_constructible(cls) -> None:
+    def _check_constructible(cls, method: str) -> None:
         """Blocks Local/Global on subclasses that pin 'addressing'."""
         addressing_field = next(
             f_ for f_ in fields(cls) if f_.name == "addressing"
@@ -159,7 +159,7 @@ class Channel(ABC):
             and addressing_field.default is not MISSING
         ):
             raise NotImplementedError(
-                f"{cls} cannot be initialized from `Local` method."
+                f"{cls} cannot be initialized from `{method}` method."
             )
 
     @classmethod
@@ -184,7 +184,7 @@ class Channel(ABC):
             max_targets: Maximum number of atoms the channel can target
                 simultaneously.
         """
-        cls._check_constructible()
+        cls._check_constructible("Local")
         return cls(
             "Local",
             max_abs_detuning,
@@ -209,7 +209,7 @@ class Channel(ABC):
                 absolute value.
             max_amp: Maximum pulse amplitude (in rad/µs).
         """
-        cls._check_constructible()
+        cls._check_constructible("Global")
         return cls("Global", max_abs_detuning, max_amp, **kwargs)
 
     @property
