@@ -45,7 +45,6 @@ class SerializationSupportAttributeMissing(SerializationSupportMissing):
 
     module: str
     submodule: str
-    class_name: str
 
     _template = (
         "No serialization support for attributes of "

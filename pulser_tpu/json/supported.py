@@ -143,7 +143,9 @@ def validate_serialization(obj_dict: Mapping[str, Any]) -> None:
             raise SerializationSupportAttributeMissing(
                 module=module_str, submodule=submodule_str
             )
-        return
+        # The accepted-name check below then applies to the class
+        # holding the classmethod, not the method name itself
+        obj_str = submodule_str
 
     if obj_str not in SUPPORTED_MODULES[module_str]:
         raise SerializationSupportClassMissing(
