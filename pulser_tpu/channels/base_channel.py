@@ -627,3 +627,23 @@ class Channel(ABC):
             if params[p] == defaults[p]:
                 params.pop(p, None)
         return {"id": id, "basis": self.basis, **params}
+
+
+def __getattr__(name: str) -> Any:
+    if name == "MODBW_TO_TR":
+        # Kept for backward compatibility with code that imported the
+        # constant from here (reference pulser.channels.base_channel)
+        from pulser_tpu.channels import modulation
+
+        warnings.warn(
+            "Importing 'MODBW_TO_TR' from"
+            " 'pulser_tpu.channels.base_channel' is deprecated; use"
+            " the conversion helpers in"
+            " 'pulser_tpu.channels.modulation' instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return modulation.MODBW_TO_TR
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

@@ -322,3 +322,24 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
         if return_switching_beams:
             return best_det_off, self._switching_beams_combos[closest_option]
         return best_det_off
+
+
+def __getattr__(name: str) -> Any:
+    if name == "MODBW_TO_TR":
+        # Kept for backward compatibility with code that imported the
+        # constant from here (reference pulser.channels.eom)
+        import warnings
+
+        from pulser_tpu.channels import modulation
+
+        warnings.warn(
+            "Importing 'MODBW_TO_TR' from 'pulser_tpu.channels.eom' is"
+            " deprecated; use the conversion helpers in"
+            " 'pulser_tpu.channels.modulation' instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return modulation.MODBW_TO_TR
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
