@@ -12,6 +12,7 @@ from enum import Flag
 from itertools import chain
 from typing import Any, Literal, cast, overload
 
+import jax.numpy as jnp
 import numpy as np
 
 import pulser_tpu.math as pm
@@ -202,6 +203,33 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
             / (2 * self.intermediate_detuning)
         )
         other_beam = ~self.limiting_beam
+        rabi = pm.AbstractArray(rabi_frequency)
+        if rabi.is_tensor:
+            # Branchless form: JAX tracers can't drive Python control
+            # flow, and both branch expressions are smooth, so a
+            # `where` keeps the whole path differentiable
+            x = rabi.as_tensor()
+            base_amp_squared = 2 * x * self.intermediate_detuning
+            below = x <= limit_rabi_freq
+            return {
+                self.limiting_beam: pm.AbstractArray(
+                    jnp.where(
+                        below,
+                        jnp.sqrt(base_amp_squared / shift_factor),
+                        self.max_limiting_amp,
+                    )
+                ),
+                other_beam: pm.AbstractArray(
+                    jnp.where(
+                        below,
+                        jnp.sqrt(base_amp_squared * shift_factor),
+                        2
+                        * self.intermediate_detuning
+                        * x
+                        / self.max_limiting_amp,
+                    )
+                ),
+            }
         if rabi_frequency <= limit_rabi_freq:
             # Zero-lightshift regime: balance the two beams
             base_amp_squared = (
@@ -315,12 +343,26 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
                 switch on and off.
         """
         off_options = self.detuning_off_options(amp_on, detuning_on)
-        closest_option = np.abs(
-            off_options.as_array(detach=True) - optimal_detuning_off
-        ).argmin()
-        best_det_off = off_options[closest_option]
+        if off_options.is_tensor:
+            # Keep the selection inside the JAX graph so gradients flow
+            # through the chosen option (the index itself is discrete
+            # and carries no gradient)
+            opts = off_options.as_tensor()
+            closest_option = jnp.argmin(
+                jnp.abs(opts - optimal_detuning_off)
+            )
+            best_det_off = pm.AbstractArray(
+                jnp.take(opts, closest_option)
+            )
+        else:
+            closest_option = np.abs(
+                off_options.as_array() - optimal_detuning_off
+            ).argmin()
+            best_det_off = off_options[closest_option]
         if return_switching_beams:
-            return best_det_off, self._switching_beams_combos[closest_option]
+            return best_det_off, self._switching_beams_combos[
+                int(closest_option)
+            ]
         return best_det_off
 
 
