@@ -389,9 +389,12 @@ class Channel(ABC):
                 "duration can be at most " + f"{self.max_duration} ns."
             )
 
-        remainder = _duration % self.clock_period
-        if round_up and remainder != 0:
-            _duration += self.clock_period - remainder
+        # Checked on the original value: a fractional duration on a
+        # 1 ns clock must still round up, not silently truncate
+        if round_up and duration % self.clock_period != 0:
+            _duration += (
+                self.clock_period - _duration % self.clock_period
+            )
             warnings.warn(
                 f"A duration of {duration} ns is not a multiple of "
                 f"the channel's clock period ({self.clock_period} "
