@@ -20,6 +20,7 @@ from typing import Any, Tuple, Type, TypeVar, cast
 
 import numpy as np
 
+from pulser_tpu.emulator.qobj import Qobj
 from pulser_tpu.hamiltonian_data.hamiltonian_data import (
     SUPPORTED_NOISES,
 )
@@ -180,6 +181,17 @@ class _SimConfigLogic:
         )
 
     def _check_eff_noise(self) -> None:
+        # The legacy interface takes Qobj operators specifically
+        # (reference simconfig.py:253-268); plain arrays belong to the
+        # modern NoiseModel API
+        for operator in self.eff_noise_opers:
+            if not isinstance(operator, Qobj):
+                raise TypeError(f"{operator} is not a Qobj.")
+            if not operator.isoper or operator.isket or operator.isbra:
+                raise TypeError(
+                    "Operators are supposed to be of Qutip type"
+                    " 'oper'."
+                )
         NoiseModel._check_eff_noise(
             self.eff_noise_rates,
             [np.asarray(op) for op in self.eff_noise_opers],
