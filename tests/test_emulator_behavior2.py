@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from pulser_tpu import Pulse, Register, Sequence
+from pulser_tpu import Pulse, Register, Register3D, Sequence
 from pulser_tpu.devices import DigitalAnalogDevice, MockDevice
 from pulser_tpu.emulator import TpuEmulator
 from pulser_tpu.emulator.qobj import Qobj, basis, tensor
@@ -536,3 +536,36 @@ def test_eom_limit_det(mod_device, reg3, min_detuning_on):
         n_trajectories=1,
     )
     sim.run()
+
+
+@pytest.mark.parametrize("use_3d", [False, True])
+def test_mixed_channels_register_dims(use_3d):
+    """2D and 3D registers with global + alternating local channels
+    build and run (reference tests/pulser_simulation/test_hamiltonian.py,
+    regression for pulser#940)."""
+    if use_3d:
+        reg = Register3D(
+            {
+                "q0": np.array([-4.0, 0.0, 0.0]),
+                "q1": np.array([0.0, 4.0, 0.0]),
+            }
+        )
+    else:
+        reg = Register(
+            {"q0": np.array([-4.0, 0.0]), "q1": np.array([0.0, 4.0])}
+        )
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ch0", "rydberg_global")
+    seq.declare_channel("ch1", "raman_local", initial_target="q0")
+    seq.declare_channel("ch2", "raman_local", initial_target="q1")
+
+    pulse1 = Pulse.ConstantPulse(10, 0, 0, 0)
+    seq.add(pulse1, "ch0")
+    seq.add(pulse1, "ch0")
+    seq.add(pulse1, "ch1", protocol="no-delay")
+    seq.add(pulse1, "ch2", protocol="no-delay")
+    sim = TpuEmulator.from_sequence(seq, sampling_rate=0.5)
+    res = sim.run()
+    final = res.get_final_state()
+    # Zero pulses: the system stays in the initial (all-ground) state
+    assert np.isclose(float(np.abs(final.full()).max()), 1.0, atol=1e-6)
