@@ -16,7 +16,6 @@ import re
 import numpy as np
 import pytest
 
-import pulser_tpu as tpu
 from pulser_tpu import Register, Register3D, Sequence
 from pulser_tpu.devices import DigitalAnalogDevice, MockDevice
 from pulser_tpu.exceptions.serialization import (
