@@ -97,7 +97,15 @@ def mod_device() -> Device:
 
 @pytest.fixture
 def patch_plt_show(monkeypatch):
-    """Prevents matplotlib windows from opening during tests."""
+    """Prevents matplotlib windows from opening during tests.
+
+    Also closes every figure on teardown: with warnings promoted to
+    errors, letting >20 figures accumulate across draw-happy tests
+    turns matplotlib's open-figure RuntimeWarning into order-dependent
+    failures.
+    """
     import matplotlib.pyplot as plt
 
     monkeypatch.setattr(plt, "show", lambda: None)
+    yield
+    plt.close("all")

@@ -69,6 +69,55 @@ def test_parametrized_sequences_example():
     assert err < 1e-3
 
 
+def test_interpolated_waveforms_example():
+    out = _run("interpolated_waveforms.py")
+    assert "OK interpolated-waveform walkthrough complete" in out
+    assert "no overshoot" in out
+    p_rr = float(out.rsplit("P(rr) =", 1)[1].split()[0])
+    assert p_rr < 0.1
+
+
+def test_phase_shifts_example():
+    out = _run("phase_shifts_virtual_z.py")
+    assert "OK phase-shift walkthrough complete" in out
+    err = float(out.rsplit("max |P - sin^2(phi/2)|:", 1)[1].split()[0])
+    assert err < 1e-3
+    assert "(free gate)" in out
+
+
+def test_register_layouts_example():
+    out = _run("register_layouts.py")
+    assert "OK register-layout walkthrough complete" in out
+    assert "layout abstract-repr round trip: OK" in out
+
+
+def test_virtual_devices_example():
+    out = _run("virtual_devices.py")
+    assert "OK virtual-device walkthrough complete" in out
+    assert "caps lifted" in out
+
+
+def test_serialization_example():
+    out = _run("serialization_walkthrough.py")
+    assert "OK serialization walkthrough complete" in out
+    assert "schema violation rejected: SchemaValidationError" in out
+    assert "legacy coder round trip: OK" in out
+
+
+def test_qpu_execution_example():
+    out = _run("qpu_execution.py")
+    assert "OK qpu-execution walkthrough complete" in out
+    p00 = float(out.rsplit("P(00) =", 1)[1].split()[0])
+    assert p00 < 0.05
+
+
+@pytest.mark.slow
+def test_qubo_qaa_example():
+    out = _run("qubo_qaa.py", timeout=900)
+    assert "OK qubo-qaa walkthrough complete" in out
+    assert "QAA found 10001" in out
+
+
 def test_static_quality_gate():
     """tools/check.py must pass clean (the in-image lint gate)."""
     out = subprocess.run(
