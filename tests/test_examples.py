@@ -111,6 +111,12 @@ def test_qpu_execution_example():
     assert p00 < 0.05
 
 
+def test_mwis_qaa_example():
+    out = _run("mwis_qaa.py", timeout=600)
+    assert "OK mwis-qaa walkthrough complete" in out
+    assert "QAA found the MWIS 0110" in out
+
+
 @pytest.mark.slow
 def test_qubo_qaa_example():
     out = _run("qubo_qaa.py", timeout=900)
