@@ -12,6 +12,7 @@ from enum import Flag
 from itertools import chain
 from typing import Any, Literal, cast, overload
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -343,7 +344,9 @@ class RydbergEOM(_RydbergEOMDefaults, BaseEOM, _RydbergEOM):
                 switch on and off.
         """
         off_options = self.detuning_off_options(amp_on, detuning_on)
-        if off_options.is_tensor:
+        if off_options.is_tensor or isinstance(
+            optimal_detuning_off, jax.core.Tracer
+        ):
             # Keep the selection inside the JAX graph so gradients flow
             # through the chosen option (the index itself is discrete
             # and carries no gradient)

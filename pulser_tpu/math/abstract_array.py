@@ -29,6 +29,24 @@ def _is_jax(value: Any) -> bool:
     return isinstance(value, (jax.Array, jax.core.Tracer))
 
 
+def _concrete_primal(tracer: Any) -> Any:
+    """The concrete value behind a (possibly nested) JVP tracer.
+
+    ``jax.grad`` builds JVP tracers whose ``primal`` holds the actual
+    forward value whenever the computation runs eagerly — the JAX
+    equivalent of what ``torch.detach()`` reads. Returns ``None`` for
+    abstract tracers (``jit``/``vmap``/``scan``), which carry no data.
+    """
+    depth = 0
+    while isinstance(tracer, jax.core.Tracer) and depth < 16:
+        primal = getattr(tracer, "primal", None)
+        if primal is None:
+            return None
+        tracer = primal
+        depth += 1
+    return None if isinstance(tracer, jax.core.Tracer) else tracer
+
+
 class AbstractArray:
     """An abstract array containing either a numpy array or a JAX array.
 
@@ -98,9 +116,12 @@ class AbstractArray:
         """Returns the contents as a numpy array.
 
         Args:
-            detach: Required to be ``True`` to convert a traced value (will
-                fail on abstract tracers, mirroring torch's detach
-                requirement in the reference).
+            detach: Required to be ``True`` to convert a traced value,
+                mirroring torch's detach requirement in the reference.
+                Under ``jax.grad``/``jax.jvp`` the underlying JVP
+                tracer carries a concrete primal, which is what a torch
+                ``detach()`` would return; only fully abstract tracers
+                (``jit``/``vmap``/``scan``) cannot be converted.
         """
         if self.is_tensor:
             if isinstance(self._array, jax.core.Tracer):
@@ -109,9 +130,13 @@ class AbstractArray:
                         "The value requires grad. Use `.as_array(detach=True)`"
                         " or keep it as a tensor with `.as_tensor()`."
                     )
-                raise RuntimeError(
-                    "Can't convert an abstract JAX tracer to a numpy array."
-                )
+                primal = _concrete_primal(self._array)
+                if primal is None:
+                    raise RuntimeError(
+                        "Can't convert an abstract JAX tracer to a "
+                        "numpy array."
+                    )
+                return np.asarray(primal)
             return np.asarray(self._array)
         return self._array  # type: ignore[return-value]
 

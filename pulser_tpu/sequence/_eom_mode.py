@@ -29,6 +29,24 @@ EomValue = Union[float, "pm.TensorLike", Parametrized]
 ResolvedOff = Union[float, pm.AbstractArray, Parametrized]
 
 
+def _any_traced(*values: object) -> bool:
+    """Whether any value is (or wraps) a JAX tracer.
+
+    Under ``jax.grad``/``jit`` the setpoint values carry no concrete
+    data, so the host-side parts of the EOM physics (beam-switching
+    metadata, range asserts) cannot run and must be skipped — the
+    differentiable detuning selection itself stays in the graph.
+    """
+    import jax
+
+    for v in values:
+        if isinstance(v, jax.core.Tracer):
+            return True
+        if isinstance(v, pm.AbstractArray) and v.requires_grad:
+            return True
+    return False
+
+
 def resolve_setpoint(
     seq: Sequence,
     channel_obj: Channel,
@@ -57,6 +75,18 @@ def resolve_setpoint(
         return resolved, switching_beams
 
     eom_config = cast(RydbergEOM, channel_obj.eom_config)
+    if _any_traced(amp_on, detuning_on, optimal_detuning_off):
+        # Differentiable selection only: the argmin stays in the JAX
+        # graph, while beam metadata and range asserts (host-side,
+        # data-dependent) are deferred exactly as for Parametrized
+        # inputs.
+        detuning_off = eom_config.calculate_detuning_off(
+            amp_on,
+            detuning_on,
+            optimal_detuning_off,
+            return_switching_beams=False,
+        )
+        return detuning_off, switching_beams
     detuning_off, switching_beams = eom_config.calculate_detuning_off(
         amp_on,
         detuning_on,
@@ -245,6 +275,7 @@ def record_settings_call(
                 optimal_detuning_off=(
                     detuning_off
                     if isinstance(detuning_off, Parametrized)
+                    or _any_traced(detuning_off)
                     else float(detuning_off)
                 ),
                 correct_phase_drift=correct_phase_drift,

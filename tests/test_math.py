@@ -39,16 +39,27 @@ class TestBackendPromotion:
         assert (b * a).is_tensor
         assert not (a + a).is_tensor
 
-    def test_tracer_cannot_convert_to_numpy(self):
+    def test_tracer_conversion_to_numpy(self):
+        """detach=True reads the JVP primal (torch-detach analogue)
+        under jax.grad; abstract jit tracers still refuse."""
+
         def f(x):
             a = AA(x)
             with pytest.raises(RuntimeError, match="requires grad"):
                 a.as_array()
+            # grad tracers carry a concrete primal -> detachable
+            assert a.as_array(detach=True) == pytest.approx(1.0)
+            return jnp.sum(a.as_tensor())
+
+        assert float(jax.grad(f)(1.0)) == pytest.approx(1.0)
+
+        def g(x):
+            a = AA(x)
             with pytest.raises(RuntimeError, match="abstract JAX"):
                 a.as_array(detach=True)
             return jnp.sum(a.as_tensor())
 
-        jax.grad(f)(1.0)
+        jax.jit(g)(1.0)
 
 
 class TestOperators:
