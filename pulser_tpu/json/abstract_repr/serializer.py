@@ -16,6 +16,7 @@ import json
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any, Callable, Union, cast
 
+import jax
 import numpy as np
 
 from pulser_tpu.exceptions.serialization import AbstractReprError
@@ -29,8 +30,12 @@ if TYPE_CHECKING:
 
 # Ordered (type, converter) fallbacks for objects without a
 # ``_to_abstract_repr`` method. Checked in sequence, first match wins.
+# jax.Array is this framework's tensor type, mirroring the reference
+# encoder's handling of its torch tensors
+# (pulser-core/pulser/json/abstract_repr/serializer.py:49-57).
 _JSON_FALLBACKS: tuple[tuple[type, Callable[[Any], Any]], ...] = (
     (pm.AbstractArray, lambda a: a.tolist()),
+    (jax.Array, lambda a: np.asarray(a).tolist()),
     (np.ndarray, lambda a: a.tolist()),
     (np.integer, int),
     (np.floating, float),
