@@ -75,6 +75,13 @@ class _ScopeVisitor(ast.NodeVisitor):
             for t in targets:
                 self._bind_targets(t)
         elif isinstance(stmt, (ast.If, ast.Try, ast.For, ast.While, ast.With)):
+            # Loop variables and with-targets are module bindings too.
+            if isinstance(stmt, ast.For):
+                self._bind_targets(stmt.target)
+            if isinstance(stmt, ast.With):
+                for item in stmt.items:
+                    if item.optional_vars is not None:
+                        self._bind_targets(item.optional_vars)
             # TYPE_CHECKING-guarded imports exist only for annotations:
             # bind their names but exempt them from the unused check
             guarded = (
