@@ -345,3 +345,68 @@ def test_phase_jump_sampling(custom_phase_jump_time):
         np.asarray(ch_samples.centered_phase, dtype=float),
         expected_phase,
     )
+
+
+def test_dmm_unsampleable_while_register_mappable():
+    """A configured DMM defers its weights to build time; sampling
+    before the mappable register is pinned must refuse (reference
+    test_sequence_sampler.py:363)."""
+    from pulser_tpu.register import MappableRegister, RegisterLayout
+
+    layout = RegisterLayout([[-4, 0], [4, 0], [0, -4], [0, 4]])
+    mreg = MappableRegister(layout, "q0", "q1")
+    seq = tpu.Sequence(mreg, tpu.MockDevice)
+    seq.config_detuning_map(
+        mreg.define_detuning_map({i: 0.25 for i in range(4)}), "dmm_0"
+    )
+    with pytest.raises(
+        NotImplementedError,
+        match="DMM channel can't be sampled while their register is "
+        "mappable",
+    ):
+        sample(seq)
+
+
+@pytest.mark.parametrize("all_local", [False, True])
+@pytest.mark.parametrize(
+    "samples_type", ["abstract", "array", "tensor"]
+)
+def test_to_nested_dict_samples_type(samples_type, all_local):
+    """samples_type picks the array backend of every leaf: numpy,
+    JAX (the reference's torch analogue) or AbstractArray."""
+    import re
+
+    import jax
+    import pulser_tpu.math as pm
+
+    samples = sample(_seq_rydberg())
+    with pytest.raises(
+        ValueError,
+        match=re.escape(
+            "'samples_type' must be one of ('abstract', 'array',"
+            " 'tensor'), not 'jax'."
+        ),
+    ):
+        samples.to_nested_dict(samples_type="jax")
+
+    expected_type = {
+        "tensor": jax.Array,
+        "array": np.ndarray,
+        "abstract": pm.AbstractArray,
+    }[samples_type]
+
+    nested = samples.to_nested_dict(
+        samples_type=samples_type, all_local=all_local
+    )
+    leaves = []
+    if all_local:
+        assert not nested["Global"]
+        for qsamples in nested["Local"]["ground-rydberg"].values():
+            leaves.extend(qsamples.values())
+    else:
+        # The local channel keeps its per-qubit entries; the global
+        # one's arrays live under "Global".
+        leaves.extend(nested["Global"]["ground-rydberg"].values())
+    assert leaves
+    for leaf in leaves:
+        assert isinstance(leaf, expected_type), type(leaf)
