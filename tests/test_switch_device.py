@@ -201,3 +201,240 @@ def test_register_incompatible_with_new_device(reg):
         match="incompatible with the new device",
     ):
         seq.with_new_device(tight)
+
+
+# ------------------------------------------------------------------
+# Extended matrix ported from the reference's test_switch_device_down
+# (reference tests/test_sequence.py:686-1028): DMM matchings, strict
+# per-parameter mismatch messages, interaction-coefficient checks.
+# ------------------------------------------------------------------
+
+
+def _phys_device():
+    return dataclasses.replace(
+        DigitalAnalogDevice,
+        dmm_objects=(
+            dataclasses.replace(
+                DigitalAnalogDevice.dmm_objects[0],
+                total_bottom_detuning=-2000,
+            ),
+        ),
+    )
+
+
+@pytest.fixture
+def det_map(reg):
+    # Full weight on every qubit: a -20 rad/us DMM pulse then lands
+    # at -20 per trap, overflowing a bottom_detuning=-10 DMM.
+    return reg.define_detuning_map(
+        {q: 1.0 for q in reg.qubit_ids}
+    )
+
+
+@pytest.mark.parametrize("parametrized", [False, True])
+class TestSwitchDeviceDmm:
+    def _seq_two_dmms(self, reg, det_map, parametrized):
+        device = dataclasses.replace(
+            _phys_device().to_virtual(), reusable_channels=True
+        )
+        seq = tpu.Sequence(reg, device)
+        seq.declare_channel("global", "rydberg_global")
+        if parametrized:
+            t = seq.declare_variable("t", dtype=int)
+            seq.delay(t, "global")
+        seq.config_detuning_map(det_map, dmm_id="dmm_0")
+        seq.config_detuning_map(det_map, dmm_id="dmm_0")
+        assert list(seq.declared_channels.keys()) == [
+            "global",
+            "dmm_0",
+            "dmm_0_1",
+        ]
+        return seq
+
+    def test_second_dmm_needs_a_slot(self, reg, det_map, parametrized):
+        seq = self._seq_two_dmms(reg, det_map, parametrized)
+        with pytest.raises(
+            TypeError,
+            match="No match for channel 'dmm_0_1' with the"
+            " right type, basis and addressing.",
+        ):
+            seq.with_new_device(_phys_device())
+
+    def test_bottom_detuning_not_strict_param(
+        self, reg, det_map, parametrized
+    ):
+        """Strict matching tolerates differing bottom detunings as
+        long as the played samples stay legal."""
+        seq = self._seq_two_dmms(reg, det_map, parametrized)
+        phys = _phys_device()
+        dmm_down = dataclasses.replace(
+            phys.dmm_channels["dmm_0"], bottom_detuning=-10
+        )
+        out = seq.with_new_device(
+            dataclasses.replace(
+                phys, dmm_objects=(dmm_down, dmm_down)
+            ),
+            strict=True,
+        )
+        assert list(out.declared_channels.keys()) == [
+            "global",
+            "dmm_0",
+            "dmm_1",
+        ]
+
+    def test_dmm_detuning_range_checked_strictly(
+        self, reg, det_map, parametrized
+    ):
+        """Once the sequence plays a -20 rad/us DMM detuning, a device
+        whose DMMs stop at -10 can't take it strictly — and the error
+        enumerates the attempted matchings."""
+        seq = self._seq_two_dmms(reg, det_map, parametrized)
+        seq.add_dmm_detuning(
+            tpu.ConstantWaveform(100, -20), "dmm_0_1"
+        )
+        phys = _phys_device()
+        dmm_down = dataclasses.replace(
+            phys.dmm_channels["dmm_0"], bottom_detuning=-10
+        )
+        # A virtual device with one reusable deep-enough DMM: fine.
+        out = seq.with_new_device(
+            dataclasses.replace(
+                phys.to_virtual(),
+                reusable_channels=True,
+                dmm_objects=(
+                    dataclasses.replace(
+                        dmm_down, bottom_detuning=-20
+                    ),
+                ),
+            ),
+            strict=True,
+        )
+        assert list(out.declared_channels.keys()) == [
+            "global",
+            "dmm_0",
+            "dmm_0_1",
+        ]
+        # One deep + one shallow DMM: the deep one must take dmm_0_1.
+        out = seq.with_new_device(
+            dataclasses.replace(
+                phys,
+                dmm_objects=(
+                    phys.dmm_channels["dmm_0"],
+                    dmm_down,
+                ),
+            ),
+            strict=True,
+        )
+        assert list(out.declared_channels.keys()) == [
+            "global",
+            "dmm_1",
+            "dmm_0",
+        ]
+        # Two shallow DMMs: no valid matching; the error lists them.
+        with pytest.raises(
+            (ValueError, SwitchDeviceError),
+            match="No matching found between declared channels and"
+            " channels in the new device",
+        ):
+            seq.with_new_device(
+                dataclasses.replace(
+                    phys, dmm_objects=(dmm_down, dmm_down)
+                ),
+                strict=True,
+            )
+
+
+@pytest.mark.parametrize("parametrized", [False, True])
+@pytest.mark.parametrize(
+    "channel_id, msg",
+    [
+        ("rydberg_global", "Rydberg level"),
+        ("mw_global", "XY interaction coefficient"),
+    ],
+)
+def test_interaction_coefficient_mismatch(
+    reg, channel_id, msg, parametrized
+):
+    seq = tpu.Sequence(reg, MockDevice)
+    seq.declare_channel("ch0", channel_id)
+    if parametrized:
+        t = seq.declare_variable("t", dtype=int)
+        seq.delay(t, "ch0")
+    mod_mock = dataclasses.replace(MockDevice, rydberg_level=50)
+    with pytest.raises(
+        (ValueError, SwitchDeviceError),
+        match="Strict device match failed because the devices"
+        f" have different {msg}s.",
+    ):
+        seq.with_new_device(mod_mock, strict=True)
+    with pytest.warns(
+        UserWarning,
+        match=f"Switching to a device with a different {msg},"
+        " check that the expected interactions still hold.",
+    ):
+        seq.with_new_device(mod_mock, strict=False)
+
+
+def _local_device(name="Dev", **raman_kwargs):
+    from pulser_tpu.channels import Raman, Rydberg
+
+    defaults = dict(
+        max_abs_detuning=2 * np.pi * 20,
+        max_amp=2 * np.pi * 10,
+        max_targets=2,
+        fixed_retarget_t=0,
+        min_retarget_interval=220,
+        clock_period=1,
+        mod_bandwidth=None,
+    )
+    defaults.update(raman_kwargs)
+    return dataclasses.replace(
+        MockDevice,
+        name=name,
+        channel_objects=(
+            Rydberg.Global(None, None),
+            Raman.Local(**defaults),
+        ),
+        channel_ids=("rydberg_global", "rmn_local"),
+    )
+
+
+@pytest.mark.parametrize(
+    "new_kwargs, culprit",
+    [
+        ({"clock_period": 4}, "'clock_period'"),
+        ({"mod_bandwidth": 5.0}, "'mod_bandwidth'"),
+        ({"fixed_retarget_t": 100}, "'fixed_retarget_t'"),
+        ({"min_retarget_interval": 500}, "'min_retarget_interval'"),
+    ],
+)
+def test_strict_timing_param_mismatch_parametrized(
+    reg, new_kwargs, culprit
+):
+    """For a parametrized sequence every timing parameter must match
+    up front: its effect only appears at build time (reference
+    test_sequence.py:952-1027)."""
+    seq = tpu.Sequence(reg, _local_device())
+    seq.declare_channel("digital", "rmn_local", initial_target=["q0"])
+    t = seq.declare_variable("t", dtype=int)
+    seq.delay(t, "digital")
+    assert seq.is_parametrized()
+    with pytest.raises(
+        (ValueError, SwitchDeviceError),
+        match="No match for channel 'digital' with the same "
+        + culprit,
+    ):
+        seq.with_new_device(
+            _local_device("Dev2", **new_kwargs), strict=True
+        )
+
+
+def test_empty_declaration_switch_ignores_timing(reg):
+    """A non-parametrized sequence with only declarations switches
+    even across timing differences — no samples can change."""
+    seq = tpu.Sequence(reg, _local_device())
+    seq.declare_channel("digital", "rmn_local", initial_target=["q0"])
+    out = seq.with_new_device(
+        _local_device("Dev2", clock_period=4), strict=True
+    )
+    assert out.device.name == "Dev2"
