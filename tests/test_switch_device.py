@@ -438,3 +438,143 @@ def test_empty_declaration_switch_ignores_timing(reg):
         _local_device("Dev2", clock_period=4), strict=True
     )
     assert out.device.name == "Dev2"
+
+
+# ------------------------------------------------------------------
+# EOM-mode switching matrix (reference test_sequence.py:1185-1430)
+# ------------------------------------------------------------------
+
+
+def _eom_seq(device, parametrized=False):
+    seq = tpu.Sequence(
+        tpu.Register({"q0": (-3.0, 0.0), "q1": (3.0, 0.0)}), device
+    )
+    seq.declare_channel("rydberg", "rydberg_global")
+    if parametrized:
+        t = seq.declare_variable("t", dtype=int)
+        seq.delay(t, "rydberg")
+    seq.enable_eom_mode(
+        "rydberg", amp_on=2.0, detuning_on=0.0, optimal_detuning_off=0.0
+    )
+    seq.add_eom_pulse("rydberg", 100, 0.0)
+    seq.add_eom_pulse("rydberg", 100, 1.0)
+    assert seq.is_in_eom_mode("rydberg")
+    return seq
+
+
+def _analog_with_eom(eom_config, name="ModAnalog"):
+    ch = dataclasses.replace(
+        AnalogDevice.channels["rydberg_global"], eom_config=eom_config
+    )
+    return dataclasses.replace(
+        AnalogDevice, name=name, channel_objects=(ch,), channel_ids=None
+    )
+
+
+def test_eom_switch_needs_eom_channel():
+    seq = _eom_seq(AnalogDevice)
+    with pytest.warns(
+        UserWarning, match="different Rydberg level"
+    ), pytest.raises(
+        TypeError,
+        match="No match for channel 'rydberg' with an EOM"
+        " configuration.",
+    ):
+        seq.with_new_device(DigitalAnalogDevice)
+
+
+def test_eom_switch_mod_bandwidth_changes_samples():
+    """Non-parametrized: a different EOM mod bandwidth shifts the
+    inter-pulse interval, so the strict switch is refused with the
+    culprit parameter named."""
+    seq = _eom_seq(AnalogDevice)
+    base_eom = AnalogDevice.channels["rydberg_global"].eom_config
+    wrong = _analog_with_eom(
+        dataclasses.replace(base_eom, mod_bandwidth=20)
+    )
+    with pytest.raises(
+        (ValueError, SwitchDeviceError),
+        match="Changing the device produced a sequence with "
+        "different samples for channel 'rydberg'.*"
+        "'eom_config.mod_bandwidth'",
+    ):
+        seq.with_new_device(wrong, strict=True)
+
+
+def test_eom_switch_parametrized_requires_equal_config():
+    """Parametrized: EOM effects only appear at build time, so the
+    configs must match outright."""
+    seq = _eom_seq(AnalogDevice, parametrized=True)
+    base_eom = AnalogDevice.channels["rydberg_global"].eom_config
+    wrong = _analog_with_eom(
+        dataclasses.replace(base_eom, mod_bandwidth=20)
+    )
+    with pytest.raises(
+        (ValueError, SwitchDeviceError),
+        match="with the same EOM configuration",
+    ):
+        seq.with_new_device(wrong, strict=True)
+
+
+def test_eom_switch_picks_the_good_channel():
+    """With one wrong-EOM and one right-EOM channel on the new device,
+    the matching settles on the compatible one."""
+    seq = _eom_seq(AnalogDevice)
+    good_ch = AnalogDevice.channels["rydberg_global"]
+    wrong_ch = dataclasses.replace(
+        good_ch,
+        eom_config=dataclasses.replace(
+            good_ch.eom_config, mod_bandwidth=20
+        ),
+    )
+    two_ch = dataclasses.replace(
+        AnalogDevice,
+        name="TwoEom",
+        channel_objects=(wrong_ch, good_ch),
+        channel_ids=("wrong_eom", "good_eom"),
+    )
+    out = seq.with_new_device(two_ch, strict=True)
+    assert out.declared_channels == {"rydberg": good_ch}
+
+
+def test_eom_switch_limiting_amp_moves_detuning_off():
+    """max_limiting_amp changes the EOM lightshift physics: strict
+    refuses (with the tested-matchings digest), lax switches and the
+    re-derived detuning_off moves while the on-setpoint stays."""
+    seq = _eom_seq(AnalogDevice)
+    base_eom = AnalogDevice.channels["rydberg_global"].eom_config
+    og_block = seq._schedule["rydberg"].eom_blocks[0]
+
+    mod_dev = _analog_with_eom(
+        dataclasses.replace(
+            base_eom, max_limiting_amp=5 * 2 * np.pi
+        )
+    )
+    with pytest.raises(
+        (ValueError, SwitchDeviceError),
+        match="No matching found between declared channels and"
+        ".*'eom_config.max_limiting_amp'",
+    ):
+        seq.with_new_device(mod_dev, strict=True)
+
+    mod_seq = seq.with_new_device(mod_dev, strict=False)
+    mod_block = mod_seq._schedule["rydberg"].eom_blocks[0]
+    assert float(og_block.detuning_on) == float(mod_block.detuning_on)
+    assert float(og_block.rabi_freq) == float(mod_block.rabi_freq)
+    assert float(og_block.detuning_off) != float(
+        mod_block.detuning_off
+    )
+
+    # An *extended* limiting amp preserves the whole setpoint under a
+    # strict switch.
+    up_dev = _analog_with_eom(
+        dataclasses.replace(
+            base_eom, max_limiting_amp=40 * 2 * np.pi
+        ),
+        name="UpAnalog",
+    )
+    up_seq = seq.with_new_device(up_dev, strict=True)
+    up_block = up_seq._schedule["rydberg"].eom_blocks[0]
+    assert float(og_block.detuning_on) == float(up_block.detuning_on)
+    assert float(og_block.rabi_freq) == float(up_block.rabi_freq)
+    assert float(og_block.detuning_off) == float(up_block.detuning_off)
