@@ -578,3 +578,117 @@ def test_eom_switch_limiting_amp_moves_detuning_off():
     assert float(og_block.detuning_on) == float(up_block.detuning_on)
     assert float(og_block.rabi_freq) == float(up_block.rabi_freq)
     assert float(og_block.detuning_off) == float(up_block.detuning_off)
+
+
+# ------------------------------------------------------------------
+# Strict time-slot preservation (reference test_sequence.py:1430-1569)
+# ------------------------------------------------------------------
+
+
+def _one_channel_device(base, **ch_changes):
+    return dataclasses.replace(
+        base,
+        channel_objects=(
+            dataclasses.replace(
+                base.channels["rydberg_global"], **ch_changes
+            ),
+        ),
+        channel_ids=("rydberg_global",),
+    )
+
+
+def test_strict_switch_checks_time_slots(reg):
+    """A 103 ns pulse rounds to 104 ns (clock 4) vs 105 ns (clock 5):
+    the strict switch must notice the slot drift and name the
+    parameter."""
+    import re
+
+    seq = tpu.Sequence(reg, DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(103, 1.0, -1.0, 0.0), "ryd")
+    with pytest.raises(
+        SwitchDeviceError,
+        match=re.escape(
+            "Changing the device produced a sequence with "
+            "different samples for channel 'ryd'. This may be due"
+        ),
+    ):
+        seq.with_new_device(
+            _one_channel_device(DigitalAnalogDevice, clock_period=5),
+            strict=True,
+        )
+
+
+def test_strict_switch_parametrized_checks_clock_upfront(reg):
+    seq = tpu.Sequence(reg, DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    delay_var = seq.declare_variable("delay", dtype=int)
+    seq.delay(delay_var, "ryd")
+    with pytest.raises(
+        SwitchDeviceError,
+        match="No match for channel 'ryd' with the same"
+        " 'clock_period'.",
+    ):
+        seq.with_new_device(
+            _one_channel_device(DigitalAnalogDevice, clock_period=5),
+            strict=True,
+        )
+
+
+def test_strict_switch_identical_device_keeps_slots(reg):
+    seq = tpu.Sequence(reg, DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(100, 1.0, -1.0, 0.0), "ryd")
+    out = seq.with_new_device(
+        _one_channel_device(DigitalAnalogDevice), strict=True
+    )
+    assert out._schedule["ryd"].slots == seq._schedule["ryd"].slots
+
+
+def test_strict_switch_parametrized_phase_jump_time(reg):
+    seq = tpu.Sequence(reg, DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    phase_var = seq.declare_variable("phase", dtype=float)
+    pulse = tpu.Pulse.ConstantPulse(100, 1.0, -1.0, 0.0)
+    seq.add(pulse, "ryd")
+    with pytest.warns(
+        UserWarning, match="apply a phase shift to all qubits"
+    ):
+        seq.phase_shift(phase_var, basis="ground-rydberg")
+    seq.add(pulse, "ryd")
+    with pytest.raises(
+        SwitchDeviceError,
+        match="No match for channel 'ryd' with the same"
+        " 'phase_jump_time'.",
+    ):
+        seq.with_new_device(
+            _one_channel_device(
+                DigitalAnalogDevice, custom_phase_jump_time=200
+            ),
+            strict=True,
+        )
+
+
+def test_strict_switch_checks_dmm_slots_too(reg):
+    seq = tpu.Sequence(reg, DigitalAnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(103, 1.0, -1.0, 0.0), "ryd")
+    det_map = reg.define_detuning_map(
+        {q: (1.0 if i < 3 else 0) for i, q in enumerate(reg.qubit_ids)}
+    )
+    seq.config_detuning_map(det_map, "dmm_0")
+    seq.add_dmm_detuning(tpu.ConstantWaveform(107, -5), "dmm_0")
+    modified = dataclasses.replace(
+        DigitalAnalogDevice,
+        dmm_objects=(
+            dataclasses.replace(
+                DigitalAnalogDevice.dmm_channels["dmm_0"],
+                clock_period=5,
+            ),
+        ),
+    )
+    with pytest.raises(
+        SwitchDeviceError,
+        match="Changing the device produced a sequence with ",
+    ):
+        seq.with_new_device(modified, strict=True)
