@@ -382,3 +382,73 @@ def test_non_parametrized_index_functions_work_directly(reg):
     assert seq.current_phase_ref(
         "q3", basis="digital"
     ) == pytest.approx(0.25)
+
+
+def test_with_new_register_preserves_phase_refs(reg):
+    """Global phase shifts replay onto the new register's qubits,
+    including ones that didn't exist before (reference
+    test_sequence.py:579-640)."""
+    import pulser_tpu as tpu
+    from pulser_tpu.devices import DigitalAnalogDevice
+
+    seq = tpu.Sequence(
+        tpu.Register({"q0": (0.0, 0.0), "q1": (8.0, 0.0)}),
+        DigitalAnalogDevice,
+    )
+    seq.declare_channel("raman", "raman_local", initial_target="q0")
+    seq.add(tpu.Pulse.ConstantPulse(1000, 1, -1, 2), "raman")
+    seq.declare_channel("ryd", "rydberg_global")
+    with pytest.warns(
+        UserWarning, match="apply a phase shift to all qubits"
+    ):
+        seq.phase_shift(3.0, basis="digital")
+    new_reg = tpu.Register({"q0": (0.0, 0.0), "q1": (10.0, 10.0)})
+    # The replay re-runs the global phase_shift, warning again.
+    with pytest.warns(
+        UserWarning, match="apply a phase shift to all qubits"
+    ):
+        new_seq = seq.with_new_register(new_reg)
+    assert new_seq.declared_variables == seq.declared_variables
+    assert not new_seq.is_parametrized()
+    assert new_seq._calls[1:] == seq._calls[1:]
+    assert float(
+        new_seq.current_phase_ref("q0", basis="digital")
+    ) == pytest.approx(3.0)
+    assert float(
+        new_seq.current_phase_ref("q1", basis="digital")
+    ) == pytest.approx(3.0)
+    # Pulse targets replayed onto the new register
+    slot = new_seq._schedule["raman"][1]
+    assert slot.targets == {"q0"}
+
+
+def test_with_new_register_remaps_slm_weight_map(reg):
+    """An SLM mask's auto detuning map follows the new coordinates:
+    weights stay keyed by qubit id (reference test_sequence.py:664)."""
+    import pulser_tpu as tpu
+    from pulser_tpu.devices import MockDevice
+
+    seq = tpu.Sequence(
+        tpu.Register({"q0": (0.0, 0.0), "q1": (8.0, 0.0)}), MockDevice
+    )
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.config_slm_mask(["q0"])
+    import numpy as np
+
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.BlackmanWaveform(200, np.pi / 2), 0.0, 0.0
+        ),
+        "ryd",
+    )
+    assert "dmm_0" in seq.declared_channels
+    new_reg = tpu.Register({"q0": (2.0, 2.0), "q1": (12.0, 12.0)})
+    # No detuning-map warning here: the DMM comes from the SLM mask,
+    # whose targets are ids, not coordinates (ref :664 warns only for
+    # explicitly configured maps).
+    new_seq = seq.with_new_register(new_reg)
+    new_wmap = new_seq._schedule[
+        "dmm_0"
+    ].detuning_map.get_qubit_weight_map(new_reg.qubits)
+    assert new_wmap["q0"] == 1.0
+    assert new_wmap["q1"] == 0.0
