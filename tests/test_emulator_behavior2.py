@@ -569,3 +569,133 @@ def test_mixed_channels_register_dims(use_3d):
     final = res.get_final_state()
     # Zero pulses: the system stays in the initial (all-ground) state
     assert np.isclose(float(np.abs(final.full()).max()), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------- noisy XY mode
+
+
+Z2 = np.diag([1.0, -1.0]).astype(complex)
+Z3 = np.diag([1.0, -1.0, 0.0]).astype(complex)
+
+
+@pytest.fixture
+def f32_solvers(monkeypatch):
+    """Runs the (count-level, precision-insensitive) noisy-XY matrix
+    in f32 and without mesh sharding: x64 and the 8-virtual-device
+    shard_map path each multiply the Lindblad compile+integration time
+    for no benefit here (sharded==serial is pinned in
+    tests/test_parallel.py)."""
+    import jax
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+@pytest.mark.parametrize(
+    "noise, n_collapse_ops, masked_qubit",
+    [
+        ("dephasing", 1, None),
+        ("dephasing", 1, "atom1"),  # mask variant once: solver is
+        # mask-independent, only the Hamiltonian data changes
+        ("eff_noise", 1, None),
+        ("depolarizing", 3, None),
+        ("leakage", 1, None),
+    ],
+)
+def test_noisy_xy(masked_qubit, noise, n_collapse_ops, f32_solvers):
+    """XY-mode noise: bad-atom classification under seeded RNG,
+    collapse-operator counts per noise kind, and the XY restriction
+    matrix (reference test_simulation.py test_noisy_xy)."""
+    np.random.seed(15092021)
+    simple_reg = Register.square(2, prefix="atom")
+    seq = Sequence(simple_reg, MockDevice)
+    seq.declare_channel("ch0", "mw_global")
+    if masked_qubit is not None:
+        seq.config_slm_mask([masked_qubit])
+    seq.add(Pulse.ConstantPulse(1000, 3.0, 1.0, 0.0), "ch0")
+
+    with_leakage = noise == "leakage"
+    params = {}
+    if with_leakage or noise == "eff_noise":
+        params = dict(
+            eff_noise_opers=[Z3 if with_leakage else Z2],
+            eff_noise_rates=[1.0],
+        )
+    else:
+        params[f"{noise}_rate"] = 0.05
+
+    sim = TpuEmulator.from_sequence(
+        seq,
+        sampling_rate=0.1,
+        noise_model=NoiseModel(
+            samples_per_run=10,
+            with_leakage=with_leakage,
+            state_prep_error=0.4,
+            p_false_pos=0.01,
+            p_false_neg=0.05,
+            **params,
+        ),
+        n_trajectories=15,
+    )
+    assert set(sim.noise_model.noise_types) == (
+        {"SPAM", noise}
+        if not with_leakage
+        else {"SPAM", "leakage", "eff_noise"}
+    )
+    # Same seed, same Bernoulli draws as the reference: atoms 0 and 2
+    # fall out of the trap on this trajectory.
+    assert sim._current_hamiltonian.noise_trajectory.bad_atoms == {
+        "atom0": True,
+        "atom1": False,
+        "atom2": True,
+        "atom3": False,
+    }
+    assert (
+        len(sim._current_hamiltonian._collapse_ops)
+        // len(simple_reg.qubit_ids)
+        == n_collapse_ops
+    )
+    res = sim.run()
+    with pytest.warns(
+        UserWarning, match="resamples a sampling distribution"
+    ):
+        counts = res.sample_final_state()
+    assert sum(counts.values()) > 0
+    # Heavy state-prep error (40%, redrawn per trajectory) plus the
+    # single weak XY drive keeps the register mostly dark: vacuum
+    # dominates and every key is a 4-bit string.
+    assert set(len(bs) for bs in counts) == {4}
+    assert set("".join(counts)) <= {"0", "1"}
+    assert counts.most_common(1)[0][0].count("1") <= 1, counts
+
+
+def test_noisy_xy_restrictions():
+    """Doppler/amplitude/... noise is undefined in XY mode."""
+    simple_reg = Register.square(2, prefix="atom")
+    seq = Sequence(simple_reg, MockDevice)
+    seq.declare_channel("ch0", "mw_global")
+    seq.add(Pulse.ConstantPulse(1000, 3.0, 1.0, 0.0), "ch0")
+
+    with pytest.raises(
+        NotImplementedError,
+        match="mode 'XY' does not support simulation of",
+    ):
+        TpuEmulator.from_sequence(
+            seq,
+            noise_model=NoiseModel(temperature=50),
+            n_trajectories=1,
+        )
+
+    sim = TpuEmulator.from_sequence(seq, sampling_rate=0.1)
+    with pytest.raises(ValueError, match="is not a valid"):
+        sim.set_config("SimConfig")
+    with pytest.raises(
+        NotImplementedError,
+        match="does not support simulation of noise types:"
+        ".*amplitude",
+    ):
+        sim.set_config(SimConfig(noise="amplitude"))
