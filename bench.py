@@ -589,7 +589,24 @@ def main() -> None:
     # via ``pulser_tpu.caching.enable_compilation_cache``.
     from pulser_tpu.emulator import TpuEmulator
 
-    log(f"devices: {jax.devices()}")
+    # Backend init over a tunneled TPU can wedge indefinitely when the
+    # tunnel server is degraded; fail fast with a clear message rather
+    # than hanging the harness (the init runs in a daemon thread
+    # because jax backend init is not interruptible from signals).
+    import threading
+
+    devices_box: list = []
+
+    def _init() -> None:
+        devices_box.append(jax.devices())
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("PULSER_TPU_INIT_TIMEOUT", 600)))
+    if not devices_box:
+        log("ERROR: backend init did not complete within the deadline")
+        sys.exit(3)
+    log(f"devices: {devices_box[0]}")
     cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cpu_baseline.json",
