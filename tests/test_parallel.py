@@ -591,3 +591,56 @@ def test_emulator_xy_uses_statevector_sharding(monkeypatch):
         .full()[:, 0]
     )
     np.testing.assert_allclose(psi_sharded, psi_single, atol=1e-7)
+
+
+def test_qutrit_basis_falls_back_to_single_device(monkeypatch):
+    """Statevector sharding is a d=2 specialization; a qutrit-basis
+    (digital+rydberg) solve above the sharding threshold must fall
+    back to the single-device solver and still be correct."""
+    from pulser_tpu.parallel import state_sharding
+
+    reg = tpu.Register.square(2, spacing=6.0, prefix="q")
+
+    def mk():
+        seq = tpu.Sequence(reg, tpu.devices.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.declare_channel("ram", "raman_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(200, 2 * np.pi, 1.0, 0.0), "ryd"
+        )
+        seq.add(
+            tpu.Pulse.ConstantPulse(200, np.pi, -1.0, 0.5),
+            "ram",
+            protocol="no-delay",
+        )
+        return seq
+
+    calls = []
+    orig = state_sharding.sesolve_ip_statevector_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        state_sharding, "sesolve_ip_statevector_sharded", spy
+    )
+    monkeypatch.setenv("PULSER_TPU_STATE_SHARD_MIN_QUBITS", "2")
+    sim = TpuEmulator.from_sequence(mk())
+    assert sim.dim == 3  # three-level basis: sharding ineligible
+    psi = (
+        sim.run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    assert not calls, "d=3 solve must not take the d=2 sharded path"
+    # Same solve with sharding force-disabled is identical.
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    psi_ref = (
+        TpuEmulator.from_sequence(mk())
+        .run()
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    np.testing.assert_allclose(psi, psi_ref, atol=1e-9)
+    assert abs(np.linalg.norm(psi) - 1) < 1e-6
