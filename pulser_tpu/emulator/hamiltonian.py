@@ -364,6 +364,13 @@ class Hamiltonian:
         self.xy_mat: np.ndarray | None = None
         self.xy_indices: tuple[int, int] | None = None
         self.int_w: np.ndarray | None = None
+        #: Largest single-qudit-flip interaction energy gap (rad/µs):
+        #: max over atoms of the row sum of |U|. In the interaction
+        #: picture this (plus the detuning) is the fastest oscillation
+        #: the rotated drive term carries, which bounds how far the
+        #: integration step may be coarsened beyond the coefficient
+        #: grid (see simulation._run_solver).
+        self.max_flip_gap: float = 0.0
         dim_total = d**n
         int_diag = np.zeros(dim_total)
         if (
@@ -411,6 +418,9 @@ class Hamiltonian:
                 self.int_diag = self._interaction_diag(
                     imat[-1], "r", set()
                 )
+            self.max_flip_gap = float(
+                np.max(np.sum(np.abs(imat[-1]), axis=1))
+            )
         else:
             self.int_diag = int_diag
 

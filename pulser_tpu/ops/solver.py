@@ -326,6 +326,7 @@ def build_plan(
     eval_times: np.ndarray,
     max_step: float | None = None,
     host_stage: bool = True,
+    coarsen: bool = False,
 ) -> EvolutionPlan:
     """Builds the host-side evolution plan.
 
@@ -338,6 +339,13 @@ def build_plan(
         max_step: Optional maximum step size (µs). Grid intervals larger
             than this are subdivided evenly. Defaults to the median knot
             spacing (i.e. no subdivision on a uniform grid).
+        coarsen: Allow steps LARGER than the knot spacing: the grid is
+            built from the eval times alone (subdivided at
+            ``max_step``) instead of containing every knot. Stage
+            values still read the full knot data — they are lerped at
+            the stage times, and the detuning phase integrals remain
+            exact closed forms over all knots — so only the RK4
+            quadrature of the (slow) drive term coarsens.
     """
     from pulser_tpu import native
 
@@ -365,14 +373,20 @@ def build_plan(
     n_eval = len(eval_times)
 
     # Integration grid + post-step output-slot mapping: native plan
-    # compiler when available, numpy fallback otherwise
-    built = native.build_grid(knots, eval_times, max_step)
+    # compiler when available, numpy fallback otherwise. A coarsened
+    # plan anchors the grid only at the evolution endpoints + eval
+    # times (the native builder unions its first argument, so passing
+    # just the endpoints reuses it unchanged).
+    grid_knots = (
+        knots[[0, -1]] if coarsen and len(knots) > 2 else knots
+    )
+    built = native.build_grid(grid_knots, eval_times, max_step)
     if built is not None:
         grid, store_idx = built
         dts = np.diff(grid)
         n_steps = len(dts)
     else:
-        grid = np.union1d(knots, eval_times)
+        grid = np.union1d(grid_knots, eval_times)
         # Subdivide long intervals
         pieces = [np.array([grid[0]])]
         for a, b in zip(grid[:-1], grid[1:]):

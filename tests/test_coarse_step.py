@@ -1,0 +1,152 @@
+"""Interaction-picture step coarsening.
+
+The IP solve rotates the full diagonal away with exact phase
+integrals, so the step may exceed the 1 ns coefficient grid as long
+as it resolves the rotated drive's fastest oscillation (the largest
+single-flip energy gap + detuning; ``Hamiltonian.max_flip_gap``).
+These tests pin the policy: when it engages, the accuracy contract,
+user caps, and the env opt-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pulser_tpu as tpu
+from pulser_tpu.emulator import TpuEmulator
+
+
+def _afm_seq():
+    reg = tpu.Register.square(3, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om, d0, df = 2.0 * 2 * np.pi, -6 * 2 * np.pi, 2 * 2 * np.pi
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(252, 0.0, om), d0, 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantAmplitude(
+            om, tpu.RampWaveform(2700, d0, df), 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(252, om, 0.0), df, 0.0
+        ),
+        "ryd",
+    )
+    return seq
+
+
+def _final(sim, **run_kwargs):
+    psi = (
+        sim.run(**run_kwargs)
+        .get_final_state(ignore_global_phase=False)
+        .full()[:, 0]
+    )
+    return np.asarray(psi)
+
+
+def _fidelity(a, b):
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    return abs(np.vdot(a, b)) ** 2
+
+
+def test_max_flip_gap_value():
+    """Row sums of |U|: the 3x3 lattice's interior atom dominates."""
+    sim = TpuEmulator.from_sequence(_afm_seq())
+    h = sim._current_hamiltonian
+    U_nn = tpu.MockDevice.interaction_coeff / 6.0**6
+    # interior atom: 4 nearest + 4 diagonal neighbours
+    expected = 4 * U_nn + 4 * U_nn / 8.0
+    # (f32 register coordinates shift the distances at the 1e-7 level)
+    assert h.max_flip_gap == pytest.approx(expected, rel=1e-6)
+
+
+def test_coarse_step_engages_and_matches(monkeypatch):
+    """Default coarse policy: larger steps, 1-F <= 1e-8 vs the 1 ns
+    grid, and unit-norm outputs."""
+    monkeypatch.setenv("PULSER_TPU_COARSE_STEP", "0")
+    sim_fine = TpuEmulator.from_sequence(
+        _afm_seq(), evaluation_times="Minimal"
+    )
+    psi_fine = _final(sim_fine)
+    assert sim_fine._sticky_steps.get("sesolve") == 1e-3
+    assert "sesolve_coarse" not in sim_fine._sticky_steps
+
+    monkeypatch.delenv("PULSER_TPU_COARSE_STEP")
+    sim = TpuEmulator.from_sequence(
+        _afm_seq(), evaluation_times="Minimal"
+    )
+    psi = _final(sim)
+    coarse = sim._sticky_steps.get("sesolve_coarse")
+    assert coarse is not None and coarse > 1e-3
+    assert 1 - _fidelity(psi_fine, psi) < 1e-8
+    # Renormalized outputs: the coarse-step norm drift is removed.
+    assert abs(np.linalg.norm(psi) - 1) < 1e-9
+
+
+def test_user_max_step_still_binds():
+    sim = TpuEmulator.from_sequence(
+        _afm_seq(), evaluation_times="Minimal"
+    )
+    psi_capped = _final(sim, max_step=1e-3)
+
+    sim_fine = TpuEmulator.from_sequence(
+        _afm_seq(), evaluation_times="Minimal"
+    )
+    import os
+
+    os.environ["PULSER_TPU_COARSE_STEP"] = "0"
+    try:
+        psi_fine = _final(sim_fine)
+    finally:
+        del os.environ["PULSER_TPU_COARSE_STEP"]
+    np.testing.assert_array_equal(psi_capped, psi_fine)
+
+
+def test_env_forces_coarse_cap(monkeypatch):
+    """PULSER_TPU_COARSE_STEP=<float> caps the coarse ladder."""
+    monkeypatch.setenv("PULSER_TPU_COARSE_STEP", "2e-3")
+    sim = TpuEmulator.from_sequence(
+        _afm_seq(), evaluation_times="Minimal"
+    )
+    _final(sim)
+    coarse = sim._sticky_steps.get("sesolve_coarse")
+    assert coarse is not None and coarse <= 2e-3
+
+
+def test_weak_drive_sequence_coarsens_further(monkeypatch):
+    """An isolated atom has no flip gap: the step is bounded only by
+    the drive and the 4 ns cap."""
+    reg = tpu.Register.from_coordinates([(0.0, 0.0)], prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.BlackmanWaveform(2000, np.pi), 0.0, 0.0
+        ),
+        "ryd",
+    )
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    psi = _final(sim)
+    assert sim._current_hamiltonian.max_flip_gap == 0.0
+    assert sim._sticky_steps.get("sesolve_coarse") == 4e-3
+    # pi pulse: P(r) = 1
+    assert abs(psi[0]) ** 2 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dense_eval_times_unaffected():
+    """With per-ns evaluation times the grid is pinned by the eval
+    points; coarsening must not lose any of them."""
+    sim = TpuEmulator.from_sequence(_afm_seq())  # default: Full
+    res = sim.run()
+    assert len(res.states) == len(sim.evaluation_times)
+    norms = [np.linalg.norm(s.full()) for s in res.states]
+    np.testing.assert_allclose(norms, 1.0, atol=1e-6)
