@@ -666,6 +666,65 @@ class TpuEmulator:
 
         return min(min_variations)
 
+    def _coarse_ip_step(
+        self,
+        key: str,
+        fine_step: float,
+        lambda_max: float,
+        hamiltonians: "list[Hamiltonian]",
+        options: dict,
+    ) -> tuple[float, bool]:
+        """Interaction-picture step coarsening.
+
+        The IP solve rotates the full diagonal away with exact
+        closed-form phase integrals over every coefficient sample, so
+        the integrator need not resolve the 1 ns grid. The step must
+        still resolve (a) the rotated drive's fastest oscillation —
+        the largest single-flip energy gap plus the detuning — and
+        (b) the drive's own RK4 bound. Empirically ω·h ≤ 1.2 holds
+        1−F ≤ 1e-9 on the AFM benchmarks (9 atoms, 6 µm spacing: 2 ns
+        steps → 2.6e-10; the cliff sits beyond 8 ns). Opt out (or
+        force a cap) with ``PULSER_TPU_COARSE_STEP``.
+
+        Returns the (possibly enlarged) step and whether the plan
+        should be built with ``coarsen=True``.
+        """
+        coarse_env = os.environ.get("PULSER_TPU_COARSE_STEP", "")
+        if coarse_env == "0":
+            return fine_step, False
+        omega_max = max(
+            float(getattr(h, "max_flip_gap", 0.0))
+            + (
+                float(np.max(np.abs(h.det_coeffs)))
+                if h.det_coeffs.size
+                else 0.0
+            )
+            for h in hamiltonians
+        )
+        # The 1.3 margin matches the drive bound's: noise draws then
+        # stay inside one power-of-two step across run() calls.
+        margin = 1.3 if len(hamiltonians) > 1 else 1.0
+        coarse_cap = float(coarse_env) if coarse_env else 4e-3
+        coarse_step = self._sticky_quantized_step(
+            key,
+            coarse_cap,
+            min(
+                1.2 / max(margin * omega_max, 1e-9),
+                0.8 / max(margin * lambda_max, 1e-9),
+            ),
+        )
+        if "max_step" in options and not options.get(
+            "_max_step_auto"
+        ):
+            # A user-chosen cap binds; the auto heuristic (minimal
+            # sample variation, QuTiP parity) does not — it exists to
+            # keep an *interpolating* adaptive stepper from skipping
+            # features the exact phase integrals already capture.
+            coarse_step = min(coarse_step, float(options["max_step"]))
+        if coarse_step > fine_step:
+            return coarse_step, True
+        return fine_step, False
+
     def _sticky_quantized_step(
         self, key: str, base_step: float, cap: float
     ) -> float:
@@ -750,48 +809,16 @@ class TpuEmulator:
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
 
-        # Interaction-picture step coarsening: the diagonal is rotated
-        # away exactly (closed-form phase integrals over every knot),
-        # so the integrator need not resolve the 1 ns coefficient grid.
-        # The step must still resolve (a) the rotated drive's fastest
-        # oscillation — the largest single-flip energy gap plus the
-        # detuning — and (b) the drive's own RK4 bound. Empirically
-        # ω·h ≤ 1.2 holds 1−F ≤ 1e-9 on the AFM benchmarks (9 atoms,
-        # 6 µm spacing: 2 ns steps → 2.6e-10; the cliff sits beyond
-        # 8 ns). Opt out (or force a cap) via PULSER_TPU_COARSE_STEP.
-        coarsen = False
-        coarse_env = os.environ.get("PULSER_TPU_COARSE_STEP", "")
-        if can_use_ip and coarse_env != "0":
-            omega_max = float(
-                getattr(hamiltonian, "max_flip_gap", 0.0)
-            ) + (
-                float(np.max(np.abs(hamiltonian.det_coeffs)))
-                if hamiltonian.det_coeffs.size
-                else 0.0
-            )
-            coarse_cap = float(coarse_env) if coarse_env else 4e-3
-            coarse_step = self._sticky_quantized_step(
+        if can_use_ip:
+            max_step, coarsen = self._coarse_ip_step(
                 "sesolve_coarse",
-                coarse_cap,
-                min(
-                    1.2 / max(omega_max, 1e-9),
-                    0.8 / max(lambda_max, 1e-9),
-                ),
+                max_step,
+                lambda_max,
+                [hamiltonian],
+                options,
             )
-            if "max_step" in options and not options.get(
-                "_max_step_auto"
-            ):
-                # A user-chosen cap binds; the auto heuristic (minimal
-                # sample variation, QuTiP parity) does not — it exists
-                # to keep an *interpolating* adaptive stepper from
-                # skipping features the exact phase integrals already
-                # capture.
-                coarse_step = min(
-                    coarse_step, float(options["max_step"])
-                )
-            if coarse_step > max_step:
-                max_step = coarse_step
-                coarsen = True
+        else:
+            coarsen = False
 
         coeffs = {
             "amp": hamiltonian.amp_coeffs,
@@ -1187,6 +1214,17 @@ class TpuEmulator:
         )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
+        # This batch integrates in the interaction picture, so the
+        # same step coarsening as the single-trajectory coherent path
+        # applies (the 1.3 margin absorbs noise-draw fluctuations of
+        # the per-trajectory gaps).
+        max_step, coarsen = self._coarse_ip_step(
+            "sesolve_batch_coarse",
+            max_step,
+            lambda_max,
+            [h.hamiltonian for h in hams],
+            options,
+        )
         # One plan for the whole batch: the grid is shared, only the
         # coefficient values differ per trajectory
         plans = _solver_mod.build_plan_batched(
@@ -1201,6 +1239,7 @@ class TpuEmulator:
             },
             self._eval_times_array,
             max_step=max_step,
+            coarsen=coarsen,
         )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
@@ -1218,6 +1257,15 @@ class TpuEmulator:
             dtype=cdtype,
             mesh=default_mesh(),
         )
+        if coarsen:
+            # see the coherent path: unitary evolution, renormalize
+            states_batch = np.asarray(states_batch)
+            norms = np.linalg.norm(
+                states_batch, axis=-1, keepdims=True
+            )
+            states_batch = states_batch / np.where(
+                norms == 0, 1.0, norms
+            )
         legal_dims_ket = [[d] * n, [1] * n]
         for hwr, states_t in zip(hams, states_batch):
             self._current_hamiltonian = hwr.hamiltonian

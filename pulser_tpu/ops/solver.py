@@ -149,6 +149,7 @@ def build_plan_batched(
     eval_times: np.ndarray,
     max_step: float | None = None,
     host_stage: bool = True,
+    coarsen: bool = False,
 ) -> BatchedPlan:
     """Builds one :class:`BatchedPlan` for stacked coefficients.
 
@@ -158,6 +159,7 @@ def build_plan_batched(
             per-trajectory coefficients.
         eval_times: Shared evaluation times.
         max_step: Shared maximum step.
+        coarsen: See :func:`build_plan`.
     """
     n_traj = next(iter(coeffs_batch.values())).shape[0]
     plan = build_plan(
@@ -166,6 +168,7 @@ def build_plan_batched(
         eval_times,
         max_step=max_step,
         host_stage=host_stage,
+        coarsen=coarsen,
     )
     return BatchedPlan(
         plan=plan, n_traj=n_traj, raw_coeffs=dict(coeffs_batch)

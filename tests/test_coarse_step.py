@@ -150,3 +150,34 @@ def test_dense_eval_times_unaffected():
     assert len(res.states) == len(sim.evaluation_times)
     norms = [np.linalg.norm(s.full()) for s in res.states]
     np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+
+
+def test_noisy_coherent_batch_coarsens(monkeypatch, mod_device):
+    """The trajectory batch shares the coarse IP grid; observables
+    match the fine-grid batch to solver tolerance."""
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, laser_waist=120.0, runs=6, samples_per_run=2
+    )
+    reg = tpu.Register.square(2, spacing=7.0, prefix="q")
+
+    def mk():
+        seq = tpu.Sequence(reg, mod_device)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(400, 2 * np.pi, 1.0, 0.0), "ryd"
+        )
+        return seq
+
+    obs = np.diag([1, 0] * 8).astype(complex)
+
+    np.random.seed(7)
+    sim = TpuEmulator.from_sequence(mk(), noise_model=nm)
+    e_coarse = np.asarray(sim.run().expect([obs])[0], float)
+    assert sim._sticky_steps.get("sesolve_batch_coarse", 0) > 1e-3
+
+    monkeypatch.setenv("PULSER_TPU_COARSE_STEP", "0")
+    np.random.seed(7)
+    sim2 = TpuEmulator.from_sequence(mk(), noise_model=nm)
+    e_fine = np.asarray(sim2.run().expect([obs])[0], float)
+    assert "sesolve_batch_coarse" not in sim2._sticky_steps
+    np.testing.assert_allclose(e_coarse, e_fine, atol=5e-6)
