@@ -673,6 +673,7 @@ class TpuEmulator:
         lambda_max: float,
         hamiltonians: "list[Hamiltonian]",
         options: dict,
+        margin: "float | None" = None,
     ) -> tuple[float, bool]:
         """Interaction-picture step coarsening.
 
@@ -703,7 +704,8 @@ class TpuEmulator:
         )
         # The 1.3 margin matches the drive bound's: noise draws then
         # stay inside one power-of-two step across run() calls.
-        margin = 1.3 if len(hamiltonians) > 1 else 1.0
+        if margin is None:
+            margin = 1.3 if len(hamiltonians) > 1 else 1.0
         coarse_cap = float(coarse_env) if coarse_env else 4e-3
         coarse_step = self._sticky_quantized_step(
             key,
@@ -819,6 +821,42 @@ class TpuEmulator:
             )
         else:
             coarsen = False
+        # The quantum-jump solver can ALSO integrate in the
+        # interaction picture when every collapse operator commutes
+        # with the (diagonal) rotor up to a jump-local frame change
+        # (see ops.solver.mcwf_ip_eligible): the same coarse-step
+        # policy then applies. The policy reads the NOISELESS
+        # Hamiltonian with the batch margin so the serial and batched
+        # dissipative paths choose identical grids.
+        mcwf_ip = (
+            use_lindblad_step
+            and hamiltonian.xy_mat is None
+            and hamiltonian.int_w is None
+            and not (
+                self.initial_state.isoper
+                and not self.initial_state.isket
+            )
+            and self._lindblad_solver_choice()
+            and _solver_mod.mcwf_ip_eligible(
+                hamiltonian._local_collapse_mats
+            )
+        )
+        if mcwf_ip:
+            ham0 = self._noiseless_hamiltonian
+            lam_drive = float(
+                np.sum(
+                    2 * np.max(np.abs(ham0.amp_coeffs), axis=(1, 2))
+                )
+            )
+            max_step, coarsen = self._coarse_ip_step(
+                "mcwf_coarse",
+                max_step,
+                lam_drive,
+                [ham0],
+                options,
+                margin=1.3,
+            )
+            mcwf_ip = coarsen  # IP engages with the coarse grid
 
         coeffs = {
             "amp": hamiltonian.amp_coeffs,
@@ -876,6 +914,7 @@ class TpuEmulator:
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
                 mesh=default_mesh(),
+                ip=mcwf_ip,
             )
             states = [
                 Qobj(s, dims=legal_dims_op) for s in states_arr
@@ -1370,9 +1409,44 @@ class TpuEmulator:
         )
         if "max_step" in options and options["max_step"]:
             max_step = min(max_step, float(options["max_step"]))
+        # The MCWF variant can integrate in the interaction picture
+        # (eligible collapse ops; see _run_solver) and then coarsen
+        # its step. The policy reads the NOISELESS Hamiltonian so the
+        # serial path chooses the identical grid.
+        first_mats = first._local_collapse_mats
+        mcwf_ip = (
+            self._lindblad_solver_choice()
+            and first.xy_mat is None
+            and first.int_w is None
+            and not (
+                self.initial_state.isoper
+                and not self.initial_state.isket
+            )
+            and _solver_mod.mcwf_ip_eligible(first_mats)
+        )
+        if mcwf_ip:
+            ham0 = self._noiseless_hamiltonian
+            lam_drive = float(
+                np.sum(
+                    2 * np.max(np.abs(ham0.amp_coeffs), axis=(1, 2))
+                )
+            )
+            max_step, coarsen = self._coarse_ip_step(
+                "mcwf_coarse",
+                max_step,
+                lam_drive,
+                [ham0],
+                options,
+                margin=1.3,
+            )
+            mcwf_ip = coarsen
+        else:
+            coarsen = False
         # One plan for the whole batch (shared grid, see
         # _noisy_runs_batched); staging happens on-device from the
-        # raw knot values, so skip the (large) host staging entirely
+        # raw knot values — except on the coarse IP path, whose exact
+        # phase integrals are host-side quantities anyway (and whose
+        # grid is 4-8x smaller, making host staging cheap).
         plans = _timed(
             "emulator.build_plan_batched",
             _solver_mod.build_plan_batched,
@@ -1388,7 +1462,8 @@ class TpuEmulator:
             },
             self._eval_times_array,
             max_step=max_step,
-            host_stage=False,
+            host_stage=mcwf_ip,
+            coarsen=coarsen,
         )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
@@ -1412,6 +1487,7 @@ class TpuEmulator:
                 seeds,
                 dtype=cdtype,
                 mesh=default_mesh(),
+                ip=mcwf_ip,
             )
             dims = [[d] * n, [1] * n]
         else:

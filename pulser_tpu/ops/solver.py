@@ -718,6 +718,72 @@ def _cmul(rot_c: jax.Array, rot_s: jax.Array, v2: jax.Array) -> jax.Array:
     )
 
 
+def _make_ip_phase_fn(
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    rdtype: Any,
+):
+    """Builds the interaction-picture phase evaluator.
+
+    Returns ``phase_at(diag_static, t_s, cum_s) -> (dim,)`` computing
+    ``(diag·t) mod 2π + Σ_bq cum_mod·occ`` with the projector
+    occupancies synthesized IN-KERNEL as axis-wise broadcast adds (one
+    small ``(d**g,)`` vector per qubit group) — no ``(n_bases, n,
+    dim)`` occupancy array ever exists; at 25 qubits that array would
+    be 3.4 GB of HBM read per RK4 stage. Qubits are grouped so the
+    phase tensor's rank stays bounded (TPU XLA rejects very high
+    ranks; a ``(d,)*25`` reshape crashes the worker).
+    """
+    two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
+    phase_groups: list[int] = []
+    _rem = n
+    while _rem > 0:
+        phase_groups.append(min(6, _rem))
+        _rem -= phase_groups[-1]
+    group_shape = tuple(d**g for g in phase_groups)
+    # pattern[b][group j] : (g_j, d**g_j) static 0/1 occupancies
+    patterns = []
+    for _, _, kp in pairs:
+        per_group = []
+        for g in phase_groups:
+            ar = np.arange(d**g)
+            per_group.append(
+                np.stack(
+                    [
+                        (ar // d ** (g - 1 - p)) % d == kp
+                        for p in range(g)
+                    ]
+                ).astype(np.float64)
+            )
+        patterns.append(per_group)
+
+    def phase_at(diag_static, t_s, cum_s):
+        shaped = jnp.mod(diag_static * t_s, two_pi).reshape(
+            group_shape
+        )
+        k_axes = len(phase_groups)
+        for b in range(len(pairs)):
+            q0 = 0
+            for j, g in enumerate(phase_groups):
+                vec = jnp.einsum(
+                    "p,pD->D",
+                    cum_s[b, q0 : q0 + g],
+                    jnp.asarray(patterns[b][j], dtype=rdtype),
+                    preferred_element_type=rdtype,
+                    precision="highest",
+                )
+                shaped = shaped + vec.reshape(
+                    (1,) * j
+                    + (d**g,)
+                    + (1,) * (k_axes - 1 - j)
+                )
+                q0 += g
+        return shaped.reshape(-1)
+
+    return phase_at
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pairs", "d", "n"),
@@ -756,58 +822,10 @@ def _sesolve_scan_ip(
     """
     rdtype = psi2_0.dtype
     groups = group_sizes(d, n)
-    two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
-
-    # Qubits are grouped so the phase tensor's rank stays bounded
-    # (TPU XLA rejects very high ranks; a (d,)*25 reshape crashes the
-    # worker). Each group contributes one small (d**g,) vector — the
-    # cum-weighted sum of its qubits' static occupancy patterns —
-    # broadcast along its axis.
-    phase_groups: list[int] = []
-    _rem = n
-    while _rem > 0:
-        phase_groups.append(min(6, _rem))
-        _rem -= phase_groups[-1]
-    group_shape = tuple(d**g for g in phase_groups)
-    # pattern[b][group j] : (g_j, d**g_j) static 0/1 occupancies
-    patterns = []
-    for _, _, kp in pairs:
-        per_group = []
-        for g in phase_groups:
-            ar = np.arange(d**g)
-            per_group.append(
-                np.stack(
-                    [
-                        (ar // d ** (g - 1 - p)) % d == kp
-                        for p in range(g)
-                    ]
-                ).astype(np.float64)
-            )
-        patterns.append(per_group)
+    phase_at_d = _make_ip_phase_fn(pairs, d, n, rdtype)
 
     def phase_at(t_s, cum_s):
-        # (diag·t) mod 2π + Σ_bq cum_mod·occ   (all values ≥ 0)
-        shaped = jnp.mod(diag_static * t_s, two_pi).reshape(
-            group_shape
-        )
-        k_axes = len(phase_groups)
-        for b in range(len(pairs)):
-            q0 = 0
-            for j, g in enumerate(phase_groups):
-                vec = jnp.einsum(
-                    "p,pD->D",
-                    cum_s[b, q0 : q0 + g],
-                    jnp.asarray(patterns[b][j], dtype=rdtype),
-                    preferred_element_type=rdtype,
-                    precision="highest",
-                )
-                shaped = shaped + vec.reshape(
-                    (1,) * j
-                    + (d**g,)
-                    + (1,) * (k_axes - 1 - j)
-                )
-                q0 += g
-        return shaped.reshape(-1)
+        return phase_at_d(diag_static, t_s, cum_s)
 
     def amp_apply(psi2, ar_s, ai_s):
         zero_det = jnp.zeros_like(ar_s)
@@ -1401,6 +1419,9 @@ def _mcwf_scan_batched(
     n: int,
     has_int_w: bool,
     n_cops: int,
+    ip_shared: "tuple[jax.Array, ...] | None" = None,
+    cum_mod_b: "jax.Array | None" = None,
+    eval_cum_mod_b: "jax.Array | None" = None,
 ) -> jax.Array:
     """One quantum-jump realization per noise trajectory, batched.
 
@@ -1408,9 +1429,19 @@ def _mcwf_scan_batched(
     own RNG key; the whole batch shares one compiled program (the
     reference's serial mcsolve-per-trajectory loop collapsed into a
     single device call).
-    """
 
-    def one(amp_re, amp_im, det, diag_static, key):
+    ``ip_shared = (t_stage, eval_t, g_diag)`` together with the
+    per-trajectory ``cum_mod_b``/``eval_cum_mod_b`` phase integrals
+    runs each realization in the interaction picture (see
+    :func:`_mcwf_traj_states`).
+    """
+    use_ip = ip_shared is not None
+
+    def one(amp_re, amp_im, det, diag_static, key, cum_m, ev_cum):
+        ip_args = None
+        if use_ip:
+            t_stage, eval_t, g_diag = ip_shared
+            ip_args = (cum_m, t_stage, eval_t, ev_cum, g_diag)
         states = _mcwf_traj_states(
             psi2_0,
             amp_re,
@@ -1431,10 +1462,20 @@ def _mcwf_scan_batched(
             xy_indices=None,
             has_int_w=has_int_w,
             n_cops=n_cops,
+            ip_args=ip_args,
         )
         return states[0]
 
-    return jax.vmap(one)(amp_re_b, amp_im_b, det_b, diag_b, keys_b)
+    if not use_ip:
+        # Keep the vmap operand list minimal on the hot path
+        cum_mod_b = jnp.zeros(
+            (amp_re_b.shape[0],) + (1,), dtype=psi2_0.dtype
+        )
+        eval_cum_mod_b = jnp.zeros_like(cum_mod_b)
+    return jax.vmap(one)(
+        amp_re_b, amp_im_b, det_b, diag_b, keys_b,
+        cum_mod_b, eval_cum_mod_b,
+    )
 
 
 def mcsolve_rk4_batched(
@@ -1448,6 +1489,7 @@ def mcsolve_rk4_batched(
     seeds: list[int],
     dtype: Any = None,
     mesh: Any = None,
+    ip: bool = False,
 ) -> np.ndarray:
     """One MCWF realization per noise trajectory, batched on-device.
 
@@ -1459,6 +1501,9 @@ def mcsolve_rk4_batched(
         mesh: Optional 1D ``jax.sharding.Mesh`` (axis "traj"); shards
             each bounded call's trajectory axis over ICI (see
             :func:`mesolve_rk4_batched`).
+        ip: Integrate each realization in the interaction picture
+            (requires :func:`mcwf_ip_eligible` collapse operators);
+            pairs with a coarsened plan for large steps.
 
     Returns:
         ``(n_traj, n_eval, 2, dim)``-derived complex pure states,
@@ -1478,6 +1523,7 @@ def mcsolve_rk4_batched(
     # the kernel stacks trajectories inside a block.
     if (
         isinstance(plans, BatchedPlan)
+        and not ip  # the fused kernel integrates in the lab frame
         and d == 2
         and n >= 2
         and pairs == ((1, 0, 0),)
@@ -1543,7 +1589,33 @@ def mcsolve_rk4_batched(
     if n_dev > 1:
         batch = -(-batch // n_dev) * n_dev  # round up to a multiple
 
-    def run_scan(ar, ai, de, dg, ks):
+    ip_shared = None
+    if ip:
+        assert mcwf_ip_eligible(collapse_ops)
+        two_pi = 2 * np.pi
+        if isinstance(plans, BatchedPlan):
+            cum_np = (-plans.seg_stage_b("det_cum")) % two_pi
+            ev_cum_np = (-plans.eval_det_cum_b) % two_pi
+        else:
+            cum_np = np.stack(
+                [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+            )
+            ev_cum_np = np.stack(
+                [(-p.eval_det_cum) % two_pi for p in plans]
+            )
+        cum_b = jnp.asarray(cum_np, dtype=rdtype)
+        ev_cum_b = jnp.asarray(ev_cum_np, dtype=rdtype)
+        ip_shared = (
+            jnp.asarray(base.seg_stage("t_stage"), dtype=rdtype),
+            jnp.asarray(
+                base.eval_times - base.grid[0], dtype=rdtype
+            ),
+            jnp.asarray(
+                _embedded_g_diag(collapse_ops, d, n), dtype=rdtype
+            ),
+        )
+
+    def run_scan(ar, ai, de, dg, ks, cum_m=None, ev_cum=None):
         return _mcwf_scan_batched(
             psi2_0,
             ar,
@@ -1562,6 +1634,9 @@ def mcsolve_rk4_batched(
             n=n,
             has_int_w=False,
             n_cops=len(collapse_ops),
+            ip_shared=ip_shared,
+            cum_mod_b=cum_m,
+            eval_cum_mod_b=ev_cum,
         )
 
     outs = []
@@ -1584,6 +1659,8 @@ def mcsolve_rk4_batched(
             pad_b(diag_b),
             pad_b(keys),
         )
+        if ip:
+            chunk = chunk + (pad_b(cum_b), pad_b(ev_cum_b))
         if n_dev > 1:
             from pulser_tpu.parallel.trajectories import (
                 trajectory_sharded,
@@ -1856,6 +1933,51 @@ def _mesolve_scan(
     return ys
 
 
+def mcwf_ip_eligible(collapse_ops: "list[np.ndarray]") -> bool:
+    """Whether MCWF can integrate in the interaction picture.
+
+    The IP rotor is diagonal, so the unravelling is frame-invariant
+    exactly when every collapse operator is either diagonal (commutes
+    with the rotor) or a single matrix unit ``|a⟩⟨b|`` (rotor
+    conjugation is a global phase on the post-jump state). Both cases
+    also make ``Σ L†L`` diagonal, keeping the no-jump decay in the
+    integrand trivially rotor-compatible.
+    """
+    for c in collapse_ops:
+        c = np.asarray(c)
+        off = c - np.diag(np.diag(c))
+        if not np.any(off):
+            continue
+        if np.count_nonzero(c) == 1:
+            continue
+        return False
+    return True
+
+
+def _embedded_g_diag(
+    collapse_ops: "list[np.ndarray]", d: int, n: int
+) -> np.ndarray:
+    """The full ``(d**n,)`` diagonal of ``Σ_{k,q} L†L``.
+
+    Only valid when :func:`mcwf_ip_eligible` holds (each per-qudit
+    ``L†L`` is then diagonal).
+    """
+    g_np = np.zeros((d, d), dtype=np.complex128)
+    for c_np in collapse_ops:
+        c_np = np.asarray(c_np, dtype=np.complex128)
+        g_np += c_np.conj().T @ c_np
+    off = g_np - np.diag(np.diag(g_np))
+    assert not np.any(np.abs(off) > 1e-12), (
+        "G must be diagonal for the IP MCWF path"
+    )
+    gvals = np.diag(g_np).real
+    idx = np.arange(d**n)
+    out = np.zeros(d**n)
+    for q in range(n):
+        out += gvals[(idx // d ** (n - 1 - q)) % d]
+    return out
+
+
 def mcsolve_rk4(
     psi0: np.ndarray,
     plan: EvolutionPlan,
@@ -1870,6 +1992,7 @@ def mcsolve_rk4(
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
     mesh: Any = None,
+    ip: bool = False,
 ) -> np.ndarray:
     """Quantum-jump Monte-Carlo (MCWF) solve, trajectory-averaged.
 
@@ -1941,6 +2064,27 @@ def mcsolve_rk4(
         np.tile(g_np.imag[None], (n, 1, 1)), dtype=rdtype
     )
 
+    ip_args = None
+    if ip:
+        assert xy_static is None and not has_int_w
+        assert mcwf_ip_eligible(collapse_ops)
+        two_pi = 2 * np.pi
+        ip_args = (
+            jnp.asarray(
+                (-plan.seg_stage("det_cum")) % two_pi, dtype=rdtype
+            ),
+            jnp.asarray(plan.seg_stage("t_stage"), dtype=rdtype),
+            jnp.asarray(
+                plan.eval_times - plan.grid[0], dtype=rdtype
+            ),
+            jnp.asarray(
+                (-plan.eval_det_cum) % two_pi, dtype=rdtype
+            ),
+            jnp.asarray(
+                _embedded_g_diag(collapse_ops, d, n), dtype=rdtype
+            ),
+        )
+
     w_dummy = (
         int_w
         if int_w is not None
@@ -2003,6 +2147,7 @@ def mcsolve_rk4(
             xy_indices=xy_indices,
             has_int_w=has_int_w,
             n_cops=n_cops,
+            ip_args=ip_args,
         )
         # The scans return weighted sums; normalize by the true count
         rr = np.asarray(rho_re) / ntraj
@@ -2039,6 +2184,7 @@ def _mcwf_traj_states(
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
     n_cops: int,
+    ip_args: "tuple[jax.Array, ...] | None" = None,
 ) -> jax.Array:
     """Traces the vmapped MCWF trajectory batch.
 
@@ -2046,10 +2192,28 @@ def _mcwf_traj_states(
     states at the segment boundaries. Not jitted itself — it is traced
     inside :func:`_mcsolve_scan` (single device) or inside a
     ``shard_map`` (see :func:`_mcsolve_scan_sharded`).
+
+    When ``ip_args = (cum_mod, t_stage, eval_t, eval_cum_mod,
+    g_diag)`` is given, the deterministic drift integrates in the
+    **interaction picture**: the Hermitian diagonal rotates away with
+    exact phase integrals while the (diagonal) no-jump decay ``−½Γφ``
+    stays in the integrand. Jump detection, channel selection and the
+    jump application itself are frame-invariant here — the rotor is
+    diagonal, every collapse operator is a single matrix unit or
+    diagonal (see :func:`mcwf_ip_eligible`), so ``R†LR = e^{iθ}L``
+    shifts the post-jump state by a global phase only. Emitted states
+    rotate back to the lab frame.
     """
     rdtype = psi2_0.dtype
     dim = psi2_0.shape[-1]
     groups = group_sizes(d, n)
+    use_ip = ip_args is not None
+    if use_ip:
+        cum_mod, t_stage, eval_t, eval_cum_mod, g_diag = ip_args
+        phase_at_d = _make_ip_phase_fn(pairs, d, n, rdtype)
+
+        def phase_at(t_s, cum_s):
+            return phase_at_d(diag_static, t_s, cum_s)
     # Static group matrices of G = Σ_k L†L (built once per trace)
     g_groups = []
     q0 = 0
@@ -2076,6 +2240,30 @@ def _mcwf_traj_states(
             pairs, d, n, xy_mat_s, xy_indices,
         )
         return neg_i(h_psi) - 0.5 * g_apply(psi2)
+
+    def amp_apply_ip(psi2, ar_s, ai_s):
+        zero_det = jnp.zeros_like(ar_s)
+        m_re, m_im = build_drive_matrices(
+            ar_s, ai_s, zero_det, pairs, d, n
+        )
+        out = jnp.zeros_like(psi2)
+        q0 = 0
+        for g in groups:
+            g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+            out = out + apply_block_c(
+                g_re, g_im, psi2, d**q0, d**g, d ** (n - q0 - g)
+            )
+            q0 += g
+        return out
+
+    def deriv_ip(phi2, ar_s, ai_s, cum_s, t_s):
+        ph = phase_at(t_s, cum_s)
+        c = jnp.cos(ph)
+        sn = jnp.sin(ph)
+        w = _cmul(c, -sn, phi2)  # e^{-iΦ} ⊙ φ
+        y = amp_apply_ip(w, ar_s, ai_s)
+        k = neg_i(_cmul(c, sn, y))  # -i e^{iΦ} ⊙ y
+        return k - 0.5 * g_diag * phi2
 
     def candidates(psi2):
         # All (k, q) jump candidates stacked: (n_cops*n, 2, dim)
@@ -2119,34 +2307,45 @@ def _mcwf_traj_states(
 
         def step(carry, xs):
             psi, r = carry
-            ar_st, ai_st, det_st, h, w_st, u2 = xs
+            if use_ip:
+                ar_st, ai_st, cum_st, t_st, h, u2 = xs
+            else:
+                ar_st, ai_st, det_st, h, w_st, u2 = xs
 
             def stage_body(stage_carry, i):
                 k_prev, acc = stage_carry
                 s = rk_stage[i]
+                p = psi + (h * rk_a[i]) * k_prev
+                if use_ip:
+                    k = deriv_ip(
+                        p, ar_st[s], ai_st[s], cum_st[s], t_st[s]
+                    )
+                else:
 
-                def diag_at():
-                    if has_int_w:
-                        return jnp.tensordot(
-                            w_st[s], diag_static, axes=1
-                        )
-                    return diag_static
+                    def diag_at():
+                        if has_int_w:
+                            return jnp.tensordot(
+                                w_st[s], diag_static, axes=1
+                            )
+                        return diag_static
 
-                def xy_at():
-                    if xy_s is None:
-                        return None
-                    if has_int_w and xy_s.shape[0] == 2:
-                        return jnp.tensordot(w_st[s], xy_s, axes=1)
-                    return xy_s[0]
+                    def xy_at():
+                        if xy_s is None:
+                            return None
+                        if has_int_w and xy_s.shape[0] == 2:
+                            return jnp.tensordot(
+                                w_st[s], xy_s, axes=1
+                            )
+                        return xy_s[0]
 
-                k = deriv(
-                    psi + (h * rk_a[i]) * k_prev,
-                    ar_st[s],
-                    ai_st[s],
-                    det_st[s],
-                    diag_at(),
-                    xy_at(),
-                )
+                    k = deriv(
+                        p,
+                        ar_st[s],
+                        ai_st[s],
+                        det_st[s],
+                        diag_at(),
+                        xy_at(),
+                    )
                 return (k, acc + rk_b[i] * k), None
 
             zeros = jnp.zeros_like(psi)
@@ -2158,28 +2357,63 @@ def _mcwf_traj_states(
             # A jump on a zero-length (padded) step cannot trigger:
             # the norm is unchanged since the last real step
             norm2 = jnp.sum(psi**2)
-            psi, r = jax.lax.cond(
-                norm2 <= r,
-                lambda p, rr: do_jump(p, u2),
-                lambda p, rr: (p, rr),
-                psi,
-                r,
-            )
+            if use_ip:
+                # The rotor phase is state-dependent (interaction
+                # diagonal), so off-diagonal jump operators do NOT
+                # commute with it up to a global phase: rotate to the
+                # lab frame for the jump and back. Runs only inside
+                # the (rare) jump branch.
+                ph_end = phase_at(t_st[2], cum_st[2])
+                c_end = jnp.cos(ph_end)
+                s_end = jnp.sin(ph_end)
+
+                def jump_ip(p, rr):
+                    p_lab = _cmul(c_end, -s_end, p)
+                    p_new, r_new = do_jump(p_lab, u2)
+                    return _cmul(c_end, s_end, p_new), r_new
+
+                psi, r = jax.lax.cond(
+                    norm2 <= r,
+                    jump_ip,
+                    lambda p, rr: (p, rr),
+                    psi,
+                    r,
+                )
+            else:
+                psi, r = jax.lax.cond(
+                    norm2 <= r,
+                    lambda p, rr: do_jump(p, u2),
+                    lambda p, rr: (p, rr),
+                    psi,
+                    r,
+                )
             return (psi, r), None
 
         def segment(seg_carry, seg_xs):
-            (psi, r), _ = jax.lax.scan(step, seg_carry, seg_xs)
+            if use_ip:
+                *step_xs, te, ce = seg_xs
+            else:
+                step_xs = seg_xs
+            (psi, r), _ = jax.lax.scan(
+                step, seg_carry, tuple(step_xs)
+            )
             # Emit the normalized state (QuTiP mcsolve convention)
             psi_n = psi / jnp.sqrt(
                 jnp.maximum(jnp.sum(psi**2), 1e-30)
             )
+            if use_ip:
+                # Back to the lab frame: ψ = e^{-iΦ(t_eval)} φ
+                ph = phase_at(te, ce)
+                psi_n = _cmul(jnp.cos(ph), -jnp.sin(ph), psi_n)
             return (psi, r), psi_n
 
-        _, ys = jax.lax.scan(
-            segment,
-            (psi2_0, r0),
-            (amp_re, amp_im, det, dts, int_w, us),
+        seg_xs_all = (
+            (amp_re, amp_im, cum_mod, t_stage, dts, us, eval_t,
+             eval_cum_mod)
+            if use_ip
+            else (amp_re, amp_im, det, dts, int_w, us)
         )
+        _, ys = jax.lax.scan(segment, (psi2_0, r0), seg_xs_all)
         return ys  # (n_seg, 2, dim)
 
     # (ntraj, n_eval, 2, dim)
@@ -2242,6 +2476,7 @@ def _mcsolve_scan(
     xy_indices: tuple[int, int] | None,
     has_int_w: bool,
     n_cops: int,
+    ip_args: "tuple[jax.Array, ...] | None" = None,
 ) -> tuple[jax.Array, jax.Array]:
     """The compiled MCWF trajectory batch (cached across calls).
 
@@ -2268,6 +2503,7 @@ def _mcsolve_scan(
         xy_indices=xy_indices,
         has_int_w=has_int_w,
         n_cops=n_cops,
+        ip_args=ip_args,
     )
     states = states * weights[:, None, None, None]
     return _avg_density(states, 1)
@@ -2297,6 +2533,7 @@ def _mcsolve_scan_sharded(
     has_int_w: bool,
     n_cops: int,
     axis_name: str = "traj",
+    ip_args: "tuple[jax.Array, ...] | None" = None,
 ) -> tuple[jax.Array, jax.Array]:
     """MCWF trajectory batch sharded over a device mesh.
 
@@ -2320,6 +2557,8 @@ def _mcsolve_scan_sharded(
     )
     has_xy = xy_s is not None
 
+    n_ip = len(ip_args) if ip_args is not None else 0
+
     def local_work(
         psi2_0,
         amp_re,
@@ -2335,6 +2574,7 @@ def _mcsolve_scan_sharded(
         g_im_stack,
         keys_sh,
         weights_sh,
+        *ip_rep,
     ):
         states = _mcwf_traj_states(
             psi2_0,
@@ -2356,6 +2596,7 @@ def _mcsolve_scan_sharded(
             xy_indices=xy_indices,
             has_int_w=has_int_w,
             n_cops=n_cops,
+            ip_args=tuple(ip_rep) if n_ip else None,
         )
         states = states * weights_sh[:, None, None, None]
         rho_re, rho_im = _avg_density(states, 1)
@@ -2372,7 +2613,9 @@ def _mcsolve_scan_sharded(
     sharded = shard_map(
         local_work,
         mesh=mesh,
-        in_specs=(P(),) * 12 + (P(axis_name), P(axis_name)),
+        in_specs=(P(),) * 12
+        + (P(axis_name), P(axis_name))
+        + (P(),) * n_ip,
         out_specs=(P(), P()),
         check_rep=False,
     )
@@ -2391,6 +2634,7 @@ def _mcsolve_scan_sharded(
         g_im_stack,
         keys,
         weights,
+        *(ip_args or ()),
     )
 
 

@@ -181,3 +181,132 @@ def test_noisy_coherent_batch_coarsens(monkeypatch, mod_device):
     e_fine = np.asarray(sim2.run().expect([obs])[0], float)
     assert "sesolve_batch_coarse" not in sim2._sticky_steps
     np.testing.assert_allclose(e_coarse, e_fine, atol=5e-6)
+
+
+# ------------------------------------------------------------- MCWF IP
+
+
+def test_mcwf_ip_eligibility():
+    from pulser_tpu.ops.solver import mcwf_ip_eligible
+
+    deph = np.sqrt(0.8) * np.array([[1, 0], [0, 0]], complex)
+    rel = np.sqrt(0.5) * np.array([[0, 0], [1, 0]], complex)
+    z = np.diag([1.0, -1.0]).astype(complex)  # diagonal, 2 entries
+    sx = np.array([[0, 1], [1, 0]], complex)  # 2 off-diag units
+    assert mcwf_ip_eligible([deph, rel, z])
+    assert not mcwf_ip_eligible([sx])
+    assert not mcwf_ip_eligible([deph, sx])
+
+
+def test_mcwf_ip_matches_lab_per_trajectory():
+    """With the SAME grid the IP and lab MCWF unravellings draw the
+    same thresholds and jump at the same steps: per-trajectory density
+    matrices agree to integration tolerance."""
+    from pulser_tpu.ops.solver import build_plan, mcsolve_rk4
+
+    n, d = 3, 2
+    dim = d**n
+    PAIRS = ((1, 0, 0),)
+    rng = np.random.default_rng(5)
+    knots = np.linspace(0, 0.5, 26)
+    amp = (
+        rng.uniform(1, 5, size=(1, n, 26))
+        * np.exp(1j * rng.uniform(0, 2 * np.pi, (1, n, 1)))
+    ).astype(complex)
+    det = rng.normal(0, 3, size=(1, n, 26))
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, np.array([0.25, 0.5]),
+        max_step=1e-3,
+    )
+    diag = rng.uniform(0, 40, size=dim)
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    ops = [
+        np.sqrt(0.8) * np.array([[1, 0], [0, 0]], complex),
+        np.sqrt(0.5) * np.array([[0, 0], [1, 0]], complex),
+    ]
+    for seed in (2, 5, 7):  # seeds with jumps (verified divergent
+        # before the jump-frame fix)
+        kw = dict(ntraj=4, seed=seed, dtype=np.complex128)
+        a = mcsolve_rk4(
+            psi0, plan, diag, PAIRS, d, n, ops, **kw
+        )
+        b = mcsolve_rk4(
+            psi0, plan, diag, PAIRS, d, n, ops, ip=True, **kw
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_mcwf_coarse_ip_unbiased_vs_mesolve():
+    """The coarse-grid IP unravelling converges to the same master
+    equation as the fine-grid lab unravelling."""
+    from pulser_tpu.ops.solver import (
+        build_plan,
+        mcsolve_rk4,
+        mesolve_rk4,
+    )
+
+    n, d = 2, 2
+    dim = d**n
+    PAIRS = ((1, 0, 0),)
+    knots = np.linspace(0, 0.4, 401)
+    t = np.linspace(0, 1, 401)
+    amp = (4.0 * np.sin(np.pi * t)[None, None, :]).astype(
+        complex
+    ) * np.ones((1, n, 1))
+    det = 2.0 * np.cos(np.pi * t)[None, None, :] * np.ones((1, n, 1))
+    evals = np.array([0.4])
+    diag = np.array([30.0, 0.0, 0.0, 0.0])
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    ops = [np.sqrt(1.5) * np.array([[1, 0], [0, 0]], complex)]
+
+    plan_fine = build_plan(
+        knots, {"amp": amp, "det": det}, evals, max_step=1e-3
+    )
+    plan_coarse = build_plan(
+        knots, {"amp": amp, "det": det}, evals, max_step=4e-3,
+        coarsen=True,
+    )
+    assert len(plan_coarse.dts) < len(plan_fine.dts) / 3
+
+    rho_me = mesolve_rk4(
+        np.outer(psi0, psi0.conj()), plan_fine, diag, PAIRS, d, n,
+        ops, dtype=np.complex128,
+    )[-1]
+    NT = 600
+    a = mcsolve_rk4(
+        psi0, plan_fine, diag, PAIRS, d, n, ops,
+        ntraj=NT, seed=3, dtype=np.complex128,
+    )[-1]
+    b = mcsolve_rk4(
+        psi0, plan_coarse, diag, PAIRS, d, n, ops,
+        ntraj=NT, seed=3, ip=True, dtype=np.complex128,
+    )[-1]
+    # Monte-Carlo scale: 1/sqrt(600) ~ 0.04; both must sit inside it
+    assert np.abs(a - rho_me).max() < 0.05
+    assert np.abs(b - rho_me).max() < 0.05
+    assert abs(np.trace(b).real - 1) < 1e-9
+
+
+def test_emulator_mcwf_coarse_engages(mod_device):
+    """The dissipative batch picks the coarse MCWF-IP grid under
+    stochastic noise + dephasing."""
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05,
+        laser_waist=120.0,
+        dephasing_rate=0.1,
+        runs=3,
+        samples_per_run=2,
+    )
+    reg = tpu.Register.square(2, spacing=7.0, prefix="q")
+    seq = tpu.Sequence(reg, mod_device)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(400, 2 * np.pi, 1.0, 0.0), "ryd")
+
+    np.random.seed(11)
+    sim = TpuEmulator.from_sequence(seq, noise_model=nm)
+    assert sim._can_batch_lindblad()
+    res = sim.run()
+    assert sim._sticky_steps.get("mcwf_coarse", 0) > 1e-3
+    assert sum(res.results[-1].values()) == pytest.approx(1.0)
