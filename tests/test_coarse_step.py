@@ -310,3 +310,57 @@ def test_emulator_mcwf_coarse_engages(mod_device):
     res = sim.run()
     assert sim._sticky_steps.get("mcwf_coarse", 0) > 1e-3
     assert sum(res.results[-1].values()) == pytest.approx(1.0)
+
+
+def test_pallas_kernel_handles_coarse_plan():
+    """The fused Pallas sesolve (interpret mode) on a COARSENED plan
+    equals the XLA IP path — the exact combination the flagship TPU
+    benchmark runs."""
+    from pulser_tpu.ops import solver as S
+
+    reg = tpu.Register.rectangle(2, 7, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(16, 0.0, 4 * np.pi), -4 * np.pi, 0.3
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantAmplitude(
+            4 * np.pi,
+            tpu.RampWaveform(24, -4 * np.pi, 2 * np.pi),
+            0.3,
+        ),
+        "ryd",
+    )
+    sim = TpuEmulator.from_sequence(seq)
+    ham = sim._current_hamiltonian
+    knots = ham.sampling_times
+    evals = np.array([knots[-1] * 0.5, knots[-1]])
+    plan = S.build_plan(
+        knots,
+        {"amp": ham.amp_coeffs, "det": ham.det_coeffs},
+        evals,
+        max_step=4e-3,
+        coarsen=True,
+    )
+    assert len(plan.dts) < len(knots)  # genuinely coarse
+    psi0 = sim.initial_state.full()[:, 0].astype(np.complex64)
+    ip_occ = sim._make_ip_occ(ham)
+    xla = S.sesolve_rk4(
+        psi0,
+        plan,
+        ham.int_diag,
+        ham.pairs,
+        ham.dim,
+        ham.n_qudits,
+        ip_occ=ip_occ,
+        dtype=np.complex64,
+    )
+    pal = S._sesolve_rk4_pallas(
+        psi0, plan, ham.int_diag, ham.n_qudits, np.complex64,
+        interpret=True,
+    )
+    assert np.max(np.abs(xla - pal)) < 1e-6
