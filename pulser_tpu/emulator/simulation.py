@@ -702,6 +702,35 @@ class TpuEmulator:
             )
             for h in hamiltonians
         )
+        # The stage lerp reads the knot data at the stage times only,
+        # so sub-step coefficient CURVATURE is a further bound: keep
+        # the lerp's quadratic miss below ~1e-3 of the coefficient
+        # scale. The 95th percentile ignores isolated kinks (pulse
+        # junctions), whose global error contribution is negligible,
+        # while broadband per-ns structure clamps the step down.
+        h_feat = np.inf
+        for ham in hamiltonians:
+            for arr in (ham.amp_coeffs, ham.det_coeffs):
+                arr = np.asarray(arr)
+                if arr.shape[-1] < 3:
+                    continue
+                for comp in (arr.real, arr.imag):
+                    scale = float(np.max(np.abs(comp)))
+                    if scale == 0.0:
+                        continue
+                    knot_dt = 1e-3  # µs sampling grid
+                    d2 = (
+                        np.abs(np.diff(comp, n=2, axis=-1))
+                        / knot_dt**2
+                    )
+                    q = float(np.quantile(d2, 0.95))
+                    if q > 0.0:
+                        h_feat = min(
+                            h_feat,
+                            float(
+                                np.sqrt(8e-3 * scale / q)
+                            ),
+                        )
         # The 1.3 margin matches the drive bound's: noise draws then
         # stay inside one power-of-two step across run() calls.
         if margin is None:
@@ -713,6 +742,7 @@ class TpuEmulator:
             min(
                 1.2 / max(margin * omega_max, 1e-9),
                 0.8 / max(margin * lambda_max, 1e-9),
+                h_feat,
             ),
         )
         if "max_step" in options and not options.get(
@@ -726,6 +756,39 @@ class TpuEmulator:
         if coarse_step > fine_step:
             return coarse_step, True
         return fine_step, False
+
+    @staticmethod
+    def _sharp_knots(
+        hamiltonians: "list[Hamiltonian]", knots: np.ndarray
+    ) -> "np.ndarray | None":
+        """Knot times where a coefficient's slope jumps sharply.
+
+        Pulse edges (a constant pulse's 1-sample drop to zero, square
+        EOM blocks) must anchor the coarsened integration grid — a
+        large step would otherwise smear the jump across its stages
+        with an O(h) error. Gentle slope changes (ramp junctions)
+        stay unanchored: their contribution is O(h³) per kink.
+        """
+        if len(knots) < 3:
+            return None
+        marks = np.zeros(len(knots) - 2, dtype=bool)
+        for ham in hamiltonians:
+            for arr in (ham.amp_coeffs, ham.det_coeffs):
+                arr = np.asarray(arr)
+                if arr.shape[-1] != len(knots):
+                    continue
+                for comp in (arr.real, arr.imag):
+                    scale = float(np.max(np.abs(comp)))
+                    if scale == 0.0:
+                        continue
+                    d2 = np.abs(np.diff(comp, n=2, axis=-1))
+                    marks |= np.asarray(
+                        (d2 > 0.05 * scale).any(
+                            axis=tuple(range(d2.ndim - 1))
+                        )
+                    )
+        times = np.asarray(knots)[1:-1][marks]
+        return times if len(times) else None
 
     def _sticky_quantized_step(
         self, key: str, base_step: float, cap: float
@@ -857,6 +920,41 @@ class TpuEmulator:
                 margin=1.3,
             )
             mcwf_ip = coarsen  # IP engages with the coarse grid
+        # The master equation coarsens the same way when every
+        # dissipator term is diagonal (ρ's rotor conjugation then
+        # commutes with the Lindblad part exactly).
+        _is_dm = self.initial_state.isoper and not (
+            self.initial_state.isket
+        )
+        mesolve_ip = (
+            (use_lindblad_step or _is_dm)
+            and not (
+                use_lindblad_step
+                and not _is_dm
+                and self._lindblad_solver_choice()
+            )
+            and hamiltonian.xy_mat is None
+            and hamiltonian.int_w is None
+            and _solver_mod.mesolve_ip_eligible(
+                hamiltonian._local_collapse_mats
+            )
+        )
+        if mesolve_ip:
+            ham0 = self._noiseless_hamiltonian
+            lam_drive = float(
+                np.sum(
+                    2 * np.max(np.abs(ham0.amp_coeffs), axis=(1, 2))
+                )
+            )
+            max_step, coarsen = self._coarse_ip_step(
+                "mesolve_coarse",
+                max_step,
+                lam_drive,
+                [ham0],
+                options,
+                margin=1.3,
+            )
+            mesolve_ip = coarsen
 
         coeffs = {
             "amp": hamiltonian.amp_coeffs,
@@ -871,6 +969,11 @@ class TpuEmulator:
                 self._eval_times_array,
                 max_step=max_step,
                 coarsen=coarsen,
+                breakpoints=(
+                    self._sharp_knots([hamiltonian], knots)
+                    if coarsen
+                    else None
+                ),
             )
         cdtype = _default_cdtype()
 
@@ -935,6 +1038,7 @@ class TpuEmulator:
                 xy_static=hamiltonian.xy_mat,
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
+                ip=mesolve_ip,
             )
             states = [
                 Qobj(s, dims=legal_dims_op) for s in states_arr
@@ -1279,6 +1383,13 @@ class TpuEmulator:
             self._eval_times_array,
             max_step=max_step,
             coarsen=coarsen,
+            breakpoints=(
+                self._sharp_knots(
+                    [h.hamiltonian for h in hams], knots
+                )
+                if coarsen
+                else None
+            ),
         )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
@@ -1414,17 +1525,22 @@ class TpuEmulator:
         # its step. The policy reads the NOISELESS Hamiltonian so the
         # serial path chooses the identical grid.
         first_mats = first._local_collapse_mats
+        use_mcwf = self._lindblad_solver_choice() and not (
+            self.initial_state.isoper
+            and not self.initial_state.isket
+        )
+        structure_ok = first.xy_mat is None and first.int_w is None
         mcwf_ip = (
-            self._lindblad_solver_choice()
-            and first.xy_mat is None
-            and first.int_w is None
-            and not (
-                self.initial_state.isoper
-                and not self.initial_state.isket
-            )
+            use_mcwf
+            and structure_ok
             and _solver_mod.mcwf_ip_eligible(first_mats)
         )
-        if mcwf_ip:
+        mesolve_ip = (
+            not use_mcwf
+            and structure_ok
+            and _solver_mod.mesolve_ip_eligible(first_mats)
+        )
+        if mcwf_ip or mesolve_ip:
             ham0 = self._noiseless_hamiltonian
             lam_drive = float(
                 np.sum(
@@ -1432,14 +1548,15 @@ class TpuEmulator:
                 )
             )
             max_step, coarsen = self._coarse_ip_step(
-                "mcwf_coarse",
+                "mcwf_coarse" if mcwf_ip else "mesolve_coarse",
                 max_step,
                 lam_drive,
                 [ham0],
                 options,
                 margin=1.3,
             )
-            mcwf_ip = coarsen
+            mcwf_ip = mcwf_ip and coarsen
+            mesolve_ip = mesolve_ip and coarsen
         else:
             coarsen = False
         # One plan for the whole batch (shared grid, see
@@ -1462,8 +1579,15 @@ class TpuEmulator:
             },
             self._eval_times_array,
             max_step=max_step,
-            host_stage=mcwf_ip,
+            host_stage=mcwf_ip or mesolve_ip,
             coarsen=coarsen,
+            breakpoints=(
+                self._sharp_knots(
+                    [h.hamiltonian for h in hams], knots
+                )
+                if coarsen
+                else None
+            ),
         )
         diags = np.stack([h.hamiltonian.int_diag for h in hams])
         cdtype = _default_cdtype()
@@ -1502,6 +1626,7 @@ class TpuEmulator:
                 collapse_mats,
                 dtype=cdtype,
                 mesh=default_mesh(),
+                ip=mesolve_ip,
             )
             dims = [[d] * n, [d] * n]
 

@@ -150,6 +150,7 @@ def build_plan_batched(
     max_step: float | None = None,
     host_stage: bool = True,
     coarsen: bool = False,
+    breakpoints: "np.ndarray | None" = None,
 ) -> BatchedPlan:
     """Builds one :class:`BatchedPlan` for stacked coefficients.
 
@@ -159,7 +160,7 @@ def build_plan_batched(
             per-trajectory coefficients.
         eval_times: Shared evaluation times.
         max_step: Shared maximum step.
-        coarsen: See :func:`build_plan`.
+        coarsen, breakpoints: See :func:`build_plan`.
     """
     n_traj = next(iter(coeffs_batch.values())).shape[0]
     plan = build_plan(
@@ -169,6 +170,7 @@ def build_plan_batched(
         max_step=max_step,
         host_stage=host_stage,
         coarsen=coarsen,
+        breakpoints=breakpoints,
     )
     return BatchedPlan(
         plan=plan, n_traj=n_traj, raw_coeffs=dict(coeffs_batch)
@@ -330,6 +332,7 @@ def build_plan(
     max_step: float | None = None,
     host_stage: bool = True,
     coarsen: bool = False,
+    breakpoints: "np.ndarray | None" = None,
 ) -> EvolutionPlan:
     """Builds the host-side evolution plan.
 
@@ -349,6 +352,9 @@ def build_plan(
             the stage times, and the detuning phase integrals remain
             exact closed forms over all knots — so only the RK4
             quadrature of the (slow) drive term coarsens.
+        breakpoints: Extra mandatory grid times for the coarsened
+            grid — sharp coefficient kinks (pulse edges) that a large
+            step would otherwise smear across its stages.
     """
     from pulser_tpu import native
 
@@ -380,9 +386,14 @@ def build_plan(
     # plan anchors the grid only at the evolution endpoints + eval
     # times (the native builder unions its first argument, so passing
     # just the endpoints reuses it unchanged).
-    grid_knots = (
-        knots[[0, -1]] if coarsen and len(knots) > 2 else knots
-    )
+    if coarsen and len(knots) > 2:
+        grid_knots = knots[[0, -1]]
+        if breakpoints is not None and len(breakpoints):
+            grid_knots = np.unique(
+                np.concatenate([grid_knots, breakpoints])
+            )
+    else:
+        grid_knots = knots
     built = native.build_grid(grid_knots, eval_times, max_step)
     if built is not None:
         grid, store_idx = built
@@ -1088,6 +1099,9 @@ def _mesolve_scan_batched(
     lrl_idx: tuple[tuple[int, int, int, int], ...],
     has_cops: bool,
     has_diag_mask: bool,
+    ip_shared: "tuple[jax.Array, ...] | None" = None,
+    cum_mod_b: "jax.Array | None" = None,
+    eval_cum_mod_b: "jax.Array | None" = None,
 ) -> jax.Array:
     """A vmapped batch of Lindblad scans (one per noise trajectory).
 
@@ -1095,10 +1109,17 @@ def _mesolve_scan_batched(
     interaction diagonal, so the whole batch shares one compiled
     program — the density-matrix analogue of the vmapped statevector
     batch the reference runs serially (simulation.py:848-861).
+    ``ip_shared = (t_stage, eval_t)`` + per-trajectory phase-integral
+    arrays run the batch in the interaction picture.
     """
+    use_ip = ip_shared is not None
 
-    def one_traj(amp_re, amp_im, det, diag_static):
-        return _mesolve_scan.__wrapped__(
+    def one_traj(amp_re, amp_im, det, diag_static, cum_m, ev_cum):
+        ip_args = None
+        if use_ip:
+            t_stage, eval_t = ip_shared
+            ip_args = (cum_m, t_stage, eval_t, ev_cum)
+        ys, _ = _mesolve_scan.__wrapped__(
             rho2_0,
             amp_re,
             amp_im,
@@ -1118,9 +1139,18 @@ def _mesolve_scan_batched(
             lrl_idx=lrl_idx,
             has_cops=has_cops,
             has_diag_mask=has_diag_mask,
+            ip_args=ip_args,
         )
+        return ys
 
-    return jax.vmap(one_traj)(amp_re_b, amp_im_b, det_b, diag_b)
+    if not use_ip:
+        cum_mod_b = jnp.zeros(
+            (amp_re_b.shape[0], 1), dtype=rho2_0.dtype
+        )
+        eval_cum_mod_b = jnp.zeros_like(cum_mod_b)
+    return jax.vmap(one_traj)(
+        amp_re_b, amp_im_b, det_b, diag_b, cum_mod_b, eval_cum_mod_b
+    )
 
 
 def mesolve_rk4_batched(
@@ -1133,6 +1163,7 @@ def mesolve_rk4_batched(
     collapse_ops: list[np.ndarray],
     dtype: Any = None,
     mesh: Any = None,
+    ip: bool = False,
 ) -> np.ndarray:
     """Solves one Lindblad equation per noise trajectory, batched.
 
@@ -1182,7 +1213,30 @@ def mesolve_rk4_batched(
     if n_dev > 1:
         batch = -(-batch // n_dev) * n_dev  # round up to a multiple
 
-    def run_scan(ar, ai, de, dg):
+    ip_shared = None
+    if ip:
+        assert mesolve_ip_eligible(collapse_ops)
+        two_pi = 2 * np.pi
+        if isinstance(plans, BatchedPlan):
+            cum_np = (-plans.seg_stage_b("det_cum")) % two_pi
+            ev_cum_np = (-plans.eval_det_cum_b) % two_pi
+        else:
+            cum_np = np.stack(
+                [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+            )
+            ev_cum_np = np.stack(
+                [(-p.eval_det_cum) % two_pi for p in plans]
+            )
+        cum_b = jnp.asarray(cum_np, dtype=rdtype)
+        ev_cum_b = jnp.asarray(ev_cum_np, dtype=rdtype)
+        ip_shared = (
+            jnp.asarray(base.seg_stage("t_stage"), dtype=rdtype),
+            jnp.asarray(
+                base.eval_times - base.grid[0], dtype=rdtype
+            ),
+        )
+
+    def run_scan(ar, ai, de, dg, cum_m=None, ev_cum=None):
         return _mesolve_scan_batched(
             rho2_0,
             ar,
@@ -1201,6 +1255,9 @@ def mesolve_rk4_batched(
             lrl_idx=tuple(lrl_idx),
             has_cops=has_cops,
             has_diag_mask=has_diag_mask,
+            ip_shared=ip_shared,
+            cum_mod_b=cum_m,
+            eval_cum_mod_b=ev_cum,
         )
 
     outs = []
@@ -1217,6 +1274,8 @@ def mesolve_rk4_batched(
             )
 
         chunk = (pad_b(amp_re), pad_b(amp_im), pad_b(det), pad_b(diag_b))
+        if ip:
+            chunk = chunk + (pad_b(cum_b), pad_b(ev_cum_b))
         if n_dev > 1:
             from pulser_tpu.parallel.trajectories import (
                 trajectory_sharded,
@@ -1239,6 +1298,20 @@ def mesolve_rk4_batched(
     return (out[:, :, 0] + 1j * out[:, :, 1]).astype(cdtype)
 
 
+def mesolve_ip_eligible(collapse_ops: "list[np.ndarray]") -> bool:
+    """Whether the master equation can integrate in the IP.
+
+    The density-matrix rotor conjugation only commutes with the
+    dissipator when every collapse operator is DIAGONAL (off-diagonal
+    matrix units pick up state-dependent phases in ``LρL†``).
+    """
+    for c in collapse_ops:
+        c = np.asarray(c)
+        if np.any(c - np.diag(np.diag(c))):
+            return False
+    return True
+
+
 def mesolve_rk4(
     rho0: np.ndarray,
     plan: EvolutionPlan,
@@ -1250,6 +1323,7 @@ def mesolve_rk4(
     xy_static: np.ndarray | None = None,
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
+    ip: bool = False,
 ) -> np.ndarray:
     """Solves the Lindblad master equation over the plan's grid.
 
@@ -1333,6 +1407,21 @@ def mesolve_rk4(
     if pad_segs:
         dts_p = dts_p.at[n_seg:].set(0.0)
 
+    ip_chunks = None
+    if ip:
+        assert xy_static is None and not has_int_w
+        assert mesolve_ip_eligible(collapse_ops)
+        two_pi = 2 * np.pi
+        ip_chunks = tuple(
+            pad_seg_axis(jnp.asarray(a, dtype=rdtype))
+            for a in (
+                (-plan.seg_stage("det_cum")) % two_pi,
+                plan.seg_stage("t_stage"),
+                plan.eval_times - plan.grid[0],
+                (-plan.eval_det_cum) % two_pi,
+            )
+        )
+
     # Launch every chunk first (async dispatch; the ρ carry is a
     # device-side dependency), then fetch in order — the device
     # executes chunk i+1 while the host drains chunk i.
@@ -1340,7 +1429,7 @@ def mesolve_rk4(
     rho_c = rho2_0
     for ci in range(n_calls):
         sl = slice(ci * segs_per_call, (ci + 1) * segs_per_call)
-        ys = _mesolve_scan(
+        ys, rho_c = _mesolve_scan(
             rho_c,
             amp_re_p[sl],
             amp_im_p[sl],
@@ -1360,9 +1449,13 @@ def mesolve_rk4(
             lrl_idx=tuple(lrl_idx),
             has_cops=has_cops,
             has_diag_mask=has_diag_mask,
+            ip_args=(
+                tuple(a[sl] for a in ip_chunks)
+                if ip_chunks is not None
+                else None
+            ),
         )
         ys_handles.append(ys)
-        rho_c = ys[-1]
     out_np = np.concatenate(
         [np.asarray(ys) for ys in ys_handles]
     )[:n_seg][plan.eval_map]
@@ -1726,7 +1819,8 @@ def _mesolve_scan(
     lrl_idx: tuple[tuple[int, int, int, int], ...],
     has_cops: bool,
     has_diag_mask: bool,
-) -> jax.Array:
+    ip_args: "tuple[jax.Array, ...] | None" = None,
+) -> tuple[jax.Array, jax.Array]:
     """The compiled Lindblad scan (cached across calls by jit).
 
     The coherent part applies the grouped drive matrices directly to
@@ -1736,10 +1830,42 @@ def _mesolve_scan(
     dissipator terms are matrix-unit block moves with static indices
     (``lrl_idx``) — one cheap strided slice-add each instead of full
     operator applications.
+
+    With ``ip_args = (cum_mod, t_stage, eval_t, eval_cum_mod)`` the
+    evolution runs in the **interaction picture**: ``ρ_I = R†ρR`` with
+    the diagonal rotor ``R``, valid when every dissipator term is
+    diagonal (it then commutes with ``R`` exactly); the commutator
+    conjugates the drive through elementwise row/column phase
+    multiplies, and emitted states rotate back to the lab frame.
+
+    Returns ``(ys, rho_f)``: the per-segment emitted states (lab
+    frame) and the final integrator carry (IP frame when ``ip_args``
+    is given) for chunked continuation.
     """
     rdtype = rho2_0.dtype
     dim = rho2_0.shape[-1]
     groups = group_sizes(d, n)
+    use_ip = ip_args is not None
+    if use_ip:
+        cum_mod, t_stage, eval_t, eval_cum_mod = ip_args
+        phase_at_d = _make_ip_phase_fn(pairs, d, n, rdtype)
+
+        def phase_at(t_s, cum_s):
+            return phase_at_d(diag_static, t_s, cum_s)
+
+    def rot_rows(rho2, c, s_):
+        """Multiplies row r by e^{-iθ_r} (θ via c=cosθ, s_=sinθ)."""
+        x, y = rho2[0], rho2[1]
+        cc = c[:, None]
+        ss = s_[:, None]
+        return jnp.stack([cc * x + ss * y, cc * y - ss * x])
+
+    def rot_cols(rho2, c, s_):
+        """Multiplies column k by e^{-iθ_k}."""
+        x, y = rho2[0], rho2[1]
+        cc = c[None, :]
+        ss = s_[None, :]
+        return jnp.stack([cc * x + ss * y, cc * y - ss * x])
 
     def row_block_c(g_re, g_im, rho2, left, block, right):
         def one(op, comp):
@@ -1840,10 +1966,45 @@ def _mesolve_scan(
             q0 += g
         return h_rho - rho_h
 
-    def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s):
-        drho = neg_i(
-            commutator(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s)
+    def commutator_ip(rho2, ar_s, ai_s, ph):
+        # [R A R†, ρ_I]: the rotor conjugation is elementwise row /
+        # column phases around the grouped drive matmuls (A carries
+        # no detuning — it lives in the exact phase integrals).
+        c = jnp.cos(ph)
+        sn = jnp.sin(ph)
+        zero_det = jnp.zeros_like(ar_s)
+        m_re, m_im = build_drive_matrices(
+            ar_s, ai_s, zero_det, pairs, d, n
         )
+        # H_I = R†AR with R = e^{-iθ} (sesolve convention):
+        # H_I ρ: rows·e^{-iθ} → row-apply A → rows·e^{+iθ}
+        h_rho = jnp.zeros_like(rho2)
+        rho_h = jnp.zeros_like(rho2)
+        rows_m = rot_rows(rho2, c, sn)
+        cols_p = rot_cols(rho2, c, -sn)
+        q0 = 0
+        for g in groups:
+            g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+            left, block, right = d**q0, d**g, d ** (n - q0 - g)
+            h_rho = h_rho + row_block_c(
+                g_re, g_im, rows_m, left, block, right
+            )
+            # ρ H_I: cols·e^{+iθ} → col-apply A → cols·e^{-iθ}
+            rho_h = rho_h + col_block_c(
+                g_re, g_im, cols_p, left, block, right
+            )
+            q0 += g
+        return rot_rows(h_rho, c, -sn) - rot_cols(rho_h, c, sn)
+
+    def rhs(rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s, ph=None):
+        if use_ip:
+            drho = neg_i(commutator_ip(rho2, ar_s, ai_s, ph))
+        else:
+            drho = neg_i(
+                commutator(
+                    rho2, ar_s, ai_s, det_s, diag_s, xy_mat_s
+                )
+            )
         # −½ {G_tot, ρ} with static group matrices
         for g_re, g_im, left, block, right in g_tot_groups:
             drho = drho - 0.5 * row_block_c(
@@ -1887,34 +2048,49 @@ def _mesolve_scan(
     rk_b = jnp.asarray([1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype)
 
     def step(rho, xs):
-        ar_st, ai_st, det_st, h, w_st = xs
+        if use_ip:
+            ar_st, ai_st, cum_st, t_st, h = xs
+        else:
+            ar_st, ai_st, det_st, h, w_st = xs
 
         def stage_body(stage_carry, i):
             k_prev, acc = stage_carry
             s = rk_stage[i]
+            p = rho + (h * rk_a[i]) * k_prev
+            if use_ip:
+                k = rhs(
+                    p,
+                    ar_st[s],
+                    ai_st[s],
+                    None,
+                    None,
+                    None,
+                    ph=phase_at(t_st[s], cum_st[s]),
+                )
+            else:
 
-            def diag_at():
-                if has_int_w:
-                    return jnp.tensordot(
-                        w_st[s], diag_static, axes=1
-                    )
-                return diag_static
+                def diag_at():
+                    if has_int_w:
+                        return jnp.tensordot(
+                            w_st[s], diag_static, axes=1
+                        )
+                    return diag_static
 
-            def xy_at():
-                if xy_s is None:
-                    return None
-                if has_int_w and xy_s.shape[0] == 2:
-                    return jnp.tensordot(w_st[s], xy_s, axes=1)
-                return xy_s[0]
+                def xy_at():
+                    if xy_s is None:
+                        return None
+                    if has_int_w and xy_s.shape[0] == 2:
+                        return jnp.tensordot(w_st[s], xy_s, axes=1)
+                    return xy_s[0]
 
-            k = rhs(
-                rho + (h * rk_a[i]) * k_prev,
-                ar_st[s],
-                ai_st[s],
-                det_st[s],
-                diag_at(),
-                xy_at(),
-            )
+                k = rhs(
+                    p,
+                    ar_st[s],
+                    ai_st[s],
+                    det_st[s],
+                    diag_at(),
+                    xy_at(),
+                )
             return (k, acc + rk_b[i] * k), None
 
         zeros = jnp.zeros_like(rho)
@@ -1924,13 +2100,26 @@ def _mesolve_scan(
         return rho + h * acc, None
 
     def segment(rho, seg_xs):
+        if use_ip:
+            *step_xs, te, ce = seg_xs
+            rho, _ = jax.lax.scan(step, rho, tuple(step_xs))
+            # Emit lab-frame: ρ = R ρ_I R†, i.e. ρ[r,c] gets
+            # e^{-i(θ_r − θ_c)}
+            ph = phase_at(te, ce)
+            c = jnp.cos(ph)
+            sn = jnp.sin(ph)
+            emit = rot_cols(rot_rows(rho, c, sn), c, -sn)
+            return rho, emit
         rho, _ = jax.lax.scan(step, rho, seg_xs)
         return rho, rho
 
-    rho_f, ys = jax.lax.scan(
-        segment, rho2_0, (amp_re, amp_im, det, dts, int_w)
+    seg_xs_all = (
+        (amp_re, amp_im, cum_mod, t_stage, dts, eval_t, eval_cum_mod)
+        if use_ip
+        else (amp_re, amp_im, det, dts, int_w)
     )
-    return ys
+    rho_f, ys = jax.lax.scan(segment, rho2_0, seg_xs_all)
+    return ys, rho_f
 
 
 def mcwf_ip_eligible(collapse_ops: "list[np.ndarray]") -> bool:

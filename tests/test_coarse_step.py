@@ -364,3 +364,110 @@ def test_pallas_kernel_handles_coarse_plan():
         interpret=True,
     )
     assert np.max(np.abs(xla - pal)) < 1e-6
+
+
+# ---------------------------------------------------- mesolve IP
+
+
+def test_mesolve_ip_eligibility():
+    from pulser_tpu.ops.solver import mesolve_ip_eligible
+
+    deph = np.sqrt(0.8) * np.array([[1, 0], [0, 0]], complex)
+    z = np.diag([1.0, -1.0]).astype(complex)
+    rel = np.sqrt(0.5) * np.array([[0, 0], [1, 0]], complex)
+    assert mesolve_ip_eligible([deph, z])
+    assert mesolve_ip_eligible([])  # pure coherent dm evolution
+    # off-diagonal units gain state-dependent phases in L rho L†
+    assert not mesolve_ip_eligible([rel])
+
+
+def test_mesolve_ip_matches_lab():
+    """Same grid: the IP master equation equals the lab-frame one to
+    the lab path's own truncation; coarse grid stays accurate."""
+    from pulser_tpu.ops.solver import build_plan, mesolve_rk4
+
+    n, d = 3, 2
+    dim = d**n
+    PAIRS = ((1, 0, 0),)
+    knots = np.linspace(0, 0.4, 401)
+    t = np.linspace(0, 1, 401)
+    amp = (
+        (3.0 * np.sin(np.pi * t) + 1.0)[None, None, :]
+        * np.ones((1, n, 1))
+    ).astype(complex)
+    det = (
+        2.0 * np.cos(np.pi * t)[None, None, :] * np.ones((1, n, 1))
+    )
+    evals = np.array([0.2, 0.4])
+    rng = np.random.default_rng(5)
+    diag = rng.uniform(0, 40, size=dim)
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    rho0 = np.outer(psi0, psi0.conj())
+    ops = [
+        np.sqrt(0.8) * np.array([[1, 0], [0, 0]], complex),
+        np.sqrt(0.3) * np.diag([1.0, -1.0]).astype(complex),
+    ]
+
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, evals, max_step=1e-3
+    )
+    a = mesolve_rk4(
+        rho0, plan, diag, PAIRS, d, n, ops, dtype=np.complex128
+    )
+    b = mesolve_rk4(
+        rho0, plan, diag, PAIRS, d, n, ops, dtype=np.complex128,
+        ip=True,
+    )
+    assert np.abs(a - b).max() < 1e-6
+
+    plan_c = build_plan(
+        knots, {"amp": amp, "det": det}, evals, max_step=4e-3,
+        coarsen=True,
+    )
+    c = mesolve_rk4(
+        rho0, plan_c, diag, PAIRS, d, n, ops, dtype=np.complex128,
+        ip=True,
+    )
+    assert len(plan_c.dts) <= len(plan.dts) // 3
+    assert np.abs(a - c).max() < 1e-5
+    for rho_t in c:
+        assert abs(np.trace(rho_t).real - 1) < 1e-9
+        np.testing.assert_allclose(
+            rho_t, rho_t.conj().T, atol=1e-12
+        )
+
+
+def test_emulator_mesolve_coarse_engages():
+    """Pure-dephasing (no stochastic noise) runs the master equation
+    on the coarse IP grid; results match the uncoarsened run."""
+    import os
+
+    reg = tpu.Register({"q0": (0.0, 0.0), "q1": (0.0, 9.0)})
+
+    def mk():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(600, 2 * np.pi, -1.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(dephasing_rate=0.3)
+    sim = TpuEmulator.from_sequence(
+        mk(), noise_model=nm, evaluation_times="Minimal"
+    )
+    rho = np.asarray(sim.run().get_final_state().full())
+    assert sim._sticky_steps.get("mesolve_coarse", 0) > 1e-3
+
+    os.environ["PULSER_TPU_COARSE_STEP"] = "0"
+    try:
+        sim2 = TpuEmulator.from_sequence(
+            mk(), noise_model=nm, evaluation_times="Minimal"
+        )
+        rho_ref = np.asarray(sim2.run().get_final_state().full())
+    finally:
+        del os.environ["PULSER_TPU_COARSE_STEP"]
+    assert "mesolve_coarse" not in sim2._sticky_steps
+    np.testing.assert_allclose(rho, rho_ref, atol=5e-6)
+    assert abs(np.trace(rho).real - 1) < 1e-6
