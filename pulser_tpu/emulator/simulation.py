@@ -1560,10 +1560,10 @@ class TpuEmulator:
         else:
             coarsen = False
         # One plan for the whole batch (shared grid, see
-        # _noisy_runs_batched); staging happens on-device from the
-        # raw knot values — except on the coarse IP path, whose exact
-        # phase integrals are host-side quantities anyway (and whose
-        # grid is 4-8x smaller, making host staging cheap).
+        # _noisy_runs_batched); staging — including the IP paths'
+        # exact phase integrals — happens on-device from the raw knot
+        # values, so only the small (B, nb, n, T) coefficients cross
+        # the host→device link.
         plans = _timed(
             "emulator.build_plan_batched",
             _solver_mod.build_plan_batched,
@@ -1579,7 +1579,7 @@ class TpuEmulator:
             },
             self._eval_times_array,
             max_step=max_step,
-            host_stage=mcwf_ip or mesolve_ip,
+            host_stage=False,
             coarsen=coarsen,
             breakpoints=(
                 self._sharp_knots(

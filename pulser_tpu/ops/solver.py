@@ -96,6 +96,10 @@ class EvolutionPlan:
     #: gather indices + lerp fractions behind each staged value, for
     #: on-device staging of raw coefficients.
     stage_knots: tuple[np.ndarray, ...] | None = None
+    #: The original coefficient sample times (µs) — the gather target
+    #: of ``stage_knots`` — for staging derived quantities (e.g. the
+    #: exact detuning integrals) from raw coefficients on-device.
+    knots: np.ndarray | None = None
 
     def seg_stage(self, name: str) -> np.ndarray:
         """A stage array gathered into the (n_seg, L, 3, ...) layout."""
@@ -530,6 +534,7 @@ def build_plan(
             eval_cum if host_stage and "det" in coeffs else None
         ),
         stage_knots=stage_knots,
+        knots=knots,
     )
 
 
@@ -1216,19 +1221,7 @@ def mesolve_rk4_batched(
     ip_shared = None
     if ip:
         assert mesolve_ip_eligible(collapse_ops)
-        two_pi = 2 * np.pi
-        if isinstance(plans, BatchedPlan):
-            cum_np = (-plans.seg_stage_b("det_cum")) % two_pi
-            ev_cum_np = (-plans.eval_det_cum_b) % two_pi
-        else:
-            cum_np = np.stack(
-                [(-p.seg_stage("det_cum")) % two_pi for p in plans]
-            )
-            ev_cum_np = np.stack(
-                [(-p.eval_det_cum) % two_pi for p in plans]
-            )
-        cum_b = jnp.asarray(cum_np, dtype=rdtype)
-        ev_cum_b = jnp.asarray(ev_cum_np, dtype=rdtype)
+        cum_b, ev_cum_b = _batched_cum_arrays(plans, rdtype)
         ip_shared = (
             jnp.asarray(base.seg_stage("t_stage"), dtype=rdtype),
             jnp.asarray(
@@ -1462,6 +1455,100 @@ def mesolve_rk4(
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
+def _batched_cum_arrays(
+    plans: "list[EvolutionPlan] | BatchedPlan", rdtype: Any
+) -> tuple:
+    """Rotor-phase arrays for a batched IP solve.
+
+    Returns ``(cum_mod_b, eval_cum_mod_b)``: the per-trajectory staged
+    detuning integrals (pre-negated mod 2π) and their values at the
+    eval times. For a :class:`BatchedPlan` carrying raw coefficients
+    the staging runs on-device (:func:`_stage_cum_on_device`); only
+    the small eval-time integrals are computed host-side.
+    """
+    two_pi = 2 * np.pi
+    if (
+        isinstance(plans, BatchedPlan)
+        and plans.raw_coeffs is not None
+        and plans.plan.stage_knots is not None
+        and plans.plan.knots is not None
+    ):
+        plan = plans.plan
+        raw_det = np.asarray(plans.raw_coeffs["det"]).real
+        knots = np.asarray(plan.knots)
+        seg_w = np.diff(knots)
+        idx0, idx1, frac = plans.seg_knots()  # (n_seg, L, 3)
+        dt_in = frac * seg_w[idx0]
+        cum_b = _stage_cum_on_device(
+            jnp.asarray(raw_det, dtype=rdtype),
+            jnp.asarray(seg_w, dtype=rdtype),
+            jnp.asarray(idx0),
+            jnp.asarray(idx1),
+            jnp.asarray(dt_in, dtype=rdtype),
+            jnp.asarray(frac, dtype=rdtype),
+        )
+        # Eval-time integrals: a handful of times — host is fine
+        ev = _integ_at(raw_det, knots, np.asarray(plan.eval_times))
+        ev_cum_b = jnp.asarray(
+            np.moveaxis((-ev) % two_pi, -1, 1), dtype=rdtype
+        )
+        return cum_b, ev_cum_b
+    if isinstance(plans, BatchedPlan):
+        cum_np = (-plans.seg_stage_b("det_cum")) % two_pi
+        ev_cum_np = (-plans.eval_det_cum_b) % two_pi
+    else:
+        cum_np = np.stack(
+            [(-p.seg_stage("det_cum")) % two_pi for p in plans]
+        )
+        ev_cum_np = np.stack(
+            [(-p.eval_det_cum) % two_pi for p in plans]
+        )
+    return (
+        jnp.asarray(cum_np, dtype=rdtype),
+        jnp.asarray(ev_cum_np, dtype=rdtype),
+    )
+
+
+@jax.jit
+def _stage_cum_on_device(
+    raw_det: jax.Array,
+    seg_w: jax.Array,
+    idx0: jax.Array,
+    idx1: jax.Array,
+    dt_in: jax.Array,
+    frac: jax.Array,
+) -> jax.Array:
+    """Exact detuning phase integrals, staged on the device.
+
+    ``∫₀ᵗ det`` for piecewise-linear ``det`` is a knot-cumsum plus a
+    local quadratic correction; per stage time ``t`` in segment
+    ``idx0``: ``I = cum[idx0] + dt_in·(c0 + ½·frac·(c1 − c0))``.
+    The staged result is returned pre-negated mod 2π (the rotor-phase
+    packing the IP solvers consume), in the ``(B, n_seg, L, 3, nb,
+    n)`` layout — only the small raw knots cross the host→device
+    link, replacing an ``_integ_at`` host pass that costs hundreds of
+    ms per noisy batch.
+    """
+    two_pi = 2 * np.pi
+    cum = jnp.concatenate(
+        [
+            jnp.zeros(raw_det.shape[:-1] + (1,), raw_det.dtype),
+            jnp.cumsum(
+                0.5
+                * (raw_det[..., 1:] + raw_det[..., :-1])
+                * seg_w,
+                axis=-1,
+            ),
+        ],
+        axis=-1,
+    )
+    c0 = raw_det[..., idx0]  # (B, nb, n, n_seg, L, 3)
+    c1 = raw_det[..., idx1]
+    i_val = cum[..., idx0] + dt_in * (c0 + 0.5 * frac * (c1 - c0))
+    out = jnp.mod(-i_val, two_pi)
+    return jnp.moveaxis(out, (-3, -2, -1), (1, 2, 3))
+
+
 @jax.jit
 def _stage_on_device(
     raw: jax.Array,
@@ -1685,19 +1772,7 @@ def mcsolve_rk4_batched(
     ip_shared = None
     if ip:
         assert mcwf_ip_eligible(collapse_ops)
-        two_pi = 2 * np.pi
-        if isinstance(plans, BatchedPlan):
-            cum_np = (-plans.seg_stage_b("det_cum")) % two_pi
-            ev_cum_np = (-plans.eval_det_cum_b) % two_pi
-        else:
-            cum_np = np.stack(
-                [(-p.seg_stage("det_cum")) % two_pi for p in plans]
-            )
-            ev_cum_np = np.stack(
-                [(-p.eval_det_cum) % two_pi for p in plans]
-            )
-        cum_b = jnp.asarray(cum_np, dtype=rdtype)
-        ev_cum_b = jnp.asarray(ev_cum_np, dtype=rdtype)
+        cum_b, ev_cum_b = _batched_cum_arrays(plans, rdtype)
         ip_shared = (
             jnp.asarray(base.seg_stage("t_stage"), dtype=rdtype),
             jnp.asarray(
