@@ -471,3 +471,46 @@ def test_emulator_mesolve_coarse_engages():
     assert "mesolve_coarse" not in sim2._sticky_steps
     np.testing.assert_allclose(rho, rho_ref, atol=5e-6)
     assert abs(np.trace(rho).real - 1) < 1e-6
+
+
+def test_mesolve_ip_chunked_carry():
+    """A long dephasing evolution spans several bounded device calls;
+    the IP-frame carry between chunks must hand over correctly."""
+    import os
+
+    reg = tpu.Register({"q0": (0.0, 0.0), "q1": (0.0, 9.0)})
+
+    def mk():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(800, 2 * np.pi, -1.0, 0.0), "ryd"
+        )
+        seq.delay(8000, "ryd")  # long free dephasing stretch
+        seq.add(
+            tpu.Pulse.ConstantPulse(800, 2 * np.pi, 1.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(dephasing_rate=0.1)
+    # several eval times -> several segments -> several device calls
+    ev = np.linspace(0.0, 9.6, 13)
+    sim = TpuEmulator.from_sequence(
+        mk(), noise_model=nm, evaluation_times=ev
+    )
+    res = sim.run()
+    assert sim._sticky_steps.get("mesolve_coarse", 0) > 1e-3
+    rhos = [np.asarray(s.full()) for s in res.states]
+
+    os.environ["PULSER_TPU_COARSE_STEP"] = "0"
+    try:
+        sim2 = TpuEmulator.from_sequence(
+            mk(), noise_model=nm, evaluation_times=ev
+        )
+        rhos_ref = [np.asarray(s.full()) for s in sim2.run().states]
+    finally:
+        del os.environ["PULSER_TPU_COARSE_STEP"]
+
+    for a, b in zip(rhos, rhos_ref):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+        assert abs(np.trace(a).real - 1) < 1e-6
