@@ -710,6 +710,12 @@ class TpuEmulator:
         # while broadband per-ns structure clamps the step down.
         h_feat = np.inf
         for ham in hamiltonians:
+            times = np.asarray(ham.sampling_times)
+            knot_dt = (
+                float(np.median(np.diff(times)))
+                if len(times) > 1
+                else 1e-3
+            )
             for arr in (ham.amp_coeffs, ham.det_coeffs):
                 arr = np.asarray(arr)
                 if arr.shape[-1] < 3:
@@ -718,7 +724,6 @@ class TpuEmulator:
                     scale = float(np.max(np.abs(comp)))
                     if scale == 0.0:
                         continue
-                    knot_dt = 1e-3  # µs sampling grid
                     d2 = (
                         np.abs(np.diff(comp, n=2, axis=-1))
                         / knot_dt**2
