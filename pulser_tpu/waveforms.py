@@ -18,7 +18,16 @@ import warnings
 from abc import ABC, abstractmethod
 from functools import cached_property
 from types import FunctionType
-from typing import TYPE_CHECKING, Any, Optional, Tuple, TypeVar, Union, cast
+from typing import (
+    TYPE_CHECKING,
+    Any,
+    Callable,
+    Optional,
+    Tuple,
+    TypeVar,
+    Union,
+    cast,
+)
 
 import numpy as np
 import scipy.interpolate as interpolate
@@ -134,18 +143,24 @@ class Waveform(ABC):
     @property
     def first_value(self) -> float:
         """The waveform's initial sample."""
-        return float(self[0])
+        return _cast_check(float, self[0], "first_value")
 
     @property
     def last_value(self) -> float:
         """The waveform's final sample."""
-        return float(self[-1])
+        return _cast_check(float, self[-1], "last_value")
 
     @property
     def integral(self) -> float:
-        """The integral over time (in [units]·µs)."""
+        """The integral over time (in [units]·µs).
+
+        Stays differentiable under a JAX trace: the host-float cast is
+        skipped for tracers so ``jax.grad`` flows through (the
+        reference's ``float()`` cast would detach,
+        ``pulser-core/pulser/waveforms.py``).
+        """
         # 1 ns step × rad/µs values = 1e-3
-        return float(pm.sum(self._samples)) * 1e-3
+        return _cast_check(float, pm.sum(self._samples) * 1e-3, "integral")
 
     # --- Duration manipulation --------------------------------------
 
@@ -614,6 +629,48 @@ class RampWaveform(Waveform):
         return RampWaveform(self._duration, self._start * k, self._stop * k)
 
 
+def _matched_sign_or_raise(max_val: Any, area: Any) -> tuple[float, float]:
+    """Validates the peak bound/area signs; returns host floats.
+
+    Shared preamble of the ``from_max_val`` constructors: both
+    quantities must carry the same sign, and neither may be
+    parametrized at this point.
+    """
+    assert not isinstance(area, Parametrized)
+    bound = cast(float, max_val)
+    area_f = _cast_check(float, area, "area")
+    if np.sign(bound) != np.sign(area_f):
+        raise ValueError(
+            "The maximum value and the area must have matching signs."
+        )
+    return bound, area_f
+
+
+def _first_qualifying_duration(
+    start: int,
+    qualifies: Callable[[np.ndarray], np.ndarray],
+    step: int = 1,
+    chunk: int = 64,
+) -> int:
+    """Walks durations from ``start`` in ``step`` direction, chunked.
+
+    Evaluates ``qualifies`` on whole candidate batches at once and
+    returns the first duration for which it holds — a vectorized
+    replacement for the reference's one-at-a-time marching loops.
+    """
+    lo = start
+    while True:
+        cands = lo + step * np.arange(chunk)
+        if step < 0:
+            cands = cands[cands >= 1]
+            if cands.size == 0:
+                raise RuntimeError("duration search exhausted")
+        hits = np.flatnonzero(qualifies(cands))
+        if hits.size:
+            return int(cands[hits[0]])
+        lo = int(cands[-1]) + step
+
+
 class _WindowWaveform(Waveform):
     """Shared machinery of area-normalized window waveforms."""
 
@@ -681,44 +738,38 @@ class BlackmanWaveform(_WindowWaveform):
                 from below and must match the sign of `area`.
             area: The waveform integral.
         """
-        max_val = cast(float, max_val)
-        assert not isinstance(area, Parametrized)
-        area_float = _cast_check(float, area, "area")
-        area_sign = np.sign(area_float)
-        if np.sign(max_val) != area_sign:
-            raise ValueError(
-                "The maximum value and the area must have matching signs."
-            )
-
+        bound, area_f = _matched_sign_or_raise(max_val, area)
+        sign = float(np.sign(area_f))
         # Work with positive quantities throughout
-        area = pm.AbstractArray(area, dtype=float) * float(area_sign)
-        max_val *= float(area_sign)
+        area = pm.AbstractArray(area, dtype=float) * sign
+        bound, area_f = sign * bound, sign * area_f
 
-        # A unit Blackman window integrates to ~0.42 × duration
-        duration = np.ceil(float(area) / (0.42 * max_val) * 1e3)  # ns
-        wf = cls(duration, area)
-        previous_wf = None
-        # Walk up until the peak no longer exceeds the bound
-        while float(wf._scaling) > max_val:
-            duration += 1
-            previous_wf = wf
-            wf = cls(duration, area)
-
-        # np.blackman peaks at exactly 1.0 only for odd counts; the
-        # last even duration can approach max_val more closely
-        peak = float(np.max(wf.samples.as_array(detach=True)))
-        if (
-            previous_wf is not None
-            and duration % 2 == 1
-            and (
-                peak
-                < np.max(previous_wf.samples.as_array(detach=True))
-                <= max_val
+        def scaling_of(durs: np.ndarray) -> np.ndarray:
+            # area / ∫window, the per-sample multiplier (ns → µs)
+            sums = np.array(
+                [np.sum(np.clip(np.blackman(int(d)), 0, None)) for d in durs]
             )
-        ):
-            wf = previous_wf
+            return area_f * 1e3 / sums
 
-        return wf if area_sign != -1 else cast(BlackmanWaveform, -wf)
+        def true_peak(dur: int) -> float:
+            win = np.clip(np.blackman(dur), 0, None)
+            return float(np.max(win) * area_f * 1e3 / np.sum(win))
+
+        # A unit Blackman window integrates to ~0.42 × duration; scan
+        # candidate batches upward from there for the first duration
+        # whose scaling respects the bound.
+        start = int(np.ceil(area_f / (0.42 * bound) * 1e3))  # ns
+        dur = _first_qualifying_duration(
+            start, lambda ds: scaling_of(ds) <= bound
+        )
+        # np.blackman peaks at exactly 1.0 only for odd counts; the
+        # even duration just below can approach the bound more closely
+        if dur > start and dur % 2 == 1:
+            if true_peak(dur) < true_peak(dur - 1) <= bound:
+                dur -= 1
+
+        wf = cls(dur, area)
+        return wf if sign != -1.0 else cast(BlackmanWaveform, -wf)
 
     def with_new_duration(self, new_duration: int) -> BlackmanWaveform:
         """The same area spread over a different duration."""
@@ -1030,56 +1081,50 @@ class KaiserWaveform(_WindowWaveform):
             area: The waveform integral.
             beta: The Kaiser beta parameter (default 14).
         """
-        max_val = cast(float, max_val)
-        assert not isinstance(area, Parametrized)
-        area_float = _cast_check(float, area, "area")
-        beta = cast(float, beta)
-
-        if np.sign(max_val) != np.sign(area_float):
-            raise ValueError(
-                "The maximum value and the area must have matching signs."
-            )
-
-        # Work with positive quantities throughout
+        bound, area_f = _matched_sign_or_raise(max_val, area)
+        beta_f = cast(float, beta)
         area = pm.AbstractArray(area, dtype=float)
-        is_negative: bool = area_float < 0
-        if is_negative:
-            area_float = -area_float
-            max_val = -max_val
+        # Work with positive quantities throughout
+        if area_f < 0:
+            bound, area_f = -bound, -area_f
+
+        def peaks_of(durs: np.ndarray) -> np.ndarray:
+            # The realized maximum sample of each candidate window
+            out = np.empty(len(durs))
+            for i, d in enumerate(durs):
+                win = np.kaiser(int(d), beta_f)
+                out[i] = np.max(win) * 1000 * area_f / np.sum(win)
+            return out
 
         # Seed from the long-window area-to-peak ratio
-        ratio: np.floating = max_val * np.sum(np.kaiser(100, beta)) / 100
-        duration_guess: int = int(area_float * 1000.0 / ratio)
-        duration_best: int = 0
+        ratio = bound * np.sum(np.kaiser(100, beta_f)) / 100
+        guess = int(area_f * 1000.0 / ratio)
 
-        if duration_guess < 11:
-            # Short windows see-saw; brute force the candidates
-            max_val_best = 0.0
-            for duration in range(1, 16):
-                kaiser_temp = np.kaiser(duration, beta)
-                scaling_temp = 1000 * area_float / np.sum(kaiser_temp)
-                max_val_temp = np.max(kaiser_temp) * scaling_temp
-                if max_val_best < max_val_temp <= max_val:
-                    max_val_best = float(max_val_temp)
-                    duration_best = duration
-        else:
-            # March from the guess toward the bound
-            kaiser_guess = np.kaiser(duration_guess, beta)
-            scaling_guess = 1000 * area_float / np.sum(kaiser_guess)
-            max_val_temp = np.max(kaiser_guess) * scaling_guess
-
-            step = (
-                1 if np.max(kaiser_guess) * scaling_guess >= max_val else -1
+        if guess < 11:
+            # Short windows see-saw; brute force the candidates and
+            # keep the first duration whose peak lands highest while
+            # still under the bound.
+            cands = np.arange(1, 16)
+            pk = peaks_of(cands)
+            pk = np.where(pk <= bound, pk, -np.inf)
+            best = 0 if not np.any(pk > 0.0) else int(cands[np.argmax(pk)])
+        elif peaks_of(np.array([guess]))[0] >= bound:
+            # Over the bound at the seed: first longer duration at or
+            # under it
+            best = _first_qualifying_duration(
+                guess, lambda ds: peaks_of(ds) <= bound
             )
-            duration = duration_guess
-            while np.sign(max_val_temp - max_val) == step:
-                duration += step
-                kaiser_temp = np.kaiser(duration, beta)
-                scaling = 1000 * area_float / np.sum(kaiser_temp)
-                max_val_temp = np.max(kaiser_temp) * scaling
-            duration_best = duration if step == 1 else duration + 1
+        else:
+            # Under the bound: shrink until crossing, keep the last
+            # duration still under
+            best = (
+                _first_qualifying_duration(
+                    guess, lambda ds: peaks_of(ds) >= bound, step=-1
+                )
+                + 1
+            )
 
-        return cls(duration_best, area, beta)
+        return cls(best, area, beta_f)
 
     def with_new_duration(self, new_duration: int) -> KaiserWaveform:
         """The same area/beta over a different duration."""

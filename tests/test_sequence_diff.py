@@ -170,3 +170,48 @@ def test_diff_parametrized_phase_preserved():
     g = jax.grad(loss)(jnp.float32(2.0))
     assert np.isfinite(float(g))
     assert float(g) == pytest.approx(500.0, rel=1e-5)
+
+
+class TestWaveformScalarGrads:
+    """`integral`/`first_value`/`last_value` stay differentiable.
+
+    These properties return host floats eagerly but must pass JAX
+    tracers through instead of silently detaching them (a plain
+    ``float()`` cast would zero the gradient — the reference's
+    behavior, ``pulser-core/pulser/waveforms.py``).
+    """
+
+    @staticmethod
+    def _scalar(v):
+        return v.as_tensor() if hasattr(v, "as_tensor") else v
+
+    def test_integral_grad_blackman(self):
+        g = jax.grad(
+            lambda a: self._scalar(tpu.BlackmanWaveform(1000, a).integral)
+        )(jnp.float64(np.pi) if jax.config.jax_enable_x64 else np.pi)
+        # The Blackman area parameter IS the integral
+        assert float(g) == pytest.approx(1.0, rel=1e-5)
+
+    def test_integral_grad_ramp(self):
+        g = jax.grad(
+            lambda stop: self._scalar(
+                tpu.RampWaveform(1000, 0.0, stop).integral
+            )
+        )(2.0)
+        # d/dstop of (start+stop)/2 * 1us
+        assert float(g) == pytest.approx(0.5, rel=1e-5)
+
+    def test_last_value_grad(self):
+        g = jax.grad(
+            lambda stop: self._scalar(
+                tpu.RampWaveform(1000, 0.0, stop).last_value
+            )
+        )(2.0)
+        assert float(g) == pytest.approx(1.0, rel=1e-5)
+
+    def test_concrete_values_stay_floats(self):
+        wf = tpu.BlackmanWaveform(1000, np.pi)
+        assert isinstance(wf.integral, float)
+        assert isinstance(wf.first_value, float)
+        assert isinstance(wf.last_value, float)
+        assert wf.integral == pytest.approx(np.pi)
