@@ -124,6 +124,19 @@ def test_qubo_qaa_example():
     assert "QAA found 10001" in out
 
 
+@pytest.mark.slow
+def test_optimize_afm_preparation_example():
+    out = _run("optimize_afm_preparation.py", timeout=900)
+    assert "OK closed-loop optimization complete" in out
+    baseline = float(
+        out.rsplit("baseline Neel structure factor:", 1)[1].split()[0]
+    )
+    best = float(
+        out.rsplit("optimized Neel structure factor:", 1)[1].split()[0]
+    )
+    assert best > baseline + 0.3
+
+
 def test_static_quality_gate():
     """tools/check.py must pass clean (the in-image lint gate)."""
     out = subprocess.run(
