@@ -1032,6 +1032,17 @@ class TpuEmulator:
                 rho0 = self.initial_state.full()
             else:
                 rho0 = np.outer(psi0, psi0.conj())
+            # ρ costs 4^N: beyond roughly half the statevector's
+            # qubit ceiling its rows shard over the mesh (SURVEY §5)
+            rho_mesh = None
+            if d == 2:
+                from pulser_tpu.parallel.state_sharding import (
+                    default_state_mesh,
+                    rho_shard_min_qubits,
+                )
+
+                if n >= rho_shard_min_qubits():
+                    rho_mesh = default_state_mesh(n)
             states_arr = mesolve_rk4(
                 np.asarray(rho0, dtype=cdtype),
                 plan,
@@ -1044,6 +1055,7 @@ class TpuEmulator:
                 xy_indices=hamiltonian.xy_indices,
                 dtype=cdtype,
                 ip=mesolve_ip,
+                state_mesh=rho_mesh,
             )
             states = [
                 Qobj(s, dims=legal_dims_op) for s in states_arr

@@ -1317,6 +1317,7 @@ def mesolve_rk4(
     xy_indices: tuple[int, int] | None = None,
     dtype: Any = None,
     ip: bool = False,
+    state_mesh: Any = None,
 ) -> np.ndarray:
     """Solves the Lindblad master equation over the plan's grid.
 
@@ -1327,6 +1328,17 @@ def mesolve_rk4(
         rho0: ``(dim, dim)`` complex initial density matrix (host).
         collapse_ops: List of local ``(d, d)`` complex collapse
             operators (each is applied on every qudit).
+        state_mesh: Optional 1D ``jax.sharding.Mesh``. When given, the
+            ROW axis of ρ (and every row-aligned operand: the static
+            diagonal, the dephasing mask) shards across the mesh
+            devices, so each chip holds ``dim²/n_dev`` of the density
+            matrix — the multi-chip route for density matrices too big
+            for one chip's HBM. XLA's SPMD partitioner inserts the
+            collectives: the diagonal/elementwise terms and every
+            column-side operator application stay fully local, while
+            row-side drive applications on sharded qubits ride ICI.
+            The reference's density-matrix path is strictly
+            single-process (qutip ``mesolve``, simulation.py:848).
         (other args as in :func:`sesolve_rk4`)
 
     Returns:
@@ -1418,6 +1430,33 @@ def mesolve_rk4(
     # Launch every chunk first (async dispatch; the ρ carry is a
     # device-side dependency), then fetch in order — the device
     # executes chunk i+1 while the host drains chunk i.
+    if state_mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        axis = state_mesh.axis_names[0]
+        n_dev = int(np.prod(state_mesh.devices.shape))
+        dim = d**n
+        if dim % n_dev:
+            raise ValueError(
+                f"cannot shard a dim-{dim} density matrix over "
+                f"{n_dev} devices"
+            )
+
+        def _row_shard(arr, spec):
+            return jax.device_put(
+                arr, NamedSharding(state_mesh, spec)
+            )
+
+        # ρ rows, the row-aligned diagonal and the dephasing mask all
+        # shard on the same axis; everything else (stage coefficients,
+        # d×d group matrices) is replicated by propagation.
+        rho2_0 = _row_shard(rho2_0, _P(None, axis, None))
+        diag_static = _row_shard(diag_static, _P(axis))
+        if has_diag_mask:
+            diag_mask_pair = tuple(
+                _row_shard(m, _P(axis, None)) for m in diag_mask_pair
+            )
     ys_handles = []
     rho_c = rho2_0
     for ci in range(n_calls):

@@ -68,6 +68,23 @@ def state_shard_min_qubits() -> int:
     )
 
 
+#: Density matrices cost 4^N, so their single-chip ceiling is about
+#: half the statevector's qubit count.
+RHO_SHARD_MIN_QUBITS = 13
+
+
+def rho_shard_min_qubits() -> int:
+    """The density-matrix row-sharding threshold (env-overridable)."""
+    import os
+
+    return int(
+        os.environ.get(
+            "PULSER_TPU_RHO_SHARD_MIN_QUBITS",
+            RHO_SHARD_MIN_QUBITS,
+        )
+    )
+
+
 def default_state_mesh(
     n: int, axis_name: str = "state"
 ) -> Mesh | None:

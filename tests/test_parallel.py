@@ -644,3 +644,145 @@ def test_qutrit_basis_falls_back_to_single_device(monkeypatch):
     )
     np.testing.assert_allclose(psi, psi_ref, atol=1e-9)
     assert abs(np.linalg.norm(psi) - 1) < 1e-6
+
+
+def test_mesolve_rho_sharded_matches_serial():
+    """Row-sharded density-matrix Lindblad solve == single-device.
+
+    Shards ρ's 2^N row axis over the 8-device mesh (the multi-chip
+    route for density matrices past one chip's HBM) with both a
+    diagonal (dephasing-mask) and an off-diagonal (relaxation, L ρ L†
+    block-move) collapse operator in play, so every dissipator code
+    path runs under the SPMD partitioner.
+    """
+    from jax.sharding import Mesh
+
+    from pulser_tpu.ops.solver import mesolve_rk4
+
+    n, d = 5, 2
+    dim = d**n
+    rng = np.random.default_rng(7)
+    knots = np.linspace(0.0, 0.3, 16)
+    eval_times = np.array([0.0, 0.15, 0.3])
+    amp = rng.uniform(1, 5, size=(1, n, 16)) * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, (1, n, 16))
+    )
+    det = rng.normal(0, 3, size=(1, n, 16))
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, eval_times, max_step=1e-3
+    )
+    diag = rng.uniform(0, 10, size=dim)
+    c_deph = np.sqrt(0.5) * np.diag([1.0, -1.0]).astype(complex)
+    c_rel = np.sqrt(0.3) * np.array([[0, 1], [0, 0]], complex)
+    psi0 = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+    psi0 /= np.linalg.norm(psi0)
+    rho0 = np.outer(psi0, psi0.conj())
+
+    serial = mesolve_rk4(
+        rho0,
+        plan,
+        diag,
+        PAIRS,
+        d,
+        n,
+        [c_deph, c_rel],
+        dtype=np.complex128,
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    sharded = mesolve_rk4(
+        rho0,
+        plan,
+        diag,
+        PAIRS,
+        d,
+        n,
+        [c_deph, c_rel],
+        dtype=np.complex128,
+        state_mesh=mesh,
+    )
+    np.testing.assert_allclose(sharded, serial, atol=1e-9)
+    # Traces stay unit through the dissipative evolution.
+    traces = np.einsum("tii->t", sharded)
+    np.testing.assert_allclose(traces.real, 1.0, atol=1e-5)
+
+
+def test_mesolve_rho_sharded_rejects_bad_mesh():
+    """A mesh that does not divide 2^N must fail loudly."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from pulser_tpu.ops.solver import mesolve_rk4
+
+    n, d = 2, 2  # dim 4 over 8 devices: not divisible
+    knots = np.linspace(0.0, 0.1, 4)
+    plan = build_plan(
+        knots,
+        {
+            "amp": np.ones((1, n, 4), complex),
+            "det": np.zeros((1, n, 4)),
+        },
+        np.array([0.1]),
+        max_step=1e-3,
+    )
+    rho0 = np.eye(4, dtype=complex) / 4
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    with pytest.raises(ValueError, match="cannot shard"):
+        mesolve_rk4(
+            rho0,
+            plan,
+            np.zeros(4),
+            PAIRS,
+            d,
+            n,
+            [],
+            state_mesh=mesh,
+        )
+
+
+def test_emulator_uses_rho_sharding(mod_device, monkeypatch):
+    """With the ρ threshold lowered, the emulator's deterministic
+    Lindblad solve routes through the row-sharded density-matrix path
+    and matches the single-chip result."""
+    from pulser_tpu.parallel import state_sharding
+
+    def mk():
+        seq = tpu.Sequence(
+            tpu.Register.square(2, spacing=7.0, prefix="q"),
+            mod_device,
+        )
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(300, 2 * np.pi, 1.0, 0.0), "ryd"
+        )
+        return seq
+
+    nm = tpu.NoiseModel(dephasing_rate=0.2)
+
+    meshes = []
+    orig = state_sharding.default_state_mesh
+
+    def spy(*args, **kwargs):
+        m = orig(*args, **kwargs)
+        meshes.append(m)
+        return m
+
+    monkeypatch.setattr(state_sharding, "default_state_mesh", spy)
+    monkeypatch.setenv("PULSER_TPU_RHO_SHARD_MIN_QUBITS", "4")
+    res_sharded = TpuEmulator.from_sequence(
+        mk(), noise_model=nm
+    ).run()
+    assert meshes and meshes[0] is not None, (
+        "ρ-sharded path was not taken"
+    )
+
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    res_serial = TpuEmulator.from_sequence(
+        mk(), noise_model=nm
+    ).run()
+
+    obs = np.diag([1, 0] * 8).astype(complex)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.expect([obs])[0], float),
+        np.asarray(res_serial.expect([obs])[0], float),
+        atol=1e-9,
+    )
