@@ -146,3 +146,15 @@ def test_static_quality_gate():
         timeout=300,
     )
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_rydberg_blockade_intro_example():
+    out = _run("rydberg_blockade_intro.py")
+    assert "blockade physics OK" in out
+    assert "P(rr) far apart" in out
+
+
+def test_cz_gate_blockade_example():
+    out = _run("cz_gate_blockade.py", timeout=600)
+    assert "CZ gate OK" in out
+    assert "+1.000" in out and "-1.000" in out
