@@ -158,3 +158,9 @@ def test_cz_gate_blockade_example():
     out = _run("cz_gate_blockade.py", timeout=600)
     assert "CZ gate OK" in out
     assert "+1.000" in out and "-1.000" in out
+
+
+def test_qaoa_qubo_example():
+    out = _run("qaoa_qubo.py", timeout=600)
+    assert "OK qaoa-qubo walkthrough complete" in out
+    assert "P(ground configs)" in out
