@@ -164,3 +164,15 @@ def test_qaoa_qubo_example():
     out = _run("qaoa_qubo.py", timeout=600)
     assert "OK qaoa-qubo walkthrough complete" in out
     assert "P(ground configs)" in out
+
+
+def test_effective_noise_channels_example():
+    out = _run("effective_noise_channels.py")
+    assert "eff_noise(sigma_z, rate/2) == dephasing(rate): OK" in out
+    assert "hand-rolled relaxation via eff_noise: OK" in out
+
+
+def test_xxz_hamiltonians_example():
+    out = _run("xxz_hamiltonians.py", timeout=600)
+    assert "XXZ engineering suppresses spin transport: OK" in out
+    assert "magnetization conserved under free exchange: OK" in out
