@@ -30,23 +30,8 @@ from pulser_tpu.channels.base_channel import (
 )
 from pulser_tpu.channels.dmm import DMM
 from pulser_tpu.devices.interaction_coefficients import c3_dict, c6_dict
+from pulser_tpu.exceptions import sequence as _seq_exc
 from pulser_tpu.exceptions.base import PulserValueError
-from pulser_tpu.exceptions.sequence import (
-    AtomsNumberError,
-    DimensionChoiceError,
-    DimensionPositionsTooHighError,
-    DimensionTooHighError,
-    DistanceError,
-    MaxNumberOfTrapsError,
-    MaxQubitNumberError,
-    MinimumLayoutFillingError,
-    MinQubitNumberError,
-    OptimalLayoutFillingError,
-    RadiusError,
-    RydbergLevelError,
-    TrapsNumberTooHighError,
-    TrapsNumberTooLowError,
-)
 from pulser_tpu.json.abstract_repr.serializer import AbstractReprEncoder
 from pulser_tpu.json.abstract_repr.validation import validate_abstract_repr
 from pulser_tpu.json.utils import get_dataclass_defaults, obj_to_dict
@@ -204,7 +189,7 @@ class BaseDevice(ABC):
         if self.min_layout_filling is not None and not (
             0.0 <= self.min_layout_filling < self.max_layout_filling
         ):
-            raise MinimumLayoutFillingError(
+            raise _seq_exc.MinimumLayoutFillingError(
                 device=self,
                 invalid=self.min_layout_filling,
             )
@@ -214,7 +199,7 @@ class BaseDevice(ABC):
             <= self.optimal_layout_filling
             <= self.max_layout_filling
         ):
-            raise OptimalLayoutFillingError(
+            raise _seq_exc.OptimalLayoutFillingError(
                 device=self,
                 invalid=self.optimal_layout_filling,
             )
@@ -222,7 +207,7 @@ class BaseDevice(ABC):
         if self.max_layout_traps is None:
             return
         if self.max_layout_traps < self.min_layout_traps:
-            raise MaxNumberOfTrapsError(device=self)
+            raise _seq_exc.MaxNumberOfTrapsError(device=self)
         if self.max_atom_num is not None:
             max_atoms_ = int(
                 self.max_layout_filling * self.max_layout_traps
@@ -287,7 +272,7 @@ class BaseDevice(ABC):
         _require_type("name", str, self.name)
         expected_dimensions = cast("list[DIMENSIONS]", get_args(DIMENSIONS))
         if self.dimensions not in expected_dimensions:
-            raise DimensionChoiceError(
+            raise _seq_exc.DimensionChoiceError(
                 self, invalid=self.dimensions, expected=expected_dimensions
             )
         self._validate_rydberg_level(self.rydberg_level)
@@ -327,7 +312,7 @@ class BaseDevice(ABC):
         if not isinstance(ryd_lvl, int):
             raise TypeError("Rydberg level has to be an int.")
         if not 49 < ryd_lvl < 101:
-            raise RydbergLevelError(
+            raise _seq_exc.RydbergLevelError(
                 device=self, min=50, max=100, invalid=ryd_lvl
             )
 
@@ -412,7 +397,7 @@ class BaseDevice(ABC):
             )
 
         if register.dimensionality > self.dimensions:
-            raise DimensionPositionsTooHighError(
+            raise _seq_exc.DimensionPositionsTooHighError(
                 device=self,
                 invalid=register.dimensionality,
             )
@@ -433,25 +418,28 @@ class BaseDevice(ABC):
         if not isinstance(layout, RegisterLayout):
             raise TypeError("'layout' must be a RegisterLayout instance.")
 
-        if layout.dimensionality > self.dimensions:
-            raise DimensionTooHighError(self, invalid=layout.dimensionality)
-
-        if layout.number_of_traps < self.min_layout_traps:
-            raise TrapsNumberTooLowError(
-                device=self,
-                invalid=layout.number_of_traps,
-                layout=layout,
-            )
-
-        if (
-            self.max_layout_traps is not None
-            and layout.number_of_traps > self.max_layout_traps
-        ):
-            raise TrapsNumberTooHighError(
-                self,
-                invalid=layout.number_of_traps,
-                layout=layout,
-            )
+        n_traps = layout.number_of_traps
+        trap_bounds = (
+            (
+                layout.dimensionality > self.dimensions,
+                _seq_exc.DimensionTooHighError,
+                dict(invalid=layout.dimensionality),
+            ),
+            (
+                n_traps < self.min_layout_traps,
+                _seq_exc.TrapsNumberTooLowError,
+                dict(invalid=n_traps, layout=layout),
+            ),
+            (
+                self.max_layout_traps is not None
+                and n_traps > self.max_layout_traps,
+                _seq_exc.TrapsNumberTooHighError,
+                dict(invalid=n_traps, layout=layout),
+            ),
+        )
+        for failed, exc, exc_kwargs in trap_bounds:
+            if failed:
+                raise exc(self, **exc_kwargs)
 
         self._validate_coords(layout.traps_dict, kind="traps")
 
@@ -467,20 +455,17 @@ class BaseDevice(ABC):
         n_qubits = len(register.qubit_ids)
         n_traps = register.layout.number_of_traps
         min_qubits = int(np.ceil(n_traps * self.min_layout_filling))
+        max_qubits = int(n_traps * self.max_layout_filling)
         if n_traps > self.min_layout_traps and n_qubits < min_qubits:
-            raise MinQubitNumberError(
+            raise _seq_exc.MinQubitNumberError(
                 device=self,
                 invalid=n_qubits,
                 min=min_qubits,
                 min_traps=self.min_layout_traps,
             )
-
-        max_qubits = int(n_traps * self.max_layout_filling)
         if n_qubits > max_qubits:
-            raise MaxQubitNumberError(
-                device=self,
-                invalid=n_qubits,
-                max=max_qubits,
+            raise _seq_exc.MaxQubitNumberError(
+                device=self, invalid=n_qubits, max=max_qubits
             )
 
     def _validate_coords(
@@ -511,7 +496,7 @@ class BaseDevice(ABC):
     ) -> None:
         max_atom_num = cast(int, self.max_atom_num)
         if len(coords) > max_atom_num:
-            raise AtomsNumberError(device=self, invalid=len(coords))
+            raise _seq_exc.AtomsNumberError(device=self, invalid=len(coords))
 
     def _validate_atom_distance(
         self,
@@ -538,7 +523,7 @@ class BaseDevice(ABC):
         bad_pairs = np.argwhere(
             np.logical_and(invalid_dists(sq_dists), mask)
         )
-        raise DistanceError(
+        raise _seq_exc.DistanceError(
             device=self,
             kind=kind,
             precision_exp=COORD_PRECISION,
@@ -557,7 +542,7 @@ class BaseDevice(ABC):
         too_far = radii > self.max_radial_distance
         if np.any(too_far):
             assert self.max_radial_distance is not None
-            raise RadiusError(
+            raise _seq_exc.RadiusError(
                 device=self,
                 kind=kind,
                 invalid=[ids[int(i)] for i in np.where(too_far)[0]],
@@ -633,117 +618,160 @@ class BaseDevice(ABC):
         """Text summarizing the specifications of the device."""
         return self._specs(for_docs=False)
 
-    def _param_yes_no(self, param: Any) -> str:
-        return "Yes" if param is True else "No"
+    # Spec-sheet line tables. Row kinds: "opt" rows vanish when the
+    # value is None; "yes_no" rows render booleans; "plain" rows
+    # always render str(value). Values are produced by a callable on
+    # the device so subclass properties resolve late.
+    _REGISTER_SPEC_ROWS = (
+        ("plain", " - Dimensions: {}D", lambda d: d.dimensions),
+        (
+            "opt",
+            " - Maximum number of atoms: {}",
+            lambda d: d.max_atom_num,
+        ),
+        (
+            "opt",
+            " - Maximum distance from origin: {} µm",
+            lambda d: d.max_radial_distance,
+        ),
+        (
+            "plain",
+            " - Minimum distance between neighbouring atoms: {} μm",
+            lambda d: d.min_atom_distance,
+        ),
+    )
+    _LAYOUT_SPEC_ROWS = (
+        ("yes_no", " - Requires layout: {}", lambda d: d.requires_layout),
+        (
+            "plain",
+            " - Minimal number of traps: {}",
+            lambda d: d.min_layout_traps,
+        ),
+        (
+            "opt",
+            " - Maximal number of traps: {}",
+            lambda d: d.max_layout_traps,
+        ),
+        (
+            "plain",
+            " - Minimum layout filling fraction: {}",
+            lambda d: d.min_layout_filling,
+        ),
+        (
+            "plain",
+            " - Maximum layout filling fraction: {}",
+            lambda d: d.max_layout_filling,
+        ),
+    )
+    _DEVICE_SPEC_ROWS = (
+        ("plain", " - Rydberg level: {}", lambda d: d.rydberg_level),
+        (
+            "opt",
+            " - Ising interaction coefficient: {}",
+            lambda d: d.interaction_coeff,
+        ),
+        (
+            "opt",
+            " - XY interaction coefficient: {}",
+            lambda d: d.interaction_coeff_xy,
+        ),
+        (
+            "yes_no",
+            " - Channels can be reused: {}",
+            lambda d: d.reusable_channels,
+        ),
+        (
+            "plain",
+            " - Supported bases: {}",
+            lambda d: ", ".join(d.supported_bases),
+        ),
+        (
+            "plain",
+            " - Supported states: {}",
+            lambda d: ", ".join(d.supported_states),
+        ),
+        ("yes_no", " - SLM Mask: {}", lambda d: d.supports_slm_mask),
+        (
+            "opt",
+            " - Maximum sequence duration: {} ns",
+            lambda d: d.max_sequence_duration,
+        ),
+        ("opt", " - Maximum number of runs: {}", lambda d: d.max_runs),
+        ("opt", " - Default noise model: {}", lambda d: d.noise_model),
+    )
 
-    def _param_check_none(self, param: Any) -> Callable[[str], str]:
-        def empty_str_if_none(line: str) -> str:
-            return "" if param is None else line.format(param)
-
-        return empty_str_if_none
+    def _render_spec_rows(self, title: str, rows: tuple) -> list[str]:
+        out = [title]
+        for kind, template, getter in rows:
+            value = getter(self)
+            if kind == "opt" and value is None:
+                continue
+            if kind == "yes_no":
+                value = "Yes" if value is True else "No"
+            out.append(template.format(value))
+        return out
 
     def _register_lines(self) -> list[str]:
-        lines = [
-            "\nRegister parameters:",
-            f" - Dimensions: {self.dimensions}D",
-            self._param_check_none(self.max_atom_num)(
-                " - Maximum number of atoms: {}"
-            ),
-            self._param_check_none(self.max_radial_distance)(
-                " - Maximum distance from origin: {} µm"
-            ),
-            " - Minimum distance between neighbouring atoms: "
-            + f"{self.min_atom_distance} μm",
-        ]
-        return [line for line in lines if line != ""]
+        return self._render_spec_rows(
+            "\nRegister parameters:", self._REGISTER_SPEC_ROWS
+        )
 
     def _layout_lines(self) -> list[str]:
-        lines = [
-            "\nLayout parameters:",
-            f" - Requires layout: "
-            f"{self._param_yes_no(self.requires_layout)}",
-            f" - Minimal number of traps: {self.min_layout_traps}",
-            self._param_check_none(self.max_layout_traps)(
-                " - Maximal number of traps: {}"
-            ),
-            f" - Minimum layout filling fraction:"
-            f" {self.min_layout_filling}",
-            f" - Maximum layout filling fraction:"
-            f" {self.max_layout_filling}",
-        ]
-        return [line for line in lines if line != ""]
+        return self._render_spec_rows(
+            "\nLayout parameters:", self._LAYOUT_SPEC_ROWS
+        )
 
     def _device_lines(self) -> list[str]:
-        lines = [
-            "\nDevice parameters:",
-            f" - Rydberg level: {self.rydberg_level}",
-            self._param_check_none(self.interaction_coeff)(
-                " - Ising interaction coefficient: {}",
-            ),
-            self._param_check_none(self.interaction_coeff_xy)(
-                " - XY interaction coefficient: {}",
-            ),
-            " - Channels can be reused: "
-            + self._param_yes_no(self.reusable_channels),
-            f" - Supported bases: {', '.join(self.supported_bases)}",
-            f" - Supported states: {', '.join(self.supported_states)}",
-            f" - SLM Mask: {self._param_yes_no(self.supports_slm_mask)}",
-            self._param_check_none(self.max_sequence_duration)(
-                " - Maximum sequence duration: {} ns",
-            ),
-            self._param_check_none(self.max_runs)(
-                " - Maximum number of runs: {}"
-            ),
-            self._param_check_none(self.noise_model)(
-                " - Default noise model: {}",
-            ),
-        ]
-        return [line for line in lines if line != ""]
+        return self._render_spec_rows(
+            "\nDevice parameters:", self._DEVICE_SPEC_ROWS
+        )
+
+    @staticmethod
+    def _rad_us(value: Any) -> str:
+        """``"{value:.4g} rad/µs"``, or ``"None"`` when undefined."""
+        return "None" if value is None else f"{float(value):.4g} rad/µs"
 
     def _one_channel_doc_lines(self, name: str, ch: Channel) -> list[str]:
-        max_amp = "None"
-        if ch.max_abs_detuning is not None:
-            max_amp = f"{float(cast(float, ch.max_amp)):.4g} rad/µs"
-
-        max_abs_detuning = "None"
-        if ch.max_abs_detuning is not None:
-            max_abs_detuning = f"{float(ch.max_abs_detuning):.4g} rad/µs"
-
-        bottom_detuning = "None"
-        if isinstance(ch, DMM) and ch.bottom_detuning is not None:
-            bottom_detuning = f"{float(ch.bottom_detuning):.4g} rad/µs"
-
+        # Quirk kept from the reference: the Ω line also keys off
+        # max_abs_detuning being defined.
+        omega = (
+            "None"
+            if ch.max_abs_detuning is None
+            else self._rad_us(cast(float, ch.max_amp))
+        )
         if isinstance(ch, DMM):
-            det_line = "\t" + r"- Bottom :math:`|\delta|`: " + bottom_detuning
+            det_line = (
+                "\t"
+                + r"- Bottom :math:`|\delta|`: "
+                + self._rad_us(ch.bottom_detuning)
+            )
         else:
             det_line = (
-                "\t" + r"- Maximum :math:`|\delta|`: " + max_abs_detuning
+                "\t"
+                + r"- Maximum :math:`|\delta|`: "
+                + self._rad_us(ch.max_abs_detuning)
             )
-
-        lines = [
+        local_rows = (
+            (
+                "\t- Minimum time between retargets:"
+                f" {ch.min_retarget_interval} ns",
+                f"\t- Fixed retarget time: {ch.fixed_retarget_t} ns",
+                f"\t- Maximum simultaneous targets: {ch.max_targets}",
+            )
+            if ch.addressing == "Local"
+            else ()
+        )
+        return [
             f" - ID: '{name}'",
             f"\t- Type: {ch.name} (*{ch.basis}* basis)",
             f"\t- Addressing: {ch.addressing}",
-            ("\t" + r"- Maximum :math:`\Omega`: " + max_amp),
+            "\t" + r"- Maximum :math:`\Omega`: " + omega,
             det_line,
-            f"\t- Minimum average amplitude:"
-            f" {ch.min_avg_amp} rad/µs",
-        ]
-        if ch.addressing == "Local":
-            lines += [
-                "\t- Minimum time between retargets: "
-                f"{ch.min_retarget_interval} ns",
-                f"\t- Fixed retarget time:"
-                f" {ch.fixed_retarget_t} ns",
-                f"\t- Maximum simultaneous targets:"
-                f" {ch.max_targets}",
-            ]
-        lines += [
+            f"\t- Minimum average amplitude: {ch.min_avg_amp} rad/µs",
+            *local_rows,
             f"\t- Clock period: {ch.clock_period} ns",
-            f"\t- Minimum instruction duration:"
-            f" {ch.min_duration} ns",
+            f"\t- Minimum instruction duration: {ch.min_duration} ns",
         ]
-        return lines
 
     def _channel_lines(self, for_docs: bool = False) -> list[str]:
         ch_lines = ["\nChannels:"]
@@ -941,14 +969,19 @@ class Device(BaseDevice):
             )
         return device
 
-    def _layout_lines(self) -> list[str]:
-        layout_lines = super()._layout_lines()
-        layout_lines.insert(
-            2,
-            " - Accepts new layout: "
-            + self._param_yes_no(self.accepts_new_layouts),
+    # Same rows as the base class, with "Accepts new layout" slotted
+    # in right after "Requires layout".
+    _LAYOUT_SPEC_ROWS = (
+        BaseDevice._LAYOUT_SPEC_ROWS[:1]
+        + (
+            (
+                "yes_no",
+                " - Accepts new layout: {}",
+                lambda d: d.accepts_new_layouts,
+            ),
         )
-        return layout_lines
+        + BaseDevice._LAYOUT_SPEC_ROWS[1:]
+    )
 
 
 @dataclass(frozen=True)

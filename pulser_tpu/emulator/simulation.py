@@ -967,19 +967,35 @@ class TpuEmulator:
         }
         if hamiltonian.int_w is not None:
             coeffs["int_w"] = hamiltonian.int_w
-        with profiling.phase("emulator.build_plan"):
-            plan = build_plan(
-                knots,
-                coeffs,
-                self._eval_times_array,
-                max_step=max_step,
-                coarsen=coarsen,
-                breakpoints=(
-                    self._sharp_knots([hamiltonian], knots)
-                    if coarsen
-                    else None
-                ),
-            )
+        # Repeat runs with an unchanged Hamiltonian and evaluation
+        # times reuse the previous plan object — which also reuses its
+        # device-resident staged inputs (see EvolutionPlan.runtime_cache)
+        # so a warm re-solve pays no host staging or re-transfer.
+        plan_key = (
+            id(hamiltonian),
+            self._eval_times_array.tobytes(),
+            float(max_step),
+            bool(coarsen),
+        )
+        cached = getattr(self, "_plan_cache", None)
+        if cached is not None and cached[0] == plan_key:
+            plan = cached[1]
+        else:
+            with profiling.phase("emulator.build_plan"):
+                plan = build_plan(
+                    knots,
+                    coeffs,
+                    self._eval_times_array,
+                    max_step=max_step,
+                    coarsen=coarsen,
+                    breakpoints=(
+                        self._sharp_knots([hamiltonian], knots)
+                        if coarsen
+                        else None
+                    ),
+                )
+            # The key holds a strong hamiltonian ref so id() stays valid
+            self._plan_cache = (plan_key, plan, hamiltonian)
         cdtype = _default_cdtype()
 
         use_lindblad = (

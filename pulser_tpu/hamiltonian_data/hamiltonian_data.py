@@ -57,41 +57,32 @@ class SamplesWithReps(NamedTuple):
     reps: int
 
 
-SUPPORTED_NOISES: dict = {
-    "ising": {
+# Noise types valid in every interaction mode; Ising additionally
+# admits the drive/motion perturbations (amplitude, detuning, doppler,
+# relaxation) and the DMM noises.
+_MODE_AGNOSTIC_NOISES = frozenset(
+    ("dephasing", "depolarizing", "eff_noise", "SPAM", "leakage", "register")
+)
+_ISING_ONLY_NOISES = frozenset(
+    (
         "amplitude",
         "detuning",
-        "dephasing",
-        "relaxation",
-        "depolarizing",
         "doppler",
-        "eff_noise",
-        "SPAM",
-        "leakage",
-        "register",
+        "relaxation",
         "dmm_sigma",
         "dmm_crosstalk",
-    },
-    "XY": {
-        "dephasing",
-        "depolarizing",
-        "eff_noise",
-        "SPAM",
-        "leakage",
-        "register",
-    },
+    )
+)
+SUPPORTED_NOISES: dict = {
+    "ising": set(_MODE_AGNOSTIC_NOISES | _ISING_ONLY_NOISES),
+    "XY": set(_MODE_AGNOSTIC_NOISES),
 }
 
 # Noise channels whose effect is captured by collapse operators alone
 # (they don't perturb the samples, except through state-prep errors)
-_COLLAPSE_ONLY_NOISES = {
-    "dephasing",
-    "relaxation",
-    "SPAM",
-    "depolarizing",
-    "eff_noise",
-    "leakage",
-}
+_COLLAPSE_ONLY_NOISES = frozenset(
+    ("dephasing", "relaxation", "SPAM", "depolarizing", "eff_noise", "leakage")
+)
 
 
 def has_shot_to_shot_except_spam(noise_model: NoiseModel) -> bool:
@@ -109,23 +100,30 @@ def has_shot_to_shot_except_spam(noise_model: NoiseModel) -> bool:
 def _noisy_register(
     q_dict: dict[QubitId, pm.AbstractArray], noise_model: NoiseModel
 ) -> Register3D:
-    """Add Gaussian noise to the positions of the register."""
-    register_sigma_xy, register_sigma_z = _register_sigma_xy_z(
+    """Add Gaussian noise to the positions of the register.
+
+    RNG contract: one (N, 2) in-plane normal draw at σ_xy followed by
+    one (N,) axial draw at σ_z — this exact order reproduces the
+    reference's global-RNG stream under a fixed seed.
+    """
+    sigma_xy, sigma_z = _register_sigma_xy_z(
         noise_model.temperature,
         noise_model.trap_waist,
         cast(float, noise_model.trap_depth),
     )
-    atoms = list(q_dict.keys())
-    num_atoms = len(atoms)
-    positions = list(q_dict.values())
-    if len(positions[0]) == 2:
-        positions = [pm.concatenate((p, [0.0])) for p in positions]
-    narr_xy = np.random.normal(0, register_sigma_xy, (num_atoms, 2))
-    narr_z = np.random.normal(0, register_sigma_z, num_atoms)
-    narr = np.column_stack((narr_xy, narr_z))
-    return Register3D(
-        {k: pos + noise for (k, pos, noise) in zip(atoms, positions, narr)}
+    n_atoms = len(q_dict)
+    jitter = np.column_stack(
+        (
+            np.random.normal(0, sigma_xy, (n_atoms, 2)),
+            np.random.normal(0, sigma_z, n_atoms),
+        )
     )
+    noisy = {}
+    for (qid, pos), dp in zip(q_dict.items(), jitter):
+        if len(pos) == 2:
+            pos = pm.concatenate((pos, [0.0]))
+        noisy[qid] = pos + dp
+    return Register3D(noisy)
 
 
 def _generate_detuning_fluctuations(
@@ -142,17 +140,15 @@ def _generate_detuning_fluctuations(
     φ_k ~ U[0, 2π) and Δω_k = omegas[k+1] − omegas[k] (the last entry
     of each series is unused).
     """
-    det_hf = np.zeros_like(times)
-
-    if noise_model.detuning_hf_psd:
-        t = np.asarray(times) * 1e-3  # ns -> µs
-        freqs = np.asarray(noise_model.detuning_hf_omegas)[1:]
-        psd = np.asarray(noise_model.detuning_hf_psd)[1:]
-        df = np.diff(noise_model.detuning_hf_omegas)
-        amp = np.sqrt(2.0 * df * psd)
-        arg = freqs[:, None] * t[None, :] + phases[:, None]
-        det_hf = (amp[:, None] * np.cos(arg)).sum(axis=0)
-    return det_cst_term + det_hf
+    if not noise_model.detuning_hf_psd:
+        return det_cst_term + np.zeros_like(times)
+    omegas = np.asarray(noise_model.detuning_hf_omegas)
+    # Bin k spans [ω_k, ω_{k+1}); the series is evaluated at the bin's
+    # UPPER edge (the final PSD entry is therefore never read).
+    amp_k = np.sqrt(2.0 * np.diff(omegas) * noise_model.detuning_hf_psd[1:])
+    t_us = np.asarray(times) * 1e-3  # ns -> µs
+    arg = np.outer(omegas[1:], t_us) + phases[:, None]
+    return det_cst_term + amp_k @ np.cos(arg)
 
 
 def _distances(register: BaseRegister) -> pm.AbstractArray:
@@ -302,27 +298,39 @@ class HamiltonianData:
                 "The provided sequence has to be a valid "
                 "pulser.Sequence instance."
             )
-        if sequence.is_parametrized() or sequence.is_register_mappable():
-            raise ValueError(
+        # Sequence preconditions, checked in order: (predicate that
+        # must hold, error class, message).
+        preconditions = (
+            (
+                not sequence.is_parametrized()
+                and not sequence.is_register_mappable(),
+                ValueError,
                 "The provided sequence needs to be built to be simulated."
-                " Call `Sequence.build()` with the necessary parameters."
-            )
-        if not sequence._schedule:
-            raise ValueError(
-                "The provided sequence has no declared channels."
-            )
-        if all(
-            sequence._schedule[x][-1].tf == 0
-            for x in sequence.declared_channels
-        ):
-            raise ValueError(
-                "No instructions given for the channels in the sequence."
-            )
-        if with_modulation and sequence._slm_mask_targets:
-            raise NotImplementedError(
+                " Call `Sequence.build()` with the necessary parameters.",
+            ),
+            (
+                bool(sequence._schedule),
+                ValueError,
+                "The provided sequence has no declared channels.",
+            ),
+            (
+                any(
+                    sequence._schedule[x][-1].tf != 0
+                    for x in sequence.declared_channels
+                ),
+                ValueError,
+                "No instructions given for the channels in the sequence.",
+            ),
+            (
+                not (with_modulation and sequence._slm_mask_targets),
+                NotImplementedError,
                 "Simulation of sequences combining an SLM mask and output "
-                "modulation is not supported."
-            )
+                "modulation is not supported.",
+            ),
+        )
+        for holds, exc, message in preconditions:
+            if not holds:
+                raise exc(message)
         return cls(
             sampler.sample(
                 sequence,
@@ -623,18 +631,17 @@ class HamiltonianData:
         noise_types = noise_model.noise_types
 
         if "dephasing" in noise_types:
-            dephasing_rates = {
-                "d": noise_model.dephasing_rate,
-                "r": noise_model.dephasing_rate,
-                "h": noise_model.hyperfine_dephasing_rate,
-            }
-            for state in eigenbasis:
-                if state in dephasing_rates:
-                    op = f"sigma_{state}{state}"
-                    assert op in op_matrix
-                    local_collapse_ops.append(
-                        (np.sqrt(2 * dephasing_rates[state]), op)
-                    )
+            # Which states dephase, and at which model rate
+            for state, rate in (
+                ("d", noise_model.dephasing_rate),
+                ("r", noise_model.dephasing_rate),
+                ("h", noise_model.hyperfine_dephasing_rate),
+            ):
+                if state not in eigenbasis:
+                    continue
+                op = f"sigma_{state}{state}"
+                assert op in op_matrix
+                local_collapse_ops.append((np.sqrt(2 * rate), op))
 
         if "relaxation" in noise_types:
             if "sigma_gr" not in op_matrix:
@@ -651,23 +658,21 @@ class HamiltonianData:
                 raise NotImplementedError(
                     "Cannot include depolarizing noise in all-basis."
                 )
-            # NOTE: These operators only make sense when basis != "all"
+            # Pauli decomposition over the two lowest-energy states
+            # (b, a): each label maps to Σ coeff·|i><j| projector
+            # terms. Only meaningful when basis != "all".
             b, a = eigenbasis[:2]
-            depolarizing_pauli_2ds["x"] = [
-                (1, f"sigma_{a}{b}"),
-                (1, f"sigma_{b}{a}"),
-            ]
-            depolarizing_pauli_2ds["y"] = [
-                (1j, f"sigma_{a}{b}"),
-                (-1j, f"sigma_{b}{a}"),
-            ]
-            depolarizing_pauli_2ds["z"] = [
-                (1, f"sigma_{b}{b}"),
-                (-1, f"sigma_{a}{a}"),
-            ]
+            pauli_spec: tuple = (
+                ("x", ((1, a + b), (1, b + a))),
+                ("y", ((1j, a + b), (-1j, b + a))),
+                ("z", ((1, b + b), (-1, a + a))),
+            )
             coeff = np.sqrt(noise_model.depolarizing_rate / 4)
-            for pauli_label in depolarizing_pauli_2ds.keys():
-                local_collapse_ops.append((coeff, pauli_label))
+            for label, terms in pauli_spec:
+                depolarizing_pauli_2ds[label] = [
+                    (w, f"sigma_{states}") for w, states in terms
+                ]
+                local_collapse_ops.append((coeff, label))
 
         if "eff_noise" in noise_types:
             basis_dim = len(eigenbasis)
@@ -709,16 +714,19 @@ class HamiltonianData:
         propagation_dir: tuple[float, float, float],
         laser_waist: float,
     ) -> float:
-        pos_vec = np.zeros(3, dtype=float)
-        pos_vec[: len(coords)] = np.array(coords, dtype=float)
-        u_vec = np.array(propagation_dir, dtype=float)
-        u_vec = u_vec / np.linalg.norm(u_vec)
-        # Project onto the optical axis; k*u_vec is the closest point
-        k = np.dot(pos_vec, u_vec)
-        dist = np.linalg.norm(pos_vec - k * u_vec)
-        # With a large Rayleigh length only the off-axis distance
-        # attenuates the amplitude
-        return float(np.exp(-((dist / laser_waist) ** 2)))
+        """Gaussian-beam amplitude at an atom's off-axis distance.
+
+        Assumes a Rayleigh length much larger than the array, so only
+        the perpendicular distance r to the optical axis matters:
+        the fraction is exp(−(r/w)²). r² is computed from the
+        Pythagorean split ‖p‖² = (p·û)² + r².
+        """
+        p = np.zeros(3)
+        p[: len(coords)] = coords
+        axis = np.asarray(propagation_dir, dtype=float)
+        along = p @ axis / np.linalg.norm(axis)
+        r_sq = max(float(p @ p - along**2), 0.0)
+        return float(np.exp(-r_sq / laser_waist**2))
 
     # -- Trajectory sampling ----------------------------------------------
 

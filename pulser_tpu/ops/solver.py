@@ -100,10 +100,22 @@ class EvolutionPlan:
     #: of ``stage_knots`` — for staging derived quantities (e.g. the
     #: exact detuning integrals) from raw coefficients on-device.
     knots: np.ndarray | None = None
+    #: Per-plan scratch for solver-side memoization (device-resident
+    #: input buffers, staged-layout gathers). Excluded from equality;
+    #: safe to mutate on the frozen dataclass because only the dict's
+    #: CONTENTS change.
+    runtime_cache: dict = dataclasses.field(
+        default_factory=dict, compare=False, repr=False
+    )
 
     def seg_stage(self, name: str) -> np.ndarray:
         """A stage array gathered into the (n_seg, L, 3, ...) layout."""
-        return self.stage_arrays[name][self.seg_map]
+        key = ("seg_stage", name)
+        hit = self.runtime_cache.get(key)
+        if hit is None:
+            hit = self.stage_arrays[name][self.seg_map]
+            self.runtime_cache[key] = hit
+        return hit
 
 
 @dataclasses.dataclass
@@ -3135,25 +3147,35 @@ def _sesolve_rk4_pallas(
     n_row = n - n_col
     rows, cols = 1 << n_row, 1 << n_col
     two_pi = 2 * np.pi
-    a = plan.seg_stage("amp")[..., 0, :]  # single basis: (S, L, 3, n)
-    cum = (-plan.seg_stage("det_cum")[..., 0, :]) % two_pi
-    t_st = plan.seg_stage("t_stage")
-    eval_t = plan.eval_times - plan.grid[0]
-    eval_cum = (-plan.eval_det_cum[:, 0, :]) % two_pi
     n_seg, seg_len = plan.seg_dts.shape
     f32 = np.float32
-    # All dtype conversions and reshapes happen in HOST numpy: every
-    # device-side convert/reshape outside jit is its own tiny XLA
-    # compile (~0.4 s each through a tunneled backend) and they add up
-    # to seconds of cold-start overhead.
-    host = [
-        np.asarray(a.real, f32),
-        np.asarray(a.imag, f32),
-        np.asarray(cum, f32),
-        np.asarray(t_st, f32),
-        np.asarray(plan.seg_dts, f32).reshape(n_seg, seg_len, 1),
-        np.asarray(eval_t, f32).reshape(n_seg, 1, 1),
-        np.asarray(eval_cum, f32).reshape(n_seg, 1, n),
+    # The plan-derived inputs are identical across repeat solves of the
+    # same plan: stage them (and ship them to the device) once. Only
+    # the interaction diagonal and the initial state can differ between
+    # runs sharing a plan, so those always transfer fresh.
+    staged_dev = plan.runtime_cache.get("pallas_sesolve_dev")
+    if staged_dev is None:
+        a = plan.seg_stage("amp")[..., 0, :]  # single basis: (S,L,3,n)
+        cum = (-plan.seg_stage("det_cum")[..., 0, :]) % two_pi
+        t_st = plan.seg_stage("t_stage")
+        eval_t = plan.eval_times - plan.grid[0]
+        eval_cum = (-plan.eval_det_cum[:, 0, :]) % two_pi
+        # All dtype conversions and reshapes happen in HOST numpy:
+        # every device-side convert/reshape outside jit is its own
+        # tiny XLA compile (~0.4 s each through a tunneled backend)
+        # and they add up to seconds of cold-start overhead.
+        staged_host = [
+            np.asarray(a.real, f32),
+            np.asarray(a.imag, f32),
+            np.asarray(cum, f32),
+            np.asarray(t_st, f32),
+            np.asarray(plan.seg_dts, f32).reshape(n_seg, seg_len, 1),
+            np.asarray(eval_t, f32).reshape(n_seg, 1, 1),
+            np.asarray(eval_cum, f32).reshape(n_seg, 1, n),
+        ]
+        staged_dev = [jnp.asarray(h) for h in staged_host]
+        plan.runtime_cache["pallas_sesolve_dev"] = staged_dev
+    per_run_host = [
         np.asarray(np.asarray(static_diag).real, f32).reshape(
             1, rows, cols
         ),
@@ -3161,7 +3183,8 @@ def _sesolve_rk4_pallas(
         np.asarray(psi0_np.imag, f32).reshape(rows, cols),
     ]
     out = ip_sesolve_pallas(
-        *(jnp.asarray(h) for h in host),
+        *staged_dev,
+        *(jnp.asarray(h) for h in per_run_host),
         n_row=n_row,
         n_col=n_col,
         seg_len=seg_len,

@@ -1,7 +1,8 @@
-"""The abstract base of all registers (qubit-id -> position mappings).
+"""Abstract register: an ordered qubit-id -> position mapping.
 
 Behavioral parity with reference
-``pulser-core/pulser/register/base_register.py:58-332``.
+``pulser-core/pulser/register/base_register.py:58-332``; the
+validation logic here is table-driven rather than inline.
 """
 
 from __future__ import annotations
@@ -11,16 +12,8 @@ import warnings
 from abc import ABC, abstractmethod
 from collections.abc import Iterable, Mapping
 from collections.abc import Sequence as abcSequence
-from typing import (
-    TYPE_CHECKING,
-    Any,
-    NamedTuple,
-    Optional,
-    Type,
-    TypeVar,
-    Union,
-    cast,
-)
+from typing import TYPE_CHECKING, Any, NamedTuple, Optional, Type
+from typing import TypeVar, Union, cast
 
 import numpy as np
 from numpy.typing import ArrayLike
@@ -54,6 +47,34 @@ class _LayoutInfo(NamedTuple):
     trap_ids: tuple[int, ...]
 
 
+def _id_map(
+    coords: pm.AbstractArray,
+    prefix: Optional[str],
+    labels: Optional[abcSequence[QubitId]],
+) -> dict[Any, pm.AbstractArray]:
+    """Pairs a stack of positions with qubit ids.
+
+    Exactly one naming scheme applies: ``prefix`` numbers the
+    positions as ``f"{prefix}{i}"``, ``labels`` names them
+    explicitly, and with neither the ids are plain integers.
+    """
+    if prefix is not None and labels is not None:
+        raise NotImplementedError(
+            "It is impossible to specify a prefix and "
+            "a set of labels at the same time"
+        )
+    if prefix is not None:
+        return {f"{prefix}{i}": pos for i, pos in enumerate(coords)}
+    if labels is None:
+        return dict(cast(Iterable, enumerate(coords)))
+    if len(coords) != len(labels):
+        raise ValueError(
+            f"Label length ({len(labels)}) does not"
+            f"match number of coordinates ({len(coords)})"
+        )
+    return dict(zip(cast(Iterable, labels), coords))
+
+
 class BaseRegister(ABC, CoordsCollection):
     """The abstract class for a register."""
 
@@ -77,32 +98,24 @@ class BaseRegister(ABC, CoordsCollection):
             [pm.AbstractArray(v, dtype=float) for v in qubits.values()]
         )
         self._ids: tuple[QubitId, ...] = tuple(qubits.keys())
-        if not all(isinstance(id, str) for id in self._ids):
+        if any(not isinstance(qid, str) for qid in self._ids):
             with warnings.catch_warnings():
                 warnings.filterwarnings("once")
                 warnings.warn(
                     _NON_STR_ID_WARNING, DeprecationWarning, stacklevel=2
                 )
         self._layout_info: Optional[_LayoutInfo] = None
-        self._init_kwargs(**kwargs)
-
-    def _init_kwargs(self, **kwargs: Any) -> None:
-        if not kwargs:
-            return
-        if kwargs.keys() != {"layout", "trap_ids"}:
-            raise ValueError(
-                "If specifying 'kwargs', they must only be 'layout' and"
-                " 'trap_ids'."
+        if kwargs:
+            if set(kwargs) != {"layout", "trap_ids"}:
+                raise ValueError(
+                    "If specifying 'kwargs', they must only be 'layout' and"
+                    " 'trap_ids'."
+                )
+            self._attach_layout(
+                kwargs["layout"], tuple(kwargs["trap_ids"])
             )
-        layout: RegisterLayout = kwargs["layout"]
-        trap_ids: tuple[int, ...] = tuple(kwargs["trap_ids"])
-        self._validate_layout(layout, trap_ids)
-        self._layout_info = _LayoutInfo(layout, trap_ids)
 
-    @property
-    def qubits(self) -> dict[QubitId, pm.AbstractArray]:
-        """Dictionary of the qubit names and their position coordinates."""
-        return dict(zip(self._ids, self._coords_arr))
+    # --- identity & lookup -------------------------------------------
 
     @property
     def qubit_ids(self) -> tuple[QubitId, ...]:
@@ -110,9 +123,15 @@ class BaseRegister(ABC, CoordsCollection):
         return self._ids
 
     @property
+    def qubits(self) -> dict[QubitId, pm.AbstractArray]:
+        """Dictionary of the qubit names and their position coordinates."""
+        return dict(zip(self._ids, self._coords_arr))
+
+    @property
     def layout(self) -> Optional[RegisterLayout]:
         """The layout used to define the register."""
-        return self._layout_info.layout if self._layout_info else None
+        info = self._layout_info
+        return info.layout if info is not None else None
 
     def find_indices(self, id_list: abcSequence[QubitId]) -> list[int]:
         """Positions of the given qubit IDs in this register's order.
@@ -124,37 +143,32 @@ class BaseRegister(ABC, CoordsCollection):
             One index per requested ID; only meaningful for this
             register's ID ordering.
         """
-        if not set(id_list) <= set(self.qubit_ids):
+        if not set(id_list) <= set(self._ids):
             raise ValueError(
                 "The IDs list must be selected among the IDs of the"
                 " register's qubits."
             )
-        return [self.qubit_ids.index(id_) for id_ in id_list]
+        order = {qid: i for i, qid in enumerate(self._ids)}
+        return [order[qid] for qid in id_list]
 
-    @staticmethod
-    def _label_positions(
-        coords: pm.AbstractArray,
-        prefix: Optional[str],
-        labels: Optional[abcSequence[QubitId]],
-    ) -> dict[Any, pm.AbstractArray]:
-        """Assigns qubit ids to a stack of positions."""
-        if prefix is not None:
-            if labels is not None:
-                raise NotImplementedError(
-                    "It is impossible to specify a prefix and "
-                    "a set of labels at the same time"
-                )
-            return {
-                str(prefix) + str(i): pos for i, pos in enumerate(coords)
-            }
-        if labels is not None:
-            if len(coords) != len(labels):
-                raise ValueError(
-                    f"Label length ({len(labels)}) does not"
-                    f"match number of coordinates ({len(coords)})"
-                )
-            return dict(zip(cast(Iterable, labels), coords))
-        return dict(cast(Iterable, enumerate(coords)))
+    def coords_hex_hash(self) -> str:
+        """Returns the idempotent hash of the coordinates as a hexstring."""
+        return self._safe_hash().hex()
+
+    def __eq__(self, other: Any) -> bool:
+        if type(other) is not type(self) or self._ids != other._ids:
+            return False
+        return bool(
+            np.allclose(
+                self._coords_arr.as_array(detach=True),
+                other._coords_arr.as_array(detach=True),
+            )
+        )
+
+    def __repr__(self) -> str:
+        return f"{self.__class__.__name__}({self.qubits})"
+
+    # --- construction ------------------------------------------------
 
     @classmethod
     def from_coordinates(
@@ -180,31 +194,59 @@ class BaseRegister(ABC, CoordsCollection):
         positions = pm.vstack(cast(abcSequence, coords)).astype(float)
         if center:
             positions = positions - pm.mean(positions, axis=0)
-        return cls(cls._label_positions(positions, prefix, labels), **kwargs)
+        return cls(_id_map(positions, prefix, labels), **kwargs)
 
-    def _validate_layout(
+    # --- layout provenance -------------------------------------------
+
+    def _attach_layout(
         self, register_layout: RegisterLayout, trap_ids: tuple[int, ...]
     ) -> None:
-        """Validates the RegisterLayout that originated this register."""
-        if register_layout.dimensionality != self.dimensionality:
-            raise ValueError(
-                "The RegisterLayout dimensionality is not the same as this "
-                "register's."
-            )
-        if len(set(trap_ids)) != len(trap_ids):
-            raise ValueError("Every 'trap_id' must be a unique integer.")
-        if len(trap_ids) != len(self._ids):
-            raise ValueError(
-                "The amount of 'trap_ids' must be equal to the number of"
-                " atoms in the register."
-            )
-        own_coords = self._coords_arr.as_array(detach=True)
-        picked = register_layout.coords[list(trap_ids)]
-        if own_coords.shape != picked.shape or np.any(own_coords != picked):
+        """Validates and records the layout this register came from.
+
+        The checks run in order; each entry is (ok, message).
+        """
+        own = self._coords_arr.as_array(detach=True)
+
+        def _traps_match() -> bool:
+            picked = register_layout.coords[list(trap_ids)]
+            return own.shape == picked.shape and not np.any(own != picked)
+
+        checks: tuple[tuple[bool, str], ...] = (
+            (
+                register_layout.dimensionality == self.dimensionality,
+                "The RegisterLayout dimensionality is not the same as"
+                " this register's.",
+            ),
+            (
+                len(set(trap_ids)) == len(trap_ids),
+                "Every 'trap_id' must be a unique integer.",
+            ),
+            (
+                len(trap_ids) == len(self._ids),
+                "The amount of 'trap_ids' must be equal to the number"
+                " of atoms in the register.",
+            ),
+        )
+        for ok, message in checks:
+            if not ok:
+                raise ValueError(message)
+        if not _traps_match():
             raise ValueError(
                 "The chosen traps from the RegisterLayout don't match"
                 " this register's coordinates."
             )
+        self._layout_info = _LayoutInfo(register_layout, trap_ids)
+
+    # Kept as a separate hook: subclasses and tests exercise the
+    # validation half without mutating provenance.
+    def _validate_layout(
+        self, register_layout: RegisterLayout, trap_ids: tuple[int, ...]
+    ) -> None:
+        saved = self._layout_info
+        self._attach_layout(register_layout, trap_ids)
+        self._layout_info = saved
+
+    # --- derived objects ----------------------------------------------
 
     def define_detuning_map(
         self,
@@ -221,13 +263,15 @@ class BaseRegister(ABC, CoordsCollection):
             A DetuningMap putting each weight on the matching qubit's
             position.
         """
-        if not set(detuning_weights.keys()) <= set(self.qubit_ids):
+        if not set(detuning_weights.keys()) <= set(self._ids):
             raise ValueError(
                 "The qubit ids linked to detuning weights have to be"
                 " defined in the register."
             )
         spots = pm.vstack([self.qubits[qid] for qid in detuning_weights])
         return DetuningMap(spots, list(detuning_weights.values()), slug)
+
+    # --- serialization -------------------------------------------------
 
     @abstractmethod
     def _to_dict(self) -> dict[str, Any]:
@@ -252,23 +296,6 @@ class BaseRegister(ABC, CoordsCollection):
             _submodule=self.__class__.__name__,
             _name="from_coordinates",
         )
-
-    def __eq__(self, other: Any) -> bool:
-        return (
-            type(other) is type(self)
-            and self._ids == other._ids
-            and np.allclose(
-                self._coords_arr.as_array(detach=True),
-                other._coords_arr.as_array(detach=True),
-            )
-        )
-
-    def __repr__(self) -> str:
-        return f"{self.__class__.__name__}({self.qubits})"
-
-    def coords_hex_hash(self) -> str:
-        """Returns the idempotent hash of the coordinates as a hexstring."""
-        return self._safe_hash().hex()
 
     @abstractmethod
     def _to_abstract_repr(self) -> list[dict[str, Union[QubitId, float]]]:
