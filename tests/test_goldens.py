@@ -150,3 +150,53 @@ def test_lindblad_dephasing_golden():
     dim = rho.shape[0]
     golden_rho = data["states"][-1].reshape(dim, dim)
     assert _mixed_fidelity_bound(golden_rho, rho) < 1e-6
+
+
+@pytest.mark.skipif(
+    os.environ.get("PULSER_TPU_RUN_SLOW") != "1"
+    and not any(
+        d.platform in ("tpu", "axon")
+        for d in __import__("jax").devices()
+    ),
+    reason="flagship-scale solve (dim 65536) — slow on CPU; "
+    "set PULSER_TPU_RUN_SLOW=1 to force",
+)
+def test_afm16_flagship_golden():
+    """The 16-atom AFM sweep (the headline benchmark config) must match
+    the DOP853 rtol=1e-9 golden to 1e-6 fidelity at BOTH the sweep
+    midpoint and the final time (``/tmp`` probes are not enough — this
+    pins the exact perf-claim configuration)."""
+    data = _load("afm16_final")
+    spacing = 6.0
+    reg = tpu.Register.square(4, spacing=spacing, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    omega_max = 2.0 * 2 * np.pi
+    delta_0 = -6 * 2 * np.pi
+    delta_f = 2 * 2 * np.pi
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(252, 0.0, omega_max), delta_0, 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantAmplitude(
+            omega_max, tpu.RampWaveform(2700, delta_0, delta_f), 0.0
+        ),
+        "ryd",
+    )
+    seq.add(
+        tpu.Pulse.ConstantDetuning(
+            tpu.RampWaveform(252, omega_max, 0.0), delta_f, 0.0
+        ),
+        "ryd",
+    )
+    eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
+    res = TpuEmulator.from_sequence(
+        seq, evaluation_times=eval_times
+    ).run()
+    mid = res.states[50].full()[:, 0]
+    fin = res.states[-1].full()[:, 0]
+    assert 1 - _state_fidelity(data["mid_state"], mid) < 1e-6
+    assert 1 - _state_fidelity(data["final_state"], fin) < 1e-6
