@@ -416,26 +416,52 @@ def solve_telemetry(seconds: float) -> dict:
 
 
 def warm_start_probe() -> None:
-    """Subprocess entry: times a second fresh-process flagship warmup.
+    """Subprocess entry: times a fresh-process flagship warm start.
 
     QuTiP pays zero compile cost (reference ``simulation.py:689`` goes
     straight into ``sesolve``), so what a user's *second* session pays
-    is the honest comparison point. With the single-stage-body kernels
-    the cold compile itself is ~10 s, and on the tunneled TPU backend
-    *loading* a persisted XLA cache entry triggers a server-side
-    rebuild costing more than that — so the steady-state experience IS
-    the cold start, and this probe simply repeats it uncached.
-    Directly-attached TPUs can still opt into persistent caching via
-    ``pulser_tpu.caching.enable_compilation_cache``.
+    is the honest comparison point. The emulator enables JAX's
+    persistent compilation cache by default on TPU backends
+    (``caching.maybe_enable_default``), so this fresh process should
+    reload the flagship kernel in well under a second instead of
+    recompiling; the breakdown separates the local reload from any
+    server-side first-execution cost.
     """
+    from pulser_tpu import aot_cache
     from pulser_tpu.emulator import TpuEmulator
 
     seq = build_afm_sequence()
     eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
     sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
     t0 = time.perf_counter()
-    sim.run()
-    print(json.dumps({"warm_warmup_s": time.perf_counter() - t0}))
+    res = sim.run()
+    dispatch_s = time.perf_counter() - t0
+    batch = getattr(sim, "_last_device_batch", None)
+    t1 = time.perf_counter()
+    if batch is not None:
+        batch.sync()
+    exec_s = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    res.states[-1].full()
+    fetch_s = time.perf_counter() - t2
+    print(
+        json.dumps(
+            {
+                "warm_warmup_s": time.perf_counter() - t0,
+                "breakdown": {
+                    "dispatch_s": round(dispatch_s, 3),
+                    "trace_lower_s": round(
+                        aot_cache.stats["last_lower_s"], 3
+                    ),
+                    "xla_compile_s": round(
+                        aot_cache.stats["last_compile_s"], 3
+                    ),
+                    "first_exec_sync_s": round(exec_s, 3),
+                    "final_state_fetch_s": round(fetch_s, 3),
+                },
+            }
+        )
+    )
 
 
 def _load_cache(path, key):
@@ -448,35 +474,114 @@ def _load_cache(path, key):
 
 
 def bench_afm16(TpuEmulator, cache_path):
+    from pulser_tpu import aot_cache, profiling
+
     seq = build_afm_sequence()
     eval_times = np.linspace(0, seq.get_duration() * 1e-3, 101)
+    t0 = time.perf_counter()
     sim = TpuEmulator.from_sequence(seq, evaluation_times=eval_times)
+    emu_build_s = time.perf_counter() - t0
     log(
         f"AFM sweep: {len(seq.register.qubit_ids)} atoms, "
         f"{seq.get_duration()} ns, dim {sim.dim**16}"
     )
 
-    t0 = time.perf_counter()
+    # ---- instrumented warmup: dispatch (incl. trace+lower+compile),
+    # first execution (server-side lazy compile lands here on
+    # tunneled backends), and the final-state transfer are separated
+    profiling.reset_phases()
+    t_warm = time.perf_counter()
     res = sim.run()
-    warm = time.perf_counter() - t0
-    log(f"warmup (incl. compile): {warm:.2f}s")
+    dispatch_s = time.perf_counter() - t_warm
+    batch = getattr(sim, "_last_device_batch", None)
+    t1 = time.perf_counter()
+    if batch is not None:
+        batch.sync()
+    first_exec_s = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    final = res.states[-1].full()[:, 0]
+    final_fetch_s = time.perf_counter() - t2
+    warm = time.perf_counter() - t_warm
+    phases = profiling.phase_report(reset=True)
+    warmup_breakdown = {
+        "emulator_build_s": round(emu_build_s, 3),
+        "plan_build_s": round(
+            phases.get("emulator.build_plan", {}).get("total_s", 0.0),
+            3,
+        ),
+        "dispatch_s": round(dispatch_s, 3),
+        "trace_lower_s": round(aot_cache.stats["last_lower_s"], 3),
+        "xla_compile_s": round(aot_cache.stats["last_compile_s"], 3),
+        "first_exec_sync_s": round(first_exec_s, 3),
+        "final_state_fetch_s": round(final_fetch_s, 3),
+    }
+    log(f"warmup (incl. compile): {warm:.2f}s  {warmup_breakdown}")
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        res = sim.run()
-        times.append(time.perf_counter() - t0)
-    tpu_time = statistics.median(sorted(times)[:4])
-    log(
-        f"solve times: {[f'{t:.3f}' for t in times]} "
-        "(median of best 4 — tunneled-TPU runs show rare multi-second"
-        " server-side stalls)"
-    )
-
-    final = res.get_final_state(ignore_global_phase=False).full()[:, 0]
+    # ---- accuracy at the perf-claim configuration: ≥1−1e-6 fidelity
+    # against the reference-derived DOP853 rtol=1e-9 golden, at the
+    # sweep midpoint AND the final time (BASELINE.md row 4)
     norm = float(np.linalg.norm(final))
     log(f"final-state norm: {norm:.8f}")
     assert abs(norm - 1) < 1e-3, "solver produced an unnormalized state"
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "goldens",
+        "afm16_final.npz",
+    )
+    fidelities = {}
+    if os.path.exists(golden_path):
+        gold = np.load(golden_path)
+
+        def _fid(a, b):
+            a = a / np.linalg.norm(a)
+            b = b / np.linalg.norm(b)
+            return float(abs(np.vdot(a, b)) ** 2)
+
+        mid = res.states[50].full()[:, 0]
+        fidelities = {
+            "mid_fidelity": _fid(gold["mid_state"], mid),
+            "final_fidelity": _fid(gold["final_state"], final),
+        }
+        log(f"golden fidelities: {fidelities}")
+        assert fidelities["mid_fidelity"] > 1 - 1e-6
+        assert fidelities["final_fidelity"] > 1 - 1e-6
+
+    # ---- repeat solves. Headline = wall-clock until the final state
+    # is on the host. device_time = wall-clock until the device
+    # execution finished (4-byte sync; on tunneled backends
+    # ``block_until_ready`` returns while work is still queued, so
+    # only a dependent fetch is a real barrier).
+    raw_times, device_times = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = sim.run()
+        sim._last_device_batch.sync()
+        device_times.append(time.perf_counter() - t0)
+        res.states[-1].full()
+        raw_times.append(time.perf_counter() - t0)
+    tpu_time = statistics.median(raw_times)
+    device_time = statistics.median(device_times)
+    log(
+        f"solve times (run + final state on host):"
+        f" {[f'{t:.3f}' for t in raw_times]} -> median {tpu_time:.3f}s"
+    )
+    log(
+        f"device-only times (run + sync):"
+        f" {[f'{t:.3f}' for t in device_times]}"
+        f" -> median {device_time:.3f}s"
+    )
+    # Full 101-state host materialization (tunnel-bandwidth bound;
+    # ~20 ms D2H on directly-attached hardware) — reported, not part
+    # of the headline: states are device-resident by design and the
+    # observable pipeline consumes them on device.
+    t0 = time.perf_counter()
+    all_states = sim._last_device_batch.fetch_all()
+    fetch_all_s = time.perf_counter() - t0
+    log(
+        f"all-states materialization: {all_states.nbytes / 1e6:.1f} MB"
+        f" in {fetch_all_s:.2f}s"
+    )
 
     cache, cpu_time = _load_cache(cache_path, "afm16_v1")
     if cpu_time is not None:
@@ -491,15 +596,23 @@ def bench_afm16(TpuEmulator, cache_path):
         with open(cache_path, "w") as f:
             json.dump(cache, f)
 
-    tele = solve_telemetry(tpu_time)
-    log(f"telemetry: {tele}")
+    tele = solve_telemetry(device_time)
+    log(f"telemetry (from device time): {tele}")
     return {
         "metric": "16-atom AFM sweep sesolve wall-clock",
         "value": round(tpu_time, 4),
         "unit": "s",
         "vs_baseline": round(cpu_time / tpu_time, 2),
+        "raw_times": [round(t, 4) for t in raw_times],
+        "median": round(tpu_time, 4),
+        "best": round(min(raw_times), 4),
+        "device_time_s": round(device_time, 4),
+        "device_times_raw": [round(t, 4) for t in device_times],
+        "fetch_all_states_s": round(fetch_all_s, 3),
         "telemetry": tele,
         "cold_warmup_s": round(warm, 2),
+        "warmup_breakdown": warmup_breakdown,
+        **fidelities,
     }
 
 
@@ -559,6 +672,9 @@ def bench_noisy10(TpuEmulator, cache_path):
         "metric": "10-atom noisy mesolve trajectories/sec",
         "value": round(traj_per_sec, 2),
         "unit": "traj/s",
+        "raw_times": [round(t, 4) for t in times],
+        "median_solve_s": round(tpu_time, 4),
+        "best_solve_s": round(min(times), 4),
         # vs the SAME fixed-step RK4 algorithm on CPU (identical
         # step count and accuracy — pure hardware/implementation
         # ratio, no integrator-adaptivity apples-to-oranges)
@@ -580,13 +696,13 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    # No persistent XLA compilation cache here: with the
-    # single-stage-body kernels the flagship cold compile is ~3 s
-    # (~11 s full warmup), while on the tunneled TPU backend *loading*
-    # a persisted entry triggers a server-side rebuild costing more
-    # than the cold compile it replaces (89.5 s measured). Uncached is
-    # both faster and deterministic; directly-attached TPUs can opt in
-    # via ``pulser_tpu.caching.enable_compilation_cache``.
+    # The emulator enables JAX's persistent compilation cache by
+    # default on TPU backends (caching.maybe_enable_default): fresh
+    # processes reload the flagship kernel in ~0.3 s instead of
+    # recompiling (~3.5 s), and the warm-probe subprocess below
+    # measures exactly that. The r3 claim that loading persisted
+    # entries triggers a server-side rebuild did not reproduce
+    # (measured: 0.26 s compile + ~1 s first exec in a fresh process).
     from pulser_tpu.emulator import TpuEmulator
 
     # Backend init over a tunneled TPU can wedge indefinitely when the
@@ -628,15 +744,18 @@ def main() -> None:
             text=True,
             timeout=1500,
         )
-        warm_s = json.loads(proc.stdout.strip().splitlines()[-1])[
-            "warm_warmup_s"
-        ]
-        log(f"fresh-process warmup (uncached): {warm_s:.2f}s")
+        probe = json.loads(proc.stdout.strip().splitlines()[-1])
+        warm_s = probe["warm_warmup_s"]
+        log(
+            f"fresh-process warm start: {warm_s:.2f}s"
+            f"  {probe.get('breakdown')}"
+        )
         warm_metric = {
-            "metric": "flagship fresh-process warmup (uncached)",
+            "metric": "flagship fresh-process warm start",
             "value": round(warm_s, 2),
             "unit": "s",
             "vs_baseline": round(afm["cold_warmup_s"] / warm_s, 2),
+            "breakdown": probe.get("breakdown"),
         }
     except Exception as err:  # pragma: no cover
         log(f"warm-start probe failed: {err}")

@@ -56,8 +56,17 @@ _DEFAULT_DIR = os.path.join(
 _loaded: dict[str, Callable] = {}
 _lock = threading.Lock()
 
-#: Hit/miss counters (inspected by tests and telemetry).
-stats = {"hits": 0, "disk_hits": 0, "misses": 0, "errors": 0}
+#: Hit/miss counters (inspected by tests and telemetry), plus the
+#: wall-clock of the most recent trace+lower and compile (bench.py
+#: reports these in its warmup breakdown).
+stats = {
+    "hits": 0,
+    "disk_hits": 0,
+    "misses": 0,
+    "errors": 0,
+    "last_lower_s": 0.0,
+    "last_compile_s": 0.0,
+}
 
 _src_digest_cache: str | None = None
 
@@ -192,7 +201,14 @@ def call(
     else:
         stats["misses"] += 1
         try:
-            compiled = jitted.lower(*args, **statics).compile()
+            import time
+
+            t0 = time.perf_counter()
+            lowered = jitted.lower(*args, **statics)
+            t1 = time.perf_counter()
+            compiled = lowered.compile()
+            stats["last_lower_s"] = t1 - t0
+            stats["last_compile_s"] = time.perf_counter() - t1
         except Exception as err:
             stats["errors"] += 1
             _logger.warning(

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable_compilation_cache"]
+__all__ = ["enable_compilation_cache", "maybe_enable_default"]
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "pulser_tpu_xla"
@@ -57,6 +57,41 @@ def enable_compilation_cache(
     )
     jax.config.update("jax_traceback_in_locations_limit", 0)
     return path
+
+
+_default_attempted = False
+
+
+def maybe_enable_default() -> str | None:
+    """Enables the persistent cache once, by default, on TPU backends.
+
+    Called lazily from the emulator's first solve. A fresh process
+    then reloads the flagship kernels in well under a second instead
+    of recompiling (measured: 0.26 s compile vs 3.5 s cold, and it
+    also sidesteps the tunneled backend's intermittent ~60 s
+    server-side lazy first-execution compile). Opt out with
+    ``PULSER_TPU_COMPILATION_CACHE=0``; CPU runs (tests) are left
+    alone so they keep JAX's defaults.
+
+    Returns the cache directory when enabled, else None.
+    """
+    global _default_attempted
+    if _default_attempted:
+        return None
+    _default_attempted = True
+    value = os.environ.get("PULSER_TPU_COMPILATION_CACHE", "")
+    if value.lower() in ("0", "false", "no", "off"):
+        return None
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return None  # the user already configured one
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return None
+        return enable_compilation_cache(value or None)
+    except Exception:  # pragma: no cover - cache is best-effort
+        return None
 
 
 def _maybe_enable_from_env() -> None:

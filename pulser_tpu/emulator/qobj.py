@@ -32,36 +32,75 @@ class Qobj:
         )
         if arr.ndim == 1:
             arr = arr.reshape(-1, 1)
-        self._data = np.asarray(arr, dtype=complex)
+        self._store: np.ndarray | None = np.asarray(arr, dtype=complex)
+        self._fetch: Any = None
+        self._shape: tuple[int, int] = self._store.shape
         if dims is None:
             if self.isket:
-                dims = [[self._data.shape[0]], [1]]
+                dims = [[self._shape[0]], [1]]
             elif self.isbra:
-                dims = [[1], [self._data.shape[1]]]
+                dims = [[1], [self._shape[1]]]
             else:
-                dims = [[self._data.shape[0]], [self._data.shape[1]]]
+                dims = [[self._shape[0]], [self._shape[1]]]
         self.dims = [list(d) for d in dims]
+
+    @classmethod
+    def deferred(
+        cls,
+        fetch: Any,
+        shape: tuple[int, int],
+        dims: Sequence[Sequence[int]],
+    ) -> Qobj:
+        """A Qobj whose data stays device-resident until first touched.
+
+        TPU solver outputs live in HBM; shipping every evaluation-time
+        state to the host eagerly wastes transfer bandwidth when the
+        caller only reads a few states (or computes observables on
+        device). ``fetch()`` must return the complex host array of
+        ``shape`` on first access; structure queries (``shape``,
+        ``isket``/``isoper``, ``dims``) never materialize.
+        """
+        obj = object.__new__(cls)
+        obj._store = None
+        obj._fetch = fetch
+        obj._shape = (int(shape[0]), int(shape[1]))
+        obj.dims = [list(d) for d in dims]
+        return obj
+
+    @property
+    def _data(self) -> np.ndarray:
+        if self._store is None:
+            arr = np.asarray(self._fetch(), dtype=complex)
+            self._store = arr.reshape(self._shape)
+            self._fetch = None
+        return self._store
+
+    @_data.setter
+    def _data(self, value: np.ndarray) -> None:
+        self._store = value
+        self._fetch = None
+        self._shape = value.shape  # type: ignore[assignment]
 
     # ---- structure ----
     @property
     def shape(self) -> tuple[int, int]:
         """The shape of the underlying matrix."""
-        return self._data.shape  # type: ignore[return-value]
+        return self._shape
 
     @property
     def isket(self) -> bool:
         """Whether this is a column vector."""
-        return self._data.shape[1] == 1 and self._data.shape[0] > 1
+        return self._shape[1] == 1 and self._shape[0] > 1
 
     @property
     def isbra(self) -> bool:
         """Whether this is a row vector."""
-        return self._data.shape[0] == 1 and self._data.shape[1] > 1
+        return self._shape[0] == 1 and self._shape[1] > 1
 
     @property
     def isoper(self) -> bool:
         """Whether this is a square operator."""
-        return self._data.shape[0] == self._data.shape[1]
+        return self._shape[0] == self._shape[1]
 
     def full(self) -> np.ndarray:
         """The dense numpy array."""

@@ -18,6 +18,7 @@ the reference exactly.
 
 from __future__ import annotations
 
+import functools
 import os
 import warnings
 from collections import Counter
@@ -33,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 import pulser_tpu.sampler as sampler
+from pulser_tpu import caching
 from pulser_tpu.sequence import Sequence
 from pulser_tpu.hamiltonian_data import (
     HamiltonianData,
@@ -1115,23 +1117,42 @@ class TpuEmulator:
                 dtype=cdtype,
                 ip_occ=ip_occ,
                 state_mesh=state_mesh,
+                lazy=True,
             )
-            if coarsen:
-                # Coarse RK4 steps drift the norm by ~1e-6/µs; the
-                # evolution is exactly unitary, so renormalizing the
-                # emitted states removes the artifact (direction/phase
-                # accuracy is separately held at ~1e-10 by the ω·h
-                # bound).
-                states_arr = np.asarray(states_arr)
-                norms = np.linalg.norm(
-                    states_arr, axis=-1, keepdims=True
-                )
-                states_arr = states_arr / np.where(
-                    norms == 0, 1.0, norms
-                )
-            states = [
-                Qobj(s, dims=legal_dims_ket) for s in states_arr
-            ]
+            if isinstance(states_arr, _solver_mod.DeviceStateBatch):
+                # States stay device-resident; each Qobj fetches its
+                # vector on first touch. Coarse-step renormalization
+                # (see below) happens per state at fetch time.
+                states_arr.normalize = bool(coarsen)
+                # Exposed for benchmarking/telemetry: .sync() is the
+                # only reliable completion barrier on tunneled PJRT
+                self._last_device_batch = states_arr
+                dim_tot = d**n
+                states = [
+                    Qobj.deferred(
+                        functools.partial(states_arr.state, i),
+                        (dim_tot, 1),
+                        legal_dims_ket,
+                    )
+                    for i in range(len(states_arr))
+                ]
+            else:
+                if coarsen:
+                    # Coarse RK4 steps drift the norm by ~1e-6/µs;
+                    # the evolution is exactly unitary, so
+                    # renormalizing the emitted states removes the
+                    # artifact (direction/phase accuracy is
+                    # separately held at ~1e-10 by the ω·h bound).
+                    states_arr = np.asarray(states_arr)
+                    norms = np.linalg.norm(
+                        states_arr, axis=-1, keepdims=True
+                    )
+                    states_arr = states_arr / np.where(
+                        norms == 0, 1.0, norms
+                    )
+                states = [
+                    Qobj(s, dims=legal_dims_ket) for s in states_arr
+                ]
 
         return self._wrap_coherent(states)
 
@@ -1248,6 +1269,10 @@ class TpuEmulator:
         self._validate_options(options)
         if not (progress_bar is True or progress_bar is False or progress_bar is None):
             raise ValueError("`progress_bar` must be a bool.")
+        # On TPU backends, turn on the persistent compilation cache
+        # (once) so fresh processes reload the solver kernels in
+        # ~0.3 s instead of recompiling. No-op on CPU.
+        caching.maybe_enable_default()
 
         if not _has_stochastic_noise(self.noise_model):
             if print_progress:

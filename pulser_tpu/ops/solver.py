@@ -560,6 +560,97 @@ def _real_dtype(cdtype: Any) -> Any:
 last_solve_info: dict[str, Any] = {}
 
 
+class DeviceStateBatch:
+    """Device-resident ``(n_eval, dim)`` solver output, fetched lazily.
+
+    The reference materializes every evaluation-time state on the host
+    eagerly (qutip keeps ``result.states`` in host memory); on TPU the
+    states are HBM-resident device arrays and the host transfer is pure
+    overhead unless the caller actually reads them. This wrapper keeps
+    the solver output on device and converts on demand:
+
+    - :meth:`state` fetches ONE evaluation-time state (a ``dim``-sized
+      transfer) — the common "final state / a few snapshots" access;
+    - :meth:`fetch_all` moves the whole batch in a single transfer and
+      caches it; reading many states individually upgrades to it
+      automatically (per-state round trips would dominate).
+
+    Args:
+        dev: The raw device array, indexed by *segment* on axis 0.
+        eval_map: Maps evaluation index -> segment index.
+        to_complex: Converts one fetched host slice to a ``(dim,)``
+            complex vector (layout varies by kernel: real-pair planes,
+            2D row/column tiles, ...).
+        normalize: Renormalize each state on fetch (coarse RK4 steps
+            drift the norm by ~1e-6/µs on an exactly-unitary
+            evolution; see ``TpuEmulator._run_solver``).
+    """
+
+    #: Individual fetches before upgrading to one bulk transfer.
+    _BULK_THRESHOLD = 8
+
+    def __init__(
+        self,
+        dev: Any,
+        eval_map: np.ndarray,
+        to_complex: Any,
+        normalize: bool = False,
+    ):
+        self._dev = dev
+        self._eval_map = np.asarray(eval_map)
+        self._to_complex = to_complex
+        self.normalize = normalize
+        self._all: np.ndarray | None = None
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self._eval_map)
+
+    def sync(self) -> None:
+        """Blocks until the device computation has finished.
+
+        Fetches a single element (a 4-byte transfer) instead of
+        ``jax.block_until_ready`` — tunneled PJRT backends report
+        arrays ready while execution is still queued server-side, so
+        a dependent fetch is the only reliable barrier.
+        """
+        if self._dev is not None:
+            idx = (-1,) + (0,) * (self._dev.ndim - 1)
+            np.asarray(self._dev[idx])
+
+    def _post(self, vec: np.ndarray) -> np.ndarray:
+        if not self.normalize:
+            return vec
+        nrm = np.linalg.norm(vec)
+        return vec if nrm == 0 else vec / nrm
+
+    def state(self, i: int) -> np.ndarray:
+        """The ``(dim,)`` complex state at evaluation index ``i``."""
+        i = int(i)
+        if i < 0:
+            i += len(self)
+        if self._all is not None:
+            return self._all[i]
+        if i not in self._cache:
+            if len(self._cache) >= self._BULK_THRESHOLD:
+                return self.fetch_all()[i]
+            seg = int(self._eval_map[i])
+            host = np.asarray(self._dev[seg])
+            self._cache[i] = self._post(self._to_complex(host))
+        return self._cache[i]
+
+    def fetch_all(self) -> np.ndarray:
+        """All states as one host ``(n_eval, dim)`` array (cached)."""
+        if self._all is None:
+            host = np.asarray(self._dev)[self._eval_map]
+            self._all = np.stack(
+                [self._post(self._to_complex(h)) for h in host]
+            )
+            self._dev = None
+            self._cache = {}
+        return self._all
+
+
 def _mesh_size(mesh: Any) -> int:
     """Device count of a mesh (1 when no mesh is given)."""
     if mesh is None:
@@ -579,7 +670,8 @@ def sesolve_rk4(
     dtype: Any = None,
     ip_occ: np.ndarray | None = None,
     state_mesh: Any = None,
-) -> np.ndarray:
+    lazy: bool = False,
+) -> "np.ndarray | DeviceStateBatch":
     """Solves ``dψ/dt = -i H(t) ψ`` over the plan's grid.
 
     Args:
@@ -605,8 +697,13 @@ def sesolve_rk4(
             sees the small amplitude term — dramatically better
             accuracy at the same step size.
 
+        lazy: Return a :class:`DeviceStateBatch` (device-resident
+            output, fetched on demand) instead of a host array.
+            Sharded (``state_mesh``) paths ignore this and stay eager.
+
     Returns:
-        ``(n_eval, dim)`` complex numpy states at the evaluation times.
+        ``(n_eval, dim)`` complex numpy states at the evaluation
+        times, or a :class:`DeviceStateBatch` when ``lazy`` is set.
     """
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
@@ -675,7 +772,7 @@ def sesolve_rk4(
         and _pallas_available()
     ):
         return _sesolve_rk4_pallas(
-            psi0_np, plan, static_diag, n, cdtype
+            psi0_np, plan, static_diag, n, cdtype, lazy=lazy
         )
     # Shared device inputs (host-converted numpy, pure transfers)
     psi2_0 = dev(np.stack([psi0_np.real, psi0_np.imag]))
@@ -731,6 +828,12 @@ def sesolve_rk4(
             n=n,
             xy_indices=xy_indices,
             has_int_w=has_int_w,
+        )
+    if lazy:
+        return DeviceStateBatch(
+            out,
+            plan.eval_map,
+            lambda h: (h[0] + 1j * h[1]).astype(cdtype),
         )
     out_np = np.asarray(out)[plan.eval_map]
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
@@ -3134,7 +3237,8 @@ def _sesolve_rk4_pallas(
     n: int,
     cdtype: Any,
     interpret: bool = False,
-) -> np.ndarray:
+    lazy: bool = False,
+) -> "np.ndarray | DeviceStateBatch":
     """Dispatches the fused Pallas interaction-picture solve.
 
     Host-side preparation mirrors :func:`sesolve_rk4`'s IP path; the
@@ -3197,6 +3301,14 @@ def _sesolve_rk4_pallas(
         n_steps=int(np.count_nonzero(plan.seg_dts)),
         n=n,
     )
+    if lazy:
+        return DeviceStateBatch(
+            out,
+            plan.eval_map,
+            lambda h: (
+                h[0].ravel() + 1j * h[1].ravel()
+            ).astype(cdtype),
+        )
     out_np = np.asarray(out)[plan.eval_map]
     flat = out_np.reshape(len(plan.eval_map), 2, rows * cols)
     return (flat[:, 0] + 1j * flat[:, 1]).astype(cdtype)
