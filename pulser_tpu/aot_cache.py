@@ -132,7 +132,10 @@ def _fingerprint(
         _source_digest(),
     ]
     parts.extend(f"{k}={statics[k]!r}" for k in sorted(statics))
-    parts.extend(f"{tuple(a.shape)}:{a.dtype}" for a in args)
+    parts.extend(
+        f"{tuple(a.shape)}:{a.dtype}"
+        for a in jax.tree_util.tree_leaves(args)
+    )
     digest = hashlib.sha256("|".join(parts).encode()).hexdigest()
     return f"{tag}-{digest[:32]}"
 

@@ -35,6 +35,10 @@ from pulser_tpu.register import QubitId
 from pulser_tpu.register.base_register import BaseRegister
 from pulser_tpu.sampler.samples import SequenceSamples
 
+#: Recent interaction diagonals keyed by coupling-matrix bytes (see
+#: Hamiltonian._interaction_diag) — insertion-ordered, max 8 entries.
+_int_diag_cache: dict = {}
+
 # Which (bra, ket, detuning) eigenstates each basis' drive addresses,
 # mirroring build_coeffs_ops (reference hamiltonian.py:333-389).
 _DRIVE_STATES: dict[str, tuple[str, str, str]] = {
@@ -273,6 +277,38 @@ class Hamiltonian:
     def _interaction_diag(
         self, u_mat: np.ndarray, state: str, skip: set[QubitId]
     ) -> np.ndarray:
+        """Cached front end of :meth:`_interaction_diag_impl`.
+
+        Noise-trajectory batches rebuild one Hamiltonian per
+        trajectory, but absent register-position noise every
+        trajectory shares the SAME interaction matrix — memoize the
+        O(d^N) diagonal on its bytes (a few recent entries, skipped
+        above 2^22 where one entry is tens of MB and batches are
+        single-trajectory anyway).
+        """
+        u_arr = np.ascontiguousarray(np.asarray(u_mat, np.float64))
+        if u_arr.size and self.dim**self.n_qudits <= 1 << 22:
+            key = (
+                u_arr.tobytes(),
+                state,
+                frozenset(skip),
+                self.dim,
+                self.n_qudits,
+            )
+            hit = _int_diag_cache.get(key)
+            if hit is None:
+                hit = self._interaction_diag_impl(u_arr, state, skip)
+                _int_diag_cache[key] = hit
+                while len(_int_diag_cache) > 8:
+                    _int_diag_cache.pop(
+                        next(iter(_int_diag_cache))
+                    )
+            return hit.copy()
+        return self._interaction_diag_impl(u_arr, state, skip)
+
+    def _interaction_diag_impl(
+        self, u_mat: np.ndarray, state: str, skip: set[QubitId]
+    ) -> np.ndarray:
         """Builds ``Σ_{i<j} U_ij occ_i occ_j`` as a dense diagonal.
 
         Works in fixed-size chunks of the ``d**n`` axis so the peak
@@ -425,7 +461,9 @@ class Hamiltonian:
             self.int_diag = int_diag
 
         # --- drive terms ---
-        nested = self.samples.to_nested_dict()
+        nested = getattr(self.samples, "_nested_dict_hint", None)
+        if nested is None:
+            nested = self.samples.to_nested_dict()
         bases_present = []
         for addr in ("Global", "Local"):
             for b in nested.get(addr, {}):

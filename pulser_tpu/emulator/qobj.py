@@ -238,11 +238,34 @@ def qeye(dim: int) -> Qobj:
 
 def tensor(ops: Sequence[Qobj]) -> Qobj:
     """Kronecker product of a list of Qobjs."""
-    out = ops[0].full()
-    dims0 = list(ops[0].dims[0])
-    dims1 = list(ops[0].dims[1])
-    for op in ops[1:]:
-        out = np.kron(out, op.full())
-        dims0 += op.dims[0]
-        dims1 += op.dims[1]
+    mats = [op.full() for op in ops]
+    dims0 = [d for op in ops for d in op.dims[0]]
+    dims1 = [d for op in ops for d in op.dims[1]]
+    # One-hot fast path: the kron of single-entry kets is itself a
+    # single-entry ket. The all-ground initial state at 25 atoms
+    # costs ~12 s and ~1 GB of intermediates through repeated
+    # np.kron; here it is one O(d^N) allocation.
+    if len(mats) > 1 and all(
+        m.ndim == 2
+        and m.shape[1] == 1
+        and m.shape[0] <= 16
+        and np.issubdtype(m.dtype, np.inexact)
+        and np.count_nonzero(m) == 1
+        for m in mats
+    ):
+        idx = 0
+        val = complex(1.0)
+        for m in mats:
+            j = int(np.flatnonzero(m[:, 0])[0])
+            idx = idx * m.shape[0] + j
+            val *= complex(m[j, 0])
+        dim = int(np.prod([m.shape[0] for m in mats]))
+        out = np.zeros(
+            (dim, 1), dtype=np.result_type(*(m.dtype for m in mats))
+        )
+        out[idx, 0] = val
+        return Qobj(out, dims=[dims0, dims1])
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.kron(out, m)
     return Qobj(out, dims=[dims0, dims1])

@@ -483,7 +483,7 @@ class HamiltonianData:
                     max_abs_detuning=None, max_amp=None
                 )
 
-        return SequenceSamples(
+        out = SequenceSamples(
             _basis_ref=self._samples._basis_ref,
             _slm_mask=self._samples._slm_mask,
             _magnetic_field=self._samples._magnetic_field,
@@ -492,28 +492,65 @@ class HamiltonianData:
             samples_list=samples_list,
             _ch_objs=ch_objs,
         )
+        # These virtual channels were BUILT from `samples`, so
+        # re-deriving a nested dict from them is an identity round
+        # trip the Hamiltonian can skip (it costs a per-qubit
+        # re-emission per noise trajectory).
+        out._nested_dict_hint = samples
+        return out
+
+    def _nested_leaf_copy(self, d: Any) -> Any:
+        """Fresh-array copy of a nested samples dict."""
+        if isinstance(d, dict):
+            return {
+                k: self._nested_leaf_copy(v) for k, v in d.items()
+            }
+        arr = np.asarray(d)
+        return arr.copy() if arr.ndim else arr
 
     def _sample_with_trajectory(
         self, traj: NoiseTrajectory
     ) -> SequenceSamples:
-        noisy_samples_list: List[ChannelSamples] = []
-        for ch_name, ch_samples in self._samples.channel_samples.items():
-            if isinstance(ch_samples, DMMSamples):
-                # DC intensity noise scales the DMM detuning
-                ch_samples = replace(
-                    ch_samples,
-                    det=ch_samples.det * traj.dmm_det_fluctuation[ch_name],
-                    spot_waist=self.noise_model.detuning_map_spot_waist,
+        has_dmm = any(
+            isinstance(cs, DMMSamples)
+            for cs in self._samples.channel_samples.values()
+        )
+        if not has_dmm:
+            # Without per-trajectory DMM noise the channel samples —
+            # and hence the (expensive) per-qubit nested expansion —
+            # are trajectory-INVARIANT: build it once and hand each
+            # trajectory a leaf-copy for its in-place noise edits.
+            cached = getattr(self, "_nested_dict_cache", None)
+            if cached is None:
+                cached = self._samples.to_nested_dict(
+                    all_local=self.local_noises
                 )
-            noisy_samples_list.append(ch_samples)
+                self._nested_dict_cache = cached
+            samples = self._nested_leaf_copy(cached)
+        else:
+            noisy_samples_list: List[ChannelSamples] = []
+            for ch_name, ch_samples in (
+                self._samples.channel_samples.items()
+            ):
+                if isinstance(ch_samples, DMMSamples):
+                    # DC intensity noise scales the DMM detuning
+                    ch_samples = replace(
+                        ch_samples,
+                        det=ch_samples.det
+                        * traj.dmm_det_fluctuation[ch_name],
+                        spot_waist=(
+                            self.noise_model.detuning_map_spot_waist
+                        ),
+                    )
+                noisy_samples_list.append(ch_samples)
 
-        noisy_seq_samples = replace(
-            self._samples, samples_list=noisy_samples_list
-        )
+            noisy_seq_samples = replace(
+                self._samples, samples_list=noisy_samples_list
+            )
 
-        samples = noisy_seq_samples.to_nested_dict(
-            all_local=self.local_noises
-        )
+            samples = noisy_seq_samples.to_nested_dict(
+                all_local=self.local_noises
+            )
 
         if not self.local_noises:
             return self._samples

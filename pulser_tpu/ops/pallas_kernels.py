@@ -819,3 +819,458 @@ def mcwf_pallas(
             interpret=interpret,
         ),
     )
+
+
+def _mcwf_rows_kernel(
+    a_re_ref,
+    a_im_ref,
+    cum_ref,
+    t_ref,
+    dt_ref,
+    us_ref,
+    eval_t_ref,
+    eval_cum_ref,
+    r0_ref,
+    diag_ref,
+    psi0_re_ref,
+    psi0_im_ref,
+    out_ref,
+    psi_re,
+    psi_im,
+    r_box,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    cops: tuple,
+):
+    """Row-batched interaction-picture MCWF kernel.
+
+    The whole trajectory batch advances through ONE sequential grid
+    (one step per evaluation-segment chunk) with the state resident in
+    VMEM as ``(R, T, C)`` real-pair planes: ``R = 2^n_row`` on the
+    outer axis, trajectories ``T`` on the sublane axis and ``C =
+    2^n_col`` qubit-columns on the lane axis. Per-trajectory drive
+    coefficients broadcast along sublanes, so trajectory parallelism
+    is free VPU width — unlike :func:`_mcwf_kernel`, whose grid runs
+    trajectories sequentially and therefore loses to the XLA vmap.
+
+    Qubit flips along the lane axis apply as one shared
+    ``(C, C)``-permutation matmul per column qubit (MXU); flips along
+    the outer axis are static slice swaps (pure data movement).
+
+    Restricted to DIAGONAL collapse operators (``cops`` holds
+    ``(l00r, l00i, l11r, l11i)`` per op): a diagonal jump operator
+    commutes with the diagonal interaction-picture rotor exactly, so
+    jump detection, channel selection (the XLA path's
+    ``searchsorted`` order, (k outer, q inner)) and the jump itself
+    run in the rotated frame with no lab-frame round trip, fully
+    elementwise with per-trajectory masks.
+    """
+    rows, cols = 1 << n_row, 1 << n_col
+    n = n_row + n_col
+    t_cnt = diag_ref.shape[1]
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        psi_re[:] = psi0_re_ref[:]
+        psi_im[:] = psi0_im_ref[:]
+        r_box[:] = r0_ref[:]
+
+    # Per-qubit occupancy masks: (R, 1, 1) for outer-axis qubits,
+    # (1, 1, C) for lane-axis qubits
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cols), 2)
+    bits = [
+        ((r_iota >> (n_row - 1 - q)) & 1).astype(jnp.float32)
+        for q in range(n_row)
+    ] + [
+        ((c_iota >> (n_col - 1 - q)) & 1).astype(jnp.float32)
+        for q in range(n_col)
+    ]
+    cxor = jax.lax.broadcasted_iota(
+        jnp.int32, (cols, cols), 0
+    ) ^ jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 1)
+
+    # Imaginary diagonal of H_eff from G = Σ L†L (diagonal cops):
+    # g(i) = g00·(n − pop(i)) + g11·pop(i)
+    pop = jnp.zeros((rows, 1, cols), jnp.float32)
+    for b in bits:
+        pop = pop + b
+    g00 = sum(l[0] * l[0] + l[1] * l[1] for l in cops)
+    g11 = sum(l[2] * l[2] + l[3] * l[3] for l in cops)
+    g_d = g00 * (float(n) - pop) + g11 * pop
+    diag = diag_ref[:]
+
+    def traj_col(row_t, q):
+        """(T,) slice of a transposed (T, n) row as (1, T, 1).
+
+        Stage rows live in VMEM as ``(n, T)`` (trajectories on
+        lanes — see :func:`_mcwf_rows_jit`); callers transpose each
+        row ONCE on load so every per-qubit slice lands on the
+        sublane axis of the ``(R, T, C)`` state with no relayout.
+        """
+        return row_t[:, q : q + 1].reshape(1, t_cnt, 1)
+
+    def phase(t_s, cum_row):
+        # Φ = (diag·t mod 2π) + Σ_q cum_q·(1 − bit_q); the detuning
+        # projector occupies eigenindex 0 in the r-first convention
+        ph = jnp.mod(diag * t_s, _TWO_PI)
+        for q in range(n):
+            cq = traj_col(cum_row, q)
+            ph = ph + cq * (1.0 - bits[q])
+        return ph
+
+    def flip(xr, xi, q):
+        """The bit-q flip partner of ψ along its qubit axis."""
+        if q < n_row:
+            blk = 1 << (n_row - 1 - q)
+            parts_r, parts_i = [], []
+            for start in range(0, rows, 2 * blk):
+                parts_r.append(xr[start + blk : start + 2 * blk])
+                parts_r.append(xr[start : start + blk])
+                parts_i.append(xi[start + blk : start + 2 * blk])
+                parts_i.append(xi[start : start + blk])
+            if len(parts_r) == 1:
+                return parts_r[0], parts_i[0]
+            return (
+                jnp.concatenate(parts_r, axis=0),
+                jnp.concatenate(parts_i, axis=0),
+            )
+        bit = 1 << (n_col - 1 - (q - n_row))
+        perm = (cxor == bit).astype(jnp.float32)
+        shape = xr.shape
+        fr = _mm(xr.reshape(rows * t_cnt, cols), perm).reshape(shape)
+        fi = _mm(xi.reshape(rows * t_cnt, cols), perm).reshape(shape)
+        return fr, fi
+
+    def step_body(i, carry):
+        pr, pi, r = carry
+        h = dt_ref[0, i, 0]
+
+        # Single traced RK4 stage body (see ``_rk_stage_coeffs``)
+        def stage_fn(j, op):
+            k_r, k_i, acc_r, acc_i = op
+            sidx, a_w, b_w = _rk_stage_coeffs(j)
+            i3 = i * 3 + sidx
+            xr = pr + (h * a_w) * k_r
+            xi = pi + (h * a_w) * k_i
+            ph = phase(t_ref[0, i3, 0], cum_ref[0, i3].T)
+            c = jnp.cos(ph)
+            sn = jnp.sin(ph)
+            # w = e^{-iΦ} x
+            wr = c * xr + sn * xi
+            wi = c * xi - sn * xr
+            a_row_re = a_re_ref[0, i3].T
+            a_row_im = a_im_ref[0, i3].T
+            yr = jnp.zeros_like(pr)
+            yi = jnp.zeros_like(pi)
+            for q in range(n):
+                ar = traj_col(a_row_re, q)
+                ai = traj_col(a_row_im, q)
+                fr, fi = flip(wr, wi, q)
+                sign = 2.0 * bits[q] - 1.0
+                yr = yr + ar * fr - (ai * sign) * fi
+                yi = yi + ar * fi + (ai * sign) * fr
+            # k = -i e^{+iΦ} y − ½ g ⊙ x
+            k_r = c * yi + sn * yr - 0.5 * g_d * xr
+            k_i = sn * yi - c * yr - 0.5 * g_d * xi
+            return (
+                k_r,
+                k_i,
+                acc_r + b_w * k_r,
+                acc_i + b_w * k_i,
+            )
+
+        zeros = jnp.zeros_like(pr)
+        _, _, acc_r, acc_i = jax.lax.fori_loop(
+            0, 4, stage_fn, (zeros, zeros, zeros, zeros)
+        )
+        pr = pr + h * acc_r
+        pi = pi + h * acc_i
+
+        # Quantum jumps, per trajectory row (diagonal cops: all
+        # elementwise). Candidate order (k outer, q inner) and the
+        # searchsorted-left selection replicate the XLA path exactly.
+        norm2 = jnp.sum(pr * pr + pi * pi, axis=(0, 2), keepdims=True)
+        u_row = us_ref[0, i].T  # (2, T) -> (T, 2)
+        u0 = u_row[:, 0:1].reshape(1, t_cnt, 1)
+        u_next = u_row[:, 1:2].reshape(1, t_cnt, 1)
+        p2 = pr * pr + pi * pi
+        weights = []
+        for l00r, l00i, l11r, l11i in cops:
+            m00 = l00r * l00r + l00i * l00i
+            m11 = l11r * l11r + l11i * l11i
+            for q in range(n):
+                mag2 = m00 * (1.0 - bits[q]) + m11 * bits[q]
+                weights.append(
+                    jnp.sum(
+                        mag2 * p2, axis=(0, 2), keepdims=True
+                    )
+                )
+        total = weights[0]
+        for w in weights[1:]:
+            total = total + w
+        u = u0 * total
+        sel_r = jnp.zeros_like(pr)
+        sel_i = jnp.zeros_like(pi)
+        w_sel = jnp.zeros_like(total)
+        cum = jnp.zeros_like(total)
+        idx = 0
+        for l00r, l00i, l11r, l11i in cops:
+            for q in range(n):
+                prev = cum
+                cum = cum + weights[idx]
+                hit = u <= cum
+                if idx > 0:
+                    hit = jnp.logical_and(hit, u > prev)
+                hitf = hit.astype(jnp.float32)
+                c_re = l00r * (1.0 - bits[q]) + l11r * bits[q]
+                c_im = l00i * (1.0 - bits[q]) + l11i * bits[q]
+                sel_r = sel_r + hitf * (c_re * pr - c_im * pi)
+                sel_i = sel_i + hitf * (c_re * pi + c_im * pr)
+                w_sel = w_sel + hitf * weights[idx]
+                idx += 1
+        inv = jax.lax.rsqrt(jnp.maximum(w_sel, 1e-30))
+        jm = (norm2 <= r).astype(jnp.float32)
+        pr = (1.0 - jm) * pr + jm * sel_r * inv
+        pi = (1.0 - jm) * pi + jm * sel_i * inv
+        r = (1.0 - jm) * r + jm * u_next
+        return pr, pi, r
+
+    pr, pi, r = jax.lax.fori_loop(
+        0, seg_len, step_body, (psi_re[:], psi_im[:], r_box[:])
+    )
+    psi_re[:] = pr
+    psi_im[:] = pi
+    r_box[:] = r
+
+    # Emit normalized (QuTiP mcsolve convention), rotated to the lab
+    # frame: ψ = e^{-iΦ(t_eval)} φ. Mid-segment chunks also write
+    # this block; the final chunk's write wins.
+    inv_n = jax.lax.rsqrt(
+        jnp.maximum(
+            jnp.sum(pr * pr + pi * pi, axis=(0, 2), keepdims=True),
+            1e-30,
+        )
+    )
+    pr_n = pr * inv_n
+    pi_n = pi * inv_n
+    ph = phase(eval_t_ref[0, 0, 0], eval_cum_ref[0, 0].T)
+    c = jnp.cos(ph)
+    sn = jnp.sin(ph)
+    out_ref[0, 0] = c * pr_n + sn * pi_n
+    out_ref[0, 1] = c * pi_n - sn * pr_n
+
+
+def mcwf_rows_program(
+    a_re,
+    a_im,
+    cum_mod,
+    t_stage,
+    seg_dts,
+    us,
+    eval_t,
+    eval_cum_mod,
+    r0,
+    diags,
+    psi0_re,
+    psi0_im,
+    *,
+    n_row: int,
+    n_col: int,
+    seg_len: int,
+    cops: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """Runs the row-batched MCWF kernel.
+
+    Takes the solver's device-resident batch arrays as-is and does
+    ALL reshaping inside this one program — every host-issued jnp op
+    is a dispatch round trip on a tunneled TPU, and the transposes
+    below cost more in round trips than in device time.
+
+    Kernel-side layout: trajectories ride the LANE axis of every
+    per-trajectory input (the kernel transposes each ``(n, T)`` stage
+    row once on load): with ``n ~ 10`` on lanes the f32 ``(8, 128)``
+    tiling would pad the last dim 12.8x and overflow the 16MB
+    scoped-VMEM budget.
+
+    Args (B = trajectory count):
+        a_re/a_im: ``(B, S, L, 3, 1, n)`` per-trajectory drive stages.
+        cum_mod: ``(B, S, L, 3, 1, n)`` pre-negated ``∫det mod 2π``.
+        t_stage: ``(S, L, 3)`` absolute stage times (shared).
+        seg_dts: ``(S, L)`` step sizes (shared; 0 = padding).
+        us: ``(B, S, L, 2)`` per-step uniforms (selector, next r).
+        eval_t: ``(S,)`` evaluation times.
+        eval_cum_mod: ``(B, S, 1, n)`` eval-time phase integrals.
+        r0: ``(B,)`` initial jump thresholds.
+        diags: ``(B, dim)`` interaction diagonals.
+        psi0_re/psi0_im: ``(dim,)`` shared initial state.
+
+    Returns:
+        ``(S, 2, R, T, C)`` normalized lab-frame states per segment,
+        with T = B padded up to a multiple of 8 (padded trajectories
+        carry ``r0 > 1`` so they never jump).
+    """
+    n = n_row + n_col
+    rows, cols = 1 << n_row, 1 << n_col
+    n_seg, L = seg_dts.shape
+    n_traj = a_re.shape[0]
+    t_cnt = -(-n_traj // 8) * 8
+    t_extra = t_cnt - n_traj
+
+    def to_kernel(arr):  # (B, S, L, 3, 1, n) -> (S, L, 3, n, T)
+        arr = jnp.transpose(arr[:, :, :, :, 0, :], (1, 2, 3, 4, 0))
+        if t_extra:
+            arr = jnp.pad(arr, [(0, 0)] * 4 + [(0, t_extra)])
+        return arr
+
+    a_re = to_kernel(a_re)
+    a_im = to_kernel(a_im)
+    cum_mod = to_kernel(cum_mod)
+    eval_cum_mod = jnp.transpose(
+        eval_cum_mod[:, :, 0, :], (1, 2, 0)
+    )
+    us = jnp.transpose(us, (1, 2, 3, 0))
+    if t_extra:
+        eval_cum_mod = jnp.pad(
+            eval_cum_mod, [(0, 0), (0, 0), (0, t_extra)]
+        )
+        us = jnp.pad(
+            us, [(0, 0), (0, 0), (0, 0), (0, t_extra)]
+        )
+        r0 = jnp.pad(r0, (0, t_extra), constant_values=2.0)
+        diags = jnp.pad(diags, [(0, t_extra), (0, 0)])
+
+    chunk = min(L, 64)
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+
+    def chunked(arr, fill=0.0):
+        if pad:
+            widths = [(0, 0)] * arr.ndim
+            widths[1] = (0, pad)
+            arr = jnp.pad(arr, widths, constant_values=fill)
+        return jnp.reshape(
+            arr,
+            (n_seg * n_chunks, chunk) + tuple(arr.shape[2:]),
+        )
+
+    c3 = chunk * 3
+
+    def staged(arr):  # (S, L, 3, T, n) -> (n_blk, c3, T, n)
+        arr = jnp.reshape(arr, (n_seg, L * 3) + tuple(arr.shape[3:]))
+        if pad:
+            widths = [(0, 0)] * arr.ndim
+            widths[1] = (0, 3 * pad)
+            arr = jnp.pad(arr, widths)
+        return jnp.reshape(
+            arr, (n_seg * n_chunks, c3) + tuple(arr.shape[2:])
+        )
+
+    n_blk = n_seg * n_chunks
+    kernel = functools.partial(
+        _mcwf_rows_kernel,
+        n_row=n_row,
+        n_col=n_col,
+        seg_len=chunk,
+        cops=cops,
+    )
+    scratch = [
+        pltpu.VMEM((rows, t_cnt, cols), jnp.float32),
+        pltpu.VMEM((rows, t_cnt, cols), jnp.float32),
+        pltpu.VMEM((1, t_cnt, 1), jnp.float32),
+    ]
+    diag3 = jnp.transpose(
+        jnp.reshape(diags, (t_cnt, rows, cols)), (1, 0, 2)
+    )
+    psi0_re_b = jnp.broadcast_to(
+        jnp.reshape(psi0_re, (rows, 1, cols)), (rows, t_cnt, cols)
+    )
+    psi0_im_b = jnp.broadcast_to(
+        jnp.reshape(psi0_im, (rows, 1, cols)), (rows, t_cnt, cols)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, c3, 1), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, chunk, 1), lambda s: (s, 0, 0)),
+            pl.BlockSpec(
+                (1, chunk, 2, t_cnt), lambda s: (s, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1), lambda s: (s // n_chunks, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, n, t_cnt),
+                lambda s: (s // n_chunks, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, t_cnt, 1), lambda s: (0, 0, 0)),
+            pl.BlockSpec(
+                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, rows, t_cnt, cols),
+            lambda s: (s // n_chunks, 0, 0, 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_seg, 2, rows, t_cnt, cols), jnp.float32
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(
+        staged(a_re),
+        staged(a_im),
+        staged(cum_mod),
+        _chunk_t_stage(t_stage, n_seg, L, pad, n_chunks, c3),
+        chunked(jnp.reshape(seg_dts, (n_seg, L, 1))),
+        chunked(us, fill=0.5),
+        jnp.reshape(eval_t, (n_seg, 1, 1)),
+        jnp.reshape(eval_cum_mod, (n_seg, 1, n, t_cnt)),
+        jnp.reshape(r0, (1, t_cnt, 1)),
+        diag3,
+        psi0_re_b,
+        psi0_im_b,
+    )
+
+
+def _chunk_t_stage(t_stage, n_seg, L, pad, n_chunks, c3):
+    """(S, L, 3) stage times -> (S*n_chunks, c3, 1) chunked blocks."""
+    arr = jnp.reshape(t_stage, (n_seg, L * 3))
+    if pad:
+        arr = jnp.pad(arr, ((0, 0), (0, 3 * pad)))
+    return jnp.reshape(arr, (n_seg * n_chunks, c3, 1))
+
+
+_mcwf_rows_jit = jax.jit(
+    mcwf_rows_program,
+    static_argnames=("n_row", "n_col", "seg_len", "cops", "interpret"),
+)
+
+
+def mcwf_rows_pallas(*args, **statics) -> jax.Array:
+    """AOT-cached entry point for :func:`mcwf_rows_program`.
+
+    The hot noisy-emulation path instead embeds the program inside
+    the solver's fused staging jit (``solver._mcwf_rows_full``); this
+    standalone entry serves pre-staged inputs (tests, host-staged
+    plans).
+    """
+    from pulser_tpu import aot_cache
+
+    return aot_cache.call(
+        _mcwf_rows_jit, "mcwf_rows", args, statics
+    )
