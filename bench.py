@@ -617,6 +617,8 @@ def bench_afm16(TpuEmulator, cache_path):
 
 
 def bench_noisy10(TpuEmulator, cache_path):
+    from pulser_tpu import profiling
+
     seq, noise = build_noisy_10atom()
     np.random.seed(1234)
     sim = TpuEmulator.from_sequence(
@@ -631,10 +633,26 @@ def bench_noisy10(TpuEmulator, cache_path):
     log(f"noisy warmup (incl. compile): {warm:.2f}s")
 
     times = []
+    phase_samples = {"traj_gen": [], "solve": [], "wrap": []}
     for _ in range(5):
+        profiling.reset_phases()
         t0 = time.perf_counter()
         res = sim.run()
         times.append(time.perf_counter() - t0)
+        ph = profiling.phase_report(reset=True)
+        for key, name in (
+            ("traj_gen", "emulator.noise_trajectories"),
+            ("solve", "emulator.mcsolve_batched"),
+            ("wrap", "emulator.wrap_results"),
+        ):
+            phase_samples[key].append(
+                ph.get(name, {}).get("total_s", 0.0)
+            )
+    phases = {
+        f"{k}_s": round(statistics.median(v), 4)
+        for k, v in phase_samples.items()
+    }
+    log(f"noisy per-run phases (median): {phases}")
     tpu_time = statistics.median(sorted(times)[:4])
     traj_per_sec = n_traj / tpu_time
     log(
@@ -684,6 +702,7 @@ def bench_noisy10(TpuEmulator, cache_path):
             f" jumps), {n_steps} steps/traj"
         ),
         "dense_rho_mesolve_cpu_refs_s_per_traj": adaptive_refs,
+        "phase_breakdown": phases,
         "telemetry": tele,
         "cold_warmup_s": round(warm, 2),
     }

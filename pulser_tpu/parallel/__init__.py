@@ -1,5 +1,9 @@
 """Multi-chip parallelism: trajectory sharding over device meshes."""
 
+from pulser_tpu.parallel.capacity import (
+    capacity_report,
+    single_chip_ceiling,
+)
 from pulser_tpu.parallel.state_sharding import (
     STATE_SHARD_MIN_QUBITS,
     sesolve_ip_statevector_sharded,
@@ -13,8 +17,10 @@ from pulser_tpu.parallel.trajectories import (
 
 __all__ = [
     "STATE_SHARD_MIN_QUBITS",
+    "capacity_report",
     "default_mesh",
     "sesolve_ip_statevector_sharded",
+    "single_chip_ceiling",
     "pad_to_multiple",
     "run_trajectories_sharded",
     "sesolve_ip_states_sharded",
