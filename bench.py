@@ -394,6 +394,22 @@ def solve_telemetry(seconds: float) -> dict:
     if kind == "ip_sesolve_pallas":
         r, c = info["rows"], info["cols"]
         flops = info["n_steps"] * 4 * 8 * r * c * (r + c) * 2
+    elif kind == "mcwf_rows_pallas":
+        # Row-batched fused kernel: per stage, each of the n_col
+        # lane-axis qubits applies as 2 (R*T, C)@(C, C) permutation
+        # matmuls (re/im), plus ~(8 + 12n) VPU flops per state
+        # element and ~16 per collapse op (jump bookkeeping).
+        n = info["n"]
+        n_col = min(7, n - 1)
+        cols = 1 << n_col
+        rows_ = info["dim"] >> n_col
+        t_pad = -(-info["n_traj"] // 8) * 8
+        elems = rows_ * t_pad * cols
+        per_stage = (
+            n_col * 2 * 2 * elems * cols
+            + elems * (8 + 12 * n + 16 * info["n_cops"])
+        )
+        flops = info["n_steps"] * 4 * per_stage
     elif kind in ("mcwf_batched", "mesolve_batched"):
         dim = info["dim"]
         state = dim * dim if kind == "mesolve_batched" else dim

@@ -172,6 +172,24 @@ def _try_store(path: str, compiled: Any) -> None:
         _logger.warning("AOT cache store failed (%s).", err)
 
 
+def _is_tunneled_backend() -> bool:
+    """True when the TPU is reached through a remote tunnel (axon).
+
+    The tunnel reports platform 'tpu' like directly-attached
+    hardware; the plugin identifies itself in the PJRT platform
+    version string instead.
+    """
+    import jax
+
+    try:
+        version = getattr(
+            jax.devices()[0].client, "platform_version", ""
+        )
+    except Exception:  # pragma: no cover
+        return False
+    return "axon" in (version or "")
+
+
 def call(
     jitted: Callable, tag: str, args: tuple, statics: dict[str, Any]
 ) -> Any:
@@ -206,12 +224,37 @@ def call(
         try:
             import time
 
-            t0 = time.perf_counter()
-            lowered = jitted.lower(*args, **statics)
-            t1 = time.perf_counter()
-            compiled = lowered.compile()
-            stats["last_lower_s"] = t1 - t0
-            stats["last_compile_s"] = time.perf_counter() - t1
+            import jax
+
+            # On TUNNELED backends (axon), reloading a big solver
+            # executable from the persistent compilation cache
+            # triggers a pathological server-side rebuild on first
+            # execution — measured 67-670 s for the flagship kernel,
+            # vs ~3 s compile + ~21 s first-exec when compiled
+            # properly. Bypass the persistent cache for aot_cache-
+            # routed kernels there (the cache stays on for the dozens
+            # of small utility jits, where it saves ~0.4 s each and
+            # reloads cleanly).
+            bypass = (
+                _is_tunneled_backend()
+                and jax.config.jax_compilation_cache_dir is not None
+                and not os.environ.get("PULSER_TPU_AOT_USE_XLA_CACHE")
+            )
+            prev_dir = jax.config.jax_compilation_cache_dir
+            if bypass:
+                jax.config.update("jax_compilation_cache_dir", None)
+            try:
+                t0 = time.perf_counter()
+                lowered = jitted.lower(*args, **statics)
+                t1 = time.perf_counter()
+                compiled = lowered.compile()
+                stats["last_lower_s"] = t1 - t0
+                stats["last_compile_s"] = time.perf_counter() - t1
+            finally:
+                if bypass:
+                    jax.config.update(
+                        "jax_compilation_cache_dir", prev_dir
+                    )
         except Exception as err:
             stats["errors"] += 1
             _logger.warning(
