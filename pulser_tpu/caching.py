@@ -109,8 +109,10 @@ def _maybe_enable_from_env() -> None:
 
         jax.config.update("jax_platforms", platform)
     value = os.environ.get("PULSER_TPU_COMPILATION_CACHE")
-    if not value:
+    if not value or value.lower() in ("0", "false", "no", "off"):
+        # "0" & co. opt OUT (maybe_enable_default honors them too);
+        # they must never be taken as a directory name.
         return
     enable_compilation_cache(
-        None if value in ("1", "true", "yes") else value
+        None if value.lower() in ("1", "true", "yes") else value
     )
