@@ -436,12 +436,11 @@ def warm_start_probe() -> None:
 
     QuTiP pays zero compile cost (reference ``simulation.py:689`` goes
     straight into ``sesolve``), so what a user's *second* session pays
-    is the honest comparison point. The emulator enables JAX's
-    persistent compilation cache by default on TPU backends
-    (``caching.maybe_enable_default``), so this fresh process should
-    reload the flagship kernel in well under a second instead of
-    recompiling; the breakdown separates the local reload from any
-    server-side first-execution cost.
+    is the honest comparison point. Small utility jits reload from the
+    persistent compilation cache; the flagship kernel compiles
+    properly (~3 s — on tunneled backends a cached reload would stall
+    its first execution for minutes); the breakdown separates host
+    dispatch, lower, compile and the server-side first execution.
     """
     from pulser_tpu import aot_cache
     from pulser_tpu.emulator import TpuEmulator
@@ -732,12 +731,12 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     # The emulator enables JAX's persistent compilation cache by
-    # default on TPU backends (caching.maybe_enable_default): fresh
-    # processes reload the flagship kernel in ~0.3 s instead of
-    # recompiling (~3.5 s), and the warm-probe subprocess below
-    # measures exactly that. The r3 claim that loading persisted
-    # entries triggers a server-side rebuild did not reproduce
-    # (measured: 0.26 s compile + ~1 s first exec in a fresh process).
+    # default on TPU backends (caching.maybe_enable_default) for the
+    # dozens of small utility jits; the AOT layer bypasses it for the
+    # big solver kernels on tunneled backends, where reloading a
+    # persisted executable stalls the first execution for minutes
+    # (measured 67-670 s vs ~3 s compile + ~10-21 s first exec when
+    # compiled properly — see aot_cache.call).
     from pulser_tpu.emulator import TpuEmulator
 
     # Backend init over a tunneled TPU can wedge indefinitely when the
