@@ -243,13 +243,22 @@ def _lindblad_drive_arrays(
         ji1 = jnp.asarray(idx1)
         jfr = jnp.asarray(frac, dtype=rdtype)
         amp_re = _stage_on_device(
-            jnp.asarray(raw_amp.real, dtype=rdtype), ji0, ji1, jfr
+            _packed_raw(plans, "amp_re", raw_amp.real, rdtype),
+            ji0,
+            ji1,
+            jfr,
         )
         amp_im = _stage_on_device(
-            jnp.asarray(raw_amp.imag, dtype=rdtype), ji0, ji1, jfr
+            _packed_raw(plans, "amp_im", raw_amp.imag, rdtype),
+            ji0,
+            ji1,
+            jfr,
         )
         det = _stage_on_device(
-            jnp.asarray(raw_det, dtype=rdtype), ji0, ji1, jfr
+            _packed_raw(plans, "det", raw_det, rdtype),
+            ji0,
+            ji1,
+            jfr,
         )
         return amp_re, amp_im, det, plans.plan, plans.n_traj
 
@@ -1742,6 +1751,27 @@ def _affine_expand(x: Any) -> jax.Array:
     return x
 
 
+def _packed_raw(
+    plans: "BatchedPlan", which: str, arr: np.ndarray, rdtype: Any
+) -> Any:
+    """Affine-compressed (or plain) device payload for raw knots.
+
+    The affine-structure index cache rides the (memoized) base plan,
+    so repeat runs pay spot checks, not full verifies.
+    """
+    base = plans.plan
+    caches = getattr(base, "_affine_caches", None)
+    if caches is None:
+        caches = {}
+        # the plan dataclass is frozen; this is a cache slot, not a
+        # field mutation
+        object.__setattr__(base, "_affine_caches", caches)
+    comp = _affine_traj_compress(
+        arr, rdtype, caches.setdefault(which, {})
+    )
+    return comp if comp is not None else jnp.asarray(arr, rdtype)
+
+
 def _raw_cum_inputs(
     plans: "BatchedPlan",
     rdtype: Any,
@@ -1775,7 +1805,7 @@ def _raw_cum_inputs(
     return (
         det
         if det is not None
-        else jnp.asarray(raw_det, dtype=rdtype),
+        else _packed_raw(plans, "det", raw_det, rdtype),
         jnp.asarray(seg_w, dtype=rdtype),
         jnp.asarray(idx0),
         jnp.asarray(idx1),
@@ -1790,7 +1820,7 @@ def _raw_cum_inputs(
 
 @jax.jit
 def _stage_cum_on_device(
-    raw_det: jax.Array,
+    raw_det: Any,
     seg_w: jax.Array,
     idx0: jax.Array,
     idx1: jax.Array,
@@ -1820,6 +1850,7 @@ def _stage_cum_on_device(
     mod 2π.
     """
     two_pi = 2 * np.pi
+    raw_det = _affine_expand(raw_det)
     cum = jnp.concatenate(
         [
             jnp.zeros(raw_det.shape[:-1] + (1,), raw_det.dtype),
@@ -1849,7 +1880,7 @@ def _stage_cum_on_device(
 
 @jax.jit
 def _stage_on_device(
-    raw: jax.Array,
+    raw: Any,
     idx0: jax.Array,
     idx1: jax.Array,
     frac: jax.Array,
@@ -1861,7 +1892,10 @@ def _stage_on_device(
     times larger than the raw one, so gathering on-device instead of
     shipping host-staged arrays cuts the host->device transfer by
     that factor (the dominant per-run cost over a remote TPU link).
+    ``raw`` may be an :func:`_affine_traj_compress` triple, expanded
+    here on device (another ~B-fold transfer saving).
     """
+    raw = _affine_expand(raw)
     g0 = raw[..., idx0]  # (B, ..., n_seg, L, 3)
     g1 = raw[..., idx1]
     st = g0 * (1 - frac) + g1 * frac
@@ -3662,15 +3696,9 @@ def _mcwf_rows_full(
     from pulser_tpu.ops.pallas_kernels import mcwf_rows_program
 
     ji0, ji1, jfr = cum_inputs[2], cum_inputs[3], cum_inputs[5]
-    amp_re = _stage_on_device(
-        _affine_expand(raw_amp_re), ji0, ji1, jfr
-    )
-    amp_im = _stage_on_device(
-        _affine_expand(raw_amp_im), ji0, ji1, jfr
-    )
-    cum_b, ev_cum_b = _stage_cum_on_device(
-        _affine_expand(cum_inputs[0]), *cum_inputs[1:]
-    )
+    amp_re = _stage_on_device(raw_amp_re, ji0, ji1, jfr)
+    amp_im = _stage_on_device(raw_amp_im, ji0, ji1, jfr)
+    cum_b, ev_cum_b = _stage_cum_on_device(*cum_inputs)
     r0, us = _mcwf_uniforms_dev(
         seeds_arr, seg_shape=seg_shape, dtype_str="float32"
     )
@@ -3744,32 +3772,10 @@ def _mcsolve_pallas_rows(
         from pulser_tpu import aot_cache
 
         raw_amp = np.asarray(plans.raw_coeffs["amp"])
-        raw_det = np.asarray(plans.raw_coeffs["det"]).real
-        # Affine-structure index cache rides the (memoized) base
-        # plan so repeat runs pay spot checks, not full verifies.
-        caches = getattr(base, "_affine_caches", None)
-        if caches is None:
-            caches = {"amp_re": {}, "amp_im": {}, "det": {}}
-            # the plan dataclass is frozen; this is a cache slot, not
-            # a field mutation
-            object.__setattr__(base, "_affine_caches", caches)
-
-        def _pack(arr, which):
-            comp = _affine_traj_compress(
-                arr, jnp.float32, caches[which]
-            )
-            return (
-                comp
-                if comp is not None
-                else jnp.asarray(arr, jnp.float32)
-            )
-
         args = (
-            _pack(raw_amp.real, "amp_re"),
-            _pack(raw_amp.imag, "amp_im"),
-            _raw_cum_inputs(
-                plans, jnp.float32, det=_pack(raw_det, "det")
-            ),
+            _packed_raw(plans, "amp_re", raw_amp.real, jnp.float32),
+            _packed_raw(plans, "amp_im", raw_amp.imag, jnp.float32),
+            _raw_cum_inputs(plans, jnp.float32),
             jnp.asarray(np.asarray(seeds, dtype=np.uint32)),
         ) + shared_args
         statics = dict(
