@@ -260,10 +260,11 @@ def tensor(ops: Sequence[Qobj]) -> Qobj:
             idx = idx * m.shape[0] + j
             val *= complex(m[j, 0])
         dim = int(np.prod([m.shape[0] for m in mats]))
-        out = np.zeros(
-            (dim, 1), dtype=np.result_type(*(m.dtype for m in mats))
+        dtype = np.result_type(*(m.dtype for m in mats))
+        out = np.zeros((dim, 1), dtype=dtype)
+        out[idx, 0] = (
+            val if np.issubdtype(dtype, np.complexfloating) else val.real
         )
-        out[idx, 0] = val
         return Qobj(out, dims=[dims0, dims1])
     out = mats[0]
     for m in mats[1:]:

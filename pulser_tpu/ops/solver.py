@@ -1678,6 +1678,8 @@ def _affine_traj_compress(
     if B < 3 or K < 2:
         return None
     idxs = cache.get("idx") if cache is not None else None
+    if idxs is not None and cache.get("shape") != arr32.shape:
+        idxs = None  # e.g. a re-run with a different batch size
     full = idxs is None
     if full:
         absmax = np.max(np.abs(arr32), axis=-1)  # (B, nb, n)
@@ -1736,6 +1738,7 @@ def _affine_traj_compress(
         return None
     if cache is not None:
         cache["idx"] = (bstar, t0, t1, spot)
+        cache["shape"] = arr32.shape
     return (
         jnp.asarray(base, dtype=rdtype),
         jnp.asarray(m, dtype=rdtype),
