@@ -89,6 +89,8 @@ def maybe_enable_default() -> str | None:
             return None  # the user already configured one
         if jax.devices()[0].platform not in ("tpu", "axon"):
             return None
+        if value.lower() in ("", "1", "true", "yes"):
+            value = ""
         return enable_compilation_cache(value or None)
     except Exception:  # pragma: no cover - cache is best-effort
         return None

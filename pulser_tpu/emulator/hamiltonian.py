@@ -288,10 +288,15 @@ class Hamiltonian:
         """
         u_arr = np.ascontiguousarray(np.asarray(u_mat, np.float64))
         if u_arr.size and self.dim**self.n_qudits <= 1 << 22:
+            # Key on POSITIONS, not labels: the impl maps `skip`
+            # through this Hamiltonian's qubit-id -> index table and
+            # `state` through its eigenbasis, either of which may
+            # differ between Hamiltonians with byte-identical
+            # coupling matrices.
             key = (
                 u_arr.tobytes(),
-                state,
-                frozenset(skip),
+                self._state_index(state),
+                frozenset(self._qid_index[q] for q in skip),
                 self.dim,
                 self.n_qudits,
             )

@@ -343,6 +343,17 @@ class TpuEmulator:
             )
 
     @property
+    def _last_device_batch(self):
+        """The latest solve's device-resident state batch, if alive.
+
+        Weakly held: the result's deferred states own the batch; this
+        accessor exists for benchmarking/telemetry (its ``sync()`` is
+        the only reliable completion barrier on tunneled PJRT).
+        """
+        ref = getattr(self, "_last_device_batch_ref", None)
+        return ref() if ref is not None else None
+
+    @property
     def sampling_times(self) -> np.ndarray:
         """The times at which the hamiltonian is sampled."""
         return self._noiseless_hamiltonian.sampling_times
@@ -1125,8 +1136,14 @@ class TpuEmulator:
                 # (see below) happens per state at fetch time.
                 states_arr.normalize = bool(coarsen)
                 # Exposed for benchmarking/telemetry: .sync() is the
-                # only reliable completion barrier on tunneled PJRT
-                self._last_device_batch = states_arr
+                # only reliable completion barrier on tunneled PJRT.
+                # Held weakly — the deferred Qobjs' fetch closures
+                # keep the batch alive for the RESULT's lifetime, and
+                # the telemetry hook must not extend that (pinning
+                # GBs of HBM past a discarded result).
+                import weakref
+
+                self._last_device_batch_ref = weakref.ref(states_arr)
                 dim_tot = d**n
                 states = [
                     Qobj.deferred(

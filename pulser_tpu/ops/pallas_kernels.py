@@ -1080,7 +1080,6 @@ def mcwf_rows_program(
     *,
     n_row: int,
     n_col: int,
-    seg_len: int,
     cops: tuple,
     interpret: bool = False,
 ) -> jax.Array:
@@ -1112,7 +1111,8 @@ def mcwf_rows_program(
     Returns:
         ``(S, 2, R, T, C)`` normalized lab-frame states per segment,
         with T = B padded up to a multiple of 8 (padded trajectories
-        carry ``r0 > 1`` so they never jump).
+        carry ``r0 = 0`` so the jump test ``norm2 <= r`` never
+        fires for them).
     """
     n = n_row + n_col
     rows, cols = 1 << n_row, 1 << n_col
@@ -1141,7 +1141,7 @@ def mcwf_rows_program(
         us = jnp.pad(
             us, [(0, 0), (0, 0), (0, 0), (0, t_extra)]
         )
-        r0 = jnp.pad(r0, (0, t_extra), constant_values=2.0)
+        r0 = jnp.pad(r0, (0, t_extra), constant_values=0.0)
         diags = jnp.pad(diags, [(0, t_extra), (0, 0)])
 
     chunk = min(L, 64)
@@ -1257,7 +1257,7 @@ def _chunk_t_stage(t_stage, n_seg, L, pad, n_chunks, c3):
 
 _mcwf_rows_jit = jax.jit(
     mcwf_rows_program,
-    static_argnames=("n_row", "n_col", "seg_len", "cops", "interpret"),
+    static_argnames=("n_row", "n_col", "cops", "interpret"),
 )
 
 

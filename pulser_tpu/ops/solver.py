@@ -1761,7 +1761,13 @@ def _packed_raw(
 
     The affine-structure index cache rides the (memoized) base plan,
     so repeat runs pay spot checks, not full verifies.
+
+    float64 (x64) solves ship the exact raw arrays instead: the
+    compression fits and verifies in float32, which would quantize
+    coefficients a user explicitly requested double precision for.
     """
+    if np.dtype(rdtype) != np.float32:
+        return jnp.asarray(arr, rdtype)
     base = plans.plan
     caches = getattr(base, "_affine_caches", None)
     if caches is None:
@@ -2055,6 +2061,7 @@ def mcsolve_rk4_batched(
         and pairs == ((1, 0, 0),)
         and rdtype == np.float32
         and _mesh_size(mesh) == 1
+        and _rows_vmem_bytes(n, len(seeds)) <= _ROWS_VMEM_LIMIT
         and os.environ.get("PULSER_TPU_MCWF_ROWS", "1") != "0"
         and (_pallas_available() or force_interp)
     ):
@@ -3637,6 +3644,39 @@ def _mcwf_uniforms(
     )
 
 
+#: Scoped-VMEM budget for the row-batched MCWF kernel (the Mosaic
+#: scoped limit is 16 MiB; leave headroom for compiler temporaries).
+_ROWS_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _rows_vmem_bytes(n: int, n_traj: int) -> int:
+    """Peak scoped-VMEM estimate of the row-batched MCWF kernel.
+
+    Mirrors :func:`pallas_kernels.mcwf_rows_program`'s block layout:
+    two (R, T, C) f32 scratch planes, a double-buffered (2, R, T, C)
+    output block, three replicated (R, T, C) input blocks
+    (diag/psi0), three double-buffered (c3, n, T) drive blocks with
+    the trajectory axis lane-padded to 128, and the (chunk, 2, T)
+    uniforms. Above the budget the dispatcher falls back to the
+    HBM-resident vmapped XLA batch, which has no such ceiling.
+    """
+    n_col = min(7, n - 1)
+    rows, cols = 1 << (n - n_col), 1 << n_col
+    t_sub = -(-n_traj // 8) * 8  # state sublane axis
+    t_lane = -(-t_sub // 128) * 128  # drive/uniform lane axis
+    n_pad = -(-n // 8) * 8
+    plane = rows * t_sub * cols * 4
+    chunk = 64
+    c3 = chunk * 3
+    return (
+        2 * plane  # psi scratch
+        + 2 * 2 * plane  # double-buffered output block
+        + 3 * plane  # diag + psi0 re/im blocks
+        + 3 * 2 * c3 * n_pad * t_lane * 4  # drive blocks
+        + 2 * chunk * 8 * t_lane * 4  # uniforms
+    )
+
+
 def _diag_cops_spec(
     collapse_ops: list[np.ndarray],
 ) -> "tuple[tuple[float, float, float, float], ...] | None":
@@ -3662,7 +3702,6 @@ def _diag_cops_spec(
     static_argnames=(
         "n_row",
         "n_col",
-        "seg_len",
         "cops",
         "seg_shape",
         "interpret",
@@ -3682,7 +3721,6 @@ def _mcwf_rows_full(
     *,
     n_row: int,
     n_col: int,
-    seg_len: int,
     cops: tuple,
     seg_shape: tuple,
     interpret: bool = False,
@@ -3720,7 +3758,6 @@ def _mcwf_rows_full(
         psi0_im,
         n_row=n_row,
         n_col=n_col,
-        seg_len=seg_len,
         cops=cops,
         interpret=interpret,
     )
@@ -3784,7 +3821,6 @@ def _mcsolve_pallas_rows(
         statics = dict(
             n_row=n_row,
             n_col=n_col,
-            seg_len=seg_len,
             cops=cops_spec,
             seg_shape=(n_seg, seg_len),
             interpret=interpret,
@@ -3815,7 +3851,6 @@ def _mcsolve_pallas_rows(
             shared_args[5],
             n_row=n_row,
             n_col=n_col,
-            seg_len=seg_len,
             cops=cops_spec,
             interpret=interpret,
         )
