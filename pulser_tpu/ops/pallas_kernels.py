@@ -870,7 +870,10 @@ def _mcwf_rows_kernel(
     rows, cols = 1 << n_row, 1 << n_col
     n = n_row + n_col
     t_cnt = diag_ref.shape[1]
-    s = pl.program_id(0)
+    # grid = (trajectory blocks, segment chunks); the state scratch
+    # persists along the (inner, fastest) segment axis and resets at
+    # each trajectory block's first chunk
+    s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
@@ -1064,6 +1067,70 @@ def _mcwf_rows_kernel(
     out_ref[0, 1] = c * pi_n - sn * pr_n
 
 
+#: Scoped-VMEM budget for the row-batched MCWF kernel (the Mosaic
+#: scoped limit is 16 MiB; leave headroom for compiler temporaries).
+ROWS_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def rows_block_ladder(
+    n: int, n_traj: int
+) -> "list[tuple[int, int]]":
+    """Ordered (chunk, tb) candidates for the row-batched kernel.
+
+    ``chunk`` is the step-chunk length (drive blocks scale with it);
+    ``tb`` the trajectory-block width: the state/output/constant
+    blocks carry it on the sublane axis, the drive/uniform blocks on
+    the lane axis (padded to 128 lanes).
+
+    Mosaic's scoped-VMEM demand for this kernel defies a closed-form
+    model (measured on v5e it is non-monotone in ``tb`` and nearly
+    independent of ``chunk``), so the ladder is anchored on
+    measurement instead: ``rows * tb <= 832`` covers every config
+    observed to fit the 16 MiB scoped limit (n=10: 8x104 at
+    chunk 64; n=11: 16x32; n=12: 32x16 at chunk<=32) and excludes
+    every observed OOM (16x64 at 23.6M, 32x32 at 22.8M). The
+    dispatcher tries candidates in order and drops to the next on a
+    scoped-VMEM compile error (`_mcsolve_pallas_rows`), so a miss
+    costs one failed compile, not a wrong answer. Empty list =>
+    fall back to the HBM-resident XLA vmap.
+
+    ``PULSER_TPU_MCWF_ROWS_TB`` / ``_CHUNK`` pin a single candidate
+    (tests); both flow into jit statics, so overrides are
+    cache-safe.
+    """
+    import os
+
+    n_col = min(7, n - 1)
+    rows_ = 1 << (n - n_col)
+    t8 = -(-n_traj // 8) * 8
+    f_tb = os.environ.get("PULSER_TPU_MCWF_ROWS_TB")
+    f_ck = os.environ.get("PULSER_TPU_MCWF_ROWS_CHUNK")
+    if f_tb or f_ck:
+        tb = min(t8, -(-int(f_tb or t8) // 8) * 8)
+        return [(int(f_ck or 64), tb)]
+    out = []
+    for tb in (t8, 104, 64, 32, 16, 8):
+        if tb > t8 or (out and tb >= out[-1][1]):
+            continue
+        if rows_ * tb > 832:
+            continue
+        # chunk 64 measured safe up to rows=16; 32x16 needed
+        # chunk<=32 (20.3M at chunk 64)
+        out.append((64 if rows_ <= 16 else 32, tb))
+    if rows_ >= 32 and out:
+        out.append((16, 8))
+    return out
+
+
+def rows_block_plan(
+    n: int, n_traj: int
+) -> "tuple[int, int] | None":
+    """First-choice (chunk, tb) for the rows kernel, or None when no
+    candidate exists (see :func:`rows_block_ladder`)."""
+    lad = rows_block_ladder(n, n_traj)
+    return lad[0] if lad else None
+
+
 def mcwf_rows_program(
     a_re,
     a_im,
@@ -1081,6 +1148,8 @@ def mcwf_rows_program(
     n_row: int,
     n_col: int,
     cops: tuple,
+    chunk: int,
+    tb: int,
     interpret: bool = False,
 ) -> jax.Array:
     """Runs the row-batched MCWF kernel.
@@ -1110,15 +1179,26 @@ def mcwf_rows_program(
 
     Returns:
         ``(S, 2, R, T, C)`` normalized lab-frame states per segment,
-        with T = B padded up to a multiple of 8 (padded trajectories
-        carry ``r0 = 0`` so the jump test ``norm2 <= r`` never
-        fires for them).
+        with T = B padded up to a multiple of the trajectory block
+        ``tb`` (padded trajectories carry ``r0 = 0`` so the jump test
+        ``norm2 <= r`` never fires for them).
+
+    The grid is ``(T/tb, S*L/chunk)``: trajectory blocks on the OUTER
+    axis (the state scratch persists per block and resets at its
+    first segment chunk), so VMEM pressure scales with ``tb``, not
+    the full batch — see :func:`rows_block_plan`. Mosaic only blocks
+    the LANE axis at multiples of 128, so arrays that carry
+    trajectories on lanes (drives, uniforms, eval phases) are
+    pre-reshaped to ``(n_tblk * lead, ..., tb)`` — the trajectory
+    block rides the leading block-index axis and every block spans
+    its full trailing dims.
     """
     n = n_row + n_col
     rows, cols = 1 << n_row, 1 << n_col
     n_seg, L = seg_dts.shape
     n_traj = a_re.shape[0]
-    t_cnt = -(-n_traj // 8) * 8
+    t_cnt = -(-n_traj // tb) * tb
+    n_tblk = t_cnt // tb
     t_extra = t_cnt - n_traj
 
     def to_kernel(arr):  # (B, S, L, 3, 1, n) -> (S, L, 3, n, T)
@@ -1144,7 +1224,7 @@ def mcwf_rows_program(
         r0 = jnp.pad(r0, (0, t_extra), constant_values=0.0)
         diags = jnp.pad(diags, [(0, t_extra), (0, 0)])
 
-    chunk = min(L, 64)
+    chunk = min(L, chunk)
     n_chunks = -(-L // chunk)
     pad = n_chunks * chunk - L
 
@@ -1171,6 +1251,22 @@ def mcwf_rows_program(
         )
 
     n_blk = n_seg * n_chunks
+
+    def tblock(arr):
+        """(lead, ..., T) -> (n_tblk * lead, ..., tb).
+
+        Splits the trajectory lane axis into ``n_tblk`` blocks and
+        merges the block index into the leading axis, so the 2D-grid
+        index map ``t * lead + s`` selects a block whose trailing
+        dims all equal the array's — the only lane-legal blocking
+        for tb < 128.
+        """
+        arr = jnp.reshape(arr, arr.shape[:-1] + (n_tblk, tb))
+        arr = jnp.moveaxis(arr, -2, 0)
+        return jnp.reshape(
+            arr, (n_tblk * arr.shape[1],) + arr.shape[2:]
+        )
+
     kernel = functools.partial(
         _mcwf_rows_kernel,
         n_row=n_row,
@@ -1179,9 +1275,9 @@ def mcwf_rows_program(
         cops=cops,
     )
     scratch = [
-        pltpu.VMEM((rows, t_cnt, cols), jnp.float32),
-        pltpu.VMEM((rows, t_cnt, cols), jnp.float32),
-        pltpu.VMEM((1, t_cnt, 1), jnp.float32),
+        pltpu.VMEM((rows, tb, cols), jnp.float32),
+        pltpu.VMEM((rows, tb, cols), jnp.float32),
+        pltpu.VMEM((1, tb, 1), jnp.float32),
     ]
     diag3 = jnp.transpose(
         jnp.reshape(diags, (t_cnt, rows, cols)), (1, 0, 2)
@@ -1194,37 +1290,47 @@ def mcwf_rows_program(
     )
     return pl.pallas_call(
         kernel,
-        grid=(n_blk,),
+        grid=(n_tblk, n_blk),
         in_specs=[
-            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, c3, n, t_cnt), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, c3, 1), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, chunk, 1), lambda s: (s, 0, 0)),
             pl.BlockSpec(
-                (1, chunk, 2, t_cnt), lambda s: (s, 0, 0, 0)
+                (1, c3, n, tb),
+                lambda t, s: (t * n_blk + s, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, 1), lambda s: (s // n_chunks, 0, 0)
+                (1, c3, n, tb),
+                lambda t, s: (t * n_blk + s, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, n, t_cnt),
-                lambda s: (s // n_chunks, 0, 0, 0),
+                (1, c3, n, tb),
+                lambda t, s: (t * n_blk + s, 0, 0, 0),
             ),
-            pl.BlockSpec((1, t_cnt, 1), lambda s: (0, 0, 0)),
+            pl.BlockSpec((1, c3, 1), lambda t, s: (s, 0, 0)),
+            pl.BlockSpec((1, chunk, 1), lambda t, s: (s, 0, 0)),
             pl.BlockSpec(
-                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+                (1, chunk, 2, tb),
+                lambda t, s: (t * n_blk + s, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+                (1, 1, 1), lambda t, s: (s // n_chunks, 0, 0)
             ),
             pl.BlockSpec(
-                (rows, t_cnt, cols), lambda s: (0, 0, 0)
+                (1, 1, n, tb),
+                lambda t, s: (t * n_seg + s // n_chunks, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, tb, 1), lambda t, s: (0, t, 0)),
+            pl.BlockSpec(
+                (rows, tb, cols), lambda t, s: (0, t, 0)
+            ),
+            pl.BlockSpec(
+                (rows, tb, cols), lambda t, s: (0, t, 0)
+            ),
+            pl.BlockSpec(
+                (rows, tb, cols), lambda t, s: (0, t, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2, rows, t_cnt, cols),
-            lambda s: (s // n_chunks, 0, 0, 0, 0),
+            (1, 2, rows, tb, cols),
+            lambda t, s: (s // n_chunks, 0, 0, t, 0),
         ),
         out_shape=jax.ShapeDtypeStruct(
             (n_seg, 2, rows, t_cnt, cols), jnp.float32
@@ -1232,14 +1338,14 @@ def mcwf_rows_program(
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        staged(a_re),
-        staged(a_im),
-        staged(cum_mod),
+        tblock(staged(a_re)),
+        tblock(staged(a_im)),
+        tblock(staged(cum_mod)),
         _chunk_t_stage(t_stage, n_seg, L, pad, n_chunks, c3),
         chunked(jnp.reshape(seg_dts, (n_seg, L, 1))),
-        chunked(us, fill=0.5),
+        tblock(chunked(us, fill=0.5)),
         jnp.reshape(eval_t, (n_seg, 1, 1)),
-        jnp.reshape(eval_cum_mod, (n_seg, 1, n, t_cnt)),
+        tblock(jnp.reshape(eval_cum_mod, (n_seg, 1, n, t_cnt))),
         jnp.reshape(r0, (1, t_cnt, 1)),
         diag3,
         psi0_re_b,
@@ -1257,7 +1363,14 @@ def _chunk_t_stage(t_stage, n_seg, L, pad, n_chunks, c3):
 
 _mcwf_rows_jit = jax.jit(
     mcwf_rows_program,
-    static_argnames=("n_row", "n_col", "cops", "interpret"),
+    static_argnames=(
+        "n_row",
+        "n_col",
+        "cops",
+        "chunk",
+        "tb",
+        "interpret",
+    ),
 )
 
 

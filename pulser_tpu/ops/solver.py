@@ -2079,20 +2079,26 @@ def mcsolve_rk4_batched(
         and pairs == ((1, 0, 0),)
         and rdtype == np.float32
         and _mesh_size(mesh) == 1
-        and _rows_vmem_bytes(n, len(seeds)) <= _ROWS_VMEM_LIMIT
+        and _rows_block_plan(n, len(seeds)) is not None
         and os.environ.get("PULSER_TPU_MCWF_ROWS", "1") != "0"
         and (_pallas_available() or force_interp)
     ):
-        return _mcsolve_pallas_rows(
-            psi0_np,
-            plans,
-            diags,
-            n,
-            cops_spec,
-            seeds,
-            cdtype,
-            interpret=force_interp,
-        )
+        try:
+            return _mcsolve_pallas_rows(
+                psi0_np,
+                plans,
+                diags,
+                n,
+                cops_spec,
+                seeds,
+                cdtype,
+                interpret=force_interp,
+            )
+        except _RowsVmemOOM:
+            # Every (chunk, tb) candidate hit the scoped-VMEM
+            # ceiling on this shape; the HBM-resident XLA vmap
+            # below has no such limit.
+            pass
     # The per-trajectory fused MCWF kernel runs trajectories
     # sequentially on the scalar grid; measured on v5e it LOSES to
     # the vmapped XLA batch (~11 s vs ~6 s per 100 trajectories), so
@@ -3662,37 +3668,66 @@ def _mcwf_uniforms(
     )
 
 
-#: Scoped-VMEM budget for the row-batched MCWF kernel (the Mosaic
-#: scoped limit is 16 MiB; leave headroom for compiler temporaries).
-_ROWS_VMEM_LIMIT = 15 * 1024 * 1024
+def _rows_block_plan(n: int, n_traj: int):
+    """(chunk, tb) blocking for the rows kernel, or None if the
+    batch cannot fit its scoped-VMEM budget (see
+    :func:`pallas_kernels.rows_block_ladder`)."""
+    from pulser_tpu.ops.pallas_kernels import rows_block_plan
+
+    return rows_block_plan(n, n_traj)
 
 
-def _rows_vmem_bytes(n: int, n_traj: int) -> int:
-    """Peak scoped-VMEM estimate of the row-batched MCWF kernel.
+class _RowsVmemOOM(Exception):
+    """Every (chunk, tb) candidate hit Mosaic's scoped-VMEM limit;
+    the caller falls back to the vmapped XLA batch."""
 
-    Mirrors :func:`pallas_kernels.mcwf_rows_program`'s block layout:
-    two (R, T, C) f32 scratch planes, a double-buffered (2, R, T, C)
-    output block, three replicated (R, T, C) input blocks
-    (diag/psi0), three double-buffered (c3, n, T) drive blocks with
-    the trajectory axis lane-padded to 128, and the (chunk, 2, T)
-    uniforms. Above the budget the dispatcher falls back to the
-    HBM-resident vmapped XLA batch, which has no such ceiling.
-    """
-    n_col = min(7, n - 1)
-    rows, cols = 1 << (n - n_col), 1 << n_col
-    t_sub = -(-n_traj // 8) * 8  # state sublane axis
-    t_lane = -(-t_sub // 128) * 128  # drive/uniform lane axis
-    n_pad = -(-n // 8) * 8
-    plane = rows * t_sub * cols * 4
-    chunk = 64
-    c3 = chunk * 3
+
+#: (n, n_traj) -> validated (chunk, tb), or None when the whole
+#: ladder OOMed (skip the rows kernel for this shape from now on).
+_ROWS_CONFIG_CACHE: dict = {}
+
+
+def _rows_is_vmem_oom(err: Exception) -> bool:
+    msg = str(err)
     return (
-        2 * plane  # psi scratch
-        + 2 * 2 * plane  # double-buffered output block
-        + 3 * plane  # diag + psi0 re/im blocks
-        + 3 * 2 * c3 * n_pad * t_lane * 4  # drive blocks
-        + 2 * chunk * 8 * t_lane * 4  # uniforms
+        "scoped vmem" in msg
+        or "memory space vmem" in msg
+        or "Scoped allocation" in msg
     )
+
+
+def _rows_run_ladder(run, n: int, n_traj: int):
+    """Runs ``run(chunk, tb)`` down the (chunk, tb) ladder.
+
+    Mosaic's scoped-VMEM demand cannot be predicted exactly
+    (:func:`pallas_kernels.rows_block_ladder`), so a candidate that
+    OOMs at compile time drops to the next; the first success is
+    cached per (n, n_traj) for the process lifetime. Raises
+    :class:`_RowsVmemOOM` when every candidate OOMed (the dispatch
+    gate then falls back to the vmapped XLA batch).
+    """
+    from pulser_tpu.ops.pallas_kernels import rows_block_ladder
+
+    key = (n, n_traj)
+    cached = _ROWS_CONFIG_CACHE.get(key, "miss")
+    if cached is None:
+        raise _RowsVmemOOM(key)
+    ladder = (
+        [cached] if cached != "miss" else rows_block_ladder(n, n_traj)
+    )
+    last_err: Exception | None = None
+    for chunk, tb in ladder:
+        try:
+            out = run(chunk, tb)
+        except Exception as err:  # noqa: BLE001 — filtered below
+            if not _rows_is_vmem_oom(err):
+                raise
+            last_err = err
+            continue
+        _ROWS_CONFIG_CACHE[key] = (chunk, tb)
+        return out
+    _ROWS_CONFIG_CACHE[key] = None
+    raise _RowsVmemOOM(key) from last_err
 
 
 def _diag_cops_spec(
@@ -3722,6 +3757,8 @@ def _diag_cops_spec(
         "n_col",
         "cops",
         "seg_shape",
+        "chunk",
+        "tb",
         "interpret",
     ),
 )
@@ -3741,6 +3778,8 @@ def _mcwf_rows_full(
     n_col: int,
     cops: tuple,
     seg_shape: tuple,
+    chunk: int,
+    tb: int,
     interpret: bool = False,
 ) -> jax.Array:
     """One-dispatch noisy MCWF solve from raw knot coefficients.
@@ -3777,6 +3816,8 @@ def _mcwf_rows_full(
         n_row=n_row,
         n_col=n_col,
         cops=cops,
+        chunk=chunk,
+        tb=tb,
         interpret=interpret,
     )
 
@@ -3836,16 +3877,21 @@ def _mcsolve_pallas_rows(
             _raw_cum_inputs(plans, np.float32),
             np.asarray(seeds, dtype=np.uint32),
         ) + shared_args
-        statics = dict(
-            n_row=n_row,
-            n_col=n_col,
-            cops=cops_spec,
-            seg_shape=(n_seg, seg_len),
-            interpret=interpret,
-        )
-        out = aot_cache.call(
-            _mcwf_rows_full, "mcwf_rows_full", args, statics
-        )
+
+        def _run(chunk, tb):
+            statics = dict(
+                n_row=n_row,
+                n_col=n_col,
+                cops=cops_spec,
+                seg_shape=(n_seg, seg_len),
+                chunk=chunk,
+                tb=tb,
+                interpret=interpret,
+            )
+            return aot_cache.call(
+                _mcwf_rows_full, "mcwf_rows_full", args, statics
+            )
+
     else:
         amp_re_b, amp_im_b, _, _, _ = _lindblad_drive_arrays(
             plans, jnp.float32
@@ -3854,24 +3900,30 @@ def _mcsolve_pallas_rows(
         r0_dev, us_dev = _mcwf_uniforms(
             seeds, (n_seg, seg_len), rdtype
         )
-        out = mcwf_rows_pallas(
-            amp_re_b,
-            amp_im_b,
-            cum_b,
-            shared_args[0],
-            shared_args[1],
-            us_dev,
-            shared_args[2],
-            ev_cum_b,
-            r0_dev,
-            shared_args[3],
-            shared_args[4],
-            shared_args[5],
-            n_row=n_row,
-            n_col=n_col,
-            cops=cops_spec,
-            interpret=interpret,
-        )
+
+        def _run(chunk, tb):
+            return mcwf_rows_pallas(
+                amp_re_b,
+                amp_im_b,
+                cum_b,
+                shared_args[0],
+                shared_args[1],
+                us_dev,
+                shared_args[2],
+                ev_cum_b,
+                r0_dev,
+                shared_args[3],
+                shared_args[4],
+                shared_args[5],
+                n_row=n_row,
+                n_col=n_col,
+                cops=cops_spec,
+                chunk=chunk,
+                tb=tb,
+                interpret=interpret,
+            )
+
+    out = _rows_run_ladder(_run, n, n_traj)
     last_solve_info.update(
         kind="mcwf_rows_pallas",
         dim=rows * cols,

@@ -272,3 +272,43 @@ def test_affine_compress_handles_zero_rows():
     np.testing.assert_allclose(
         np.asarray(S._affine_expand(comp)), arr, atol=1e-6
     )
+
+
+def test_rows_kernel_trajectory_blocked(monkeypatch):
+    """Trajectory-axis grid blocking (tb < T) and a smaller step
+    chunk produce the same states as the unblocked kernel — the
+    configuration larger-than-VMEM batches dispatch to."""
+    rng = np.random.default_rng(11)
+    n, n_traj = 5, 12
+    dim = 2**n
+    plans = _mk_plans(rng, n, n_traj)
+    diags = np.stack(
+        [rng.uniform(0, 4, dim) for _ in range(n_traj)]
+    )
+    cop = np.sqrt(0.1) * np.diag([1.0, -1.0]).astype(complex)
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    common = dict(
+        pairs=((1, 0, 0),),
+        d=2,
+        n=n,
+        collapse_ops=[cop],
+        seeds=list(range(7, 7 + n_traj)),
+        dtype=np.complex64,
+        mesh=None,
+        ip=True,
+    )
+    monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PULSER_TPU_MCWF_ROWS", "1")
+    ref = S.mcsolve_rk4_batched(
+        psi0.astype(np.complex64), plans, diags, **common
+    )
+    assert S.last_solve_info.get("kind") == "mcwf_rows_pallas"
+    monkeypatch.setenv("PULSER_TPU_MCWF_ROWS_TB", "8")
+    monkeypatch.setenv("PULSER_TPU_MCWF_ROWS_CHUNK", "16")
+    blocked = S.mcsolve_rk4_batched(
+        psi0.astype(np.complex64), plans, diags, **common
+    )
+    np.testing.assert_allclose(
+        np.abs(ref - blocked).max(), 0, atol=1e-6
+    )
