@@ -1116,6 +1116,18 @@ class TpuEmulator:
 
                 if n >= state_shard_min_qubits():
                     state_mesh = default_state_mesh(n)
+            elif d in (3, 4) and ip_occ is not None:
+                # Qutrit/leakage bases shard on the flat 4^n index
+                # (two bits per digit; d=3 embeds into d=4), so the
+                # threshold compares EFFECTIVE qubits 2n against the
+                # same knob.
+                from pulser_tpu.parallel.state_sharding import (
+                    default_state_mesh,
+                    state_shard_min_qubits,
+                )
+
+                if 2 * n >= state_shard_min_qubits():
+                    state_mesh = default_state_mesh(2 * n - 1)
             states_arr = sesolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,

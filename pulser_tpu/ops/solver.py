@@ -743,6 +743,24 @@ def sesolve_rk4(
             state_mesh,
             dtype=cdtype,
         )
+    # Qutrit ('all') and leakage bases shard too: each qudit is a
+    # two-bit digit of the flat 4^n index (d=3 embeds into d=4 —
+    # see parallel.state_sharding.qudit_sesolve_ip_statevector_sharded)
+    if use_ip and d in (3, 4) and state_mesh is not None:
+        from pulser_tpu.parallel.state_sharding import (
+            qudit_sesolve_ip_statevector_sharded,
+        )
+
+        return qudit_sesolve_ip_statevector_sharded(
+            psi0_np,
+            plan,
+            static_diag,
+            pairs,
+            n,
+            state_mesh,
+            d,
+            dtype=cdtype,
+        )
     # XY mode with a static coupling matrix also shards: the
     # flip-flop term rides XOR-partner ppermutes (see state_sharding)
     if (

@@ -709,3 +709,360 @@ def _xy_sesolve_statevector_sharded_jit(
         check_rep=False,
     )
     return sharded(psi2_0, amp_re, amp_im, det, dts, diag)
+
+
+def qudit_embed_indices(n: int, d: int) -> np.ndarray:
+    """Flat indices of the ``(d,)**n`` tensor inside ``(4,)**n``.
+
+    TPU-native qudit sharding works on power-of-two digit fields (two
+    bits per qudit), so a qutrit register embeds into the d=4 tensor:
+    amplitude ``(a_1..a_n)`` lands at ``Σ a_q · 4^(n-1-q)``.  No drive
+    pair ever couples level 3, so the padded amplitudes stay exactly
+    zero through the evolution.
+    """
+    idx = np.arange(d**n, dtype=np.int64)
+    g4 = np.zeros_like(idx)
+    rem = idx
+    for q in range(n):
+        p = d ** (n - 1 - q)
+        g4 = g4 * 4 + rem // p
+        rem = rem % p
+    return g4
+
+
+def qudit_sesolve_ip_statevector_sharded(
+    psi0: np.ndarray,
+    plan: Any,
+    static_diag: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    n: int,
+    mesh: Mesh,
+    d: int,
+    dtype: Any = None,
+    axis_name: str = "state",
+) -> np.ndarray:
+    """Sharded interaction-picture sesolve for d ∈ {3, 4} qudits.
+
+    The d=2 fast path (:func:`sesolve_ip_statevector_sharded`) shards
+    qubit bits; here each qudit is a two-bit digit of the flat
+    ``4^n = 2^(2n)`` index and the mesh takes the leading ``k`` bits.
+    A drive pair ``(i, j)`` on a digit with sharded bits is an XOR by
+    ``i^j`` on that digit's bit field — the sharded-bit part is ONE
+    ``ppermute`` (a device-index XOR is a permutation of the mesh),
+    the local-bit part an axis reversal — masked by the digit
+    occupancies ``digit==i`` / ``digit==j`` (unlike d=2, a level pair
+    does not cover the whole digit space).  Fully-local digits use
+    the same grouped-matmul machinery as the single-chip solver.
+
+    Qutrits (d=3) embed into the d=4 tensor
+    (:func:`qudit_embed_indices`): the memory overhead is
+    ``(4/3)^n`` (≈10x at n=8), the trade for power-of-two blocks
+    that tile TPU lanes and shard evenly — the native ``3^n`` axis
+    admits no even power-of-two split.  Reference semantics:
+    qutrit/leakage bases per
+    ``pulser-core/pulser/_hamiltonian_data`` eigenbasis order.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    k = int(n_dev).bit_length() - 1
+    if 2**k != n_dev:
+        raise ValueError(
+            f"mesh size must be a power of two, got {n_dev}"
+        )
+    if d not in (3, 4):
+        raise ValueError(f"qudit sharding supports d in (3, 4), not {d}")
+    if k > 2 * (n - 1):
+        raise ValueError(
+            f"cannot shard {n} qudits over {n_dev} devices"
+        )
+    for i, j, kp in pairs:
+        if max(i, j, kp) >= d:
+            raise ValueError(f"pair {(i, j, kp)} outside d={d}")
+
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    psi0_np = np.asarray(psi0, dtype=cdtype)
+    diag_np = np.asarray(static_diag).real.astype(rdtype)
+    if d == 3:
+        g4 = qudit_embed_indices(n, 3)
+        psi4 = np.zeros(4**n, dtype=cdtype)
+        psi4[g4] = psi0_np
+        diag4 = np.zeros(4**n, dtype=rdtype)
+        diag4[g4] = diag_np
+        psi0_np, diag_np = psi4, diag4
+    else:
+        g4 = None
+
+    psi2_0 = jnp.asarray(
+        np.stack([psi0_np.real, psi0_np.imag]), dtype=rdtype
+    )
+    two_pi = 2 * np.pi
+    amp_np = plan.seg_stage("amp")
+    amp_re = jnp.asarray(amp_np.real, dtype=rdtype)
+    amp_im = jnp.asarray(amp_np.imag, dtype=rdtype)
+    det_cum_mod = jnp.asarray(
+        (-plan.seg_stage("det_cum")) % two_pi, dtype=rdtype
+    )
+    t_stage = jnp.asarray(plan.seg_stage("t_stage"), dtype=rdtype)
+    dts = jnp.asarray(plan.seg_dts, dtype=rdtype)
+    eval_t = jnp.asarray(
+        plan.eval_times - plan.grid[0], dtype=rdtype
+    )
+    eval_cum_mod = jnp.asarray(
+        (-plan.eval_det_cum) % two_pi, dtype=rdtype
+    )
+    diag = jnp.asarray(diag_np, dtype=rdtype)
+
+    out = _qudit_sesolve_ip_sharded_jit(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det_cum_mod,
+        t_stage,
+        dts,
+        eval_t,
+        eval_cum_mod,
+        diag,
+        mesh=mesh,
+        pairs=pairs,
+        n=n,
+        k=k,
+        axis_name=axis_name,
+    )
+    out_np = np.asarray(out)[plan.eval_map]
+    if g4 is not None:
+        out_np = out_np[:, :, g4]
+    return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "pairs", "n", "k", "axis_name"),
+)
+def _qudit_sesolve_ip_sharded_jit(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_cum_mod: jax.Array,
+    t_stage: jax.Array,
+    dts: jax.Array,
+    eval_t: jax.Array,
+    eval_cum_mod: jax.Array,
+    diag: jax.Array,
+    *,
+    mesh: Mesh,
+    pairs: tuple[tuple[int, int, int], ...],
+    n: int,
+    k: int,
+    axis_name: str,
+) -> jax.Array:
+    """The compiled d=4 sharded-state IP scan (cached across calls)."""
+    d = 4
+    n_dev = 2**k
+    n_bits = 2 * n
+    dim_local = 2 ** (n_bits - k)
+    # digits 0..q_loc-1 have at least one sharded bit
+    q_loc = -(-k // 2)
+    n_loc4 = n - q_loc  # fully-local digits
+    pre = dim_local // d**n_loc4  # 1, or 2 when k is odd
+    rdtype = psi2_0.dtype
+    groups = group_sizes(d, n_loc4)
+    nb = len(pairs)
+
+    def local_work(
+        psi2_loc,  # (2, dim_local)
+        amp_re,  # (n_seg, L, 3, nb, n) replicated
+        amp_im,
+        det_cum_mod,  # (n_seg, L, 3, nb, n)
+        t_stage,  # (n_seg, L, 3)
+        dts,  # (n_seg, L)
+        eval_t,  # (n_seg,)
+        eval_cum_mod,  # (n_seg, nb, n)
+        diag_loc,  # (dim_local,)
+    ):
+        dev = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        two_pi = jnp.asarray(2 * np.pi, dtype=rdtype)
+
+        iota = jax.lax.iota(jnp.int32, dim_local)
+        glob = dev * jnp.asarray(dim_local, jnp.int32) + iota
+
+        def digit(q):
+            return (glob >> (2 * (n - 1 - q))) & 3
+
+        occ_rows = [
+            (digit(q) == kp).astype(rdtype)
+            for _, _, kp in pairs
+            for q in range(n)
+        ]
+        occ_loc = jnp.stack(occ_rows).reshape(nb, n, dim_local)
+
+        def phase_at(t_s, cum_s):
+            phi = jnp.mod(diag_loc * t_s, two_pi)
+            phi = phi + jnp.einsum(
+                "bq,bqD->D",
+                cum_s,
+                occ_loc,
+                preferred_element_type=rdtype,
+                precision="highest",
+            )
+            return phi
+
+        def bitflip_local(w, local_mask):
+            """XOR the local flat index by a constant mask."""
+            for p in range(n_bits - k):
+                if (local_mask >> p) & 1:
+                    shape = (2, dim_local // 2 ** (p + 1), 2, 2**p)
+                    w = jnp.flip(w.reshape(shape), axis=2).reshape(
+                        2, dim_local
+                    )
+            return w
+
+        def amp_apply(w, ar_s, ai_s):
+            # (a) fully-local digits: grouped matmuls on the block
+            zero_det = jnp.zeros((nb, n_loc4), dtype=rdtype)
+            m_re, m_im = build_drive_matrices(
+                ar_s[:, q_loc:],
+                ai_s[:, q_loc:],
+                zero_det,
+                pairs,
+                d,
+                n_loc4,
+            )
+            out = jnp.zeros_like(w)
+            q0 = 0
+            for g in groups:
+                g_re, g_im = _group_matrix(m_re, m_im, q0, q0 + g, d)
+                out = out + apply_block_c(
+                    g_re,
+                    g_im,
+                    w,
+                    pre * d**q0,
+                    d**g,
+                    d ** (n_loc4 - q0 - g),
+                )
+                q0 += g
+            # (b) digits with sharded bits: per (digit, basis) the
+            # level exchange i<->j is an XOR by i^j on the digit's
+            # bit field, masked by the digit occupancies.
+            for q in range(q_loc):
+                dig = digit(q).astype(rdtype)
+                for b, (i, j, _) in enumerate(pairs):
+                    if i == j:
+                        # inert/diagonal pair: a sigma_ii + a* sigma_ii
+                        m_i = (
+                            dig == jnp.asarray(i, dtype=rdtype)
+                        ).astype(rdtype)
+                        cr = (2.0 * ar_s[b, q]) * m_i
+                        out = out + jnp.stack(
+                            [cr * w[0], cr * w[1]]
+                        )
+                        continue
+                    mask = (i ^ j) << (2 * (n - 1 - q))
+                    dev_mask = mask >> (n_bits - k)
+                    local_mask = mask & (dim_local - 1)
+                    w_p = w
+                    if dev_mask:
+                        w_p = jax.lax.ppermute(
+                            w_p,
+                            axis_name,
+                            [
+                                (s, s ^ dev_mask)
+                                for s in range(n_dev)
+                            ],
+                        )
+                    if local_mask:
+                        w_p = bitflip_local(w_p, local_mask)
+                    m_i = (
+                        dig == jnp.asarray(i, dtype=rdtype)
+                    ).astype(rdtype)
+                    m_j = (
+                        dig == jnp.asarray(j, dtype=rdtype)
+                    ).astype(rdtype)
+                    cr = ar_s[b, q] * (m_i + m_j)
+                    ci = ai_s[b, q] * (m_i - m_j)
+                    out = out + jnp.stack(
+                        [
+                            cr * w_p[0] - ci * w_p[1],
+                            ci * w_p[0] + cr * w_p[1],
+                        ]
+                    )
+            return out
+
+        rk_stage = jnp.asarray([0, 1, 1, 2])
+        rk_a = jnp.asarray([0.0, 0.5, 0.5, 1.0], dtype=rdtype)
+        rk_b = jnp.asarray(
+            [1 / 6, 1 / 3, 1 / 3, 1 / 6], dtype=rdtype
+        )
+
+        def step(phi_state, xs):
+            ar_st, ai_st, cum_st, t_st, h = xs
+
+            def stage_body(stage_carry, i):
+                k_prev, acc = stage_carry
+                s = rk_stage[i]
+                ph = phase_at(t_st[s], cum_st[s])
+                c = jnp.cos(ph)
+                sn = jnp.sin(ph)
+                p = phi_state + (h * rk_a[i]) * k_prev
+                w = _cmul(c, -sn, p)
+                y = amp_apply(w, ar_st[s], ai_st[s])
+                kk = neg_i(_cmul(c, sn, y))
+                return (kk, acc + rk_b[i] * kk), None
+
+            zeros = jnp.zeros_like(phi_state)
+            (_, acc), _ = jax.lax.scan(
+                stage_body, (zeros, zeros), jnp.arange(4)
+            )
+            return phi_state + h * acc, None
+
+        def segment(phi_state, seg_xs):
+            ar_sg, ai_sg, cum_sg, t_sg, h_sg, te, ce = seg_xs
+            phi_state, _ = jax.lax.scan(
+                step, phi_state, (ar_sg, ai_sg, cum_sg, t_sg, h_sg)
+            )
+            ph = phase_at(te, ce)
+            psi_lab = _cmul(jnp.cos(ph), -jnp.sin(ph), phi_state)
+            return phi_state, psi_lab
+
+        _, ys = jax.lax.scan(
+            segment,
+            psi2_loc,
+            (
+                amp_re,
+                amp_im,
+                det_cum_mod,
+                t_stage,
+                dts,
+                eval_t,
+                eval_cum_mod,
+            ),
+        )
+        return ys  # (n_seg, 2, dim_local)
+
+    sharded = shard_map(
+        local_work,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),  # psi2_0
+            P(),  # amp_re
+            P(),  # amp_im
+            P(),  # det_cum_mod
+            P(),  # t_stage
+            P(),  # dts
+            P(),  # eval_t
+            P(),  # eval_cum_mod
+            P(axis_name),  # diag
+        ),
+        out_specs=P(None, None, axis_name),
+        check_rep=False,
+    )
+    return sharded(
+        psi2_0,
+        amp_re,
+        amp_im,
+        det_cum_mod,
+        t_stage,
+        dts,
+        eval_t,
+        eval_cum_mod,
+        diag,
+    )

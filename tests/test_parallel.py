@@ -593,10 +593,10 @@ def test_emulator_xy_uses_statevector_sharding(monkeypatch):
     np.testing.assert_allclose(psi_sharded, psi_single, atol=1e-7)
 
 
-def test_qutrit_basis_falls_back_to_single_device(monkeypatch):
-    """Statevector sharding is a d=2 specialization; a qutrit-basis
-    (digital+rydberg) solve above the sharding threshold must fall
-    back to the single-device solver and still be correct."""
+def test_qutrit_basis_routes_to_qudit_sharding(monkeypatch):
+    """A qutrit-basis (digital+rydberg) emulation above the sharding
+    threshold routes to the embedded d=4 qudit sharded path (never
+    the d=2 specialization) and matches the single-device solve."""
     from pulser_tpu.parallel import state_sharding
 
     reg = tpu.Register.square(2, spacing=6.0, prefix="q")
@@ -616,24 +616,36 @@ def test_qutrit_basis_falls_back_to_single_device(monkeypatch):
         return seq
 
     calls = []
+    qudit_calls = []
     orig = state_sharding.sesolve_ip_statevector_sharded
+    orig_qudit = state_sharding.qudit_sesolve_ip_statevector_sharded
 
     def spy(*args, **kwargs):
         calls.append(1)
         return orig(*args, **kwargs)
 
+    def spy_qudit(*args, **kwargs):
+        qudit_calls.append(1)
+        return orig_qudit(*args, **kwargs)
+
     monkeypatch.setattr(
         state_sharding, "sesolve_ip_statevector_sharded", spy
     )
+    monkeypatch.setattr(
+        state_sharding,
+        "qudit_sesolve_ip_statevector_sharded",
+        spy_qudit,
+    )
     monkeypatch.setenv("PULSER_TPU_STATE_SHARD_MIN_QUBITS", "2")
     sim = TpuEmulator.from_sequence(mk())
-    assert sim.dim == 3  # three-level basis: sharding ineligible
+    assert sim.dim == 3  # three-level basis: d=2 path ineligible
     psi = (
         sim.run()
         .get_final_state(ignore_global_phase=False)
         .full()[:, 0]
     )
     assert not calls, "d=3 solve must not take the d=2 sharded path"
+    assert qudit_calls, "d=3 solve must take the qudit sharded path"
     # Same solve with sharding force-disabled is identical.
     monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
     psi_ref = (
@@ -786,3 +798,113 @@ def test_emulator_uses_rho_sharding(mod_device, monkeypatch):
         np.asarray(res_serial.expect([obs])[0], float),
         atol=1e-9,
     )
+
+
+def _qudit_occ(pairs, n, d):
+    """(nb, n, d**n) detuning-projector occupancies."""
+    dim = d**n
+    idx = np.arange(dim)
+    occ = np.zeros((len(pairs), n, dim))
+    for b, (_, _, kp) in enumerate(pairs):
+        for q in range(n):
+            occ[b, q] = (
+                (idx // (d ** (n - 1 - q))) % d == kp
+            ).astype(float)
+    return occ
+
+
+def _qudit_case(n, d, pairs, seed):
+    rng = np.random.default_rng(seed)
+    nb = len(pairs)
+    n_knots = 9
+    t_end = 0.15
+    knots = np.linspace(0.0, t_end, n_knots)
+    eval_times = np.array([0.0, t_end / 2, t_end])
+    amp = rng.uniform(2, 6, size=(nb, n, n_knots)) * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, size=(nb, n, 1))
+    )
+    det = rng.normal(0, 3, size=(nb, n, n_knots))
+    plan = build_plan(
+        knots, {"amp": amp, "det": det}, eval_times, max_step=1e-3
+    )
+    diag = rng.uniform(0, 10, size=d**n)
+    psi0 = np.zeros(d**n, complex)
+    psi0[0] = 1.0
+    return plan, diag, psi0
+
+
+def test_qutrit_sharded_sesolve_matches_serial():
+    """8-qutrit (d=3 'all' basis) distributed statevector == serial.
+
+    The qutrit tensor embeds into the d=4 (two bits per digit) flat
+    index (state_sharding.qudit_sesolve_ip_statevector_sharded); the
+    8-device mesh takes the top 3 bits, so digit 0 is fully sharded
+    and digit 1 splits across the device/local boundary — the
+    ground-rydberg pair (1,0) rides a pure ppermute while the
+    digital pair (1,2) (XOR mask 3) exercises the combined
+    ppermute + local-bit-reversal exchange.
+    """
+    from jax.sharding import Mesh
+    from pulser_tpu.ops.solver import sesolve_rk4
+
+    n, d = 8, 3
+    pairs = ((1, 0, 0), (1, 2, 2))  # ryd: g<->r, raman: g<->h
+    plan, diag, psi0 = _qudit_case(n, d, pairs, seed=12)
+    occ = _qudit_occ(pairs, n, d)
+    ref = sesolve_rk4(
+        psi0, plan, diag, pairs, d, n, ip_occ=occ,
+        dtype=np.complex128,
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    shd = sesolve_rk4(
+        psi0, plan, diag, pairs, d, n, ip_occ=occ,
+        dtype=np.complex128, state_mesh=mesh,
+    )
+    assert shd.shape == ref.shape == (3, d**n)
+    np.testing.assert_allclose(shd, ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(shd[-1]), 1.0, atol=1e-8
+    )
+
+
+def test_leakage_d4_sharded_sesolve_matches_serial():
+    """6-qudit d=4 (leakage) distributed statevector == serial.
+
+    Native power-of-two digits: no embedding, the 4^6 axis shards
+    evenly over the 8-device mesh (k=3, boundary digit split).
+    """
+    from jax.sharding import Mesh
+    from pulser_tpu.ops.solver import sesolve_rk4
+
+    n, d = 6, 4
+    pairs = ((1, 0, 0), (1, 2, 2))
+    plan, diag, psi0 = _qudit_case(n, d, pairs, seed=21)
+    occ = _qudit_occ(pairs, n, d)
+    ref = sesolve_rk4(
+        psi0, plan, diag, pairs, d, n, ip_occ=occ,
+        dtype=np.complex128,
+    )
+    mesh = Mesh(np.array(jax.devices()), axis_names=("state",))
+    shd = sesolve_rk4(
+        psi0, plan, diag, pairs, d, n, ip_occ=occ,
+        dtype=np.complex128, state_mesh=mesh,
+    )
+    np.testing.assert_allclose(shd, ref, atol=1e-9)
+    np.testing.assert_allclose(
+        np.linalg.norm(shd[-1]), 1.0, atol=1e-8
+    )
+
+
+def test_qudit_embed_indices_roundtrip():
+    from pulser_tpu.parallel.state_sharding import (
+        qudit_embed_indices,
+    )
+
+    g4 = qudit_embed_indices(3, 3)
+    # digits (a, b, c) -> a*16 + b*4 + c
+    assert g4[0] == 0
+    assert g4[1] == 1  # (0,0,1)
+    assert g4[3] == 4  # (0,1,0)
+    assert g4[9] == 16  # (1,0,0)
+    assert g4[26] == 2 * 16 + 2 * 4 + 2
+    assert len(np.unique(g4)) == 27
