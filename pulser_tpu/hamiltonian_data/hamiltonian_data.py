@@ -415,6 +415,8 @@ class HamiltonianData:
         amp_fluctuation: float,
         det_fluctuation: np.ndarray,
         propagation_dir: tuple | None,
+        qubit_coords: Mapping[QubitId, tuple] | None = None,
+        waist_cache: dict[tuple, float] | None = None,
     ) -> None:
         """Applies local noise effects to the nested samples, in place."""
         noise_types = self.noise_model.noise_types
@@ -432,12 +434,31 @@ class HamiltonianData:
                     and is_global_pulse
                 ):
                     # The optical axis defaults to y
-                    prop_dir = propagation_dir or (0.0, 1.0, 0.0)
-                    amp_fraction *= self._finite_waist_amp_fraction(
-                        tuple(traj.register.qubits[qid].as_array()),
-                        tuple(prop_dir),
-                        self.noise_model.laser_waist,
+                    prop_dir = tuple(
+                        propagation_dir or (0.0, 1.0, 0.0)
                     )
+                    key = (qid, prop_dir)
+                    frac = (
+                        waist_cache.get(key)
+                        if waist_cache is not None
+                        else None
+                    )
+                    if frac is None:
+                        coords = (
+                            qubit_coords[qid]
+                            if qubit_coords is not None
+                            else tuple(
+                                traj.register.qubits[qid].as_array()
+                            )
+                        )
+                        frac = self._finite_waist_amp_fraction(
+                            coords,
+                            prop_dir,
+                            self.noise_model.laser_waist,
+                        )
+                        if waist_cache is not None:
+                            waist_cache[key] = frac
+                    amp_fraction *= frac
                 samples_dict[qid]["amp"][t_window] *= amp_fraction
             if "detuning" in noise_types:
                 samples_dict[qid]["det"][t_window] += det_fluctuation[
@@ -555,16 +576,27 @@ class HamiltonianData:
         if not self.local_noises:
             return self._samples
 
+        # Per-trajectory caches for the slot loop: the qubit-position
+        # dict (rebuilt by the register property on every access) and
+        # the finite-waist amplitude fractions (per qubit and beam
+        # axis — constant within a trajectory).
+        qubit_coords = {
+            qid: tuple(pos.as_array())
+            for qid, pos in traj.register.qubits.items()
+        }
+        waist_cache: dict[tuple, float] = {}
         for ch, ch_samples in self._samples.channel_samples.items():
             _ch_obj = self._samples._ch_objs[ch]
             samples_dict = samples["Local"][_ch_obj.basis]
+            # Constant across the channel's slots: hoisted out of
+            # the per-slot loop.
+            det_fluctuation = _generate_detuning_fluctuations(
+                self._noise_model,
+                traj.det_fluctuations[ch],
+                traj.det_phases[ch],
+                np.arange(0, self.samples.max_duration, 1),
+            )
             for slot in ch_samples.slots:
-                det_fluctuation = _generate_detuning_fluctuations(
-                    self._noise_model,
-                    traj.det_fluctuations[ch],
-                    traj.det_phases[ch],
-                    np.arange(0, self.samples.max_duration, 1),
-                )
                 self._apply_slot_noise(
                     traj,
                     slot,
@@ -573,6 +605,8 @@ class HamiltonianData:
                     amp_fluctuation=traj.amp_fluctuations[ch],
                     det_fluctuation=det_fluctuation,
                     propagation_dir=_ch_obj.propagation_dir,
+                    qubit_coords=qubit_coords,
+                    waist_cache=waist_cache,
                 )
 
         return self._localized_noisy_samples(traj, samples)
