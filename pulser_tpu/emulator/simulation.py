@@ -89,6 +89,36 @@ class HamiltonianWithReps(NamedTuple):
     reps: int
 
 
+class _CoeffBatch(NamedTuple):
+    """Per-trajectory solver inputs for one batched noisy run.
+
+    Built either the generic way (one :class:`Hamiltonian` object per
+    trajectory) or — when every sample modification the active noise
+    types make is a per-(trajectory, channel, qubit) scalar — by
+    broadcasting over the noiseless coefficients
+    (:meth:`TpuEmulator._fast_coeff_batch`), which skips the
+    per-trajectory virtual-channel sampler entirely.
+    """
+
+    amp: np.ndarray  # (T, nb, N, K) complex drive coefficients
+    det: np.ndarray  # (T, nb, N, K) real detuning coefficients
+    diags: np.ndarray  # (T, dim) interaction diagonals
+    reps: list  # repetition count per trajectory
+    template: Hamiltonian  # pairs / dims / knots / collapse source
+    shims: list  # per-trajectory coeff views (step policy inputs)
+    last_ham: Any  # () -> Hamiltonian for _current_hamiltonian
+
+
+class _CoeffShim(NamedTuple):
+    """Duck-typed stand-in for a per-trajectory Hamiltonian, carrying
+    exactly the fields the step-policy helpers read."""
+
+    amp_coeffs: np.ndarray
+    det_coeffs: np.ndarray
+    sampling_times: np.ndarray
+    max_flip_gap: float
+
+
 def _has_stochastic_noise(noise_model: NoiseModel) -> bool:
     return has_shot_to_shot_except_spam(noise_model) or (
         "SPAM" in noise_model.noise_types
@@ -341,6 +371,251 @@ class TpuEmulator:
                 ),
                 reps,
             )
+
+    def _one_trajectory_hamiltonian(self, traj: Any) -> Hamiltonian:
+        """The full (generic-path) Hamiltonian of ONE trajectory."""
+        hd = self._hamiltonian_data
+        return Hamiltonian(
+            hd._sample_with_trajectory(traj),
+            traj,
+            hd.basis_data,
+            hd.lindblad_data,
+            self._sampling_rate,
+        )
+
+    def _noisy_coeff_batch(self) -> _CoeffBatch:
+        """Per-trajectory coefficient batch for the batched runners.
+
+        Prefers the vectorized fast path; falls back to building one
+        Hamiltonian object per trajectory when the noise
+        configuration modifies samples in a way the broadcast cannot
+        express.
+        """
+        trajs = list(self._hamiltonian_data.noise_trajectories)
+        fast = self._fast_coeff_batch(trajs)
+        if fast is not None:
+            return fast
+        hams = list(self._hamiltonians)
+        return _CoeffBatch(
+            amp=np.stack([h.hamiltonian.amp_coeffs for h in hams]),
+            det=np.stack([h.hamiltonian.det_coeffs for h in hams]),
+            diags=np.stack([h.hamiltonian.int_diag for h in hams]),
+            reps=[h.reps for h in hams],
+            template=hams[0].hamiltonian,
+            shims=[h.hamiltonian for h in hams],
+            last_ham=lambda: hams[-1].hamiltonian,
+        )
+
+    def _fast_coeff_batch(
+        self, trajs: list
+    ) -> "_CoeffBatch | None":
+        """Vectorized per-trajectory coefficients, or None.
+
+        The generic path builds a per-qubit virtual-channel
+        SequenceSamples and a Hamiltonian object per trajectory
+        (~3 ms each — the dominant host cost of the noisy hot loop).
+        When every sample modification the active noise types make
+        is a per-(trajectory, channel, qubit) scalar scale
+        (amplitude sigma, finite beam waist, badly-prepared atoms)
+        or a slot-masked constant detuning offset (doppler), the
+        whole batch is a broadcast over the NOISELESS coefficient
+        arrays instead. Ineligible (returns None): time-dependent
+        detuning noise, DMM noise, XY mode, interaction
+        interpolation, several channels driving one basis.
+
+        Trajectory parity with the generic path is exact — the RNG
+        draws live in the trajectories themselves — and pinned by
+        ``tests/test_fast_coeff_batch.py``.
+        """
+        if (
+            os.environ.get("PULSER_TPU_FAST_COEFF_BATCH", "1")
+            == "0"
+        ):
+            return None
+        nm = self.noise_model
+        ntypes = set(nm.noise_types)
+        if "detuning" in ntypes:
+            return None
+        hd = self._hamiltonian_data
+        samples = hd.samples
+        from pulser_tpu.sampler.samples import DMMSamples
+
+        if any(
+            isinstance(cs, DMMSamples)
+            for cs in samples.channel_samples.values()
+        ):
+            return None
+        ch_objs = samples._ch_objs
+        basis_ch: dict[str, str] = {}
+        for ch, obj in ch_objs.items():
+            if obj.basis in basis_ch:
+                return None  # several channels per basis: fall back
+            basis_ch[obj.basis] = ch
+        if not trajs:
+            return None
+        # Template: noiseless samples, the REAL basis/lindblad data
+        # (collapse operators are trajectory-independent), any
+        # trajectory for the constructor's interaction inputs (its
+        # int_diag is recomputed per trajectory below).
+        template = Hamiltonian(
+            samples,
+            trajs[0].trajectory,
+            hd.basis_data,
+            hd.lindblad_data,
+            self._sampling_rate,
+        )
+        if template.xy_mat is not None or template.int_w is not None:
+            return None
+
+        n = template.n_qudits
+        dim = template.dim**n
+        nb = len(template.bases)
+        n_traj = len(trajs)
+        qid_order = list(template._qid_index)
+
+        # Raw per-(basis, qubit) sample rows in knot space. The
+        # noisy modifications then replay in the generic path's
+        # exact operation order — elementwise ops commute with the
+        # knot gather bit-for-bit, so fast == generic to the last
+        # ulp (tests/test_fast_coeff_batch.py).
+        nested = samples.to_nested_dict(all_local=True)
+        amp_raw = np.zeros((nb, n, template._duration))
+        ph_raw = np.zeros((nb, n, template._duration))
+        det_raw = np.zeros((nb, n, template._duration))
+        for bi, basis in enumerate(template.bases):
+            for qid, qs in nested["Local"].get(basis, {}).items():
+                qi = template._qid_index[qid]
+                amp_raw[bi, qi] = qs["amp"]
+                ph_raw[bi, qi] = qs["phase"]
+                det_raw[bi, qi] = qs["det"]
+        amp_raw = template._adapt_last_axis(amp_raw)
+        ph_raw = template._adapt_last_axis(ph_raw)
+        det_raw = template._adapt_last_axis(det_raw)
+
+        # Slot-support masks per (basis, qubit) in knot space —
+        # doppler offsets apply only where the channel addresses the
+        # qubit (matches _apply_slot_noise's t_window).
+        use_doppler = "doppler" in ntypes
+        if use_doppler:
+            mask_t = np.zeros((nb, n, template._duration))
+            for bi, basis in enumerate(template.bases):
+                ch = basis_ch.get(basis)
+                if ch is None:
+                    continue
+                cs = samples.channel_samples[ch]
+                for slot in cs.slots:
+                    for qid in slot.targets:
+                        qi = template._qid_index[qid]
+                        mask_t[bi, qi, slot.ti : slot.tf] = 1.0
+            mask_k = template._adapt_last_axis(mask_t)
+
+        use_amp = "amplitude" in ntypes
+        waist = nm.laser_waist
+        amp_scale = np.ones((n_traj, nb, n))
+        good = np.ones((n_traj, n))
+        dopp = np.zeros((n_traj, n))
+        diags = np.empty((n_traj, dim))
+        mfgs = np.zeros(n_traj)
+        no_int = (
+            "digital" in template.basis_data.basis_name
+            or n == 1
+        )
+        for t, (traj, _) in enumerate(trajs):
+            if any(traj.bad_atoms.values()):
+                good[t] = [
+                    0.0 if traj.bad_atoms[q] else 1.0
+                    for q in qid_order
+                ]
+            if use_doppler:
+                dopp[t] = [
+                    traj.doppler_detune[q] for q in qid_order
+                ]
+            if use_amp:
+                for bi, basis in enumerate(template.bases):
+                    ch = basis_ch.get(basis)
+                    if ch is None:
+                        continue
+                    frac = traj.amp_fluctuations.get(ch, 1.0)
+                    amp_scale[t, bi, :] = frac
+                    if (
+                        waist is not None
+                        and ch_objs[ch].addressing == "Global"
+                    ):
+                        amp_scale[t, bi, :] *= (
+                            self._waist_fractions(
+                                traj.register,
+                                ch_objs[ch].propagation_dir,
+                                waist,
+                            )
+                        )
+            imat = traj.interaction_matrix.as_array(detach=True)
+            eff = n - sum(traj.bad_atoms.values())
+            if not no_int and eff > 1:
+                diags[t] = template._interaction_diag(
+                    imat[-1], "r", set()
+                )
+                mfgs[t] = float(
+                    np.max(np.sum(np.abs(imat[-1]), axis=1))
+                )
+            else:
+                diags[t] = 0.0
+
+        # Exact generic-path operation order: amp scales in "time"
+        # domain, then 0.5·amp·e^{-iφ}; det adds the masked doppler
+        # offset, bad atoms zero, then 0.5·det and the H+H† doubling.
+        amp_t = amp_raw[None] * amp_scale[..., None]
+        amp_t = amp_t * good[:, None, :, None]
+        amp_b = (0.5 * amp_t) * np.exp(-1j * ph_raw[None])
+        det_t = det_raw[None] + (
+            dopp[:, None, :, None] * mask_k[None]
+            if use_doppler
+            else 0.0
+        )
+        det_t = det_t * good[:, None, :, None]
+        det_b = (0.5 * det_t) * 2.0
+        knots = np.asarray(template.sampling_times)
+        shims = [
+            _CoeffShim(amp_b[t], det_b[t], knots, float(mfgs[t]))
+            for t in range(n_traj)
+        ]
+        last_traj = trajs[-1].trajectory
+        return _CoeffBatch(
+            amp=amp_b,
+            det=det_b,
+            diags=diags,
+            reps=[r for _, r in trajs],
+            template=template,
+            shims=shims,
+            last_ham=functools.partial(
+                self._one_trajectory_hamiltonian, last_traj
+            ),
+        )
+
+    @staticmethod
+    def _waist_fractions(
+        register: BaseRegister,
+        propagation_dir: "tuple | None",
+        laser_waist: float,
+    ) -> np.ndarray:
+        """exp(−(r/w)²) per qubit, r ⊥ to the beam axis (defaults
+        to y) — the vectorized twin of
+        ``HamiltonianData._finite_waist_amp_fraction``."""
+        coords = np.stack(
+            [
+                np.asarray(pos.as_array())
+                for pos in register.qubits.values()
+            ]
+        )
+        p = np.zeros((coords.shape[0], 3))
+        p[:, : coords.shape[1]] = coords
+        axis = np.asarray(
+            propagation_dir or (0.0, 1.0, 0.0), dtype=float
+        )
+        along = p @ axis / np.linalg.norm(axis)
+        r_sq = np.maximum(
+            np.einsum("ij,ij->i", p, p) - along**2, 0.0
+        )
+        return np.exp(-r_sq / laser_waist**2)
 
     @property
     def _last_device_batch(self):
@@ -1409,24 +1684,23 @@ class TpuEmulator:
         trajectory batch integrates in one vmapped program.
         """
         self._refresh_trajectories()
-        hams = list(self._hamiltonians)
+        batch = self._noisy_coeff_batch()
         if print_progress:
             print(
                 f"Emulating Trajectories [1 - {self.n_trajectories}]"
                 f"/{self.n_trajectories} (batched)"
             )
-        first = hams[0].hamiltonian
+        first = batch.template
         d, n = first.dim, first.n_qudits
         knots = first.sampling_times
         # Shared step cap: the tightest across trajectories
-        lambda_max = max(
-            float(
+        lambda_max = float(
+            np.max(
                 np.sum(
-                    2
-                    * np.max(np.abs(h.hamiltonian.amp_coeffs), axis=(1, 2))
+                    2 * np.max(np.abs(batch.amp), axis=(2, 3)),
+                    axis=1,
                 )
             )
-            for h in hams
         )
         base_step = min(
             float(np.median(np.diff(knots)))
@@ -1452,33 +1726,24 @@ class TpuEmulator:
             "sesolve_batch_coarse",
             max_step,
             lambda_max,
-            [h.hamiltonian for h in hams],
+            batch.shims,
             options,
         )
         # One plan for the whole batch: the grid is shared, only the
         # coefficient values differ per trajectory
         plans = _solver_mod.build_plan_batched(
             knots,
-            {
-                "amp": np.stack(
-                    [h.hamiltonian.amp_coeffs for h in hams]
-                ),
-                "det": np.stack(
-                    [h.hamiltonian.det_coeffs for h in hams]
-                ),
-            },
+            {"amp": batch.amp, "det": batch.det},
             self._eval_times_array,
             max_step=max_step,
             coarsen=coarsen,
             breakpoints=(
-                self._sharp_knots(
-                    [h.hamiltonian for h in hams], knots
-                )
+                self._sharp_knots(batch.shims, knots)
                 if coarsen
                 else None
             ),
         )
-        diags = np.stack([h.hamiltonian.int_diag for h in hams])
+        diags = batch.diags
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]
         # Trajectories shard across all attached chips over ICI when
@@ -1504,12 +1769,12 @@ class TpuEmulator:
                 norms == 0, 1.0, norms
             )
         legal_dims_ket = [[d] * n, [1] * n]
-        for hwr, states_t in zip(hams, states_batch):
-            self._current_hamiltonian = hwr.hamiltonian
+        self._current_hamiltonian = batch.last_ham()
+        for reps, states_t in zip(batch.reps, states_batch):
             states_q = [
                 Qobj(s, dims=legal_dims_ket) for s in states_t
             ]
-            yield self._wrap_coherent(states_q), hwr.reps
+            yield self._wrap_coherent(states_q), reps
 
     def _can_batch_lindblad(self) -> bool:
         """Whether dissipative noise trajectories can batch on-device.
@@ -1564,34 +1829,34 @@ class TpuEmulator:
 
         with profiling.phase("emulator.noise_trajectories"):
             self._refresh_trajectories()
-            hams = list(self._hamiltonians)
+            batch = self._noisy_coeff_batch()
         if print_progress:
             print(
                 f"Emulating Trajectories [1 - {self.n_trajectories}]"
                 f"/{self.n_trajectories} (batched, dissipative)"
             )
-        first = hams[0].hamiltonian
+        first = batch.template
         d, n = first.dim, first.n_qudits
         knots = first.sampling_times
         # Shared step cap across trajectories: full (non-interaction-
         # picture) stiffness since the Lindblad solvers integrate in
         # the lab frame
-        lambda_max = max(
-            float(
+        lambda_max = float(
+            np.max(
                 np.sum(
-                    2
-                    * np.max(
-                        np.abs(h.hamiltonian.amp_coeffs), axis=(1, 2)
-                    )
+                    2 * np.max(np.abs(batch.amp), axis=(2, 3)),
+                    axis=1,
                 )
-                + np.max(np.abs(h.hamiltonian.int_diag))
+                + np.max(
+                    np.abs(
+                        batch.diags.reshape(len(batch.reps), -1)
+                    ),
+                    axis=1,
+                )
                 + np.sum(
-                    np.max(
-                        np.abs(h.hamiltonian.det_coeffs), axis=(1, 2)
-                    )
+                    np.max(np.abs(batch.det), axis=(2, 3)), axis=1
                 )
             )
-            for h in hams
         )
         base_step = min(
             float(np.median(np.diff(knots)))
@@ -1656,27 +1921,18 @@ class TpuEmulator:
             _solver_mod.build_plan_batched,
         )(
             knots,
-            {
-                "amp": np.stack(
-                    [h.hamiltonian.amp_coeffs for h in hams]
-                ),
-                "det": np.stack(
-                    [h.hamiltonian.det_coeffs for h in hams]
-                ),
-            },
+            {"amp": batch.amp, "det": batch.det},
             self._eval_times_array,
             max_step=max_step,
             host_stage=False,
             coarsen=coarsen,
             breakpoints=(
-                self._sharp_knots(
-                    [h.hamiltonian for h in hams], knots
-                )
+                self._sharp_knots(batch.shims, knots)
                 if coarsen
                 else None
             ),
         )
-        diags = np.stack([h.hamiltonian.int_diag for h in hams])
+        diags = batch.diags
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]
         collapse_mats = first._local_collapse_mats
@@ -1685,7 +1941,7 @@ class TpuEmulator:
             # One quantum-jump realization per noise trajectory, with
             # the same per-trajectory seed draws as the serial loop
             seeds = [
-                int(np.random.randint(2**31)) for _ in hams
+                int(np.random.randint(2**31)) for _ in batch.reps
             ]
             states_batch = mcsolve_rk4_batched(
                 np.asarray(psi0, dtype=cdtype),
@@ -1717,12 +1973,12 @@ class TpuEmulator:
             )
             dims = [[d] * n, [d] * n]
 
-        for hwr, states_t in zip(hams, states_batch):
-            self._current_hamiltonian = hwr.hamiltonian
+        self._current_hamiltonian = batch.last_ham()
+        for reps, states_t in zip(batch.reps, states_batch):
             with profiling.phase("emulator.wrap_results"):
                 states_q = [Qobj(s, dims=dims) for s in states_t]
                 res = self._wrap_coherent(states_q)
-            yield res, hwr.reps
+            yield res, reps
 
     def _noisy_runs(
         self,
