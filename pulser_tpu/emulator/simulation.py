@@ -1311,7 +1311,15 @@ class TpuEmulator:
 
         legal_dims_ket = [[d] * n, [1] * n]
         legal_dims_op = [[d] * n, [d] * n]
+        # Upfront HBM contract: fail with the modeled ceiling instead
+        # of OOMing mid-solve (pulser_tpu.parallel.capacity).
+        from pulser_tpu.parallel.capacity import check_capacity
+
+        n_eval = len(self._eval_times_array)
         if use_mcsolve:
+            check_capacity(
+                d, n, n_eval=n_eval, what="MCWF (quantum-jump) solve"
+            )
             states_arr = mcsolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,
@@ -1347,6 +1355,14 @@ class TpuEmulator:
 
                 if n >= rho_shard_min_qubits():
                     rho_mesh = default_state_mesh(n)
+            check_capacity(
+                d,
+                n,
+                n_eval=n_eval,
+                n_devices=rho_mesh.size if rho_mesh else 1,
+                density_matrix=True,
+                what="master-equation solve",
+            )
             states_arr = mesolve_rk4(
                 np.asarray(rho0, dtype=cdtype),
                 plan,
@@ -1403,6 +1419,13 @@ class TpuEmulator:
 
                 if 2 * n >= state_shard_min_qubits():
                     state_mesh = default_state_mesh(2 * n - 1)
+            check_capacity(
+                d,
+                n,
+                n_eval=n_eval,
+                n_devices=state_mesh.size if state_mesh else 1,
+                what="Schrödinger solve",
+            )
             states_arr = sesolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
                 plan,

@@ -26,6 +26,9 @@ from pulser_tpu.json.utils import get_dataclass_defaults
 
 __all__ = ["NoiseModel"]
 
+#: Variadic float tuples (PSD series, Lindblad rates).
+_FloatTuple = tuple[float, ...]
+
 NoiseTypes = Literal[
     "leakage",
     "doppler",
@@ -218,6 +221,82 @@ def _as_plain_tuple(obj: Any) -> Any:
     if isinstance(obj, (tuple, list, np.ndarray)):
         return tuple(_as_plain_tuple(el) for el in obj)
     return obj
+
+
+def _register_noise_rows(nm: NoiseModel) -> list[tuple[str, Any, str]]:
+    sigma_xy, sigma_z = _register_sigma_xy_z(
+        nm.temperature * 1e-6,
+        nm.trap_waist,
+        cast(float, nm.trap_depth),
+    )
+    return [
+        ("register_sigma_xy", sigma_xy, "µm"),
+        ("register_sigma_z", sigma_z, "µm"),
+    ]
+
+
+# Declarative spec for get_noise_table(): (gate kind, gate argument,
+# row producer). Gate kinds — "type": the named noise type is active;
+# "pos": the named attribute is a positive number (None counts as
+# absent); "len": the named attribute is non-empty; "truthy": plain
+# bool(). Producers return (key, value, unit) rows.
+_NOISE_TABLE_SPEC: tuple = (
+    ("type", "register", _register_noise_rows),
+    ("pos", "state_prep_error", lambda nm: [
+        ("state_prep_error", nm.state_prep_error, ""),
+    ]),
+    ("pos", "laser_waist", lambda nm: [
+        ("laser_waist", nm.laser_waist, "µm"),
+    ]),
+    ("pos", "amp_sigma", lambda nm: [
+        ("amp_sigma", nm.amp_sigma * 100, "%"),
+    ]),
+    ("pos", "detuning_sigma", lambda nm: [
+        ("detuning_sigma", nm.detuning_sigma, "rad/µs"),
+    ]),
+    ("type", "doppler", lambda nm: [
+        ("doppler_sigma", _doppler_sigma(nm.temperature * 1e-6), "rad/µs"),
+    ]),
+    ("len", "detuning_hf_psd", lambda nm: [
+        (
+            "detuning_psd",
+            list(zip(nm.detuning_hf_omegas, nm.detuning_hf_psd)),
+            "(rad/µs, rad/µs)",
+        ),
+    ]),
+    ("type", "relaxation", lambda nm: [
+        ("T1", 1 / nm.relaxation_rate, "µs"),
+    ]),
+    ("pos", "dephasing_rate", lambda nm: [
+        ("T2* (r-g)", 1 / nm.dephasing_rate, "µs"),
+    ]),
+    ("pos", "hyperfine_dephasing_rate", lambda nm: [
+        ("T2* (g-h)", 1 / nm.hyperfine_dephasing_rate, "µs"),
+    ]),
+    ("type", "depolarizing", lambda nm: [
+        ("depolarizing_rate", nm.depolarizing_rate, "1/µs"),
+    ]),
+    ("type", "eff_noise", lambda nm: [
+        (
+            "eff_noise",
+            list(zip(nm.eff_noise_rates, nm.eff_noise_opers)),
+            "(1/µs, '')",
+        ),
+        ("with_leakage", nm.with_leakage, ""),
+    ]),
+    ("pos", "p_false_pos", lambda nm: [
+        ("p_false_pos", nm.p_false_pos, ""),
+    ]),
+    ("pos", "p_false_neg", lambda nm: [
+        ("p_false_neg", nm.p_false_neg, ""),
+    ]),
+    ("pos", "dmm_sigma", lambda nm: [
+        ("dmm_sigma", nm.dmm_sigma, ""),
+    ]),
+    ("truthy", "detuning_map_spot_waist", lambda nm: [
+        ("detuning_map_spot_waist", nm.detuning_map_spot_waist, "µm"),
+    ]),
+)
 
 
 # Declarative layout of the summary() text. Each section renders when
@@ -416,15 +495,15 @@ class NoiseModel:
     laser_waist: float | None = None
     amp_sigma: float = 0.0
     detuning_sigma: float = 0.0
-    detuning_hf_psd: tuple[float, ...] = ()
-    detuning_hf_omegas: tuple[float, ...] = ()
+    detuning_hf_psd: _FloatTuple = ()
+    detuning_hf_omegas: _FloatTuple = ()
     relaxation_rate: float = 0.0
     dephasing_rate: float = 0.0
     trap_waist: float = 0.0
     trap_depth: float | None = None
     hyperfine_dephasing_rate: float = 0.0
     depolarizing_rate: float = 0.0
-    eff_noise_rates: tuple[float, ...] = ()
+    eff_noise_rates: _FloatTuple = ()
     eff_noise_opers: tuple[pm.AbstractArrayLike, ...] = ()
     with_leakage: bool = False
     disable_doppler: bool = False
@@ -460,13 +539,13 @@ class NoiseModel:
         """Initializes a noise model."""
         param_vals = self._collect_params()
 
-        true_noise_types: set[NoiseTypes] = {
+        active_noise_types: set[NoiseTypes] = {
             _PARAM_TO_NOISE_TYPE[p_]
             for p_ in param_vals
             if param_vals[p_] and p_ in _PARAM_TO_NOISE_TYPE
         }
 
-        self._check_leakage_noise(true_noise_types)
+        self._check_leakage_noise(active_noise_types)
         self._check_detuning_hf_noise(
             param_vals["detuning_hf_psd"],
             param_vals["detuning_hf_omegas"],
@@ -474,12 +553,12 @@ class NoiseModel:
         self._check_eff_noise(
             cast(tuple, param_vals["eff_noise_rates"]),
             cast(tuple, param_vals["eff_noise_opers"]),
-            "eff_noise" in true_noise_types,
+            "eff_noise" in active_noise_types,
             with_leakage=cast(bool, param_vals["with_leakage"]),
         )
 
         relevant_params = self._find_relevant_params(
-            true_noise_types,
+            active_noise_types,
             cast(float, param_vals["state_prep_error"]),
             cast(float, param_vals["amp_sigma"]),
             cast(Union[float, None], param_vals["laser_waist"]),
@@ -506,16 +585,16 @@ class NoiseModel:
         self._validate_parameters(relevant_param_vals)
 
         self._check_register_noise_params(
-            true_noise_types,
+            active_noise_types,
             cast(float, param_vals["trap_waist"]),
             cast(Union[float, None], param_vals["trap_depth"]),
             cast(float, param_vals["temperature"]),
         )
         if self.disable_doppler:
-            true_noise_types.discard("doppler")
+            active_noise_types.discard("doppler")
 
         object.__setattr__(
-            self, "noise_types", tuple(sorted(true_noise_types))
+            self, "noise_types", tuple(sorted(active_noise_types))
         )
         self._store_and_warn_unused(param_vals, relevant_params)
 
@@ -545,12 +624,12 @@ class NoiseModel:
 
     @staticmethod
     def _check_register_noise_params(
-        true_noise_types: Collection[NoiseTypes],
+        active_noise_types: Collection[NoiseTypes],
         trap_waist: float,
         trap_depth: float | None,
         temperature: float,
     ) -> None:
-        if "register" not in true_noise_types:
+        if "register" not in active_noise_types:
             return
         if trap_waist == 0.0 or trap_depth is None or temperature == 0.0:
             raise ValueError(
@@ -583,6 +662,16 @@ class NoiseModel:
         return relevant_params
 
     @staticmethod
+    def _check_noise_types(noise_types: Sequence[NoiseTypes]) -> None:
+        bad = [n for n in noise_types if n not in get_args(NoiseTypes)]
+        if bad:
+            raise ValueError(
+                f"'{bad[0]}' is not a valid noise type. "
+                + "Valid noise types: "
+                + ", ".join(get_args(NoiseTypes))
+            )
+
+    @staticmethod
     def _check_leakage_noise(
         noise_types: Collection[NoiseTypes],
     ) -> None:
@@ -593,16 +682,6 @@ class NoiseModel:
                 "At least one effective noise operator must be defined to"
                 " simulate leakage."
             )
-
-    @staticmethod
-    def _check_noise_types(noise_types: Sequence[NoiseTypes]) -> None:
-        for noise_type in noise_types:
-            if noise_type not in get_args(NoiseTypes):
-                raise ValueError(
-                    f"'{noise_type}' is not a valid noise type. "
-                    + "Valid noise types: "
-                    + ", ".join(get_args(NoiseTypes))
-                )
 
     @staticmethod
     def _check_detuning_hf_noise(
@@ -816,59 +895,29 @@ class NoiseModel:
 
     # -- Human-readable summaries -------------------------------------------
 
+    def _noise_table_gate(self, kind: str, arg: str) -> bool:
+        if kind == "type":
+            return arg in self.noise_types
+        value = getattr(self, arg)
+        if kind == "pos":
+            return value is not None and value > 0
+        if kind == "len":
+            return len(value) > 0
+        return bool(value)  # "truthy"
+
     def get_noise_table(self) -> dict[str, tuple[Any, str]]:
-        """Maps non-zero noise quantities with their value and units."""
-        table: dict[str, tuple[Any, str]] = {}
-        if "register" in self.noise_types:
-            register_sigma_xy, register_sigma_z = _register_sigma_xy_z(
-                self.temperature * 1e-6,
-                self.trap_waist,
-                cast(float, self.trap_depth),
-            )
-            table["register_sigma_xy"] = (register_sigma_xy, "µm")
-            table["register_sigma_z"] = (register_sigma_z, "µm")
-        if self.state_prep_error > 0:
-            table["state_prep_error"] = (self.state_prep_error, "")
-        if self.laser_waist is not None and self.laser_waist > 0:
-            table["laser_waist"] = (self.laser_waist, "µm")
-        if self.amp_sigma > 0:
-            table["amp_sigma"] = (self.amp_sigma * 100, "%")
-        if self.detuning_sigma > 0:
-            table["detuning_sigma"] = (self.detuning_sigma, "rad/µs")
-        if "doppler" in self.noise_types:
-            table["doppler_sigma"] = (
-                _doppler_sigma(self.temperature * 1e-6),
-                "rad/µs",
-            )
-        if len(self.detuning_hf_psd) > 0:
-            psd = list(zip(self.detuning_hf_omegas, self.detuning_hf_psd))
-            table["detuning_psd"] = (psd, "(rad/µs, rad/µs)")
-        if "relaxation" in self.noise_types:
-            table["T1"] = (1 / self.relaxation_rate, "µs")
-        if self.dephasing_rate > 0:
-            table["T2* (r-g)"] = (1 / self.dephasing_rate, "µs")
-        if self.hyperfine_dephasing_rate > 0:
-            table["T2* (g-h)"] = (1 / self.hyperfine_dephasing_rate, "µs")
-        if "depolarizing" in self.noise_types:
-            table["depolarizing_rate"] = (self.depolarizing_rate, "1/µs")
-        if "eff_noise" in self.noise_types:
-            table["eff_noise"] = (
-                list(zip(self.eff_noise_rates, self.eff_noise_opers)),
-                "(1/µs, '')",
-            )
-            table["with_leakage"] = (self.with_leakage, "")
-        if self.p_false_pos > 0:
-            table["p_false_pos"] = (self.p_false_pos, "")
-        if self.p_false_neg > 0:
-            table["p_false_neg"] = (self.p_false_neg, "")
-        if self.dmm_sigma > 0:
-            table["dmm_sigma"] = (self.dmm_sigma, "")
-        if self.detuning_map_spot_waist:
-            table["detuning_map_spot_waist"] = (
-                self.detuning_map_spot_waist,
-                "µm",
-            )
-        return table
+        """Maps non-zero noise quantities with their value and units.
+
+        Driven by the declarative ``_NOISE_TABLE_SPEC`` registry; keys
+        and units match the reference's table
+        (``pulser-core/pulser/noise_model.py``, ``get_noise_table``).
+        """
+        return {
+            key: (value, unit)
+            for kind, arg, produce in _NOISE_TABLE_SPEC
+            if self._noise_table_gate(kind, arg)
+            for key, value, unit in produce(self)
+        }
 
     @staticmethod
     def _fmt(value: Any, unit: str) -> str:

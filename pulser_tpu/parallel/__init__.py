@@ -1,7 +1,9 @@
 """Multi-chip parallelism: trajectory sharding over device meshes."""
 
 from pulser_tpu.parallel.capacity import (
+    CapacityError,
     capacity_report,
+    check_capacity,
     single_chip_ceiling,
 )
 from pulser_tpu.parallel.state_sharding import (
@@ -17,7 +19,9 @@ from pulser_tpu.parallel.trajectories import (
 
 __all__ = [
     "STATE_SHARD_MIN_QUBITS",
+    "CapacityError",
     "capacity_report",
+    "check_capacity",
     "default_mesh",
     "sesolve_ip_statevector_sharded",
     "single_chip_ceiling",

@@ -224,3 +224,28 @@ def test_legacy_sequence_serialize_roundtrip():
         np.asarray(a.phase, dtype=float),
         np.asarray(b.phase, dtype=float),
     )
+
+
+def test_top_level_abstract_repr_shim():
+    """Import parity with the reference's pulser/abstract_repr.py shim."""
+    import pulser_tpu.abstract_repr as shim
+    from pulser_tpu.json.abstract_repr import deserializer as impl
+
+    assert shim.deserialize_sequence is impl.deserialize_abstract_sequence
+    assert shim.deserialize_device is impl.deserialize_device
+    assert shim.deserialize_layout is impl.deserialize_abstract_layout
+    assert shim.deserialize_register is impl.deserialize_abstract_register
+    assert shim.deserialize_noise_model is impl.deserialize_abstract_noise_model
+    assert set(shim.__all__) == {
+        "deserialize_layout",
+        "deserialize_noise_model",
+        "deserialize_register",
+        "deserialize_sequence",
+        "deserialize_device",
+    }
+
+    # Round-trip smoke check through the shim's names.
+    import pulser_tpu as tpu
+
+    dev = shim.deserialize_device(tpu.AnalogDevice.to_abstract_repr())
+    assert dev == tpu.AnalogDevice

@@ -1,15 +1,22 @@
-"""The single-chip capacity contract for non-shardable bases.
+"""The HBM capacity contract for the solvers.
 
-Statevector sharding is a d=2 specialization (XOR-partner ppermute);
-qutrit/leakage bases run single-chip and their ceiling is one chip's
-HBM. These tests pin the documented ceilings and keep the memory
-model self-consistent, complementing
-``test_parallel.py::test_qutrit_basis_falls_back_to_single_device``
-(which asserts the fallback itself).
+Every basis shards (d=2 via XOR-partner ppermute, d=3/4 via the d→4
+digit embedding — ``test_parallel.py::test_qutrit_basis_routes_to_
+qudit_sharding`` — and ρ via row sharding), so the model covers two
+regimes: single-chip below the sharding thresholds, and (per-chip HBM)
+× (mesh size) above them. These tests pin the documented ceilings,
+keep the memory model self-consistent, and assert the emulator's
+upfront ``check_capacity`` contract raises instead of OOMing.
 """
 
+import pytest
 
-from pulser_tpu.parallel import capacity, single_chip_ceiling
+from pulser_tpu.parallel import (
+    CapacityError,
+    capacity,
+    check_capacity,
+    single_chip_ceiling,
+)
 
 
 def test_v5e_ceilings_documented():
@@ -68,3 +75,70 @@ def test_sharding_threshold_engages_before_the_wall():
         state_sharding.state_shard_min_qubits()
         < single_chip_ceiling(2)
     )
+
+
+def test_check_capacity_skips_without_hbm_stats(monkeypatch):
+    """CPU test meshes report no HBM limit; the contract stays out
+    of the way there."""
+    monkeypatch.setattr(capacity, "measured_hbm_bytes", lambda: None)
+    check_capacity(2, 40)  # absurd size, but no model applies
+
+
+def test_check_capacity_within_budget(monkeypatch):
+    monkeypatch.setattr(
+        capacity, "measured_hbm_bytes", lambda: capacity.V5E_HBM_BYTES
+    )
+    n_max = single_chip_ceiling(2)
+    check_capacity(2, n_max)  # fits
+    with pytest.raises(CapacityError) as exc:
+        check_capacity(2, n_max + 1)
+    msg = str(exc.value)
+    assert "GiB" in msg and f"n={n_max}" in msg
+
+
+def test_check_capacity_budget_scales_with_mesh(monkeypatch):
+    monkeypatch.setattr(
+        capacity, "measured_hbm_bytes", lambda: capacity.V5E_HBM_BYTES
+    )
+    n_max = single_chip_ceiling(2)
+    # 8 chips buy three more qubits of statevector.
+    check_capacity(2, n_max + 3, n_devices=8)
+    with pytest.raises(CapacityError):
+        check_capacity(2, n_max + 4, n_devices=8)
+
+
+def test_check_capacity_density_matrix_costs_double(monkeypatch):
+    monkeypatch.setattr(
+        capacity, "measured_hbm_bytes", lambda: capacity.V5E_HBM_BYTES
+    )
+    n_rho = single_chip_ceiling(2) // 2
+    check_capacity(2, n_rho, density_matrix=True)
+    with pytest.raises(CapacityError):
+        check_capacity(2, n_rho + 1, density_matrix=True)
+
+
+def test_check_capacity_is_error_and_memoryerror():
+    assert issubclass(CapacityError, MemoryError)
+    from pulser_tpu.exceptions.base import PulserError
+
+    assert issubclass(CapacityError, PulserError)
+
+
+def test_emulator_consults_capacity_before_allocating(monkeypatch):
+    """An over-capacity run raises the modeled ceiling upfront (the
+    emulator calls check_capacity before the solver allocates)."""
+    import pulser_tpu as tpu
+    from pulser_tpu.emulator import TpuEmulator
+
+    reg = tpu.Register.square(3, spacing=6.0, prefix="q")
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    # Pretend the attached chip has 2 KiB of HBM: any 9-qubit solve
+    # must now be rejected upfront by the contract.
+    monkeypatch.setattr(
+        capacity, "measured_hbm_bytes", lambda: 2048
+    )
+    with pytest.raises(CapacityError, match="ceiling"):
+        sim.run()

@@ -191,6 +191,9 @@ def test_noisy_run_results_identical_both_paths(monkeypatch):
         )
         res = sim.run()
         np.random.seed(3)
-        return dict(res.sample_final_state(2000))
+        # SampledResult.get_samples warns (reference parity) that it
+        # resamples; here resampling is exactly what we compare.
+        with pytest.warns(UserWarning, match="resamples a sampling"):
+            return dict(res.sample_final_state(2000))
 
     assert counts(False) == counts(True)
