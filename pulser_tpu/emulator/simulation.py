@@ -107,6 +107,11 @@ class _CoeffBatch(NamedTuple):
     template: Hamiltonian  # pairs / dims / knots / collapse source
     shims: list  # per-trajectory coeff views (step policy inputs)
     last_ham: Any  # () -> Hamiltonian for _current_hamiltonian
+    #: Optional rank factorization of `det` — (profiles (R, nb, N,
+    #: K), coeffs (T, R, nb, N)) with det[t] = Σ_r coeffs[t, r] ·
+    #: profiles[r]; lets the solver stage phase integrals on the R
+    #: profile rows instead of the trajectory batch.
+    det_factors: Any = None
 
 
 class _CoeffShim(NamedTuple):
@@ -477,37 +482,59 @@ class TpuEmulator:
         # noisy modifications then replay in the generic path's
         # exact operation order — elementwise ops commute with the
         # knot gather bit-for-bit, so fast == generic to the last
-        # ulp (tests/test_fast_coeff_batch.py).
-        nested = samples.to_nested_dict(all_local=True)
-        amp_raw = np.zeros((nb, n, template._duration))
-        ph_raw = np.zeros((nb, n, template._duration))
-        det_raw = np.zeros((nb, n, template._duration))
-        for bi, basis in enumerate(template.bases):
-            for qid, qs in nested["Local"].get(basis, {}).items():
-                qi = template._qid_index[qid]
-                amp_raw[bi, qi] = qs["amp"]
-                ph_raw[bi, qi] = qs["phase"]
-                det_raw[bi, qi] = qs["det"]
-        amp_raw = template._adapt_last_axis(amp_raw)
-        ph_raw = template._adapt_last_axis(ph_raw)
-        det_raw = template._adapt_last_axis(det_raw)
-
-        # Slot-support masks per (basis, qubit) in knot space —
-        # doppler offsets apply only where the channel addresses the
-        # qubit (matches _apply_slot_noise's t_window).
+        # ulp (tests/test_fast_coeff_batch.py). These rows are
+        # trajectory-INDEPENDENT, so repeat run() calls (fresh noise
+        # draws over the same samples) reuse them.
         use_doppler = "doppler" in ntypes
-        if use_doppler:
-            mask_t = np.zeros((nb, n, template._duration))
+        raw_key = (
+            id(self.samples_obj),
+            self._sampling_rate,
+            template._duration,
+            tuple(template.bases),
+            use_doppler,
+        )
+        cached_raw = getattr(self, "_fast_raw_rows", None)
+        if cached_raw is not None and cached_raw[0] == raw_key:
+            _, amp_raw, ph_exp, det_raw, mask_k = cached_raw
+        else:
+            nested = samples.to_nested_dict(all_local=True)
+            amp_raw = np.zeros((nb, n, template._duration))
+            ph_raw = np.zeros((nb, n, template._duration))
+            det_raw = np.zeros((nb, n, template._duration))
             for bi, basis in enumerate(template.bases):
-                ch = basis_ch.get(basis)
-                if ch is None:
-                    continue
-                cs = samples.channel_samples[ch]
-                for slot in cs.slots:
-                    for qid in slot.targets:
-                        qi = template._qid_index[qid]
-                        mask_t[bi, qi, slot.ti : slot.tf] = 1.0
-            mask_k = template._adapt_last_axis(mask_t)
+                for qid, qs in nested["Local"].get(basis, {}).items():
+                    qi = template._qid_index[qid]
+                    amp_raw[bi, qi] = qs["amp"]
+                    ph_raw[bi, qi] = qs["phase"]
+                    det_raw[bi, qi] = qs["det"]
+            amp_raw = template._adapt_last_axis(amp_raw)
+            ph_raw = template._adapt_last_axis(ph_raw)
+            det_raw = template._adapt_last_axis(det_raw)
+            ph_exp = np.exp(-1j * ph_raw[None])
+
+            # Slot-support masks per (basis, qubit) in knot space —
+            # doppler offsets apply only where the channel addresses
+            # the qubit (matches _apply_slot_noise's t_window).
+            mask_k = None
+            if use_doppler:
+                mask_t = np.zeros((nb, n, template._duration))
+                for bi, basis in enumerate(template.bases):
+                    ch = basis_ch.get(basis)
+                    if ch is None:
+                        continue
+                    cs = samples.channel_samples[ch]
+                    for slot in cs.slots:
+                        for qid in slot.targets:
+                            qi = template._qid_index[qid]
+                            mask_t[bi, qi, slot.ti : slot.tf] = 1.0
+                mask_k = template._adapt_last_axis(mask_t)
+            self._fast_raw_rows = (
+                raw_key,
+                amp_raw,
+                ph_exp,
+                det_raw,
+                mask_k,
+            )
 
         use_amp = "amplitude" in ntypes
         waist = nm.laser_waist
@@ -520,6 +547,23 @@ class TpuEmulator:
             "digital" in template.basis_data.basis_name
             or n == 1
         )
+        # Absent register noise, every trajectory carries the SAME
+        # register object — memoize the per-channel waist profile so
+        # a 100-trajectory batch computes it once. (The trajs list
+        # keeps the registers alive, so ids are stable here.)
+        waist_memo: dict = {}
+
+        def waist_frac(reg, ch):
+            key = (id(reg), ch)
+            hit = waist_memo.get(key)
+            if hit is None:
+                hit = waist_memo[key] = self._waist_fractions(
+                    reg,
+                    ch_objs[ch].propagation_dir,
+                    waist,
+                )
+            return hit
+
         for t, (traj, _) in enumerate(trajs):
             if any(traj.bad_atoms.values()):
                 good[t] = [
@@ -541,12 +585,8 @@ class TpuEmulator:
                         waist is not None
                         and ch_objs[ch].addressing == "Global"
                     ):
-                        amp_scale[t, bi, :] *= (
-                            self._waist_fractions(
-                                traj.register,
-                                ch_objs[ch].propagation_dir,
-                                waist,
-                            )
+                        amp_scale[t, bi, :] *= waist_frac(
+                            traj.register, ch
                         )
             imat = traj.interaction_matrix.as_array(detach=True)
             eff = n - sum(traj.bad_atoms.values())
@@ -565,7 +605,7 @@ class TpuEmulator:
         # offset, bad atoms zero, then 0.5·det and the H+H† doubling.
         amp_t = amp_raw[None] * amp_scale[..., None]
         amp_t = amp_t * good[:, None, :, None]
-        amp_b = (0.5 * amp_t) * np.exp(-1j * ph_raw[None])
+        amp_b = (0.5 * amp_t) * ph_exp
         det_t = det_raw[None] + (
             dopp[:, None, :, None] * mask_k[None]
             if use_doppler
@@ -573,6 +613,25 @@ class TpuEmulator:
         )
         det_t = det_t * good[:, None, :, None]
         det_b = (0.5 * det_t) * 2.0
+        # Rank factorization of det_b — det_b[t] = good[t]·base +
+        # (dopp[t]·good[t])·mask — so the solver's phase staging
+        # gathers profile rows, not the batch (solver._det_rank_leaf
+        # spot-verifies before trusting this).
+        profiles = [(0.5 * det_raw) * 2.0]
+        coeff_rows = [
+            np.broadcast_to(good[:, None, :], (n_traj, nb, n))
+        ]
+        if use_doppler:
+            profiles.append((0.5 * mask_k) * 2.0)
+            coeff_rows.append(
+                np.broadcast_to(
+                    (dopp * good)[:, None, :], (n_traj, nb, n)
+                )
+            )
+        det_factors = (
+            np.stack(profiles),
+            np.stack(coeff_rows, axis=1),
+        )
         knots = np.asarray(template.sampling_times)
         shims = [
             _CoeffShim(amp_b[t], det_b[t], knots, float(mfgs[t]))
@@ -589,6 +648,7 @@ class TpuEmulator:
             last_ham=functools.partial(
                 self._one_trajectory_hamiltonian, last_traj
             ),
+            det_factors=det_factors,
         )
 
     @staticmethod
@@ -1952,6 +2012,11 @@ class TpuEmulator:
             breakpoints=(
                 self._sharp_knots(batch.shims, knots)
                 if coarsen
+                else None
+            ),
+            factors=(
+                {"det": batch.det_factors}
+                if batch.det_factors is not None
                 else None
             ),
         )

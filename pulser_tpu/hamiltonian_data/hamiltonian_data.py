@@ -629,6 +629,21 @@ class HamiltonianData:
             (2, N, N): the C3 interaction first, then C6. In Rydberg
             mode, shape (1, N, N) with the C6 interaction only.
         """
+        # Without register-position noise every trajectory passes the
+        # SAME register object — memoize the base matrix so a
+        # 100-trajectory draw computes it once, not 100 times.
+        if register is self._register:
+            cached = getattr(self, "_base_int_matrix", None)
+            if cached is not None:
+                return cached
+            out = self._interaction_matrix_impl(register)
+            self._base_int_matrix = out
+            return out
+        return self._interaction_matrix_impl(register)
+
+    def _interaction_matrix_impl(
+        self, register: BaseRegister
+    ) -> np.ndarray:
         # Time-dependent effects (the SLM mask) are deliberately absent
         is_xy = self.basis_data.interaction_type == "XY"
         d = _distances(register)

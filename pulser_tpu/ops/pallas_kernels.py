@@ -877,8 +877,15 @@ def _mcwf_rows_kernel(
 
     @pl.when(s == 0)
     def _():
-        psi_re[:] = psi0_re_ref[:]
-        psi_im[:] = psi0_im_ref[:]
+        # psi0 arrives as a single (R, 1, C) plane (it is shared by
+        # every trajectory — shipping it per-sublane would cost tb×
+        # the VMEM) and broadcasts onto the trajectory axis here.
+        psi_re[:] = jnp.broadcast_to(
+            psi0_re_ref[:], (rows, t_cnt, cols)
+        )
+        psi_im[:] = jnp.broadcast_to(
+            psi0_im_ref[:], (rows, t_cnt, cols)
+        )
         r_box[:] = r0_ref[:]
 
     # Per-qubit occupancy masks: (R, 1, 1) for outer-axis qubits,
@@ -1117,6 +1124,13 @@ def rows_block_ladder(
         # chunk 64 measured safe up to rows=16; 32x16 needed
         # chunk<=32 (20.3M at chunk 64)
         out.append((64 if rows_ <= 16 else 32, tb))
+        if len(out) == 1 and rows_ <= 16:
+            # Shrinking the step chunk halves the drive blocks while
+            # keeping the FULL trajectory block — sequential
+            # trajectory blocks double kernel wall, so prefer a
+            # smaller chunk over a smaller tb when the widest config
+            # is marginal on scoped VMEM.
+            out.append((32, tb))
     if rows_ >= 32 and out:
         out.append((16, 8))
     return out
@@ -1282,12 +1296,8 @@ def mcwf_rows_program(
     diag3 = jnp.transpose(
         jnp.reshape(diags, (t_cnt, rows, cols)), (1, 0, 2)
     )
-    psi0_re_b = jnp.broadcast_to(
-        jnp.reshape(psi0_re, (rows, 1, cols)), (rows, t_cnt, cols)
-    )
-    psi0_im_b = jnp.broadcast_to(
-        jnp.reshape(psi0_im, (rows, 1, cols)), (rows, t_cnt, cols)
-    )
+    psi0_re_b = jnp.reshape(psi0_re, (rows, 1, cols))
+    psi0_im_b = jnp.reshape(psi0_im, (rows, 1, cols))
     return pl.pallas_call(
         kernel,
         grid=(n_tblk, n_blk),
@@ -1322,10 +1332,10 @@ def mcwf_rows_program(
                 (rows, tb, cols), lambda t, s: (0, t, 0)
             ),
             pl.BlockSpec(
-                (rows, tb, cols), lambda t, s: (0, t, 0)
+                (rows, 1, cols), lambda t, s: (0, 0, 0)
             ),
             pl.BlockSpec(
-                (rows, tb, cols), lambda t, s: (0, t, 0)
+                (rows, 1, cols), lambda t, s: (0, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
