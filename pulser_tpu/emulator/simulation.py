@@ -44,7 +44,7 @@ from pulser_tpu.channels.base_channel import States
 from pulser_tpu.devices._device_datacls import BaseDevice
 from pulser_tpu.noise_model import NoiseModel
 from pulser_tpu.register.base_register import BaseRegister
-from pulser_tpu.result import SampledResult
+from pulser_tpu.result import SampledResult, _labels_of
 from pulser_tpu.sampler.samples import ChannelSamples, SequenceSamples
 from pulser_tpu.emulator.hamiltonian import Hamiltonian
 from pulser_tpu.emulator.qobj import Qobj, tensor
@@ -1112,7 +1112,8 @@ class TpuEmulator:
 
     @staticmethod
     def _sharp_knots(
-        hamiltonians: "list[Hamiltonian]", knots: np.ndarray
+        hamiltonians: "list[Hamiltonian] | _CoeffBatch",
+        knots: np.ndarray,
     ) -> "np.ndarray | None":
         """Knot times where a coefficient's slope jumps sharply.
 
@@ -1125,21 +1126,46 @@ class TpuEmulator:
         if len(knots) < 3:
             return None
         marks = np.zeros(len(knots) - 2, dtype=bool)
-        for ham in hamiltonians:
-            for arr in (ham.amp_coeffs, ham.det_coeffs):
+
+        def mark(comp: np.ndarray, per_traj: bool) -> None:
+            """comp: (..., K) real; per_traj scales on axis 0."""
+            nonlocal marks
+            if per_traj:
+                scale = np.max(
+                    np.abs(comp),
+                    axis=tuple(range(1, comp.ndim)),
+                )
+                thresh = 0.05 * scale.reshape(
+                    (-1,) + (1,) * (comp.ndim - 1)
+                )
+            else:
+                thresh = 0.05 * float(np.max(np.abs(comp)))
+                if thresh == 0.0:
+                    return
+            d2 = np.abs(np.diff(comp, n=2, axis=-1))
+            marks |= (d2 > thresh).any(
+                axis=tuple(range(d2.ndim - 1))
+            )
+
+        if isinstance(hamiltonians, _CoeffBatch):
+            # Stacked form: one vectorized pass over the whole batch
+            # (identical marks to the per-shim loop — a zero-scale
+            # trajectory row is all zeros, so its d2 > 0 comparison
+            # is vacuously false).
+            for arr in (hamiltonians.amp, hamiltonians.det):
                 arr = np.asarray(arr)
                 if arr.shape[-1] != len(knots):
                     continue
-                for comp in (arr.real, arr.imag):
-                    scale = float(np.max(np.abs(comp)))
-                    if scale == 0.0:
+                mark(arr.real, per_traj=True)
+                mark(arr.imag, per_traj=True)
+        else:
+            for ham in hamiltonians:
+                for arr in (ham.amp_coeffs, ham.det_coeffs):
+                    arr = np.asarray(arr)
+                    if arr.shape[-1] != len(knots):
                         continue
-                    d2 = np.abs(np.diff(comp, n=2, axis=-1))
-                    marks |= np.asarray(
-                        (d2 > 0.05 * scale).any(
-                            axis=tuple(range(d2.ndim - 1))
-                        )
-                    )
+                    mark(arr.real, per_traj=False)
+                    mark(arr.imag, per_traj=False)
         times = np.asarray(knots)[1:-1][marks]
         return times if len(times) else None
 
@@ -1673,25 +1699,37 @@ class TpuEmulator:
             )
 
         # Will return NoisyResults
-        total_count = np.array(
-            [Counter() for _ in self._eval_times_array]
-        )
-
-        for cleanres_noisyseq, reps in self._noisy_runs(
-            progress_bar=progress_bar,
-            print_progress=print_progress,
-            **options,
-        ):
-            total_count += np.array(
-                [
-                    cleanres_noisyseq.sample_state(
-                        t,
-                        n_samples=self.noise_model.samples_per_run
-                        * reps,
-                    )
-                    for t in self._eval_times_array
-                ]
+        if self._can_batch_trajectories() or self._can_batch_lindblad():
+            # One vectorized multinomial/SPAM-flip pass over the
+            # whole (trajectory × eval-time) batch instead of ~200
+            # Counter-returning sample_state calls (which dominated
+            # the per-run host time once the solve itself was fast).
+            total_count = self._sample_runs_vectorized(
+                progress_bar=progress_bar,
+                print_progress=print_progress,
+                **options,
             )
+        else:
+            total_count = np.array(
+                [Counter() for _ in self._eval_times_array]
+            )
+            for cleanres_noisyseq, reps in self._noisy_runs(
+                progress_bar=progress_bar,
+                print_progress=print_progress,
+                **options,
+            ):
+                total_count += np.array(
+                    [
+                        cleanres_noisyseq.sample_state(
+                            t,
+                            n_samples=(
+                                self.noise_model.samples_per_run
+                                * reps
+                            ),
+                        )
+                        for t in self._eval_times_array
+                    ]
+                )
 
         n_measures = (
             cast(int, self.n_trajectories)
@@ -1821,7 +1859,7 @@ class TpuEmulator:
             max_step=max_step,
             coarsen=coarsen,
             breakpoints=(
-                self._sharp_knots(batch.shims, knots)
+                self._sharp_knots(batch, knots)
                 if coarsen
                 else None
             ),
@@ -2010,7 +2048,7 @@ class TpuEmulator:
             host_stage=False,
             coarsen=coarsen,
             breakpoints=(
-                self._sharp_knots(batch.shims, knots)
+                self._sharp_knots(batch, knots)
                 if coarsen
                 else None
             ),
@@ -2067,6 +2105,82 @@ class TpuEmulator:
                 states_q = [Qobj(s, dims=dims) for s in states_t]
                 res = self._wrap_coherent(states_q)
             yield res, reps
+
+    def _sample_runs_vectorized(
+        self,
+        progress_bar: bool,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> np.ndarray:
+        """Per-eval-time bitstring Counters over all noisy runs.
+
+        Equivalent in distribution to calling ``sample_state`` per
+        (trajectory, eval time) — same cumsum+searchsorted sampler,
+        same SPAM flip model — but drawn in one vectorized pass (the
+        global-RNG stream is consumed in a different order, so
+        seeded counts differ from the serial loop while remaining
+        draws from the identical distribution).
+        """
+        with profiling.phase("emulator.sample_counts"):
+            eval_ts = self._eval_times_array
+            spr = self.noise_model.samples_per_run
+            weight_rows: list[np.ndarray] = []
+            ns: list[int] = []
+            meas_errors = None
+            for cres, reps in self._noisy_runs(
+                progress_bar=progress_bar,
+                print_progress=print_progress,
+                **options,
+            ):
+                meas_errors = getattr(cres, "_meas_errors", None)
+                for t in eval_ts:
+                    ti = cres._get_index_from_time(t, 1.0e-3)
+                    weight_rows.append(cres[ti]._weights())
+                    ns.append(spr * reps)
+            n_times = len(eval_ts)
+            width = self._hamiltonian_data.n_qudits
+            cum = np.cumsum(np.stack(weight_rows), axis=1)
+            offs = np.concatenate(([0], np.cumsum(ns)))
+            rnd = np.random.rand(offs[-1])
+            idx = np.empty(offs[-1], dtype=np.int64)
+            for e in range(len(ns)):
+                idx[offs[e] : offs[e + 1]] = np.searchsorted(
+                    cum[e], rnd[offs[e] : offs[e + 1]]
+                )
+            bit_pos = np.arange(width - 1, -1, -1)
+            bits = (idx[:, None] >> bit_pos) & 1
+            if meas_errors is not None and (
+                meas_errors["epsilon"] != 0.0
+                or meas_errors["epsilon_prime"] != 0.0
+            ):
+                flip_probs = np.where(
+                    bits == 1,
+                    meas_errors["epsilon_prime"],
+                    meas_errors["epsilon"],
+                )
+                flips = (
+                    np.random.uniform(size=bits.shape) < flip_probs
+                )
+                bits = bits ^ flips
+            codes = bits @ (1 << bit_pos)
+            total_count = np.array(
+                [Counter() for _ in eval_ts]
+            )
+            for e in range(len(ns)):
+                ti = e % n_times
+                vals, cnts = np.unique(
+                    codes[offs[e] : offs[e + 1]],
+                    return_counts=True,
+                )
+                total_count[ti].update(
+                    dict(
+                        zip(
+                            _labels_of(vals, width),
+                            cnts.tolist(),
+                        )
+                    )
+                )
+            return total_count
 
     def _noisy_runs(
         self,
