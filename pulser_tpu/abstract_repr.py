@@ -1,10 +1,11 @@
-"""Convenience aliases for abstract-representation deserialization.
+"""Top-level aliases for abstract-representation deserialization.
 
-Mirrors the reference's top-level shim
-(``pulser-core/pulser/abstract_repr.py:16-37``): short public names for the
-deserializers that live in :mod:`pulser_tpu.json.abstract_repr.deserializer`,
-so ``from pulser_tpu.abstract_repr import deserialize_device`` works the same
-way it does upstream.
+Mirrors the public convenience module of the reference
+(``pulser-core/pulser/abstract_repr.py:16-21``): each ``deserialize_*``
+function accepts the JSON string of the corresponding abstract-repr
+schema and returns the reconstructed object.  The implementations live
+in :mod:`pulser_tpu.json.abstract_repr.deserializer`; this module only
+provides the short, stable import path users reach for first.
 """
 
 from __future__ import annotations

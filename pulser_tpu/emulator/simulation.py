@@ -1949,8 +1949,10 @@ class TpuEmulator:
         )
 
         with profiling.phase("emulator.noise_trajectories"):
-            self._refresh_trajectories()
-            batch = self._noisy_coeff_batch()
+            with profiling.phase("emulator.traj_draw"):
+                self._refresh_trajectories()
+            with profiling.phase("emulator.coeff_batch"):
+                batch = self._noisy_coeff_batch()
         if print_progress:
             print(
                 f"Emulating Trajectories [1 - {self.n_trajectories}]"

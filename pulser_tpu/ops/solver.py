@@ -4060,7 +4060,14 @@ def _mcsolve_pallas_rows(
                 interpret=interpret,
             )
 
-    out = _rows_run_ladder(_run, n, n_traj)
+    from pulser_tpu import profiling
+
+    with profiling.phase("solver.rows_dispatch"):
+        out = _rows_run_ladder(_run, n, n_traj)
+    with profiling.phase("solver.rows_device"):
+        # Dependent 4-byte fetch: the only reliable completion
+        # barrier on tunneled PJRT (see DeviceStateBatch.sync).
+        np.asarray(out[(-1,) + (0,) * (out.ndim - 1)])
     last_solve_info.update(
         kind="mcwf_rows_pallas",
         dim=rows * cols,
@@ -4070,7 +4077,8 @@ def _mcsolve_pallas_rows(
         n_cops=len(cops_spec),
     )
     # (S, 2, R, T, C) -> (T, n_eval, dim) complex
-    out_np = np.asarray(out)[base.eval_map]
+    with profiling.phase("solver.rows_fetch"):
+        out_np = np.asarray(out)[base.eval_map]
     out_np = np.transpose(out_np, (3, 0, 1, 2, 4))[:n_traj]
     flat = out_np.reshape(
         n_traj, len(base.eval_map), 2, rows * cols

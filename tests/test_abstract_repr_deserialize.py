@@ -568,3 +568,33 @@ class TestParametrizedOps:
         assert np.isclose(
             float(slot.type.amplitude.integral), np.pi / 2
         )
+
+
+def test_top_level_abstract_repr_shim():
+    """Import-parity for the pulser_tpu.abstract_repr alias module.
+
+    Mirrors /root/reference/pulser-core/pulser/abstract_repr.py:16-21:
+    the five deserialize_* aliases resolve to the real implementations
+    and round-trip a register, layout, noise model and device.
+    """
+    from pulser_tpu import abstract_repr as ar
+    from pulser_tpu.json.abstract_repr import deserializer as impl
+
+    assert ar.deserialize_sequence is impl.deserialize_abstract_sequence
+    assert ar.deserialize_layout is impl.deserialize_abstract_layout
+    assert ar.deserialize_register is impl.deserialize_abstract_register
+    assert ar.deserialize_noise_model is impl.deserialize_abstract_noise_model
+    assert ar.deserialize_device is impl.deserialize_device
+    assert set(ar.__all__) == {
+        "deserialize_layout",
+        "deserialize_noise_model",
+        "deserialize_register",
+        "deserialize_sequence",
+        "deserialize_device",
+    }
+
+    dev = ar.deserialize_device(tpu.DigitalAnalogDevice.to_abstract_repr())
+    assert dev == tpu.DigitalAnalogDevice
+    reg = tpu.Register.square(2, spacing=5.0, prefix="q")
+    reg2 = ar.deserialize_register(reg.to_abstract_repr())
+    assert reg2 == reg
