@@ -89,7 +89,7 @@ class HamiltonianWithReps(NamedTuple):
     reps: int
 
 
-class _CoeffBatch(NamedTuple):
+class _CoeffBatch:
     """Per-trajectory solver inputs for one batched noisy run.
 
     Built either the generic way (one :class:`Hamiltonian` object per
@@ -98,20 +98,94 @@ class _CoeffBatch(NamedTuple):
     broadcasting over the noiseless coefficients
     (:meth:`TpuEmulator._fast_coeff_batch`), which skips the
     per-trajectory virtual-channel sampler entirely.
+
+    The fast path carries the coefficients as rank factorizations
+    (``amp_factors`` / ``det_factors``: profiles ``(R, nb, N, K)``,
+    coeffs ``(B, R, nb, N)`` with ``batch[b] = Σ_r coeffs[b, r] ·
+    profiles[r]``) and NEVER materializes the dense ``(B, nb, N,
+    K)`` batch on the hot path — the step policy, breakpoint marks
+    and the solver's on-device staging all run on the profile rows.
+    The dense ``amp`` / ``det`` views materialize lazily (via
+    ``dense_fn``, which replays the exact generic-path operation
+    order) for the pure-state batched path and the parity tests.
     """
 
-    amp: np.ndarray  # (T, nb, N, K) complex drive coefficients
-    det: np.ndarray  # (T, nb, N, K) real detuning coefficients
-    diags: np.ndarray  # (T, dim) interaction diagonals
-    reps: list  # repetition count per trajectory
-    template: Hamiltonian  # pairs / dims / knots / collapse source
-    shims: list  # per-trajectory coeff views (step policy inputs)
-    last_ham: Any  # () -> Hamiltonian for _current_hamiltonian
-    #: Optional rank factorization of `det` — (profiles (R, nb, N,
-    #: K), coeffs (T, R, nb, N)) with det[t] = Σ_r coeffs[t, r] ·
-    #: profiles[r]; lets the solver stage phase integrals on the R
-    #: profile rows instead of the trajectory batch.
-    det_factors: Any = None
+    def __init__(
+        self,
+        diags: np.ndarray,
+        reps: list,
+        template: Hamiltonian,
+        last_ham: Any,
+        shims: "list | None" = None,
+        amp: "np.ndarray | None" = None,
+        det: "np.ndarray | None" = None,
+        det_factors: Any = None,
+        amp_factors: Any = None,
+        dense_fn: Any = None,
+        flip_gaps: "np.ndarray | None" = None,
+    ) -> None:
+        self.diags = diags  # (T, dim) interaction diagonals
+        self.reps = reps  # repetition count per trajectory
+        self.template = template  # pairs / dims / knots / collapse
+        self.last_ham = last_ham  # () -> Hamiltonian
+        self._shims = shims  # per-trajectory step-policy views
+        self._amp = amp  # (T, nb, N, K) complex, or lazy
+        self._det = det  # (T, nb, N, K) real, or lazy
+        self.det_factors = det_factors
+        self.amp_factors = amp_factors
+        self._dense_fn = dense_fn
+        self._flip_gaps = flip_gaps
+        assert (amp is not None and det is not None) or (
+            dense_fn is not None
+        ), "need dense arrays or a materializer"
+
+    def _materialize(self) -> None:
+        if self._amp is None or self._det is None:
+            self._amp, self._det = self._dense_fn()
+
+    @property
+    def amp(self) -> np.ndarray:
+        """Dense complex drive batch (lazy on the factored path)."""
+        self._materialize()
+        return self._amp
+
+    @property
+    def det(self) -> np.ndarray:
+        """Dense real detuning batch (lazy on the factored path)."""
+        self._materialize()
+        return self._det
+
+    @property
+    def shims(self) -> list:
+        """Per-trajectory step-policy views (lazy, like the dense
+        batch they slice)."""
+        if self._shims is None:
+            knots = np.asarray(self.template.sampling_times)
+            self._shims = [
+                _CoeffShim(
+                    self.amp[t],
+                    self.det[t],
+                    knots,
+                    float(self._flip_gaps[t]),
+                )
+                for t in range(len(self.reps))
+            ]
+        return self._shims
+
+
+class _LindbladPrep(NamedTuple):
+    """Host-prep outputs shared by the batched dissipative runners
+    (see :meth:`TpuEmulator._lindblad_batch_prep`)."""
+
+    batch: _CoeffBatch
+    plans: Any  # solver.BatchedPlan
+    d: int
+    n: int
+    pairs: tuple
+    collapse_mats: list
+    psi0: np.ndarray  # complex, solver dtype
+    mcwf_ip: bool
+    mesolve_ip: bool
 
 
 class _CoeffShim(NamedTuple):
@@ -600,23 +674,21 @@ class TpuEmulator:
             else:
                 diags[t] = 0.0
 
-        # Exact generic-path operation order: amp scales in "time"
-        # domain, then 0.5·amp·e^{-iφ}; det adds the masked doppler
-        # offset, bad atoms zero, then 0.5·det and the H+H† doubling.
-        amp_t = amp_raw[None] * amp_scale[..., None]
-        amp_t = amp_t * good[:, None, :, None]
-        amp_b = (0.5 * amp_t) * ph_exp
-        det_t = det_raw[None] + (
-            dopp[:, None, :, None] * mask_k[None]
-            if use_doppler
-            else 0.0
+        # Rank factorizations — the dense (B, nb, n, K) batches never
+        # materialize on the hot path:
+        #   amp_b[t]  = (amp_scale[t]·good[t]) · (0.5·amp_raw·e^{-iφ})
+        #   det_b[t]  = good[t]·base + (dopp[t]·good[t])·mask
+        # (base = det_raw with the 0.5-then-H+H†-doubling applied).
+        # The per-trajectory factors carry ALL the noise; the profile
+        # rows are trajectory independent, so the step policy, the
+        # breakpoint marks and the solver's on-device staging all run
+        # on R·nb·n rows instead of B·nb·n.
+        amp_profile = (0.5 * amp_raw) * ph_exp[0]
+        amp_coeffs = amp_scale * good[:, None, :]
+        amp_factors = (
+            amp_profile[None],
+            amp_coeffs[:, None],
         )
-        det_t = det_t * good[:, None, :, None]
-        det_b = (0.5 * det_t) * 2.0
-        # Rank factorization of det_b — det_b[t] = good[t]·base +
-        # (dopp[t]·good[t])·mask — so the solver's phase staging
-        # gathers profile rows, not the batch (solver._det_rank_leaf
-        # spot-verifies before trusting this).
         profiles = [(0.5 * det_raw) * 2.0]
         coeff_rows = [
             np.broadcast_to(good[:, None, :], (n_traj, nb, n))
@@ -632,23 +704,38 @@ class TpuEmulator:
             np.stack(profiles),
             np.stack(coeff_rows, axis=1),
         )
-        knots = np.asarray(template.sampling_times)
-        shims = [
-            _CoeffShim(amp_b[t], det_b[t], knots, float(mfgs[t]))
-            for t in range(n_traj)
-        ]
+
+        def dense_fn():
+            # Exact generic-path operation order: amp scales in
+            # "time" domain, then 0.5·amp·e^{-iφ}; det adds the
+            # masked doppler offset, bad atoms zero, then 0.5·det
+            # and the H+H† doubling. (Kept bit-identical to the
+            # per-trajectory Hamiltonian construction for the parity
+            # suite; only non-hot paths materialize this.)
+            amp_t = amp_raw[None] * amp_scale[..., None]
+            amp_t = amp_t * good[:, None, :, None]
+            amp_b = (0.5 * amp_t) * ph_exp
+            det_t = det_raw[None] + (
+                dopp[:, None, :, None] * mask_k[None]
+                if use_doppler
+                else 0.0
+            )
+            det_t = det_t * good[:, None, :, None]
+            det_b = (0.5 * det_t) * 2.0
+            return amp_b, det_b
+
         last_traj = trajs[-1].trajectory
         return _CoeffBatch(
-            amp=amp_b,
-            det=det_b,
             diags=diags,
             reps=[r for _, r in trajs],
             template=template,
-            shims=shims,
             last_ham=functools.partial(
                 self._one_trajectory_hamiltonian, last_traj
             ),
             det_factors=det_factors,
+            amp_factors=amp_factors,
+            dense_fn=dense_fn,
+            flip_gaps=mfgs,
         )
 
     @staticmethod
@@ -1109,6 +1196,88 @@ class TpuEmulator:
         if coarse_step > fine_step:
             return coarse_step, True
         return fine_step, False
+
+    @staticmethod
+    def _factored_policy(
+        batch: "_CoeffBatch", knots: np.ndarray
+    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray | None]":
+        """Step-policy inputs straight from the rank factors.
+
+        Computes, WITHOUT materializing the dense ``(B, nb, n, K)``
+        batch, exactly the same values as the dense formulas:
+
+        - per-trajectory amp stiffness ``Σ_bi 2·max_{q,k} |amp|``,
+        - per-trajectory det stiffness ``Σ_bi max_{q,k} |det|``,
+        - the :meth:`_sharp_knots` jump marks (union over
+          trajectories with per-trajectory thresholds).
+
+        Exactness: the amp batch is rank-1 with a REAL per-trajectory
+        coefficient, so ``|amp_t| = |c_t|·|profile|`` and ``d²`` of
+        either real component is ``c_t·d²(component)`` — both factor.
+        The rank-R detuning rows are recombined per ``(basis, qubit)``
+        profile row (``R·nb·n`` small matmuls), never per batch entry.
+
+        Returns ``(amp_stiff (B,), det_stiff (B,), sharp_times)``.
+        """
+        ap, ac = batch.amp_factors
+        dp, dc = batch.det_factors
+        ap = np.asarray(ap)
+        ac = np.asarray(ac)
+        dp = np.asarray(dp)
+        dc = np.asarray(dc)
+        assert ap.shape[0] == 1 and ac.shape[1] == 1
+        B, _, nb, n = ac.shape
+        K = ap.shape[-1]
+        a_abs = np.abs(ac[:, 0])  # (B, nb, n)
+
+        amp_components = [np.abs(ap[0].real), np.abs(ap[0].imag)]
+        prof_abs = np.abs(ap[0])  # (nb, n, K) |complex|
+        amp_stiff = 2.0 * np.sum(
+            (a_abs * prof_abs.max(axis=-1)[None]).max(axis=2),
+            axis=1,
+        )
+
+        det_rowmax = np.empty((B, nb, n))
+        det_d2: list = []
+        want_marks = len(knots) >= 3 and K == len(knots)
+        for bi in range(nb):
+            for q in range(n):
+                rows = dc[:, :, bi, q] @ dp[:, bi, q, :]  # (B, K)
+                det_rowmax[:, bi, q] = np.abs(rows).max(axis=1)
+                if want_marks:
+                    det_d2.append(
+                        np.abs(np.diff(rows, n=2, axis=1))
+                    )
+        det_stiff = np.sum(det_rowmax.max(axis=2), axis=1)
+
+        if not want_marks:
+            return amp_stiff, det_stiff, None
+        marks = np.zeros(K - 2, dtype=bool)
+        # amp marks, real and imaginary components separately (the
+        # dense path calls mark() once per component)
+        for comp in amp_components:
+            thresh = 0.05 * (
+                (a_abs * comp.max(axis=-1)[None]).max(axis=(1, 2))
+            )  # (B,)
+            d2p = np.abs(np.diff(comp, n=2, axis=-1))  # (nb,n,K-2)
+            # max_t (|c_t| / thresh_t) per (bi, q); trajectories with
+            # zero threshold have an all-zero component => no marks
+            ok = thresh > 0
+            if not ok.any():
+                continue
+            m_bq = (
+                a_abs[ok] / thresh[ok, None, None]
+            ).max(axis=0)  # (nb, n)
+            marks |= (d2p * m_bq[..., None] > 1.0).any(axis=(0, 1))
+        # det marks: per-trajectory threshold over the whole det
+        # array, compared against the recombined d² rows
+        thresh_d = 0.05 * det_rowmax.max(axis=(1, 2))  # (B,)
+        for d2 in det_d2:
+            marks |= (d2 > thresh_d[:, None]).any(axis=0)
+        times = np.asarray(knots)[1:-1][marks]
+        return amp_stiff, det_stiff, (
+            times if len(times) else None
+        )
 
     @staticmethod
     def _sharp_knots(
@@ -1699,7 +1868,20 @@ class TpuEmulator:
             )
 
         # Will return NoisyResults
-        if self._can_batch_trajectories() or self._can_batch_lindblad():
+        total_count = None
+        if self._can_batch_lindblad():
+            # Fully-fused fast path: the measurement draws run
+            # on-device inside the solve program and only sampled
+            # indices return (one device round trip per run).
+            total_count = self._counts_rows_fused(
+                print_progress=print_progress, **options
+            )
+        if total_count is not None:
+            pass
+        elif (
+            self._can_batch_trajectories()
+            or self._can_batch_lindblad()
+        ):
             # One vectorized multinomial/SPAM-flip pass over the
             # whole (trajectory × eval-time) batch instead of ~200
             # Counter-returning sample_state calls (which dominated
@@ -1928,59 +2110,57 @@ class TpuEmulator:
             and _has_stochastic_noise(self.noise_model)
         )
 
-    def _noisy_runs_batched_lindblad(
-        self,
-        print_progress: bool = False,
-        **options: Any,
-    ) -> Iterator[tuple[SimulationResults, int]]:
-        """Dissipative variant of :meth:`_noisy_runs_batched`.
+    def _lindblad_batch_prep(self, options: Any) -> "_LindbladPrep":
+        """Shared host prep for the batched dissipative runners.
 
-        The reference loops mesolve/mcsolve serially over trajectories
-        (``simulation.py:848-861``); here every trajectory's Lindblad
-        (or quantum-jump) solve runs in one vmapped device program.
+        Draws fresh noise trajectories, builds the per-trajectory
+        coefficient batch and the shared integration plan, and
+        resolves the solver/interaction-picture policy. Consumed by
+        both the state-yielding generator
+        (:meth:`_noisy_runs_batched_lindblad`) and the fused
+        counts path (:meth:`_counts_rows_fused`).
         """
-        mcsolve_rk4_batched = _timed(
-            "emulator.mcsolve_batched",
-            _solver_mod.mcsolve_rk4_batched,
-        )
-        mesolve_rk4_batched = _timed(
-            "emulator.mesolve_batched",
-            _solver_mod.mesolve_rk4_batched,
-        )
-
         with profiling.phase("emulator.noise_trajectories"):
             with profiling.phase("emulator.traj_draw"):
                 self._refresh_trajectories()
             with profiling.phase("emulator.coeff_batch"):
                 batch = self._noisy_coeff_batch()
-        if print_progress:
-            print(
-                f"Emulating Trajectories [1 - {self.n_trajectories}]"
-                f"/{self.n_trajectories} (batched, dissipative)"
-            )
         first = batch.template
         d, n = first.dim, first.n_qudits
         knots = first.sampling_times
         # Shared step cap across trajectories: full (non-interaction-
         # picture) stiffness since the Lindblad solvers integrate in
-        # the lab frame
-        lambda_max = float(
-            np.max(
-                np.sum(
+        # the lab frame. On the factored fast path both the
+        # stiffness and the (later) breakpoint marks come straight
+        # from the profile rows — the dense batch never materializes.
+        with profiling.phase("emulator.step_policy"):
+            factored = (
+                batch.amp_factors is not None
+                and batch.det_factors is not None
+            )
+            sharp_times: Any = None
+            diag_stiff = np.max(
+                np.abs(
+                    batch.diags.reshape(len(batch.reps), -1)
+                ),
+                axis=1,
+            )
+            if factored:
+                amp_stiff, det_stiff, sharp_times = (
+                    self._factored_policy(batch, knots)
+                )
+            else:
+                amp_stiff = np.sum(
                     2 * np.max(np.abs(batch.amp), axis=(2, 3)),
                     axis=1,
                 )
-                + np.max(
-                    np.abs(
-                        batch.diags.reshape(len(batch.reps), -1)
-                    ),
+                det_stiff = np.sum(
+                    np.max(np.abs(batch.det), axis=(2, 3)),
                     axis=1,
                 )
-                + np.sum(
-                    np.max(np.abs(batch.det), axis=(2, 3)), axis=1
-                )
+            lambda_max = float(
+                np.max(amp_stiff + diag_stiff + det_stiff)
             )
-        )
         base_step = min(
             float(np.median(np.diff(knots)))
             if len(knots) > 1
@@ -2039,18 +2219,36 @@ class TpuEmulator:
         # exact phase integrals — happens on-device from the raw knot
         # values, so only the small (B, nb, n, T) coefficients cross
         # the host→device link.
+        if factored:
+            coeffs_for_plan = {
+                "amp": _solver_mod.RankFactors(
+                    *batch.amp_factors
+                ),
+                "det": _solver_mod.RankFactors(
+                    *batch.det_factors
+                ),
+            }
+        else:
+            coeffs_for_plan = {
+                "amp": batch.amp,
+                "det": batch.det,
+            }
         plans = _timed(
             "emulator.build_plan_batched",
             _solver_mod.build_plan_batched,
         )(
             knots,
-            {"amp": batch.amp, "det": batch.det},
+            coeffs_for_plan,
             self._eval_times_array,
             max_step=max_step,
             host_stage=False,
             coarsen=coarsen,
             breakpoints=(
-                self._sharp_knots(batch, knots)
+                (
+                    sharp_times
+                    if factored
+                    else self._sharp_knots(batch, knots)
+                )
                 if coarsen
                 else None
             ),
@@ -2060,53 +2258,243 @@ class TpuEmulator:
                 else None
             ),
         )
-        diags = batch.diags
-        cdtype = _default_cdtype()
-        psi0 = self.initial_state.full()[:, 0]
-        collapse_mats = first._local_collapse_mats
+        return _LindbladPrep(
+            batch=batch,
+            plans=plans,
+            d=d,
+            n=n,
+            pairs=first.pairs,
+            collapse_mats=first._local_collapse_mats,
+            psi0=np.asarray(
+                self.initial_state.full()[:, 0],
+                dtype=_default_cdtype(),
+            ),
+            mcwf_ip=mcwf_ip,
+            mesolve_ip=mesolve_ip,
+        )
+
+    def _print_batched_progress(self) -> None:
+        print(
+            f"Emulating Trajectories [1 - {self.n_trajectories}]"
+            f"/{self.n_trajectories} (batched, dissipative)"
+        )
+
+    def _noisy_runs_batched_lindblad(
+        self,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> Iterator[tuple[SimulationResults, int]]:
+        """Dissipative variant of :meth:`_noisy_runs_batched`.
+
+        The reference loops mesolve/mcsolve serially over trajectories
+        (``simulation.py:848-861``); here every trajectory's Lindblad
+        (or quantum-jump) solve runs in one vmapped device program.
+        """
+        p = self._lindblad_batch_prep(options)
+        if print_progress:
+            self._print_batched_progress()
+        d, n = p.d, p.n
+        cdtype = p.psi0.dtype
 
         if self._lindblad_solver_choice():
             # One quantum-jump realization per noise trajectory, with
             # the same per-trajectory seed draws as the serial loop
             seeds = [
-                int(np.random.randint(2**31)) for _ in batch.reps
+                int(np.random.randint(2**31)) for _ in p.batch.reps
             ]
-            states_batch = mcsolve_rk4_batched(
-                np.asarray(psi0, dtype=cdtype),
-                plans,
-                diags,
-                first.pairs,
+            states_batch = _timed(
+                "emulator.mcsolve_batched",
+                _solver_mod.mcsolve_rk4_batched,
+            )(
+                p.psi0,
+                p.plans,
+                p.batch.diags,
+                p.pairs,
                 d,
                 n,
-                collapse_mats,
+                p.collapse_mats,
                 seeds,
                 dtype=cdtype,
                 mesh=default_mesh(),
-                ip=mcwf_ip,
+                ip=p.mcwf_ip,
             )
             dims = [[d] * n, [1] * n]
         else:
-            rho0 = np.outer(psi0, psi0.conj())
-            states_batch = mesolve_rk4_batched(
+            rho0 = np.outer(p.psi0, p.psi0.conj())
+            states_batch = _timed(
+                "emulator.mesolve_batched",
+                _solver_mod.mesolve_rk4_batched,
+            )(
                 np.asarray(rho0, dtype=cdtype),
-                plans,
-                diags,
-                first.pairs,
+                p.plans,
+                p.batch.diags,
+                p.pairs,
                 d,
                 n,
-                collapse_mats,
+                p.collapse_mats,
                 dtype=cdtype,
                 mesh=default_mesh(),
-                ip=mesolve_ip,
+                ip=p.mesolve_ip,
             )
             dims = [[d] * n, [d] * n]
 
-        self._current_hamiltonian = batch.last_ham()
-        for reps, states_t in zip(batch.reps, states_batch):
+        self._current_hamiltonian = p.batch.last_ham()
+        for reps, states_t in zip(p.batch.reps, states_batch):
             with profiling.phase("emulator.wrap_results"):
                 states_q = [Qobj(s, dims=dims) for s in states_t]
                 res = self._wrap_coherent(states_q)
             yield res, reps
+
+    def _counts_rows_fused(
+        self,
+        print_progress: bool = False,
+        **options: Any,
+    ) -> "np.ndarray | None":
+        """Per-eval-time bitstring Counters with the measurement
+        draws fused into the solve program.
+
+        The noisy endgame is Counters, not states (the reference
+        samples each trajectory's states straight into Counters,
+        ``simulation.py:848-861``); when the row-batched MCWF kernel
+        handles this configuration, the multinomial draws run
+        on-device (:func:`solver.mcsolve_rows_codes`) and only the
+        sampled indices cross the device link — no per-state fetch,
+        no Qobj wrapping. Returns None without touching the numpy
+        RNG when the cheap host-side gates fail (caller falls back
+        to :meth:`_sample_runs_vectorized`); after the prep has
+        consumed RNG, an ineligible solver config falls back
+        INTERNALLY to the state-returning solver plus host sampling,
+        preserving the draw stream.
+
+        Draw-for-draw the stream matches
+        :meth:`_sample_runs_vectorized`: trajectory seeds, then one
+        uniform per measurement sample (trajectory-major,
+        eval-time-minor), then the SPAM flip uniforms.
+        """
+        if (
+            os.environ.get("PULSER_TPU_FUSED_SAMPLING", "1") == "0"
+        ):
+            return None
+        if not self._lindblad_solver_choice():
+            return None
+        hd = self._hamiltonian_data
+        if hd.basis_data.dim != 2:
+            return None
+        # The measurement-basis index mapping is applied host-side;
+        # only the ground-rydberg reversal (TpuResult._weights) is
+        # wired up here.
+        if (
+            self._meas_basis != "ground-rydberg"
+            or self._meas_basis not in self.basis_name
+        ):
+            return None
+        p = self._lindblad_batch_prep(options)
+        if print_progress:
+            self._print_batched_progress()
+        d, n = p.d, p.n
+        seeds = [
+            int(np.random.randint(2**31)) for _ in p.batch.reps
+        ]
+        eval_ts = self._eval_times_array
+        n_times = len(eval_ts)
+        spr = self.noise_model.samples_per_run
+        reps_arr = np.asarray(p.batch.reps, dtype=np.int64)
+        ns = np.repeat(reps_arr * spr, n_times)
+        offs = np.concatenate(([0], np.cumsum(ns)))
+        total = int(offs[-1])
+        row_traj = np.repeat(
+            np.repeat(
+                np.arange(len(reps_arr), dtype=np.int64), n_times
+            ),
+            ns,
+        )
+        row_ti = np.repeat(
+            np.tile(np.arange(n_times, dtype=np.int64), len(reps_arr)),
+            ns,
+        )
+        rnd = np.random.rand(total)
+
+        codes = _timed(
+            "emulator.mcsolve_batched",
+            _solver_mod.mcsolve_rows_codes,
+        )(
+            p.psi0,
+            p.plans,
+            p.batch.diags,
+            p.pairs,
+            d,
+            n,
+            p.collapse_mats,
+            seeds,
+            (rnd, row_traj, row_ti),
+            dtype=p.psi0.dtype,
+            mesh=default_mesh(),
+            ip=p.mcwf_ip,
+        )
+        width = hd.n_qudits
+        dim = d**n
+        if codes is not None:
+            # Device draws return STATE indices; the ground-rydberg
+            # bitstring order is the reversal (probs[::-1])
+            codes = (dim - 1) - codes.astype(np.int64)
+        else:
+            # Solver declined the fused path (non-IP grid, VMEM,
+            # mesh, ...): state-returning solve + host sampling with
+            # the ALREADY-DRAWN uniforms.
+            states = _timed(
+                "emulator.mcsolve_batched",
+                _solver_mod.mcsolve_rk4_batched,
+            )(
+                p.psi0,
+                p.plans,
+                p.batch.diags,
+                p.pairs,
+                d,
+                n,
+                p.collapse_mats,
+                seeds,
+                dtype=p.psi0.dtype,
+                mesh=default_mesh(),
+                ip=p.mcwf_ip,
+            )
+            probs = np.abs(np.asarray(states)) ** 2
+            cum = np.cumsum(
+                probs[..., ::-1].reshape(-1, dim), axis=1
+            )
+            codes = np.empty(total, dtype=np.int64)
+            for e in range(len(ns)):
+                sl = slice(offs[e], offs[e + 1])
+                codes[sl] = np.searchsorted(
+                    cum[e], rnd[sl] * cum[e, -1]
+                )
+        self._current_hamiltonian = p.batch.last_ham()
+
+        with profiling.phase("emulator.sample_counts"):
+            bit_pos = np.arange(width - 1, -1, -1)
+            bits = (codes[:, None] >> bit_pos) & 1
+            nm = self.noise_model
+            if "SPAM" in nm.noise_types and (
+                nm.p_false_pos != 0.0 or nm.p_false_neg != 0.0
+            ):
+                flip_probs = np.where(
+                    bits == 1, nm.p_false_neg, nm.p_false_pos
+                )
+                flips = (
+                    np.random.uniform(size=bits.shape) < flip_probs
+                )
+                bits = bits ^ flips
+            out_codes = bits @ (1 << bit_pos)
+            total_count = np.array(
+                [Counter() for _ in eval_ts]
+            )
+            combo = (row_ti << width) + out_codes
+            vals, cnts = np.unique(combo, return_counts=True)
+            labels = _labels_of(vals & ((1 << width) - 1), width)
+            for v, lab, c in zip(
+                (vals >> width).tolist(), labels, cnts.tolist()
+            ):
+                total_count[v][lab] += c
+        return total_count
 
     def _sample_runs_vectorized(
         self,

@@ -188,7 +188,12 @@ def build_plan_batched(
         factors: Optional rank factorizations of raw coefficients
             (see :class:`BatchedPlan.raw_factors`).
     """
-    n_traj = next(iter(coeffs_batch.values())).shape[0]
+    lead = next(iter(coeffs_batch.values()))
+    n_traj = (
+        lead.coeffs.shape[0]
+        if isinstance(lead, RankFactors)
+        else lead.shape[0]
+    )
     plan = build_plan(
         knots,
         coeffs_batch,
@@ -249,30 +254,16 @@ def _lindblad_drive_arrays(
         and plans.raw_coeffs is not None
         and plans.plan.stage_knots is not None
     ):
-        raw_amp = np.asarray(plans.raw_coeffs["amp"])
-        raw_det = np.asarray(plans.raw_coeffs["det"]).real
+        amp_re_leaf, amp_im_leaf, det_leaf = _raw_drive_leaves(
+            plans, rdtype
+        )
         idx0, idx1, frac = plans.seg_knots()
         ji0 = jnp.asarray(idx0)
         ji1 = jnp.asarray(idx1)
         jfr = jnp.asarray(frac, dtype=rdtype)
-        amp_re = _stage_on_device(
-            _packed_raw(plans, "amp_re", raw_amp.real, rdtype),
-            ji0,
-            ji1,
-            jfr,
-        )
-        amp_im = _stage_on_device(
-            _packed_raw(plans, "amp_im", raw_amp.imag, rdtype),
-            ji0,
-            ji1,
-            jfr,
-        )
-        det = _stage_on_device(
-            _packed_raw(plans, "det", raw_det, rdtype),
-            ji0,
-            ji1,
-            jfr,
-        )
+        amp_re = _stage_on_device(amp_re_leaf, ji0, ji1, jfr)
+        amp_im = _stage_on_device(amp_im_leaf, ji0, ji1, jfr)
+        det = _stage_on_device(det_leaf, ji0, ji1, jfr)
         return amp_re, amp_im, det, plans.plan, plans.n_traj
 
     base, n_traj, staged = _batched_inputs(plans, ("amp", "det"))
@@ -280,6 +271,41 @@ def _lindblad_drive_arrays(
     amp_im = jnp.asarray(staged["amp"].imag, dtype=rdtype)
     det = jnp.asarray(staged["det"].real, dtype=rdtype)
     return amp_re, amp_im, det, base, n_traj
+
+
+def _raw_drive_leaves(
+    plans: "BatchedPlan", rdtype: Any
+) -> tuple:
+    """Stageable (amp_re, amp_im, det) leaves from raw coefficients.
+
+    A :class:`RankFactors` batch (the emulator's fast coefficient
+    path carries the noise as per-trajectory scalars over shared
+    profile rows) splits into real/imaginary factor pairs directly —
+    no dense batch, no affine-compression pass; a plain array goes
+    through :func:`_packed_raw` as before.
+    """
+    np_r = np.dtype(rdtype)
+    raw_amp = plans.raw_coeffs["amp"]
+    if isinstance(raw_amp, RankFactors):
+        prof = np.asarray(raw_amp.profiles)
+        coeffs = np.asarray(raw_amp.coeffs, np_r)
+        amp_re = RankFactors(prof.real.astype(np_r), coeffs)
+        amp_im = RankFactors(prof.imag.astype(np_r), coeffs)
+    else:
+        arr = np.asarray(raw_amp)
+        amp_re = _packed_raw(plans, "amp_re", arr.real, rdtype)
+        amp_im = _packed_raw(plans, "amp_im", arr.imag, rdtype)
+    raw_det = plans.raw_coeffs["det"]
+    if isinstance(raw_det, RankFactors):
+        det = RankFactors(
+            np.asarray(raw_det.profiles).real.astype(np_r),
+            np.asarray(raw_det.coeffs, np_r),
+        )
+    else:
+        det = _packed_raw(
+            plans, "det", np.asarray(raw_det).real, rdtype
+        )
+    return amp_re, amp_im, det
 
 
 def _interp_at(
@@ -1873,7 +1899,9 @@ def _raw_cum_inputs(
     :func:`_affine_traj_compress` triple the consuming jit expands.
     """
     plan = plans.plan
-    raw_det = np.asarray(plans.raw_coeffs["det"]).real
+    raw_det = plans.raw_coeffs["det"]
+    if not isinstance(raw_det, RankFactors):
+        raw_det = np.asarray(raw_det).real
     knots = np.asarray(plan.knots)
     seg_w = np.diff(knots)
     idx0, idx1, frac = plans.seg_knots()  # (n_seg, L, 3)
@@ -1911,12 +1939,20 @@ def _det_rank_leaf(
 ) -> Any:
     """The detuning leaf for :func:`_stage_cum_on_device`.
 
-    Preference order: caller-provided rank factors (spot-verified
-    against the raw batch — a mismatch falls through, never ships
-    wrong data), then the generic affine compression (rephrased as a
-    rank-2 ``(base, 1)`` factorization so its staging also runs on
-    profile rows), then the plain array.
+    Preference order: an authoritative :class:`RankFactors` batch
+    (the emulator's fast path constructs the coefficients FROM the
+    factors, so there is no dense ground truth to verify against),
+    then caller-provided rank factors (spot-verified against the raw
+    batch — a mismatch falls through, never ships wrong data), then
+    the generic affine compression (rephrased as a rank-2
+    ``(base, 1)`` factorization so its staging also runs on profile
+    rows), then the plain array.
     """
+    if isinstance(raw_det, RankFactors):
+        return RankFactors(
+            np.asarray(raw_det.profiles).real.astype(np_r),
+            np.asarray(raw_det.coeffs, np_r),
+        )
     fac = (getattr(plans, "raw_factors", None) or {}).get("det")
     if fac is not None:
         prof = np.asarray(fac[0], np_r)
@@ -2154,6 +2190,122 @@ def _mcwf_scan_batched(
     )
 
 
+def _rows_path_ok(
+    plans: Any,
+    ip: bool,
+    cops_spec: "tuple | None",
+    d: int,
+    n: int,
+    pairs: tuple,
+    rdtype: Any,
+    mesh: Any,
+    n_seeds: int,
+    force_interp: bool,
+) -> bool:
+    """Whether the row-batched MCWF Pallas kernel handles this config.
+
+    Row-batched = interaction-picture quantum jumps with diagonal
+    collapse operators on a d=2 single-drive-basis system, f32,
+    single device, with a VMEM-feasible (chunk, tb) block plan.
+    """
+    import os
+
+    from pulser_tpu.ops.pallas_kernels import rows_block_plan
+
+    if not isinstance(plans, BatchedPlan):
+        return False
+    if plans.raw_coeffs is not None:
+        raw_amp = plans.raw_coeffs["amp"]
+        nb = int(
+            raw_amp.profiles.shape[1]
+            if isinstance(raw_amp, RankFactors)
+            else np.asarray(raw_amp).shape[1]
+        )
+    else:
+        nb = int(plans.seg_stage_b("amp").shape[-2])
+    return (
+        ip
+        and cops_spec is not None
+        and len(cops_spec) > 0
+        and d == 2
+        and n >= 2
+        and nb == 1
+        and pairs == ((1, 0, 0),)
+        and rdtype == np.float32
+        and _mesh_size(mesh) == 1
+        and rows_block_plan(n, n_seeds) is not None
+        and os.environ.get("PULSER_TPU_MCWF_ROWS", "1") != "0"
+        and (_pallas_available() or force_interp)
+    )
+
+
+def mcsolve_rows_codes(
+    psi0: np.ndarray,
+    plans: "BatchedPlan",
+    diags: np.ndarray,
+    pairs: tuple[tuple[int, int, int], ...],
+    d: int,
+    n: int,
+    collapse_ops: list[np.ndarray],
+    seeds: list[int],
+    sample_spec: tuple,
+    dtype: Any = None,
+    mesh: Any = None,
+    ip: bool = False,
+) -> "np.ndarray | None":
+    """Fused MCWF solve + on-device multinomial, returning indices.
+
+    The noisy-emulation endgame is bitstring Counters (reference
+    ``simulation.py:848-861``): when the row-batched kernel handles
+    the configuration, the measurement draws run on-device against
+    the freshly-computed state probabilities and only the sampled
+    STATE indices return (see :func:`_mcwf_rows_sampled`).
+
+    Args:
+        sample_spec: ``(samp_u, row_traj, row_ti)`` — per-draw
+            uniforms, trajectory index, and (requested)
+            evaluation-time index.
+
+    Returns:
+        ``(n_draws,)`` int32 state indices, or None when this
+        configuration cannot take the fused path (caller falls back
+        to the state-returning solvers + host sampling).
+    """
+    import os
+
+    cdtype = dtype or np.asarray(psi0).dtype
+    rdtype = _real_dtype(cdtype)
+    force_interp = bool(
+        os.environ.get("PULSER_TPU_PALLAS_INTERPRET")
+    )
+    cops_spec = _diag_cops_spec(collapse_ops)
+    if not _rows_path_ok(
+        plans, ip, cops_spec, d, n, pairs, rdtype, mesh,
+        len(seeds), force_interp,
+    ):
+        return None
+    if (
+        plans.raw_coeffs is None
+        or plans.plan.stage_knots is None
+        or plans.plan.knots is None
+    ):
+        return None
+    try:
+        return _mcsolve_pallas_rows(
+            np.asarray(psi0, dtype=cdtype),
+            plans,
+            diags,
+            n,
+            cops_spec,
+            seeds,
+            cdtype,
+            interpret=force_interp,
+            sample_spec=sample_spec,
+        )
+    except _RowsVmemOOM:
+        return None
+
+
 def mcsolve_rk4_batched(
     psi0: np.ndarray,
     plans: "list[EvolutionPlan] | BatchedPlan",
@@ -2199,26 +2351,9 @@ def mcsolve_rk4_batched(
     # configuration the noisy-emulation hot path produces. Opt out
     # with PULSER_TPU_MCWF_ROWS=0.
     cops_spec = _diag_cops_spec(collapse_ops)
-    nb = None
-    if isinstance(plans, BatchedPlan):
-        if plans.raw_coeffs is not None:
-            nb = int(np.asarray(plans.raw_coeffs["amp"]).shape[1])
-        else:
-            nb = int(plans.seg_stage_b("amp").shape[-2])
-    if (
-        isinstance(plans, BatchedPlan)
-        and ip
-        and cops_spec is not None
-        and len(cops_spec) > 0
-        and d == 2
-        and n >= 2
-        and nb == 1
-        and pairs == ((1, 0, 0),)
-        and rdtype == np.float32
-        and _mesh_size(mesh) == 1
-        and _rows_block_plan(n, len(seeds)) is not None
-        and os.environ.get("PULSER_TPU_MCWF_ROWS", "1") != "0"
-        and (_pallas_available() or force_interp)
+    if _rows_path_ok(
+        plans, ip, cops_spec, d, n, pairs, rdtype, mesh,
+        len(seeds), force_interp,
     ):
         try:
             return _mcsolve_pallas_rows(
@@ -3805,15 +3940,6 @@ def _mcwf_uniforms(
     )
 
 
-def _rows_block_plan(n: int, n_traj: int):
-    """(chunk, tb) blocking for the rows kernel, or None if the
-    batch cannot fit its scoped-VMEM budget (see
-    :func:`pallas_kernels.rows_block_ladder`)."""
-    from pulser_tpu.ops.pallas_kernels import rows_block_plan
-
-    return rows_block_plan(n, n_traj)
-
-
 class _RowsVmemOOM(Exception):
     """Every (chunk, tb) candidate hit Mosaic's scoped-VMEM limit;
     the caller falls back to the vmapped XLA batch."""
@@ -3887,19 +4013,7 @@ def _diag_cops_spec(
     return tuple(spec)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_row",
-        "n_col",
-        "cops",
-        "seg_shape",
-        "chunk",
-        "tb",
-        "interpret",
-    ),
-)
-def _mcwf_rows_full(
+def _mcwf_rows_graph(
     raw_amp_re: jax.Array,
     raw_amp_im: jax.Array,
     cum_inputs: tuple,
@@ -3959,6 +4073,102 @@ def _mcwf_rows_full(
     )
 
 
+_ROWS_STATICS = (
+    "n_row",
+    "n_col",
+    "cops",
+    "seg_shape",
+    "chunk",
+    "tb",
+    "interpret",
+)
+
+_mcwf_rows_full = functools.partial(
+    jax.jit, static_argnames=_ROWS_STATICS
+)(_mcwf_rows_graph)
+
+
+@functools.partial(jax.jit, static_argnames=_ROWS_STATICS)
+def _mcwf_rows_sampled(
+    raw_amp_re: jax.Array,
+    raw_amp_im: jax.Array,
+    cum_inputs: tuple,
+    seeds_arr: jax.Array,
+    t_stage: jax.Array,
+    seg_dts: jax.Array,
+    eval_t: jax.Array,
+    diags: jax.Array,
+    psi0_re: jax.Array,
+    psi0_im: jax.Array,
+    samp_u: jax.Array,
+    row_idx: jax.Array,
+    *,
+    n_row: int,
+    n_col: int,
+    cops: tuple,
+    seg_shape: tuple,
+    chunk: int,
+    tb: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`_mcwf_rows_graph` plus an on-device sampling epilogue.
+
+    The noisy ``run()`` path consumes per-trajectory states only as
+    bitstring-measurement weights (reference ``simulation.py:848-861``
+    samples each trajectory's states into Counters); materializing
+    the ``(S, 2, R, T, C)`` state batch on the host costs a ~MB
+    fetch plus a sync round trip per run on a tunneled TPU. Instead,
+    the multinomial draws run here, against the just-computed state
+    probabilities, and only the ``(n_draws,)`` sampled state indices
+    cross the link.
+
+    Args:
+        samp_u: ``(n_draws,)`` uniforms (host numpy RNG, preserving
+            the vectorized host sampler's draw order).
+        row_idx: ``(n_draws,)`` flat row ``traj * n_seg + seg`` each
+            draw samples from.
+
+    Returns:
+        ``(n_draws,)`` int32 sampled state indices (NOT bitstring
+        codes: the measurement-basis index mapping — e.g. the
+        ground-rydberg bit reversal of ``TpuResult._weights`` — is a
+        host-side permutation applied by the caller).
+    """
+    out = _mcwf_rows_graph(
+        raw_amp_re,
+        raw_amp_im,
+        cum_inputs,
+        seeds_arr,
+        t_stage,
+        seg_dts,
+        eval_t,
+        diags,
+        psi0_re,
+        psi0_im,
+        n_row=n_row,
+        n_col=n_col,
+        cops=cops,
+        seg_shape=seg_shape,
+        chunk=chunk,
+        tb=tb,
+        interpret=interpret,
+    )
+    n_seg = out.shape[0]
+    # (S, 2, R, T, C) -> per-(traj, seg) probability rows (T*S, dim)
+    p = out[:, 0] ** 2 + out[:, 1] ** 2
+    p = jnp.transpose(p, (2, 0, 1, 3))
+    p = jnp.reshape(p, (p.shape[0] * n_seg, -1))
+    cum = jnp.cumsum(p, axis=-1)
+    rows_g = cum[row_idx]
+    # searchsorted 'left' == count of entries strictly below the
+    # (total-scaled) uniform; kernel states are normalized but the
+    # scaling keeps the draw exact under f32 cumsum rounding.
+    v = samp_u * rows_g[:, -1]
+    return jnp.sum(
+        (rows_g < v[:, None]).astype(jnp.int32), axis=-1
+    )
+
+
 def _mcsolve_pallas_rows(
     psi0_np: np.ndarray,
     plans: BatchedPlan,
@@ -3968,6 +4178,7 @@ def _mcsolve_pallas_rows(
     seeds: list[int],
     cdtype: Any,
     interpret: bool = False,
+    sample_spec: "tuple | None" = None,
 ) -> np.ndarray:
     """Dispatches the row-batched interaction-picture MCWF kernel.
 
@@ -3978,6 +4189,14 @@ def _mcsolve_pallas_rows(
     (:func:`_lindblad_drive_arrays` / :func:`_batched_cum_arrays`),
     and the RNG draws replicate the XLA path exactly
     (:func:`_mcwf_uniforms`), so rows == vmap == serial.
+
+    With ``sample_spec = (samp_u, row_traj, row_ti)`` (and the fused
+    raw-knot path available) the program appends the on-device
+    multinomial epilogue (:func:`_mcwf_rows_sampled`) and returns
+    ``(n_draws,)`` int32 sampled STATE indices instead of states —
+    only those bytes cross the device link. ``row_ti`` indexes the
+    plan's (requested) evaluation times; the unique-segment mapping
+    (``eval_map``) is applied here.
     """
     from pulser_tpu.ops.pallas_kernels import mcwf_rows_pallas
 
@@ -4007,13 +4226,26 @@ def _mcsolve_pallas_rows(
         # Hot path: staging + RNG + kernel fused into ONE dispatch
         from pulser_tpu import aot_cache
 
-        raw_amp = np.asarray(plans.raw_coeffs["amp"])
+        amp_re_leaf, amp_im_leaf, _ = _raw_drive_leaves(
+            plans, np.float32
+        )
         args = (
-            _packed_raw(plans, "amp_re", raw_amp.real, np.float32),
-            _packed_raw(plans, "amp_im", raw_amp.imag, np.float32),
+            amp_re_leaf,
+            amp_im_leaf,
             _raw_cum_inputs(plans, np.float32),
             np.asarray(seeds, dtype=np.uint32),
         ) + shared_args
+        if sample_spec is not None:
+            samp_u, row_traj, row_ti = sample_spec
+            row_idx = np.asarray(row_traj, np.int32) * np.int32(
+                n_seg
+            ) + np.asarray(base.eval_map, np.int32)[
+                np.asarray(row_ti)
+            ]
+            args = args + (
+                np.asarray(samp_u, np.float32),
+                row_idx,
+            )
 
         def _run(chunk, tb):
             statics = dict(
@@ -4025,11 +4257,21 @@ def _mcsolve_pallas_rows(
                 tb=tb,
                 interpret=interpret,
             )
+            if sample_spec is not None:
+                return aot_cache.call(
+                    _mcwf_rows_sampled,
+                    "mcwf_rows_sampled",
+                    args,
+                    statics,
+                )
             return aot_cache.call(
                 _mcwf_rows_full, "mcwf_rows_full", args, statics
             )
 
     else:
+        assert sample_spec is None, (
+            "the sampling epilogue requires the fused raw-knot path"
+        )
         amp_re_b, amp_im_b, _, _, _ = _lindblad_drive_arrays(
             plans, jnp.float32
         )
@@ -4064,10 +4306,6 @@ def _mcsolve_pallas_rows(
 
     with profiling.phase("solver.rows_dispatch"):
         out = _rows_run_ladder(_run, n, n_traj)
-    with profiling.phase("solver.rows_device"):
-        # Dependent 4-byte fetch: the only reliable completion
-        # barrier on tunneled PJRT (see DeviceStateBatch.sync).
-        np.asarray(out[(-1,) + (0,) * (out.ndim - 1)])
     last_solve_info.update(
         kind="mcwf_rows_pallas",
         dim=rows * cols,
@@ -4075,7 +4313,17 @@ def _mcsolve_pallas_rows(
         n_traj=n_traj,
         n_steps=int(np.count_nonzero(base.seg_dts)),
         n_cops=len(cops_spec),
+        sampled=sample_spec is not None,
     )
+    if sample_spec is not None:
+        # The KB-scale dependent fetch doubles as the completion
+        # barrier — one device round trip for the whole noisy run.
+        with profiling.phase("solver.rows_fetch"):
+            return np.asarray(out)
+    with profiling.phase("solver.rows_device"):
+        # Dependent 4-byte fetch: the only reliable completion
+        # barrier on tunneled PJRT (see DeviceStateBatch.sync).
+        np.asarray(out[(-1,) + (0,) * (out.ndim - 1)])
     # (S, 2, R, T, C) -> (T, n_eval, dim) complex
     with profiling.phase("solver.rows_fetch"):
         out_np = np.asarray(out)[base.eval_map]

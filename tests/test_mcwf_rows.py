@@ -169,6 +169,11 @@ def test_emulator_noisy_run_uses_rows_kernel(monkeypatch):
     native complex64 (the test suite enables x64 globally)."""
     monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
     monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    # Exact count parity requires the HOST sampler on both sides:
+    # the fused on-device multinomial consumes the same uniforms in
+    # state order instead of bitstring order (equal in distribution,
+    # not draw for draw) — it has its own suite below.
+    monkeypatch.setenv("PULSER_TPU_FUSED_SAMPLING", "0")
     jax.config.update("jax_enable_x64", False)
     try:
         _run_emulator_parity(monkeypatch)
@@ -312,3 +317,186 @@ def test_rows_kernel_trajectory_blocked(monkeypatch):
     np.testing.assert_allclose(
         np.abs(ref - blocked).max(), 0, atol=1e-6
     )
+
+
+def test_rows_sampled_codes_match_states_epilogue(monkeypatch):
+    """The fused on-device multinomial samples the same distribution
+    as host sampling of the rows-path states.
+
+    With identical uniforms, the device epilogue (f32 cumsum +
+    strict-less count) and a float64 host replay over the SAME
+    states may only disagree on draws whose uniform lands within
+    f32 rounding of a cumsum boundary — asserted to be a <2%
+    minority — and the state-index histograms must agree closely.
+    """
+    rng = np.random.default_rng(19)
+    n, n_traj = 5, 6
+    dim = 2**n
+    plans = _mk_plans(rng, n, n_traj)
+    diags = np.stack(
+        [rng.uniform(0, 4, dim) for _ in range(n_traj)]
+    )
+    cop = np.sqrt(0.08) * np.diag([1.0, -1.0]).astype(complex)
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    seeds = list(range(51, 51 + n_traj))
+    common = dict(
+        pairs=((1, 0, 0),),
+        d=2,
+        n=n,
+        collapse_ops=[cop],
+        seeds=seeds,
+        dtype=np.complex64,
+        mesh=None,
+        ip=True,
+    )
+    monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PULSER_TPU_MCWF_ROWS", "1")
+    states = S.mcsolve_rk4_batched(
+        psi0.astype(np.complex64), plans, diags, **common
+    )
+    assert S.last_solve_info.get("kind") == "mcwf_rows_pallas"
+
+    n_eval = states.shape[1]
+    draws_per_row = 40
+    n_draws = n_traj * n_eval * draws_per_row
+    row_traj = np.repeat(
+        np.arange(n_traj, dtype=np.int64), n_eval * draws_per_row
+    )
+    row_ti = np.tile(
+        np.repeat(np.arange(n_eval, dtype=np.int64), draws_per_row),
+        n_traj,
+    )
+    rng2 = np.random.default_rng(5)
+    samp_u = rng2.random(n_draws)
+    codes = S.mcsolve_rows_codes(
+        psi0.astype(np.complex64),
+        plans,
+        diags,
+        sample_spec=(samp_u, row_traj, row_ti),
+        **common,
+    )
+    assert codes is not None and codes.shape == (n_draws,)
+    assert S.last_solve_info.get("sampled") is True
+
+    # Host replay in float64 over the same (rows-path) states
+    probs = np.abs(states.astype(np.complex128)) ** 2
+    expected = np.empty(n_draws, dtype=np.int64)
+    for k in range(n_draws):
+        p = probs[row_traj[k], row_ti[k]]
+        cum = np.cumsum(p)
+        expected[k] = np.searchsorted(cum, samp_u[k] * cum[-1])
+    mismatch = np.mean(codes.astype(np.int64) != expected)
+    assert mismatch < 0.02, f"boundary mismatches: {mismatch:.3f}"
+    # Histogram agreement over all draws
+    h_dev = np.bincount(codes, minlength=dim)
+    h_exp = np.bincount(expected, minlength=dim)
+    assert np.abs(h_dev - h_exp).sum() <= 0.04 * n_draws
+
+    # Determinism
+    codes2 = S.mcsolve_rows_codes(
+        psi0.astype(np.complex64),
+        plans,
+        diags,
+        sample_spec=(samp_u, row_traj, row_ti),
+        **common,
+    )
+    np.testing.assert_array_equal(codes, codes2)
+
+
+def test_counts_rows_fused_fallback_matches_host_sampler():
+    """With the rows kernel unavailable, the fused-counts entry falls
+    back internally to host sampling and reproduces
+    ``_sample_runs_vectorized`` draw for draw (same RNG stream)."""
+    reg = tpu.Register.rectangle(1, 3, spacing=7.0, prefix="q")
+
+    def build():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantDetuning(
+                tpu.RampWaveform(400, 0.0, 2 * np.pi * 1.5),
+                -4.0,
+                0.0,
+            ),
+            "ryd",
+        )
+        return seq
+
+    noise = tpu.NoiseModel(
+        state_prep_error=0.005,
+        p_false_pos=0.01,
+        p_false_neg=0.02,
+        temperature=50.0,
+        amp_sigma=0.02,
+        laser_waist=175.0,
+        dephasing_rate=0.05,
+        runs=8,
+        samples_per_run=5,
+    )
+
+    def run(kill_fused):
+        np.random.seed(7)
+        sim = TpuEmulator.from_sequence(
+            build(), noise_model=noise, evaluation_times="Minimal"
+        )
+        assert sim._can_batch_lindblad()
+        if kill_fused:
+            sim._counts_rows_fused = lambda **kw: None
+        return sim.run().results[-1]
+
+    fused = run(kill_fused=False)
+    host = run(kill_fused=True)
+    assert fused == host
+
+
+def test_counts_rows_fused_device_sampling_distribution(monkeypatch):
+    """Public-API noisy run through the fused on-device sampler:
+    deterministic under a fixed seed and distribution-compatible
+    with the host sampler."""
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    monkeypatch.setenv("PULSER_TPU_PALLAS_INTERPRET", "1")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        reg = tpu.Register.rectangle(2, 2, spacing=7.0, prefix="q")
+
+        def run(fused):
+            monkeypatch.setenv(
+                "PULSER_TPU_FUSED_SAMPLING", "1" if fused else "0"
+            )
+            seq = tpu.Sequence(reg, tpu.MockDevice)
+            seq.declare_channel("ryd", "rydberg_global")
+            seq.add(
+                tpu.Pulse.ConstantPulse(400, 2 * np.pi, -1.0, 0.0),
+                "ryd",
+            )
+            noise = tpu.NoiseModel(
+                dephasing_rate=0.08,
+                amp_sigma=0.02,
+                temperature=40.0,
+                p_false_pos=0.05,
+                runs=10,
+                samples_per_run=40,
+            )
+            np.random.seed(77)
+            sim = TpuEmulator.from_sequence(
+                seq, noise_model=noise, evaluation_times="Minimal"
+            )
+            res = sim.run()
+            return dict(res.results[-1])
+
+        pops = run(fused=True)
+        assert S.last_solve_info.get("sampled") is True
+        assert sum(pops.values()) == pytest.approx(1.0)
+        pops2 = run(fused=True)
+        assert pops == pops2
+        ref = run(fused=False)
+        assert S.last_solve_info.get("sampled") is not True
+        l1 = sum(
+            abs(pops.get(k, 0) - ref.get(k, 0))
+            for k in set(pops) | set(ref)
+        )
+        # 400 samples: generous statistical tolerance
+        assert l1 < 0.35
+    finally:
+        jax.config.update("jax_enable_x64", True)
