@@ -885,10 +885,76 @@ def main() -> None:
     except Exception as err:  # pragma: no cover
         log(f"serve probe failed: {err}")
 
+    # Spawn-inclusive first use: a fresh client with NO daemon
+    # running calls ensure_server (which forks one) and submits the
+    # flagship solve. The spawned daemon pays the backend cold start
+    # (compile + the tunneled first-execution stall) inside this one
+    # request — the honest "worst first touch" of the serving story,
+    # alongside daemon-warm (serve_metric) and no-daemon
+    # (warm_metric) above.
+    spawn_metric = None
+    try:
+        import tempfile
+
+        from pulser_tpu import serving as _serving
+
+        sock2 = os.path.join(
+            tempfile.mkdtemp(), "bench_spawn.sock"
+        )
+        client2 = _serving.SolveClient(sock2)
+        seq = build_afm_sequence()
+        eval_times = np.linspace(
+            0, seq.get_duration() * 1e-3, 101
+        )
+        t0 = time.perf_counter()
+        ok = client2.ensure_server(spawn_timeout=120)
+        spawn_s = time.perf_counter() - t0
+        if ok:
+            t1 = time.perf_counter()
+            out2 = client2.run(
+                seq,
+                evaluation_times=eval_times,
+                final_only=True,
+                timeout=1500.0,
+            )
+            first_req_s = time.perf_counter() - t1
+            norm2 = float(
+                np.linalg.norm(out2["states"][-1])
+            )
+            client2.shutdown()
+            log(
+                f"daemon spawn-inclusive first use:"
+                f" {spawn_s + first_req_s:.2f}s"
+                f" (spawn {spawn_s:.2f}s + first request"
+                f" {first_req_s:.2f}s, norm {norm2:.6f})"
+            )
+            spawn_metric = {
+                "metric": (
+                    "daemon spawn-inclusive first use"
+                    " (cold ensure_server + flagship solve)"
+                ),
+                "value": round(spawn_s + first_req_s, 2),
+                "unit": "s",
+                "spawn_s": round(spawn_s, 2),
+                "first_request_s": round(first_req_s, 2),
+                "vs_baseline": round(
+                    afm["cold_warmup_s"]
+                    / (spawn_s + first_req_s),
+                    2,
+                ),
+            }
+        else:
+            log("spawned daemon did not come up within 120s")
+    except Exception as err:  # pragma: no cover
+        log(f"spawn probe failed: {err}")
+
     out = dict(afm)
-    out["extra_metrics"] = [noisy] + (
-        [warm_metric] if warm_metric else []
-    ) + ([serve_metric] if serve_metric else [])
+    out["extra_metrics"] = (
+        [noisy]
+        + ([warm_metric] if warm_metric else [])
+        + ([serve_metric] if serve_metric else [])
+        + ([spawn_metric] if spawn_metric else [])
+    )
     print(json.dumps(out))
 
 

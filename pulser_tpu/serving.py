@@ -27,7 +27,21 @@ same-user trust domain; no pickle anywhere). Requests::
      "evaluation_times": [..] | str | null,
      "with_modulation": bool, "seed": int | null,
      "n_samples": int | null}   # sample instead of returning states
+    {"kind": "run_backend", "sequence": <abstract-repr str>,
+     "config": <EmulationConfig abstract-repr str | null>,
+     "mimic_qpu": bool, "seed": int | null}
     {"kind": "shutdown"}
+
+``run_backend`` runs the full backend-v2 pipeline —
+:class:`pulser_tpu.emulator.TpuBackendV2` with the shipped
+``EmulationConfig`` (observables, callbacks' results, evaluation
+times, noise) — and returns the :class:`pulser_tpu.backend.Results`
+in ITS abstract representation, so expectation values, correlation
+matrices, occupations, energies and sampled bitstrings all flow
+through the warm daemon, not just raw states. Connections are served
+one request at a time; clients open one connection per request
+(:meth:`SolveClient._request`), so concurrent clients interleave at
+request granularity with no shared mutable state between them.
 
 Start a daemon with ``python -m pulser_tpu.serving --socket PATH``
 or programmatically via :func:`serve`; or let
@@ -172,6 +186,50 @@ def _run_inner(req, np, NoiseModel, Sequence, TpuEmulator):
     return out
 
 
+def _handle_backend(req: dict[str, Any]) -> dict[str, Any]:
+    """Executes one backend-v2 run in the resident process.
+
+    The full Observable/Callback pipeline runs daemon-side — the
+    shipped ``EmulationConfig`` carries the observables (expectation
+    values, correlation matrices, occupation, energies, bitstrings,
+    fidelities, state snapshots) — and the resulting
+    :class:`~pulser_tpu.backend.Results` returns in its abstract
+    representation, the same wire format the reference's cloud
+    backends exchange (``pulser-core/pulser/backend/results.py``
+    round trip).
+    """
+    import warnings
+
+    import numpy as np
+
+    from pulser_tpu import Sequence
+    from pulser_tpu.emulator import TpuBackendV2
+    from pulser_tpu.emulator.tpu_config import TpuConfig
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        seq = Sequence.from_abstract_repr(req["sequence"])
+        config = (
+            TpuConfig.from_abstract_repr(req["config"])
+            if req.get("config")
+            else None
+        )
+        if req.get("seed") is not None:
+            np.random.seed(int(req["seed"]))
+        results = TpuBackendV2(
+            seq,
+            config=config,
+            mimic_qpu=bool(req.get("mimic_qpu", False)),
+        ).run()
+    out: dict[str, Any] = {
+        "ok": True,
+        "results_repr": results.to_abstract_repr(),
+    }
+    if caught:
+        out["warnings"] = [str(w.message) for w in caught]
+    return out
+
+
 def _handle(req: dict[str, Any]) -> tuple[dict[str, Any], bool]:
     """Returns (response, keep_serving)."""
     kind = req.get("kind")
@@ -179,9 +237,12 @@ def _handle(req: dict[str, Any]) -> tuple[dict[str, Any], bool]:
         return {"ok": True, "pid": os.getpid()}, True
     if kind == "shutdown":
         return {"ok": True}, False
-    if kind == "run_sequence":
+    if kind in ("run_sequence", "run_backend"):
+        handler = (
+            _handle_run if kind == "run_sequence" else _handle_backend
+        )
         try:
-            return _handle_run(req), True
+            return handler(req), True
         except Exception as err:  # noqa: BLE001 — shipped to client
             return (
                 {"ok": False, "error": f"{type(err).__name__}: {err}"},
@@ -331,6 +392,54 @@ class SolveClient:
             "states": arrays["states"],
             "eval_times": arrays["eval_times"],
         }
+
+    def run_backend(
+        self,
+        sequence: Any,
+        *,
+        config: Any = None,
+        mimic_qpu: bool = False,
+        seed: int | None = None,
+        deserialize: bool = True,
+        timeout: float = 600.0,
+    ) -> Any:
+        """Runs the backend-v2 Observable/Results pipeline on the
+        daemon.
+
+        ``sequence``/``config`` may be objects (serialized via their
+        ``to_abstract_repr``) or already-serialized strings.
+
+        Returns a :class:`pulser_tpu.backend.Results` (expectation
+        values, correlation matrices, bitstrings, ... keyed by
+        observable tag), or — with ``deserialize=False`` — its raw
+        abstract-repr JSON string, which needs no pulser_tpu import
+        on the client side.
+        """
+        if hasattr(sequence, "to_abstract_repr"):
+            sequence = sequence.to_abstract_repr()
+        if config is not None and hasattr(
+            config, "to_abstract_repr"
+        ):
+            config = config.to_abstract_repr()
+        resp = self._request(
+            {
+                "kind": "run_backend",
+                "sequence": sequence,
+                "config": config,
+                "mimic_qpu": mimic_qpu,
+                "seed": seed,
+            },
+            timeout,
+        )
+        if not resp.get("ok"):
+            raise RuntimeError(
+                f"daemon error: {resp.get('error', 'unknown')}"
+            )
+        if not deserialize:
+            return resp["results_repr"]
+        from pulser_tpu.backend.results import Results
+
+        return Results.from_abstract_repr(resp["results_repr"])
 
     def ensure_server(
         self,
