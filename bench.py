@@ -410,6 +410,12 @@ def solve_telemetry(seconds: float) -> dict:
             + elems * (8 + 12 * n + 16 * info["n_cops"])
         )
         flops = info["n_steps"] * 4 * per_stage
+    elif kind == "sesolve_xla_scan":
+        # Structured H·ψ per stage: ~(8 + 12n) flops per state
+        # element (diagonal/rotor + n axis-wise 2x2 contractions)
+        flops = (
+            info["n_steps"] * 4 * info["dim"] * (8 + 12 * info["n"])
+        )
     elif kind in ("mcwf_batched", "mesolve_batched"):
         dim = info["dim"]
         state = dim * dim if kind == "mesolve_batched" else dim

@@ -895,6 +895,13 @@ def sesolve_rk4(
             xy_indices=xy_indices,
             has_int_w=has_int_w,
         )
+    last_solve_info.update(
+        kind="sesolve_xla_scan",
+        dim=d**n,
+        n=n,
+        n_steps=int(np.count_nonzero(plan.seg_dts)),
+        ip=bool(use_ip),
+    )
     if lazy:
         return DeviceStateBatch(
             out,
