@@ -2032,11 +2032,33 @@ class TpuEmulator:
             batch.shims,
             options,
         )
+        # Beyond the state-sharding threshold, noisy runs use BOTH
+        # parallel axes at once: trajectories × state blocks on a 2D
+        # mesh (SURVEY §2.3; collectives ride the state axis only).
+        diags = batch.diags
+        n_traj_true = len(batch.reps)
+        mesh2 = None
+        if d == 2 and all(
+            {i, j} == {0, 1} for i, j, _ in first.pairs
+        ):
+            from pulser_tpu.parallel.mesh2d import default_2d_mesh
+
+            mesh2 = default_2d_mesh(n, n_traj_true)
+        amp_b, det_b = batch.amp, batch.det
+        if mesh2 is not None:
+            from pulser_tpu.parallel.trajectories import (
+                pad_to_multiple,
+            )
+
+            (amp_b, det_b, diags), _ = pad_to_multiple(
+                (np.asarray(amp_b), np.asarray(det_b), diags),
+                int(mesh2.shape["traj"]),
+            )
         # One plan for the whole batch: the grid is shared, only the
         # coefficient values differ per trajectory
         plans = _solver_mod.build_plan_batched(
             knots,
-            {"amp": batch.amp, "det": batch.det},
+            {"amp": amp_b, "det": det_b},
             self._eval_times_array,
             max_step=max_step,
             coarsen=coarsen,
@@ -2046,22 +2068,38 @@ class TpuEmulator:
                 else None
             ),
         )
-        diags = batch.diags
         cdtype = _default_cdtype()
         psi0 = self.initial_state.full()[:, 0]
-        # Trajectories shard across all attached chips over ICI when
-        # more than one device is available (SURVEY §2.3(a)).
-        states_batch = sesolve_rk4_batched(
-            np.asarray(psi0, dtype=cdtype),
-            plans,
-            diags,
-            first.pairs,
-            d,
-            n,
-            True,
-            dtype=cdtype,
-            mesh=default_mesh(),
-        )
+        if mesh2 is not None:
+            from pulser_tpu.parallel.mesh2d import (
+                sesolve_ip_2d_sharded,
+            )
+
+            states_batch = _timed(
+                "emulator.sesolve_batched", sesolve_ip_2d_sharded
+            )(
+                np.asarray(psi0, dtype=cdtype),
+                plans,
+                diags,
+                first.pairs,
+                n,
+                mesh2,
+                dtype=cdtype,
+            )[:n_traj_true]
+        else:
+            # Trajectories shard across all attached chips over ICI
+            # when more than one device is available (SURVEY §2.3(a)).
+            states_batch = sesolve_rk4_batched(
+                np.asarray(psi0, dtype=cdtype),
+                plans,
+                diags,
+                first.pairs,
+                d,
+                n,
+                True,
+                dtype=cdtype,
+                mesh=default_mesh(),
+            )
         if coarsen:
             # see the coherent path: unitary evolution, renormalize
             states_batch = np.asarray(states_batch)

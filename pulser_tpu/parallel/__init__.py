@@ -1,10 +1,14 @@
-"""Multi-chip parallelism: trajectory sharding over device meshes."""
+"""Multi-chip parallelism: trajectory/state sharding over meshes."""
 
 from pulser_tpu.parallel.capacity import (
     CapacityError,
     capacity_report,
     check_capacity,
     single_chip_ceiling,
+)
+from pulser_tpu.parallel.mesh2d import (
+    default_2d_mesh,
+    sesolve_ip_2d_sharded,
 )
 from pulser_tpu.parallel.state_sharding import (
     STATE_SHARD_MIN_QUBITS,
@@ -22,7 +26,9 @@ __all__ = [
     "CapacityError",
     "capacity_report",
     "check_capacity",
+    "default_2d_mesh",
     "default_mesh",
+    "sesolve_ip_2d_sharded",
     "sesolve_ip_statevector_sharded",
     "single_chip_ceiling",
     "pad_to_multiple",

@@ -205,33 +205,24 @@ def sesolve_ip_statevector_sharded(
     return (out_np[:, 0] + 1j * out_np[:, 1]).astype(cdtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "pairs", "n", "k", "axis_name"),
-)
-def _sesolve_ip_statevector_sharded_jit(
-    psi2_0: jax.Array,
-    amp_re: jax.Array,
-    amp_im: jax.Array,
-    det_cum_mod: jax.Array,
-    t_stage: jax.Array,
-    dts: jax.Array,
-    eval_t: jax.Array,
-    eval_cum_mod: jax.Array,
-    diag: jax.Array,
-    *,
-    mesh: Mesh,
+def _make_ip_local_work(
     pairs: tuple[tuple[int, int, int], ...],
     n: int,
     k: int,
     axis_name: str,
-) -> jax.Array:
-    """The compiled sharded-state IP scan (cached across calls)."""
+    rdtype: Any,
+):
+    """Builds the per-device IP sesolve body for a sharded state.
+
+    Shared by the 1D statevector sharding
+    (:func:`_sesolve_ip_statevector_sharded_jit`) and the 2D
+    trajectory×state mesh (:mod:`pulser_tpu.parallel.mesh2d`), which
+    vmaps this body over its local trajectory block.
+    """
     d = 2
     n_dev = 2**k
     n_local = n - k
     dim_local = d**n_local
-    rdtype = psi2_0.dtype
     groups = group_sizes(d, n_local)
     nb = len(pairs)
 
@@ -385,6 +376,34 @@ def _sesolve_ip_statevector_sharded_jit(
         )
         return ys  # (n_seg, 2, dim_local)
 
+    return local_work
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "pairs", "n", "k", "axis_name"),
+)
+def _sesolve_ip_statevector_sharded_jit(
+    psi2_0: jax.Array,
+    amp_re: jax.Array,
+    amp_im: jax.Array,
+    det_cum_mod: jax.Array,
+    t_stage: jax.Array,
+    dts: jax.Array,
+    eval_t: jax.Array,
+    eval_cum_mod: jax.Array,
+    diag: jax.Array,
+    *,
+    mesh: Mesh,
+    pairs: tuple[tuple[int, int, int], ...],
+    n: int,
+    k: int,
+    axis_name: str,
+) -> jax.Array:
+    """The compiled sharded-state IP scan (cached across calls)."""
+    local_work = _make_ip_local_work(
+        pairs, n, k, axis_name, psi2_0.dtype
+    )
     sharded = shard_map(
         local_work,
         mesh=mesh,

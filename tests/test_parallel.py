@@ -908,3 +908,126 @@ def test_qudit_embed_indices_roundtrip():
     assert g4[9] == 16  # (1,0,0)
     assert g4[26] == 2 * 16 + 2 * 4 + 2
     assert len(np.unique(g4)) == 27
+
+
+def test_sesolve_ip_2d_mesh_matches_batched():
+    """(2, 4) trajectory×state mesh == the plain vmapped batch.
+
+    The 2D composition (SURVEY §2.3): trajectories shard over the
+    'traj' axis with zero collectives; within each group the 2^n
+    state splits over the 'state' hypercube with XOR-partner
+    ppermutes — the per-device body is the 1D state sharding's,
+    vmapped over the local trajectory block.
+    """
+    from jax.sharding import Mesh
+
+    from pulser_tpu.ops.solver import build_plan_batched
+    from pulser_tpu.ops.solver import sesolve_rk4_batched
+    from pulser_tpu.parallel.mesh2d import sesolve_ip_2d_sharded
+
+    n, n_traj = 7, 6
+    dim = 2**n
+    rng = np.random.default_rng(17)
+    n_knots = 11
+    knots = np.linspace(0.0, 0.4, n_knots)
+    eval_times = np.array([0.0, 0.2, 0.4])
+    amp = np.stack(
+        [
+            rng.uniform(1, 4, size=(1, n, n_knots))
+            * np.exp(
+                1j * rng.uniform(0, 2 * np.pi, size=(1, n, 1))
+            )
+            for _ in range(n_traj)
+        ]
+    )
+    det = np.stack(
+        [
+            rng.normal(0, 2, size=(1, n, 1))
+            * np.ones((1, n, n_knots))
+            for _ in range(n_traj)
+        ]
+    )
+    plans = build_plan_batched(
+        knots, {"amp": amp, "det": det}, eval_times, max_step=2e-3
+    )
+    diags = np.stack(
+        [rng.uniform(0, 6, dim) for _ in range(n_traj)]
+    )
+    psi0 = np.zeros(dim, complex)
+    psi0[-1] = 1.0
+    pairs = ((1, 0, 0),)
+
+    serial = sesolve_rk4_batched(
+        psi0, plans, diags, pairs, 2, n, True,
+        dtype=np.complex128, mesh=None,
+    )
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest provides 8 virtual devices"
+    mesh2 = Mesh(
+        np.array(devices[:8]).reshape(2, 4),
+        axis_names=("traj", "state"),
+    )
+    sharded = sesolve_ip_2d_sharded(
+        psi0, plans, diags, pairs, n, mesh2, dtype=np.complex128
+    )
+    assert sharded.shape == serial.shape == (n_traj, 3, dim)
+    np.testing.assert_allclose(sharded, serial, atol=1e-10)
+    np.testing.assert_allclose(
+        np.linalg.norm(sharded[:, -1], axis=-1), 1.0, atol=1e-9
+    )
+
+
+def test_emulator_noisy_run_routes_to_2d_mesh(monkeypatch):
+    """A forced (2, 4) mesh carries the pure-state noisy batch and
+    reproduces the serial result distribution-for-distribution
+    (identical trajectory RNG; identical integration grid)."""
+    from pulser_tpu.parallel import mesh2d
+
+    reg = tpu.Register.rectangle(2, 3, spacing=7.0, prefix="q")
+
+    def build():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(300, 2 * np.pi, -1.0, 0.0),
+            "ryd",
+        )
+        return seq
+
+    nm = tpu.NoiseModel(
+        amp_sigma=0.05, laser_waist=120.0, runs=5, samples_per_run=2
+    )
+
+    monkeypatch.setenv("PULSER_TPU_TRAJ_STATE_MESH", "2x4")
+    assert mesh2d.default_2d_mesh(6, 5) is not None
+    np.random.seed(29)
+    sim = TpuEmulator.from_sequence(build(), noise_model=nm)
+    assert sim._can_batch_trajectories()
+    res_2d = sim.run()
+
+    monkeypatch.delenv("PULSER_TPU_TRAJ_STATE_MESH")
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    np.random.seed(29)
+    sim2 = TpuEmulator.from_sequence(build(), noise_model=nm)
+    res_serial = sim2.run()
+
+    for r_2d, r_se in zip(res_2d.results, res_serial.results):
+        assert r_2d == r_se
+
+
+def test_default_2d_mesh_policy(monkeypatch):
+    """The automatic 2D mesh engages only past the state-sharding
+    threshold with enough devices, splitting state first."""
+    from pulser_tpu.parallel import mesh2d
+
+    monkeypatch.setenv("PULSER_TPU_STATE_SHARD_MIN_QUBITS", "6")
+    m = mesh2d.default_2d_mesh(7, 8)
+    assert m is not None
+    assert m.shape["state"] >= 2 and m.shape["traj"] >= 2
+    assert m.shape["state"] * m.shape["traj"] <= 8
+    # Below the threshold: no 2D mesh
+    assert mesh2d.default_2d_mesh(5, 8) is None
+    # Too few trajectories: no 2D mesh
+    assert mesh2d.default_2d_mesh(7, 1) is None
+    monkeypatch.setenv("PULSER_TPU_DISABLE_SHARDING", "1")
+    assert mesh2d.default_2d_mesh(7, 8) is None
