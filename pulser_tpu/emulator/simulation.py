@@ -968,6 +968,12 @@ class TpuEmulator:
             self._initial_state = Qobj(
                 np.asarray(state), dims=legal_dims
             ).unit()
+        # Cache token for device-resident solver inputs: any change
+        # of the initial state invalidates the cached device psi0
+        # (solver.sesolve_rk4's input_tokens).
+        self._initial_state_version = (
+            getattr(self, "_initial_state_version", -1) + 1
+        )
 
     @property
     def evaluation_times(self) -> np.ndarray:
@@ -1694,6 +1700,13 @@ class TpuEmulator:
                 ip_occ=ip_occ,
                 state_mesh=state_mesh,
                 lazy=True,
+                # The plan is hamiltonian-tied (see _plan_cache), so
+                # the diag token is constant; psi0 re-transfers only
+                # when set_initial_state changes it.
+                input_tokens=(
+                    getattr(self, "_initial_state_version", 0),
+                    0,
+                ),
             )
             if isinstance(states_arr, _solver_mod.DeviceStateBatch):
                 # States stay device-resident; each Qobj fetches its

@@ -918,3 +918,39 @@ def test_sesolve_batched_pallas_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.linalg.norm(pal[:, -1], axis=-1), 1.0, atol=1e-5
     )
+
+
+def test_device_input_cache_and_initial_state_invalidation():
+    """Repeated coherent runs reuse device-resident psi0/diag (the
+    warm-solve transfer fix for 24+ atoms); changing the initial
+    state invalidates the cached psi0 and changes the result."""
+    reg = tpu.Register({"q0": (0, 0), "q1": (0, 8)})
+    seq = tpu.Sequence(reg, tpu.MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(tpu.Pulse.ConstantPulse(300, 2 * np.pi, 0.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    a = np.asarray(sim.run().get_final_state().full())
+    b = np.asarray(sim.run().get_final_state().full())
+    np.testing.assert_allclose(a, b, atol=1e-12)
+    plan = sim._plan_cache[1]
+    roles = {
+        k[0] for k in plan.runtime_cache if isinstance(k, tuple)
+    }
+    assert "dev_psi0" in roles and "dev_diag" in roles
+
+    # New initial state: |rr> instead of |gg> -> different result
+    psi_rr = np.zeros(4, complex)
+    psi_rr[0] = 1.0
+    sim.set_initial_state(psi_rr)
+    c = np.asarray(sim.run().get_final_state().full())
+    assert np.max(np.abs(c - a)) > 0.1
+    # And deterministic under the new cache entry
+    d = np.asarray(sim.run().get_final_state().full())
+    np.testing.assert_allclose(c, d, atol=1e-12)
+    # Exactly one psi0 entry is retained (stale tokens evicted)
+    psi_keys = [
+        k
+        for k in plan.runtime_cache
+        if isinstance(k, tuple) and k[0] == "dev_psi0"
+    ]
+    assert len(psi_keys) == 1
