@@ -1602,9 +1602,14 @@ class TpuEmulator:
             ]
         elif use_lindblad or is_dm_input:
             if is_dm_input:
-                rho0 = self.initial_state.full()
+                rho0 = np.asarray(
+                    self.initial_state.full(), dtype=cdtype
+                )
             else:
-                rho0 = np.outer(psi0, psi0.conj())
+                # Pure initial state: ship the vector, form ψψ† on
+                # device (solver sentinel) — never materialize the
+                # dense (dim, dim) matrix host-side.
+                rho0 = ("pure", np.asarray(psi0, dtype=cdtype))
             # ρ costs 4^N: beyond roughly half the statevector's
             # qubit ceiling its rows shard over the mesh (SURVEY §5)
             rho_mesh = None
@@ -1625,7 +1630,7 @@ class TpuEmulator:
                 what="master-equation solve",
             )
             states_arr = mesolve_rk4(
-                np.asarray(rho0, dtype=cdtype),
+                rho0,
                 plan,
                 hamiltonian.int_diag,
                 hamiltonian.pairs,
