@@ -975,6 +975,21 @@ class TpuEmulator:
             getattr(self, "_initial_state_version", -1) + 1
         )
 
+    def _initial_ket(self) -> np.ndarray:
+        """The initial statevector, materialized once per version.
+
+        ``initial_state.full()`` copies the dense vector every call —
+        a 1 GB host pass per run() at 26 qubits; repeated solves reuse
+        this cache until :meth:`set_initial_state` changes the state.
+        """
+        ver = getattr(self, "_initial_state_version", 0)
+        hit = getattr(self, "_initial_ket_cache", None)
+        if hit is None or hit[0] != ver:
+            vec = self.initial_state.full()[:, 0]
+            hit = (ver, vec)
+            self._initial_ket_cache = hit
+        return hit[1]
+
     @property
     def evaluation_times(self) -> np.ndarray:
         """The times at which results are returned."""
@@ -1550,7 +1565,7 @@ class TpuEmulator:
         use_lindblad = (
             len(hamiltonian.lindblad_data.local_collapse_ops) > 0
         )
-        psi0 = self.initial_state.full()[:, 0]
+        psi0 = self._initial_ket()
         is_dm_input = self.initial_state.isoper and not (
             self.initial_state.isket
         )
@@ -2087,7 +2102,7 @@ class TpuEmulator:
             ),
         )
         cdtype = _default_cdtype()
-        psi0 = self.initial_state.full()[:, 0]
+        psi0 = self._initial_ket()
         if mesh2 is not None:
             from pulser_tpu.parallel.mesh2d import (
                 sesolve_ip_2d_sharded,
@@ -2322,8 +2337,7 @@ class TpuEmulator:
             pairs=first.pairs,
             collapse_mats=first._local_collapse_mats,
             psi0=np.asarray(
-                self.initial_state.full()[:, 0],
-                dtype=_default_cdtype(),
+                self._initial_ket(), dtype=_default_cdtype()
             ),
             mcwf_ip=mcwf_ip,
             mesolve_ip=mesolve_ip,

@@ -768,7 +768,13 @@ def sesolve_rk4(
     """
     cdtype = dtype or np.asarray(psi0).dtype
     rdtype = _real_dtype(cdtype)
-    psi0_np = np.asarray(psi0, dtype=cdtype)
+
+    # The dtype conversion is a full-vector host pass (0.5 GB at 26
+    # qubits) — deferred so a token-cached device psi0 skips it.
+    @functools.lru_cache(maxsize=1)
+    def _psi0_np() -> np.ndarray:
+        return np.asarray(psi0, dtype=cdtype)
+
     has_int_w = "int_w" in plan.stage_arrays
     use_ip = (
         ip_occ is not None and xy_static is None and not has_int_w
@@ -787,7 +793,7 @@ def sesolve_rk4(
         )
 
         return sesolve_ip_statevector_sharded(
-            psi0_np,
+            _psi0_np(),
             plan,
             static_diag,
             pairs,
@@ -804,7 +810,7 @@ def sesolve_rk4(
         )
 
         return qudit_sesolve_ip_statevector_sharded(
-            psi0_np,
+            _psi0_np(),
             plan,
             static_diag,
             pairs,
@@ -828,7 +834,7 @@ def sesolve_rk4(
         )
 
         return xy_sesolve_statevector_sharded(
-            psi0_np,
+            _psi0_np(),
             plan,
             static_diag,
             np.asarray(xy_static)[0],
@@ -851,7 +857,7 @@ def sesolve_rk4(
         and _pallas_available()
     ):
         return _sesolve_rk4_pallas(
-            psi0_np, plan, static_diag, n, cdtype, lazy=lazy
+            _psi0_np(), plan, static_diag, n, cdtype, lazy=lazy
         )
     # Shared device inputs. The big (2^N) ones — psi0 and the
     # interaction diagonal — cache device-resident per token (see
@@ -874,20 +880,21 @@ def sesolve_rk4(
         return hit
 
     def _build_psi():
-        nz = np.flatnonzero(psi0_np)
+        p = _psi0_np()
+        nz = np.flatnonzero(p)
         if (
             len(nz) == 1
-            and psi0_np[nz[0]].real == 1.0
-            and psi0_np[nz[0]].imag == 0.0
+            and p[nz[0]].real == 1.0
+            and p[nz[0]].imag == 0.0
         ):
             # The default all-ground one-hot: built on device, no
             # 2^N host->device payload even on the first solve.
             return (
-                jnp.zeros((2, psi0_np.shape[0]), dtype=rdtype)
+                jnp.zeros((2, p.shape[0]), dtype=rdtype)
                 .at[0, int(nz[0])]
                 .set(1.0)
             )
-        return dev(np.stack([psi0_np.real, psi0_np.imag]))
+        return dev(np.stack([p.real, p.imag]))
 
     psi2_0 = _cached(
         "dev_psi0",
