@@ -1251,7 +1251,10 @@ class TpuEmulator:
         K = ap.shape[-1]
         a_abs = np.abs(ac[:, 0])  # (B, nb, n)
 
-        amp_components = [np.abs(ap[0].real), np.abs(ap[0].imag)]
+        # SIGNED components: |d²(c·comp)| = |c|·|d² comp| needs the
+        # second difference of the signed profile (a sign flip at
+        # full amplitude is a sharp kink that |comp| would hide).
+        amp_components = [ap[0].real, ap[0].imag]
         prof_abs = np.abs(ap[0])  # (nb, n, K) |complex|
         amp_stiff = 2.0 * np.sum(
             (a_abs * prof_abs.max(axis=-1)[None]).max(axis=2),
@@ -1278,7 +1281,9 @@ class TpuEmulator:
         # dense path calls mark() once per component)
         for comp in amp_components:
             thresh = 0.05 * (
-                (a_abs * comp.max(axis=-1)[None]).max(axis=(1, 2))
+                (
+                    a_abs * np.abs(comp).max(axis=-1)[None]
+                ).max(axis=(1, 2))
             )  # (B,)
             d2p = np.abs(np.diff(comp, n=2, axis=-1))  # (nb,n,K-2)
             # max_t (|c_t| / thresh_t) per (bi, q); trajectories with
@@ -1593,8 +1598,16 @@ class TpuEmulator:
 
         n_eval = len(self._eval_times_array)
         if use_mcsolve:
+            # The quantum-jump solver integrates statevectors but
+            # AVERAGES them into (n_eval, dim, dim) density matrices
+            # on device (mcsolve_rk4's QuTiP-matching output), so
+            # the footprint contract is the density-matrix model.
             check_capacity(
-                d, n, n_eval=n_eval, what="MCWF (quantum-jump) solve"
+                d,
+                n,
+                n_eval=n_eval,
+                density_matrix=True,
+                what="MCWF (quantum-jump) solve",
             )
             states_arr = mcsolve_rk4(
                 np.asarray(psi0, dtype=cdtype),
@@ -2323,11 +2336,6 @@ class TpuEmulator:
                 if coarsen
                 else None
             ),
-            factors=(
-                {"det": batch.det_factors}
-                if batch.det_factors is not None
-                else None
-            ),
         )
         return _LindbladPrep(
             batch=batch,
@@ -2469,22 +2477,28 @@ class TpuEmulator:
         n_times = len(eval_ts)
         spr = self.noise_model.samples_per_run
         reps_arr = np.asarray(p.batch.reps, dtype=np.int64)
-        ns = np.repeat(reps_arr * spr, n_times)
+        # Per-(trajectory, eval-time) entries, trajectory-major —
+        # the nested order the host sampler consumes rnd in.
+        ns = np.repeat(reps_arr * spr, n_times)  # (n_entries,)
         offs = np.concatenate(([0], np.cumsum(ns)))
         total = int(offs[-1])
+        n_entries = len(ns)
         row_traj = np.repeat(
-            np.repeat(
-                np.arange(len(reps_arr), dtype=np.int64), n_times
-            ),
-            ns,
+            np.arange(len(reps_arr), dtype=np.int64), n_times
         )
-        row_ti = np.repeat(
-            np.tile(np.arange(n_times, dtype=np.int64), len(reps_arr)),
-            ns,
+        row_ti = np.tile(
+            np.arange(n_times, dtype=np.int64), len(reps_arr)
         )
         rnd = np.random.rand(total)
+        # Row-padded draws: keeps the device epilogue at one
+        # (n_entries, dim) cumsum gather + (n_entries, m) searches —
+        # never a per-draw (n_draws, dim) expansion.
+        m = int(ns.max()) if n_entries else 0
+        valid = np.arange(m)[None, :] < ns[:, None]
+        u_pad = np.full((n_entries, m), 0.5)
+        u_pad[valid] = rnd
 
-        codes = _timed(
+        codes_pad = _timed(
             "emulator.mcsolve_batched",
             _solver_mod.mcsolve_rows_codes,
         )(
@@ -2496,17 +2510,19 @@ class TpuEmulator:
             n,
             p.collapse_mats,
             seeds,
-            (rnd, row_traj, row_ti),
+            (u_pad, row_traj, row_ti),
             dtype=p.psi0.dtype,
             mesh=default_mesh(),
             ip=p.mcwf_ip,
         )
         width = hd.n_qudits
         dim = d**n
-        if codes is not None:
+        if codes_pad is not None:
             # Device draws return STATE indices; the ground-rydberg
             # bitstring order is the reversal (probs[::-1])
-            codes = (dim - 1) - codes.astype(np.int64)
+            codes = (dim - 1) - np.asarray(
+                codes_pad, dtype=np.int64
+            )[valid]
         else:
             # Solver declined the fused path (non-IP grid, VMEM,
             # mesh, ...): state-returning solve + host sampling with
@@ -2557,7 +2573,8 @@ class TpuEmulator:
             total_count = np.array(
                 [Counter() for _ in eval_ts]
             )
-            combo = (row_ti << width) + out_codes
+            draw_ti = np.repeat(row_ti, ns)
+            combo = (draw_ti << width) + out_codes
             vals, cnts = np.unique(combo, return_counts=True)
             labels = _labels_of(vals & ((1 << width) - 1), width)
             for v, lab, c in zip(

@@ -137,14 +137,11 @@ class BatchedPlan:
     #: solvers can ship it to the device and stage there (the staged
     #: arrays are ~3·n_steps/n_knots times larger — a painful
     #: host->device transfer).
+    #: Entries may be :class:`RankFactors` — the emulator's fast
+    #: coefficient batch ships its noise structure as per-trajectory
+    #: scalars over shared profile rows, and the staging consumes
+    #: the factors directly (:func:`_raw_drive_leaves`).
     raw_coeffs: dict[str, np.ndarray] | None = None
-    #: Optional rank factorizations of raw coefficients, name ->
-    #: ``(profiles (R, nb, n, K), coeffs (B, R, nb, n))`` with
-    #: ``raw[name][b] ≈ Σ_r coeffs[b, r]·profiles[r]``. Produced by
-    #: callers that KNOW the noise structure (the emulator's fast
-    #: coefficient batch); consumers spot-verify before trusting
-    #: (:func:`_det_rank_leaf`).
-    raw_factors: "dict[str, tuple] | None" = None
 
     def seg_stage_b(self, name: str) -> np.ndarray:
         """``(B, n_seg, L, 3, ...)`` staged values for ``name``."""
@@ -174,19 +171,16 @@ def build_plan_batched(
     host_stage: bool = True,
     coarsen: bool = False,
     breakpoints: "np.ndarray | None" = None,
-    factors: "dict[str, tuple] | None" = None,
 ) -> BatchedPlan:
     """Builds one :class:`BatchedPlan` for stacked coefficients.
 
     Args:
         knots: Shared ``(n_knots,)`` coefficient sample times.
         coeffs_batch: Name -> ``(B, ..., n_knots)`` stacked
-            per-trajectory coefficients.
+            per-trajectory coefficients, or :class:`RankFactors`.
         eval_times: Shared evaluation times.
         max_step: Shared maximum step.
         coarsen, breakpoints: See :func:`build_plan`.
-        factors: Optional rank factorizations of raw coefficients
-            (see :class:`BatchedPlan.raw_factors`).
     """
     lead = next(iter(coeffs_batch.values()))
     n_traj = (
@@ -207,7 +201,6 @@ def build_plan_batched(
         plan=plan,
         n_traj=n_traj,
         raw_coeffs=dict(coeffs_batch),
-        raw_factors=factors,
     )
 
 
@@ -2030,9 +2023,7 @@ def _det_rank_leaf(
     Preference order: an authoritative :class:`RankFactors` batch
     (the emulator's fast path constructs the coefficients FROM the
     factors, so there is no dense ground truth to verify against),
-    then caller-provided rank factors (spot-verified against the raw
-    batch — a mismatch falls through, never ships wrong data), then
-    the generic affine compression (rephrased as a rank-2
+    then the generic affine compression (rephrased as a rank-2
     ``(base, 1)`` factorization so its staging also runs on profile
     rows), then the plain array.
     """
@@ -2041,26 +2032,6 @@ def _det_rank_leaf(
             np.asarray(raw_det.profiles).real.astype(np_r),
             np.asarray(raw_det.coeffs, np_r),
         )
-    fac = (getattr(plans, "raw_factors", None) or {}).get("det")
-    if fac is not None:
-        prof = np.asarray(fac[0], np_r)
-        coeffs = np.asarray(fac[1], np_r)
-        k_cnt = raw_det.shape[-1]
-        spot = np.unique(
-            np.linspace(0, k_cnt - 1, 8).astype(np.int64)
-        )
-        recon = np.einsum(
-            "brjq,rjqk->bjqk",
-            coeffs.astype(np.float64),
-            prof[..., spot].astype(np.float64),
-        )
-        ref = raw_det[..., spot]
-        scale = max(1.0, float(np.abs(ref).max()))
-        if (
-            recon.shape == ref.shape
-            and float(np.max(np.abs(recon - ref))) <= 1e-5 * scale
-        ):
-            return RankFactors(prof, coeffs)
     packed = _packed_raw(plans, "det", raw_det, np_r)
     if isinstance(packed, tuple):
         base, m, c = packed
@@ -4207,20 +4178,28 @@ def _mcwf_rows_sampled(
     the ``(S, 2, R, T, C)`` state batch on the host costs a ~MB
     fetch plus a sync round trip per run on a tunneled TPU. Instead,
     the multinomial draws run here, against the just-computed state
-    probabilities, and only the ``(n_draws,)`` sampled state indices
-    cross the link.
+    probabilities, and only the sampled state indices cross the
+    link. Draws arrive GROUPED BY (trajectory, eval-time) row and
+    padded to the widest row, so device memory carries one
+    ``(n_entries, dim)`` cumsum gather (the size of the probability
+    batch itself) plus the ``(n_entries, m)`` draws — never an
+    ``(n_draws, dim)`` per-draw expansion (at ``samples_per_run ≫
+    1`` that would dwarf the states the fusion exists to avoid).
 
     Args:
-        samp_u: ``(n_draws,)`` uniforms (host numpy RNG, preserving
-            the vectorized host sampler's draw order).
-        row_idx: ``(n_draws,)`` flat row ``traj * n_seg + seg`` each
-            draw samples from.
+        samp_u: ``(n_entries, m)`` uniforms (host numpy RNG in the
+            vectorized host sampler's draw order, row-padded; padded
+            lanes may hold any value in [0, 1)).
+        row_idx: ``(n_entries,)`` flat row ``traj * n_seg + seg``
+            each entry samples from.
 
     Returns:
-        ``(n_draws,)`` int32 sampled state indices (NOT bitstring
-        codes: the measurement-basis index mapping — e.g. the
-        ground-rydberg bit reversal of ``TpuResult._weights`` — is a
-        host-side permutation applied by the caller).
+        ``(n_entries, m)`` int32 sampled state indices — padded
+        lanes carry junk the caller masks off. These are STATE
+        indices (NOT bitstring codes: the measurement-basis index
+        mapping — e.g. the ground-rydberg bit reversal of
+        ``TpuResult._weights`` — is a host-side permutation applied
+        by the caller).
     """
     out = _mcwf_rows_graph(
         raw_amp_re,
@@ -4247,14 +4226,11 @@ def _mcwf_rows_sampled(
     p = jnp.transpose(p, (2, 0, 1, 3))
     p = jnp.reshape(p, (p.shape[0] * n_seg, -1))
     cum = jnp.cumsum(p, axis=-1)
-    rows_g = cum[row_idx]
-    # searchsorted 'left' == count of entries strictly below the
-    # (total-scaled) uniform; kernel states are normalized but the
-    # scaling keeps the draw exact under f32 cumsum rounding.
-    v = samp_u * rows_g[:, -1]
-    return jnp.sum(
-        (rows_g < v[:, None]).astype(jnp.int32), axis=-1
-    )
+    rows_g = cum[row_idx]  # (n_entries, dim)
+    # searchsorted-left semantics; the total scaling keeps the draw
+    # exact under f32 cumsum rounding (states are normalized).
+    v = samp_u * rows_g[:, -1:]
+    return jax.vmap(jnp.searchsorted)(rows_g, v).astype(jnp.int32)
 
 
 def _mcsolve_pallas_rows(

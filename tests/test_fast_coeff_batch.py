@@ -197,3 +197,65 @@ def test_noisy_run_results_identical_both_paths(monkeypatch):
             return dict(res.sample_final_state(2000))
 
     assert counts(False) == counts(True)
+
+
+def test_factored_policy_matches_dense_sharp_knots():
+    """The factor-domain step policy reproduces the dense
+    _sharp_knots marks and stiffness EXACTLY — including a drive
+    whose real component flips sign at full amplitude (|d2| of the
+    SIGNED component; an abs'd profile would hide that kink)."""
+    from pulser_tpu.emulator.simulation import (
+        _CoeffBatch,
+        TpuEmulator,
+    )
+
+    rng = np.random.default_rng(3)
+    B, nb, n, K = 5, 1, 3, 31
+    knots = np.linspace(0.0, 1.0, K)
+    base = np.ones((nb, n, K))
+    # A pi phase jump mid-sequence: +A ... +A, -A ... -A (sharp kink
+    # in the signed real part, invisible in |real part|)
+    base[..., K // 2:] = -1.0
+    amp_profile = (2.0 + 0.0j) * base
+    amp_coeffs = rng.uniform(0.8, 1.2, (B, nb, n))
+    det_profiles = np.stack(
+        [np.linspace(-2, 2, K) * np.ones((nb, n, K))]
+    )
+    det_coeffs = rng.uniform(0.9, 1.1, (B, 1, nb, n))
+
+    amp_dense = amp_coeffs[..., None] * amp_profile[None]
+    det_dense = np.einsum(
+        "brjq,rjqk->bjqk", det_coeffs, det_profiles
+    )
+    diags = rng.uniform(0, 4, (B, 2**n))
+    batch = _CoeffBatch(
+        diags=diags,
+        reps=[1] * B,
+        template=None,
+        last_ham=None,
+        amp=amp_dense,
+        det=det_dense,
+        det_factors=(det_profiles, det_coeffs),
+        amp_factors=(amp_profile[None], amp_coeffs[:, None]),
+    )
+    amp_stiff, det_stiff, times = TpuEmulator._factored_policy(
+        batch, knots
+    )
+    # Dense references
+    np.testing.assert_allclose(
+        amp_stiff,
+        np.sum(2 * np.max(np.abs(amp_dense), axis=(2, 3)), axis=1),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        det_stiff,
+        np.sum(np.max(np.abs(det_dense), axis=(2, 3)), axis=1),
+        rtol=1e-12,
+    )
+    dense_times = TpuEmulator._sharp_knots(batch, knots)
+    assert times is not None and dense_times is not None
+    np.testing.assert_array_equal(times, dense_times)
+    # The sign-flip knot is marked (it is a 4A second difference)
+    flip_time = knots[K // 2]
+    assert np.any(np.isclose(times, flip_time, atol=1e-12)) or \
+        np.any(np.isclose(times, knots[K // 2 - 1], atol=1e-12))

@@ -359,16 +359,13 @@ def test_rows_sampled_codes_match_states_epilogue(monkeypatch):
 
     n_eval = states.shape[1]
     draws_per_row = 40
-    n_draws = n_traj * n_eval * draws_per_row
+    n_entries = n_traj * n_eval
     row_traj = np.repeat(
-        np.arange(n_traj, dtype=np.int64), n_eval * draws_per_row
+        np.arange(n_traj, dtype=np.int64), n_eval
     )
-    row_ti = np.tile(
-        np.repeat(np.arange(n_eval, dtype=np.int64), draws_per_row),
-        n_traj,
-    )
+    row_ti = np.tile(np.arange(n_eval, dtype=np.int64), n_traj)
     rng2 = np.random.default_rng(5)
-    samp_u = rng2.random(n_draws)
+    samp_u = rng2.random((n_entries, draws_per_row))
     codes = S.mcsolve_rows_codes(
         psi0.astype(np.complex64),
         plans,
@@ -376,21 +373,23 @@ def test_rows_sampled_codes_match_states_epilogue(monkeypatch):
         sample_spec=(samp_u, row_traj, row_ti),
         **common,
     )
-    assert codes is not None and codes.shape == (n_draws,)
+    assert codes is not None
+    assert codes.shape == (n_entries, draws_per_row)
     assert S.last_solve_info.get("sampled") is True
 
     # Host replay in float64 over the same (rows-path) states
     probs = np.abs(states.astype(np.complex128)) ** 2
-    expected = np.empty(n_draws, dtype=np.int64)
-    for k in range(n_draws):
-        p = probs[row_traj[k], row_ti[k]]
+    expected = np.empty_like(codes, dtype=np.int64)
+    for e in range(n_entries):
+        p = probs[row_traj[e], row_ti[e]]
         cum = np.cumsum(p)
-        expected[k] = np.searchsorted(cum, samp_u[k] * cum[-1])
+        expected[e] = np.searchsorted(cum, samp_u[e] * cum[-1])
     mismatch = np.mean(codes.astype(np.int64) != expected)
     assert mismatch < 0.02, f"boundary mismatches: {mismatch:.3f}"
     # Histogram agreement over all draws
-    h_dev = np.bincount(codes, minlength=dim)
-    h_exp = np.bincount(expected, minlength=dim)
+    n_draws = codes.size
+    h_dev = np.bincount(codes.ravel(), minlength=dim)
+    h_exp = np.bincount(expected.ravel(), minlength=dim)
     assert np.abs(h_dev - h_exp).sum() <= 0.04 * n_draws
 
     # Determinism
@@ -500,3 +499,47 @@ def test_counts_rows_fused_device_sampling_distribution(monkeypatch):
         assert l1 < 0.35
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_counts_rows_fused_varying_reps_matches_host_sampler():
+    """SPAM-only stochastic noise dedupes trajectories into varying
+    repetition counts — the row-padded draw layout must reproduce
+    the host sampler exactly through the internal fallback."""
+    reg = tpu.Register.rectangle(1, 3, spacing=7.0, prefix="q")
+
+    def build():
+        seq = tpu.Sequence(reg, tpu.MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            tpu.Pulse.ConstantPulse(300, 2 * np.pi, -1.0, 0.0),
+            "ryd",
+        )
+        return seq
+
+    noise = tpu.NoiseModel(
+        state_prep_error=0.25,  # heavy: many duplicate bad-atom sets
+        dephasing_rate=0.05,
+        runs=12,
+        samples_per_run=3,
+    )
+
+    def run(kill_fused):
+        np.random.seed(31)
+        sim = TpuEmulator.from_sequence(
+            build(), noise_model=noise, evaluation_times="Minimal"
+        )
+        assert sim._can_batch_lindblad()
+        if kill_fused:
+            sim._counts_rows_fused = lambda **kw: None
+        res = sim.run()
+        return res.results[-1]
+
+    np.random.seed(31)
+    sim_probe = TpuEmulator.from_sequence(
+        build(), noise_model=noise, evaluation_times="Minimal"
+    )
+    sim_probe._refresh_trajectories()
+    reps = [r for _, r in sim_probe._hamiltonian_data.noise_trajectories]
+    assert max(reps) > 1, f"dedup must produce reps > 1, got {reps}"
+
+    assert run(kill_fused=False) == run(kill_fused=True)
